@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** ISO-8601 normalization with the reference's exact semantics
+  * (resources/time_utils.py:30-79, pinned by
+  * tests/resources/test_time_utils.py:17-69):
+  *
+  *  - trailing `Z` is an alias for `+00:00`;
+  *  - ISO strings parse with `T` or space separator, with or without offset
+  *    and fractional seconds; naive times are treated as UTC;
+  *  - fallback English formats: `d MMM yyyy`, `d MMMM yyyy` (each optionally
+  *    with ` HH:mm:ss`), `d/M/yyyy`, `d-M-yyyy`, `yyyy-M-d`;
+  *  - output is `yyyy-MM-ddTHH:mm:ss[.fraction]+00:00` with the fractional
+  *    part trimmed of trailing zeros and omitted when zero;
+  *  - empty input → empty output; unparseable → None (the reference raises —
+  *    our relational surface uses null so one bad row never kills a stage,
+  *    SURVEY §4 fail-soft).
+  */
+object TimeFunctions {
+
+  private val englishFormats: Seq[DateTimeFormatter] = Seq(
+    "d MMM yyyy HH:mm:ss", "d MMMM yyyy HH:mm:ss")
+    .map(p => DateTimeFormatter.ofPattern(p, java.util.Locale.ENGLISH))
+  private val englishDateFormats: Seq[DateTimeFormatter] = Seq(
+    "d MMM yyyy", "d MMMM yyyy", "d/M/yyyy", "d-M-yyyy", "yyyy-M-d")
+    .map(p => DateTimeFormatter.ofPattern(p, java.util.Locale.ENGLISH))
+
+  /** Format with UTC offset, microsecond precision, trailing zeros trimmed. */
+  private def fmt(odt: OffsetDateTime): String = {
+    val utc = odt.withOffsetSameInstant(ZoneOffset.UTC)
+    val base = utc.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val micro = utc.getNano / 1000
+    if (micro == 0) s"$base+00:00"
+    else {
+      val frac = f"$micro%06d".reverse.dropWhile(_ == '0').reverse
+      s"$base.$frac+00:00"
+    }
+  }
+
+  /** Scala port of `parse_to_iso8601_utc`. Some(iso) on success, Some("")
+    * on empty, None on unparseable. */
+  def parseToIso8601Utc(s: String): Option[String] = {
+    if (s == null) return None
+    if (s.isEmpty) return Some("")
+    val str = if (s.endsWith("Z")) s.dropRight(1) + "+00:00" else s
+    val isoCandidate = // fromisoformat accepts ' ' as the separator too
+      if (str.length > 10 && str.charAt(10) == ' ') str.updated(10, 'T') else str
+
+    def tryParse[A](f: => A): Option[A] =
+      try Some(f) catch { case _: Exception => None }
+
+    tryParse(OffsetDateTime.parse(isoCandidate)).map(fmt)
+      .orElse(tryParse(LocalDateTime.parse(isoCandidate))
+        .map(ldt => fmt(ldt.atOffset(ZoneOffset.UTC))))
+      .orElse(tryParse(LocalDate.parse(isoCandidate))
+        .map(ld => fmt(ld.atStartOfDay.atOffset(ZoneOffset.UTC))))
+      .orElse(englishFormats.view.flatMap(f =>
+        tryParse(LocalDateTime.parse(s, f))).headOption
+        .map(ldt => fmt(ldt.atOffset(ZoneOffset.UTC))))
+      .orElse(englishDateFormats.view.flatMap(f =>
+        tryParse(LocalDate.parse(s, f))).headOption
+        .map(ld => fmt(ld.atStartOfDay.atOffset(ZoneOffset.UTC))))
+  }
+
+  private val isoNormalizeUdf =
+    udf((s: String) => parseToIso8601Utc(s).filter(_.nonEmpty).orNull)
+
+  /** Column form: normalized ISO string, null on empty/unparseable/null.
+    * (A deterministic scalar; registered as a UDF — the date-parse fallback
+    * chain has no loss-free built-in equivalent.) */
+  def isoNormalize(c: Column): Column = isoNormalizeUdf(c)
+}

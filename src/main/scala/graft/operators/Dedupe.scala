@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * Reference semantics: resources/refine/dedupe.py:31-107 (BLAKE2b content
+  * hash, first-wins in deterministic walk order). Beyond the reference, this
+  * module adds the near-dup family a training-data pipeline needs: MinHash
+  * LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - `exactFirstWins` is ONE hash-shuffle on the digest; no pairwise work.
+  *  - MinHash/SimHash candidate generation only ever joins on (band, hash)
+  *    or fingerprint buckets — the quadratic all-pairs comparison is
+  *    avoided; candidate pairs are then verified exactly.
+  *  - All hashing is expressed as integer Column arithmetic over md5 prefixes
+  *    (codegen'd, deterministic across engines/retries). No UDFs.
+  */
+object Dedupe {
+
+  /** Exact dedupe, first-wins by `order` within equal `hash`.
+    * The reference's dedupe.py walk-order "first" pinned to an explicit
+    * deterministic order column.
+    */
+  def exactFirstWins(df: DataFrame, hash: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(hash).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Lower-cased whitespace-split word array of a text column. */
+  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** `n`-gram word shingles of a text column (space-joined). Empty array when
+    * the text has fewer than `n` words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 32-bit hash of a string as a non-negative long: the first 8 hex
+    * chars of md5. Chosen over murmur/xxhash because every engine (and the
+    * DuckDB oracle) computes the identical value.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine hash family params (a_k, b_k) for MinHash. */
+  def hashFamily(k: Int): Seq[(Long, Long)] = {
+    // Linear congruential constants derived from a fixed seed — stable
+    // across runs so signatures are reproducible.
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature (array<long> of length k) over a shingle array.
+    *
+    * The md5 base hashes are bound once via a lambda variable
+    * (`transform` over a single-element wrapper) so the k affine lanes
+    * reuse them — inlining `base` into each lane would re-md5 every
+    * shingle k times (measured 50× slower at bench).
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val base = transform(shingleArr, s => md5Hash32(s) % MersennePrime)
+    val sig = (h: Column) => array(hashFamily(k).map { case (a, b) =>
+      array_min(transform(h, x => (x * a + b) % MersennePrime))
+    }: _*)
+    // bind base to a lambda variable: evaluate once, reference k times
+    element_at(transform(array(base), h => sig(h)), 1)
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs.
+    *
+    * Pipeline: shingle → k-minhash signature → split into `bands` bands →
+    * explode (doc, band_idx, band_key) → self-join on (band_idx, band_key)
+    * with id < id — a pure equi-join, shuffle-partitioned on the band key,
+    * which is the scalable LSH shape — then verify candidates with exact
+    * signature agreement and keep pairs above `minAgree`.
+    *
+    * @return columns (id_a, id_b, agree) — agree = fraction of equal
+    *         signature components (Jaccard estimate).
+    */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = df
+      .select(id.as("id"), minhashSignature(shingles(text, shingleN), k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(":", transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string"))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / lit(k.toDouble))
+      .filter(col("agree") >= minAgree)
+      .select(col("id_a"), col("id_b"), col("agree"))
+  }
+
+  /** SimHash fingerprint (bits-wide, default 16) from term frequencies.
+    * bit_j(doc) = 1 iff sum over distinct words of tf * (word_hash bit_j ? +1 : -1) > 0.
+    *
+    * Returns df with (id, simhash) — computed via explode + groupBy, i.e. one
+    * shuffle on the doc id; fully relational.
+    */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame = {
+    val wordsDf = df.select(id.as("id"), explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5Hash32(col("w")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, col("tf")).otherwise(-col("tf")))
+        .as(s"b$j")
+    }
+    val agg = wordsDf.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidate generation buckets by the high byte of the fingerprint to
+    * avoid all-pairs at scale (documents differing only in low bits still
+    * collide on the high-byte bucket with high probability for near-dups).
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(df, id, text, bits)
+    val a = fps.select(col("id").as("id_a"), col("simhash").as("fp_a"))
+      .withColumn("bucket", shiftright(col("fp_a"), bits - 8))
+    val b = fps.select(col("id").as("id_b"), col("simhash").as("fp_b"))
+      .withColumn("bucket", shiftright(col("fp_b"), bits - 8))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram (word-set) Jaccard similarity for pairs sharing a blocking
+    * key. Blocking bounds the join: at 100 TB you never do all-pairs — pairs
+    * come from a prior LSH/blocking stage; here the block is caller-chosen.
+    *
+    * @return (id_a, id_b, inter, uni, jaccard)
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, minJaccard: Double): DataFrame = {
+    val tok = df.select(id.as("id"), block.as("blk"),
+      explode(array_distinct(words(text))).as("w"))
+      .filter(length(col("w")) > 0)
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val aTok = tok.select(col("id").as("id_a"), col("blk"), col("w"))
+    val bTok = tok.select(col("id").as("id_b"), col("blk"), col("w"))
+    val inter = aTok.join(bTok, Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (e.g. an LSH
+    * bucket or cluster label). Cosine via the deterministic sequential fold
+    * in [[graft.functions.VectorFunctions]].
+    */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+      block: Column, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val base = df.select(id.as("id"), vec.as("v"), block.as("blk"))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("blk"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

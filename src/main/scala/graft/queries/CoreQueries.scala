@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+import graft.functions.TextFunctions
+
+/** SURVEY §2.9 declared queries Q1–Q12 and Q16–Q20: the relational core.
+  *
+  * Design rules shared by every query here:
+  *  - Deterministic output order (explicit ORDER BY incl. tie-breaks) so the
+  *    driver's hash-compare is stable.
+  *  - Money aggregations cast to DECIMAL(18,2) *before* summing, then cast
+  *    the exact result to DOUBLE — decimal addition is associative, so the
+  *    result is identical regardless of partial-aggregation order (Spark's
+  *    map-side combine at 100 TB) and identical to the DuckDB oracle.
+  *  - Joins leave broadcast selection to Catalyst/AQE except where a side is
+  *    known-dimensional (region/nation) — those are hinted.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 — scan + projection with pushed-down column pruning (SURVEY S1).
+    * `.explain` shows ReadSchema limited to the two selected columns. */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_quantity"))
+
+  /** Q2 — group-count histogram (SURVEY S17/A2: extension/format counts). */
+  def q02GroupCount(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  /** Q3 — min-length + language filter (SURVEY P1/P2: MIN_TEXT_LENGTH=200). */
+  def q03Filter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) >= 200 && col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** Q4a — anti join: documents lacking an embedding in the label%3=0
+    * subset (SURVEY P4/J2 metadata-vs-data anti-join shape). */
+  def q04AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val sub = embeddings(s, d).filter(col("label") % 3 === 0)
+      .select(col("vec_id"))
+    documents(s, d)
+      .join(sub, col("doc_id") === col("vec_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q4b — semi join: the complement of q04. */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val sub = embeddings(s, d).filter(col("label") % 3 === 0)
+      .select(col("vec_id"))
+    documents(s, d)
+      .join(sub, col("doc_id") === col("vec_id"), "left_semi")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q5 — prediction merge-back: left join + coalesce keeps prior tags where
+    * no prediction exists (SURVEY J1, assets/processing/assets.py:543-558).
+    * The prediction side is small → broadcast. */
+  def q05LeftJoinCoalesce(s: SparkSession, d: String): DataFrame = {
+    val preds = embeddings(s, d).filter(col("label") % 2 === 0)
+      .select(col("vec_id"), concat(lit("label_"), col("label")).as("pred"))
+    documents(s, d)
+      .join(broadcast(preds), col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), coalesce(col("pred"), col("source")).as("tag"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Q6 — multi-way equi-join revenue rollup by nation (SURVEY J4).
+    * region/nation broadcast; customer⋈orders⋈lineitem shuffle on keys.
+    * Revenue summed in exact decimal then cast to double (see header). */
+  def q06MultiJoinRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Q7 — first-wins content dedupe via hash + window (SURVEY A1; the
+    * reference's BLAKE2b walk-order dedupe, pinned to doc_id order).
+    * At scale this is a single hash-shuffle on the digest — no pairwise
+    * comparison ever happens. */
+  def q07DedupeFirstWins(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedupe.exactFirstWins(documents(s, d), sha2(col("text"), 256), col("doc_id"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Q9 — oldest order date per customer (SURVEY A5 min-over-collection). */
+  def q09GroupMin(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("oldest"), max(col("o_orderdate")).as("newest"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Q10 — scalar enrichment: word_count, license map, coalesce fallbacks
+    * (SURVEY A6/F3/F14 — the add_dataset_record enrichment surface). */
+  def q10ScalarEnrich(s: SparkSession, d: String): DataFrame = {
+    val lic = when(col("source").isin("src0", "src5"), "OGL-UK-3.0")
+      .when(col("source").isin("src1", "src6"), "CC BY")
+      .when(col("source").isin("src2", "src7"), "CC0")
+      .otherwise(lit(null).cast("string"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("word_count"),
+        lic.as("license"),
+        coalesce(when(length(col("lang")) === 0, lit(null)).otherwise(col("lang")), lit("en")).as("lang_final"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q11 — multi-key aggregate + ROLLUP (SURVEY A9 grouping-sets surface). */
+  def q11AggRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q12 — order + limit: TakeOrderedAndProject, no full sort at scale. */
+  def q12OrderLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** Q16 — running revenue per customer with an explicit window frame
+    * (SURVEY W8). Decimal-exact running sum cast to double. */
+  def q16WindowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_rev", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_rev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q17 — union-all row count + EXCEPT missing-keys report (SURVEY U1/U3:
+    * partition union + expected-minus-present reconciliation). */
+  def q17UnionExcept(s: SparkSession, d: String): DataFrame = {
+    val unionCnt = customer(s, d).select(col("c_nationkey").as("k"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("k")))
+      .agg(count(lit(1)).as("val"))
+      .select(lit("union_rows").as("metric"), col("val").cast("long").as("val"))
+    val missing = nation(s, d).select(col("n_nationkey").as("k"))
+      .except(supplier(s, d).select(col("s_nationkey").as("k")))
+      .select(
+        concat(lit("missing_nation_"), lpad(col("k").cast("string"), 2, "0")).as("metric"),
+        col("k").cast("long").as("val"))
+    unionCnt.unionByName(missing).orderBy(col("metric"))
+  }
+
+  /** Q18 — array kernel: slice/distinct/union with sorted canonical form
+    * (SURVEY U2 tag-set semantics). */
+  def q18ArrayOps(s: SparkSession, d: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val first5 = slice(words, 1, 5)
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        sort_array(array_distinct(first5)).as("tags"),
+        sort_array(array_distinct(array_union(first5, array(lit("extra"), lit("the"))))).as("tags_aug"),
+        size(array_intersect(first5, array(lit("the"), lit("data"), lit("spark")))).as("n_common"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q19 — string kernel chain: whitespace-normalize, substr, case, concat_ws,
+    * safe-name (SURVEY F5–F8, F11, F12). */
+  def q19StringKernel(s: SparkSession, d: String): DataFrame = {
+    val cleaned = TextFunctions.normalizeWhitespace(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        concat_ws(" | ", col("source"), col("lang"), upper(substring(cleaned, 1, 40))).as("packed"),
+        length(cleaned).as("clean_len"),
+        TextFunctions.safeName(concat_ws("-", col("source"), col("lang"))).as("safe_name"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q20 — JSON extraction from the events props payload (SURVEY F10). */
+  def q20JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_project" -> q01ScanProject,
+    "q02_group_count" -> q02GroupCount,
+    "q03_filter" -> q03Filter,
+    "q04_anti_join" -> q04AntiJoin,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_left_join_coalesce" -> q05LeftJoinCoalesce,
+    "q06_multi_join_revenue" -> q06MultiJoinRevenue,
+    "q07_dedupe_first_wins" -> q07DedupeFirstWins,
+    "q09_group_min" -> q09GroupMin,
+    "q10_scalar_enrich" -> q10ScalarEnrich,
+    "q11_agg_rollup" -> q11AggRollup,
+    "q12_order_limit" -> q12OrderLimit,
+    "q16_window_running" -> q16WindowRunning,
+    "q17_union_except" -> q17UnionExcept,
+    "q18_array_ops" -> q18ArrayOps,
+    "q19_string_kernel" -> q19StringKernel,
+    "q20_json_extract" -> q20JsonExtract)
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_group_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type",
+    "q03_filter" ->
+      "SELECT * FROM documents WHERE length(text) >= 200 AND lang = 'en' ORDER BY doc_id",
+    "q04_anti_join" ->
+      """SELECT d.doc_id, d.source FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.label % 3 = 0 AND e.vec_id = d.doc_id)
+         ORDER BY d.doc_id""",
+    "q04_semi_join" ->
+      """SELECT d.doc_id, d.source FROM documents d
+         WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.label % 3 = 0 AND e.vec_id = d.doc_id)
+         ORDER BY d.doc_id""",
+    "q05_left_join_coalesce" ->
+      """SELECT d.doc_id, coalesce('label_' || CAST(e.label AS VARCHAR), d.source) AS tag
+         FROM documents d
+         LEFT JOIN (SELECT vec_id, label FROM embeddings WHERE label % 2 = 0) e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""",
+    "q06_multi_join_revenue" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q07_dedupe_first_wins" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q09_group_min" ->
+      """SELECT o_custkey, min(o_orderdate) AS oldest, max(o_orderdate) AS newest, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q10_scalar_enrich" ->
+      """SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_count,
+                CASE WHEN source IN ('src0','src5') THEN 'OGL-UK-3.0'
+                     WHEN source IN ('src1','src6') THEN 'CC BY'
+                     WHEN source IN ('src2','src7') THEN 'CC0'
+                     ELSE NULL END AS license,
+                coalesce(CASE WHEN length(lang) = 0 THEN NULL ELSE lang END, 'en') AS lang_final
+         FROM documents ORDER BY doc_id""",
+    "q11_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_rev,
+                count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q12_order_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q17_union_except" ->
+      """SELECT 'union_rows' AS metric,
+                CAST((SELECT count(*) FROM (SELECT c_nationkey AS k FROM customer
+                                            UNION ALL SELECT s_nationkey FROM supplier) u) AS BIGINT) AS val
+         UNION ALL
+         SELECT 'missing_nation_' || lpad(CAST(k AS VARCHAR), 2, '0') AS metric, CAST(k AS BIGINT) AS val
+         FROM (SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey FROM supplier) m
+         ORDER BY metric""",
+    "q18_array_ops" ->
+      """SELECT doc_id,
+                list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')[1:5])) AS tags,
+                list_sort(list_distinct(list_cat(regexp_split_to_array(trim(text), '\s+')[1:5], ['extra','the']))) AS tags_aug,
+                len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')[1:5]), ['the','data','spark'])) AS n_common
+         FROM documents ORDER BY doc_id""",
+    "q19_string_kernel" ->
+      """SELECT doc_id,
+                concat_ws(' | ', source, lang, upper(substr(trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g')), 1, 40))) AS packed,
+                length(trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g'))) AS clean_len,
+                substr(trim(regexp_replace(regexp_replace(lower(source || '-' || lang), '[^a-z0-9._-]+', '_', 'g'), '_+', '_', 'g'), '_.'), 1, 200) AS safe_name
+         FROM documents ORDER BY doc_id""",
+    "q20_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id")
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.{Dedupe, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators beyond the reference's own surface
+  * (BASELINE.json north star): near-dup dedupe family, ANN similarity
+  * search, text analysis, multimodal plumbing. Each is a first-class
+  * declared query with a DuckDB oracle wherever the kernel is
+  * SQL-expressible (everything md5/integer/fold-based is).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- dedupe
+
+  /** MinHash+LSH near-dup pairs over documents (3-word shingles, k=16
+    * signatures, 4 bands — shingle→minhash→band→bucket-join). */
+  def d01MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedupe.minhashLshPairs(documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (16-bit fingerprint, Hamming <= 3, high-byte
+    * bucket candidate generation). */
+  def d02Simhash(s: SparkSession, d: String): DataFrame =
+    Dedupe.simhashPairs(documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact word-set Jaccard pairs, blocked by source. */
+  def d03NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedupe.ngramJaccardPairs(documents(s, d), col("doc_id"), col("text"),
+      col("source"), minJaccard = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, blocked by label, sampled ids. */
+  def d04EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedupe.embeddingNearDupPairs(
+      embeddings(s, d).filter(col("vec_id") % 5 === 0),
+      col("vec_id"), col("embedding"), col("label"), minCosine = 0.15)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force batched k-NN: top-5 cosine neighbors for each query vector
+    * (vec_id < 3), self excluded. */
+  def s01AnnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.batchTopKByCosine(embeddings(s, d), col("vec_id"),
+      col("embedding"), qs, 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate k-NN (the 100 TB path: bucket equi-join
+    * instead of cross join). Not SQL-expressible compactly → rows-only
+    * check; recall vs brute force is pinned in SimilaritySpec. */
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.approxTopKByCosine(embeddings(s, d), col("vec_id"),
+      col("embedding"), qs, 5, dim = 64, nPlanes = 3, nTables = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  def t01LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  def t02Quality(s: SparkSession, d: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), f("n_chars").as("n_chars"),
+        f("word_count").as("word_count"), f("mean_word_len").as("mean_word_len"),
+        f("punct_ratio").as("punct_ratio"), f("upper_ratio").as("upper_ratio"),
+        f("stopword_hits").as("stopword_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t03TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"))
+      .orderBy(col("doc_id"))
+
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprintBucket(col("text")).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Binary-payload plumbing: documents.text as an opaque binary column with
+    * decoded (stub) metadata. The mapPartitions decode path itself is pinned
+    * by MultimodalSpec; this query exposes the metadata arithmetic, which IS
+    * oracle-expressible.
+    */
+  def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val nBytes = length(col("text").cast("binary"))
+    documents(s, d)
+      .select(col("doc_id"),
+        nBytes.as("n_bytes"),
+        (nBytes % 640).as("width"),
+        ((nBytes * 7) % 480).as("height"),
+        (nBytes % 30).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_minhash_lsh" -> d01MinhashLsh,
+    "d02_simhash" -> d02Simhash,
+    "d03_ngram_jaccard" -> d03NgramJaccard,
+    "d04_embedding_near_dup" -> d04EmbeddingNearDup,
+    "s01_ann_brute_force" -> s01AnnBruteForce,
+    "s02_ann_lsh" -> s02AnnLsh,
+    "t01_lang_id" -> t01LangId,
+    "t02_quality" -> t02Quality,
+    "t03_token_count" -> t03TokenCount,
+    "t04_fingerprint" -> t04Fingerprint,
+    "m01_multimodal_meta" -> m01MultimodalMeta)
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val P = 2147483647L
+  private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val md5HashSql = (v: String) =>
+    s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
+
+  /** MinHash signature SQL — same (a,b) family as Dedupe.hashFamily(16). */
+  private val minhashSql: String = {
+    val fam = Dedupe.hashFamily(16)
+    val shingle =
+      s"""list_transform(generate_series(1, len(w) - 2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""
+    val base = s"list_transform($shingle, sh -> ${md5HashSql("sh")} % $P)"
+    val sigEntries = fam.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""WITH w0 AS (
+          SELECT doc_id, $wordsSql AS w FROM documents
+        ), hh AS (
+          SELECT doc_id, $base AS h FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
+        ), sig AS (
+          SELECT doc_id, $sigEntries AS sig FROM hh
+        ), banded AS (
+          SELECT doc_id, sig, b.band_idx,
+                 array_to_string(sig[band_idx * 4 + 1 : band_idx * 4 + 4], ':') AS band_key
+          FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS band_idx) b
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS agree
+        FROM pairs WHERE agree >= 0.5 ORDER BY id_a, id_b"""
+  }
+
+  /** SimHash SQL — 16-bit fingerprint, identical bit arithmetic. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS b$j"
+    }.mkString(", ")
+    val fp = (0 until 16).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents) t
+          WHERE length(w) > 0 GROUP BY doc_id, w
+        ), hashed AS (
+          SELECT doc_id, ${md5HashSql("w")} AS h, tf FROM tf
+        ), bits AS (
+          SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id
+        ), fps AS (
+          SELECT doc_id, $fp AS fp FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM fps a JOIN fps b
+          ON (a.fp >> 8) = (b.fp >> 8) AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY id_a, id_b"""
+  }
+
+  private val dotVV =
+    "list_reduce(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+
+  private val langScores = TextAnalysis.StopwordSets.toSeq.sortBy(_._1).map {
+    case (lang, stops) =>
+      lang -> s"len(list_intersect(list_distinct($wordsSql), ${stops.mkString("['", "', '", "']")}))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d01_minhash_lsh" -> minhashSql,
+    "d02_simhash" -> simhashSql,
+    "d03_ngram_jaccard" ->
+      s"""WITH tok AS (
+            SELECT doc_id, source, unnest(list_distinct($wordsSql)) AS w
+            FROM documents
+          ), tok2 AS (
+            SELECT doc_id, source, w FROM tok WHERE length(w) > 0
+          ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          )
+          SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni,
+                 CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+          ORDER BY id_a, id_b""",
+    "d04_embedding_near_dup" ->
+      s"""WITH base AS (
+            SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings WHERE vec_id % 5 = 0
+          )
+          SELECT a.id AS id_a, b.id AS id_b,
+                 $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) AS cosine
+          FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+          WHERE $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) >= 0.15
+          ORDER BY id_a, id_b""",
+    "s01_ann_brute_force" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3
+          ), scored AS (
+            SELECT b.qid, a.vec_id AS id,
+                   list_reduce(list_transform(list_zip(a.embedding, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                   / (${normSql("a.embedding")} * ${normSql("b.v")}) AS score
+            FROM embeddings a CROSS JOIN q b WHERE a.vec_id <> b.qid
+          ), ranked AS (
+            SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+            FROM scored
+          )
+          SELECT qid, id, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "t01_lang_id" -> {
+      val best = langScores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val cases = langScores.map { case (lang, sc) =>
+        s"WHEN $sc = ($best) AND $sc > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      $cases ELSE 'und' END AS lang_pred
+          FROM documents ORDER BY doc_id"""
+    },
+    "t02_quality" ->
+      s"""SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                      ELSE len($wordsSql) END AS word_count,
+                 CASE WHEN (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len($wordsSql) END) > 0
+                      THEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                           / CAST(len($wordsSql) AS DOUBLE)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                      ELSE 0.0 END AS upper_ratio,
+                 len(list_intersect(list_distinct($wordsSql), ${TextAnalysis.StopwordSets("en").mkString("['", "', '", "']")})) AS stopword_hits
+          FROM documents ORDER BY doc_id""",
+    "t03_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                     ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) END AS token_count
+         FROM documents ORDER BY doc_id""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))) AS fp,
+                substr(md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))), 1, 2) AS bucket
+         FROM documents ORDER BY doc_id""",
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                octet_length(encode(text)) % 640 AS width,
+                (octet_length(encode(text)) * 7) % 480 AS height,
+                octet_length(encode(text)) % 30 AS n_frames
+         FROM documents ORDER BY doc_id""")
+}

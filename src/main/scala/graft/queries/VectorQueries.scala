@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.{Chunker, Elbow, Similarity, ThemeTagger}
+
+/** SURVEY §2.9 vector/RAG declared queries: Q8, Q13, Q14, Q15, Q21.
+  *
+  * Oracle parity note: every floating-point reduction (dot product, L2) is a
+  * *sequential left fold* over the vector, evaluated in Double — the DuckDB
+  * oracle uses `list_reduce` with the same order, so the doubles are
+  * bit-identical and hash-comparable without rounding.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed query vector for Q13/Q14: the embedding of vec_id = 0. */
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  /** Q13a — exact top-15 by L2 distance (FAISS IndexFlatL2 semantics). */
+  def q13TopKL2(s: SparkSession, d: String): DataFrame =
+    Similarity.topKByL2(embeddings(s, d), col("vec_id"), col("embedding"),
+      queryVec(s, d), 15)
+      .withColumnRenamed("id", "vec_id")
+
+  /** Q13b — exact top-5 by cosine similarity (LanceDB semantics). */
+  def q13TopKCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.topKByCosine(embeddings(s, d), col("vec_id"), col("embedding"),
+      queryVec(s, d), 5)
+      .withColumnRenamed("id", "vec_id")
+
+  /** Q14 — adaptive elbow cut of the Q13 L2 ranked list
+    * (rag_search.py:77-119: sensitivity 2.5 × median step, min step 0.05). */
+  def q14ElbowCut(s: SparkSession, d: String): DataFrame =
+    Elbow.cut(q13TopKL2(s, d), col("dist"), col("vec_id"))
+      .select(col("vec_id"), col("dist"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** Q15 — threshold + top-3 multilabel tagging of every embedding against
+    * per-label representative vectors (min vec_id per label stands in for
+    * the reference's 13 theme embeddings; threshold 0.3, top 3). */
+  def q15MultilabelTag(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val repW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val reps = emb.withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .select(col("label").as("theme"), col("embedding").as("theme_vec"))
+    ThemeTagger.tag(
+      emb.select(col("vec_id"), col("embedding")), col("vec_id"), col("embedding"),
+      reps, col("theme"), col("theme_vec"))
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Q8 — lag/lead neighbor splice (rag_search.py:50-72 neighbor-chunk merge
+    * re-expressed over (source, doc_id) ordering). */
+  def q08NeighborSplice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents(s, d)
+      .withColumn("prev_id", coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+      .withColumn("next_id", coalesce(lead(col("doc_id"), 1).over(w), lit(-1L)))
+      .withColumn("spliced", concat(
+        coalesce(substring(lag(col("text"), 1).over(w), 1, 30), lit("")),
+        lit(" >> "),
+        substring(col("text"), 1, 60),
+        lit(" << "),
+        coalesce(substring(lead(col("text"), 1).over(w), 1, 30), lit(""))))
+      .select(col("doc_id"), col("source"), col("prev_id"), col("next_id"), col("spliced"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q21a — fixed-stride chunk explode with per-doc count + checksum
+    * (SQL-expressible chunking; the oracle mirrors the stride arithmetic). */
+  def q21ChunkFixed(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(Chunker.fixedStrideChunkArray(col("text"))).as("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("total_chars"),
+        min(length(col("chunk"))).as("min_chunk"),
+        max(length(col("chunk"))).as("max_chunk"))
+      .orderBy(col("doc_id"))
+
+  /** Q21b — faithful recursive-separator chunker (LangChain
+    * RecursiveCharacterTextSplitter semantics; process_text_chunks.py:39-60).
+    * Not SQL-expressible → driver records a rows-only check; invariants are
+    * pinned by ChunkerSpec instead.
+    */
+  def q21ChunkRecursive(s: SparkSession, d: String): DataFrame =
+    Chunker.explodeChunks(
+      documents(s, d).filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+      col("text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("total_chars"),
+        max(length(col("chunk"))).as("max_chunk"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q08_neighbor_splice" -> q08NeighborSplice,
+    "q13_topk_l2" -> q13TopKL2,
+    "q13_topk_cosine" -> q13TopKCosine,
+    "q14_elbow_cut" -> q14ElbowCut,
+    "q15_multilabel_tag" -> q15MultilabelTag,
+    "q21_chunk_fixed" -> q21ChunkFixed,
+    "q21_chunk_recursive" -> q21ChunkRecursive)
+
+  /** DuckDB expressions for the shared vector kernels (sequential fold —
+    * matches Spark's `aggregate` evaluation order exactly). */
+  private val dotAB =
+    "list_reduce(list_transform(list_zip(a.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def norm(v: String) =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private val l2AB =
+    "sqrt(list_reduce(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
+
+  private val topKL2Sql =
+    s"""SELECT a.vec_id, $l2AB AS dist
+        FROM embeddings a
+        CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        ORDER BY dist, a.vec_id LIMIT 15"""
+
+  val oracle: Map[String, String] = Map(
+    "q08_neighbor_splice" ->
+      """SELECT doc_id, source,
+                coalesce(lag(doc_id) OVER w, -1) AS prev_id,
+                coalesce(lead(doc_id) OVER w, -1) AS next_id,
+                coalesce(substr(lag(text) OVER w, 1, 30), '') || ' >> ' ||
+                substr(text, 1, 60) || ' << ' ||
+                coalesce(substr(lead(text) OVER w, 1, 30), '') AS spliced
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+         ORDER BY doc_id""",
+    "q13_topk_l2" -> topKL2Sql,
+    "q13_topk_cosine" ->
+      s"""SELECT a.vec_id, $dotAB / (${norm("a.embedding")} * ${norm("q.qv")}) AS score
+          FROM embeddings a
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY score DESC, a.vec_id LIMIT 5""",
+    "q14_elbow_cut" ->
+      s"""WITH topk AS (
+            SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rank
+            FROM ($topKL2Sql) t
+          ), steps AS (
+            SELECT *, lead(dist) OVER (ORDER BY rank) - dist AS step FROM topk
+          ), thr AS (
+            SELECT greatest(2.5 * median(step), 0.05) AS v FROM steps WHERE step IS NOT NULL
+          ), cut AS (
+            SELECT min(rank) AS rk FROM steps, thr WHERE step > thr.v
+          )
+          SELECT vec_id, dist, rank FROM topk, cut
+          WHERE cut.rk IS NULL OR rank <= cut.rk
+          ORDER BY rank""",
+    "q15_multilabel_tag" ->
+      s"""WITH reps AS (
+            SELECT label AS theme, embedding AS qv FROM (
+              SELECT label, embedding, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              FROM embeddings) t WHERE rn = 1
+          ), scored AS (
+            SELECT a.vec_id, q.theme,
+                   $dotAB / (${norm("a.embedding")} * ${norm("q.qv")}) AS score
+            FROM embeddings a CROSS JOIN reps q
+          ), ranked AS (
+            SELECT vec_id, theme, score,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, theme) AS rk
+            FROM scored WHERE score > 0.3
+          )
+          SELECT vec_id, array_agg(theme ORDER BY rk) AS labels, count(*) AS n_labels
+          FROM ranked WHERE rk <= 3
+          GROUP BY vec_id ORDER BY vec_id""",
+    "q21_chunk_fixed" ->
+      """WITH chunks AS (
+           SELECT doc_id, substr(text, 1 + 700 * g.i, 800) AS chunk
+           FROM documents,
+                LATERAL (SELECT unnest(generate_series(0,
+                  CASE WHEN length(text) <= 800 THEN 0
+                       ELSE CAST(ceil((length(text) - 800) / 700.0) AS INT) END)) AS i) g
+           WHERE length(text) > 0
+         )
+         SELECT doc_id, count(*) AS n_chunks, sum(length(chunk)) AS total_chars,
+                min(length(chunk)) AS min_chunk, max(length(chunk)) AS max_chunk
+         FROM chunks GROUP BY doc_id ORDER BY doc_id""")
+}

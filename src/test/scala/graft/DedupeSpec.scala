@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Dedupe
+import org.apache.spark.sql.functions._
+
+class DedupeSpec extends SparkSpec {
+
+  test("exactFirstWins keeps exactly one row per hash, lowest order wins") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other text"), (4L, "same text"))
+      .toDF("id", "text")
+    val out = Dedupe.exactFirstWins(df, sha2(col("text"), 256), col("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles builds n-gram word shingles; short text gives empty array") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("s")
+    val got = df.select(Dedupe.shingles(col("s"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("minhash signature is deterministic and identical for identical text") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val sigs = df.select(Dedupe.minhashSignature(Dedupe.shingles(col("text"), 3), 16))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).size == 16)
+  }
+
+  test("minhashLshPairs finds exact duplicates and near-duplicates") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val near = base + "lambda mu"
+    val other = "completely different words entirely unrelated content here now " * 5
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("id", "text")
+    val pairs = Dedupe.minhashLshPairs(df, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhashPairs: identical docs collide with hamming 0, distinct do not match") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten " * 3
+    val z = "apple orange banana cherry grape melon peach plum kiwi fig " * 3
+    val df = Seq((1L, a), (2L, a), (3L, z)).toDF("id", "text")
+    val pairs = Dedupe.simhashPairs(df, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("ngramJaccardPairs computes exact word-set jaccard within blocks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e", "blk"), (2L, "a b c d f", "blk"), (3L, "x y z", "blk"),
+      (4L, "a b c d e", "other")).toDF("id", "text", "src")
+    val out = Dedupe.ngramJaccardPairs(df, col("id"), col("text"), col("src"), 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // |{a,b,c,d} ∩| = 4, union = 6 → 4/6
+    assert(math.abs(out((1L, 2L)) - 4.0 / 6.0) < 1e-12)
+    assert(!out.contains((1L, 3L)))
+    assert(!out.contains((1L, 4L))) // different block never compared
+  }
+
+  test("embeddingNearDupPairs finds same-direction vectors within a block") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 0), (4L, Seq(1.0f, 0.0f), 1))
+      .toDF("id", "vec", "blk")
+    val out = Dedupe.embeddingNearDupPairs(df, col("id"), col("vec"), col("blk"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Elbow, Similarity}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vector kernels: dot, norm, l2, cosine on known values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      VectorFunctions.l2Distance(col("a"), col("b")),
+      VectorFunctions.cosineSimilarity(col("a"), col("a"))).collect()(0)
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(1 + 4 + 1)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("topKByL2 returns ascending distances with id tie-break") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(3.0f, 4.0f)),
+      (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("qv")
+    val out = Similarity.topKByL2(corpus, col("vec_id"), col("embedding"), q, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 4L))
+    assert(out.map(_._2) == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("batchTopKByCosine excludes self and ranks per query") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val out = Similarity.batchTopKByCosine(corpus, col("vec_id"), col("embedding"), qs, 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(out == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("approxTopKByCosine recall vs brute force on sf0.001 embeddings >= 0.4") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500 vectors: 2 planes x 6 tables — multi-table OR-amplification keeps
+    // recall high even on near-random vectors at tiny scale.
+    val approx = Similarity.approxTopKByCosine(emb, col("vec_id"), col("embedding"),
+      qs, 5, dim = 64, nPlanes = 2, nTables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("elbow cut keeps prefix before the first big step") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 0.10), (2L, 0.11), (3L, 0.12), (4L, 0.13), (5L, 0.90), (6L, 0.95))
+      .toDF("vec_id", "dist")
+    val out = Elbow.cut(ranked, col("dist"), col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("elbow cut keeps everything when steps are uniform") {
+    import spark.implicits._
+    val ranked = (1 to 6).map(i => (i.toLong, 0.1 * i)).toDF("vec_id", "dist")
+    val out = Elbow.cut(ranked, col("dist"), col("vec_id")).collect()
+    assert(out.length == 6)
+  }
+}

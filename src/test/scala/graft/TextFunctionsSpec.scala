@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def eval1(c: org.apache.spark.sql.Column, input: (String, String)*): Seq[Any] = {
+    import spark.implicits._
+    input.toSeq.toDF("s", "tag").select(c).collect().map(_.get(0)).toSeq
+  }
+
+  test("wordCount matches python str.split semantics") {
+    val got = eval1(TextFunctions.wordCount(col("s")),
+      ("hello world", ""), ("  padded   out  ", ""), ("", ""), ("   ", ""), ("one", ""))
+    assert(got == Seq(2, 2, 0, 0, 1))
+  }
+
+  test("wordCount is 0 on null") {
+    import spark.implicits._
+    val got = Seq(Tuple1(null.asInstanceOf[String])).toDF("s")
+      .select(TextFunctions.wordCount(col("s"))).collect().map(_.get(0)).toSeq
+    assert(got == Seq(0))
+  }
+
+  test("normalizeWhitespace collapses runs, strips NBSP, trims") {
+    val got = eval1(TextFunctions.normalizeWhitespace(col("s")),
+      ("  a   b\n\nc\t d  ", ""))
+    assert(got == Seq("a b c d"))
+  }
+
+  test("nullifyTokens maps the reference null-token set to null") {
+    val got = eval1(TextFunctions.nullifyTokens(col("s")),
+      ("NA", ""), ("n/a", ""), ("-", ""), ("", ""), ("ok", ""), (" NULL ", ""))
+    assert(got == Seq(null, null, null, null, "ok", null))
+  }
+
+  test("numericClean strips currency, separators, percent") {
+    val got = eval1(TextFunctions.numericClean(col("s")),
+      (" 166,012,276 ", ""), ("£4,000", ""), ("12.5%", ""), ("$ 1 234", ""), ("€9", ""))
+    assert(got == Seq("166012276", "4000", "12.5", "1234", "9"))
+  }
+
+  test("safeName sanitizes to filesystem-safe form") {
+    val got = eval1(TextFunctions.safeName(col("s")),
+      ("My File/Name v2", ""), ("weird***chars!!", ""), ("UPPER lower", ""))
+    assert(got == Seq("my_file_name_v2", "weird_chars_", "upper_lower"))
+  }
+
+  test("licenseNormalize maps known keys, defaults missing to OGL") {
+    import spark.implicits._
+    val df = Seq("ogl", "OGL", "cc-by", "cc-zero", "unknown-xyz").toDF("lic")
+    val got = df.select(TextFunctions.licenseNormalize(col("lic"))).collect().map(_.get(0)).toSeq
+    assert(got == Seq("OGL-UK-3.0", "OGL-UK-3.0", "CC BY", "CC0", null))
+    val nullIn = Seq(Tuple1(null.asInstanceOf[String])).toDF("lic")
+      .select(TextFunctions.licenseNormalize(col("lic"))).collect().map(_.get(0)).toSeq
+    assert(nullIn == Seq("OGL-UK-3.0"))
+  }
+
+  test("tokenCount: deterministic, >= 0, 0 on null/empty, word+punct granularity") {
+    val got = eval1(TextAnalysis.tokenCount(col("s")),
+      ("Hello, world!", ""), ("", ""), ("abc123", ""), ("a b", ""))
+    // "hello" "," "world" "!" = 4 — matches the reference token_counter contract
+    assert(got == Seq(4, 0, 2, 2))
+  }
+
+  test("languageId picks stopword-dominant language, und on no hits, zh on CJK") {
+    val got = eval1(TextAnalysis.languageId(col("s")),
+      ("the cat and the dog is in a house that", ""),
+      ("el perro y la casa de los gatos en un", ""),
+      ("zzz qqq xxx", ""),
+      ("中文文本", ""))
+    assert(got == Seq("en", "es", "und", "zh"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive stable identity") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", "HELLO WORLD").toDF("s")
+    val fps = df.select(TextAnalysis.fingerprint(col("s"))).collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.size == 1)
+    assert(fps.head.length == 32)
+  }
+}
