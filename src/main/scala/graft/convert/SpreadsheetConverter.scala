@@ -1,0 +1,72 @@
+package graft.convert
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.refine.CsvTypeInference
+
+/** Spreadsheet (XLSX/XLS/ODS, multi-sheet) → typed DataFrames
+  * (SURVEY S7; resources/convertors/spreadsheet_to_parquet.py:46-186).
+  *
+  * Reference semantics preserved:
+  *  - all sheets read as strings, one output table per sheet;
+  *  - sheet names sanitized to filesystem-safe form (the reference's
+  *    `_safe_name`: non-alphanumerics → `_`, collapsed, truncated);
+  *  - a per-file decode timeout guard (60 s SIGALRM in the reference) —
+  *    here a bounded-time contract on the decoder call;
+  *  - typing via the shared inference pass.
+  *
+  * The workbook decoder (Apache POI / SODS) is NOT in this container, so
+  * [[decodeWorkbook]] is a clearly-marked stub with the production
+  * signature: bytes → ordered (sheetName, header, rows). Everything
+  * around it — sanitization, per-sheet frames, inference — is real and
+  * tested. The corpus-level path parallelizes decode across executors via
+  * `binaryFile` + flatMap; one sheet's rows never shuffle.
+  */
+object SpreadsheetConverter {
+
+  val DecodeTimeoutSeconds = 60
+
+  final case class Sheet(name: String, header: Seq[String], rows: Seq[Seq[String]])
+
+  /** STUB decoder — production body: POI `WorkbookFactory.create` (xlsx/xls)
+    * or SODS (ods), reading every cell as its string form. The fake
+    * deterministically derives a single sheet from the bytes so plumbing
+    * tests are stable. */
+  def decodeWorkbook(payload: Array[Byte]): Seq[Sheet] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    val n = payload.length
+    Seq(Sheet(s"sheet_$n", Seq("col_a", "col_b"),
+      (0 until math.min(3, n)).map(i => Seq(i.toString, (payload(i) & 0xFF).toString))))
+  }
+
+  /** Sheet-name sanitization (spreadsheet_to_parquet.py:46-61). */
+  def safeSheetName(name: String): String = {
+    val cleaned = name.toLowerCase
+      .replaceAll("[^a-z0-9._-]+", "_")
+      .replaceAll("_+", "_")
+      .replaceAll("^[_.]+|[_.]+$", "")
+    val out = cleaned.take(200)
+    if (out.isEmpty) java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8")).toString
+    else out
+  }
+
+  /** One workbook payload → (safeSheetName, typed DataFrame) per sheet,
+    * decode bounded by the timeout guard. */
+  def convert(spark: SparkSession, payload: Array[Byte]): Seq[(String, DataFrame)] = {
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val sheets =
+      try exec.submit(() => decodeWorkbook(payload))
+        .get(DecodeTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Exception => Seq.empty[Sheet] }
+      finally exec.shutdownNow()
+    sheets.map { sheet =>
+      val schema = StructType(sheet.header.map(h =>
+        StructField(safeSheetName(h), StringType, nullable = true)))
+      val rows = sheet.rows.map(r =>
+        Row.fromSeq(sheet.header.indices.map(i => r.lift(i).orNull)))
+      val raw = spark.createDataFrame(rows.asJava, schema)
+      safeSheetName(sheet.name) -> CsvTypeInference.convert(raw)
+    }
+  }
+}

@@ -96,9 +96,24 @@ object Dedupe {
       minAgree: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = df
-      .select(id.as("id"), minhashSignature(shingles(text, shingleN), k).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // Signatures via explode + ONE codegen'd hash aggregate (min per lane)
+    // instead of per-row higher-order functions: HOF lambdas are evaluated
+    // interpreted in Spark, and the signature subtree would additionally be
+    // recomputed on each side of the self-join below. The tiny aggregated
+    // result (one row per doc) is localCheckpoint'ed so both join sides and
+    // the verification read materialized blocks, not the lineage.
+    val fam = hashFamily(k)
+    val exploded = df
+      .select(id.as("id"), explode(shingles(text, shingleN)).as("sh"))
+      .select(col("id"), (md5Hash32(col("sh")) % MersennePrime).as("h"))
+    val laneMins = fam.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MersennePrime).as(s"__m$i")
+    }
+    val sig = exploded.groupBy(col("id"))
+      .agg(laneMins.head, laneMins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .localCheckpoint(false)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(":", transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string"))))))

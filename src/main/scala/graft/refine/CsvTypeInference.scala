@@ -42,6 +42,10 @@ object CsvTypeInference {
 
   private def nn(c: Column): Column = TextFunctions.nullifyTokens(c)
 
+  /** Column ref robust to dots in names (json_normalize emits dotted keys). */
+  private def colRef(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
   /** A cleaned numeric candidate: null unless the cleaned string is a full
     * number (optionally signed, optional decimal part, optional exponent). */
   private def numericCandidate(c: Column): Column = {
@@ -58,7 +62,7 @@ object CsvTypeInference {
   def profile(df: DataFrame, cols: Seq[String]): Map[String, Decision] = {
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap { name =>
-      val c = nn(col(name))
+      val c = nn(colRef(name))
       val num = numericCandidate(c)
       Seq(
         count(c).as(s"__nn_$name"),
@@ -88,7 +92,7 @@ object CsvTypeInference {
     * typed column become null (the reference's pandas coercion semantics). */
   def applyDecisions(df: DataFrame, decisions: Map[String, Decision]): DataFrame = {
     val projected = df.columns.map { name =>
-      val c = nn(col(name))
+      val c = nn(colRef(name))
       decisions.getOrElse(name, AsString) match {
         case AsLong    => numericCandidate(c).cast("long").as(name)
         case AsDouble  => numericCandidate(c).as(name)
