@@ -30,11 +30,21 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two timed passes, min per query: a single pass is hostage to GC
+    // pauses from whatever ran before (observed 1s queries spiking to 60s
+    // once per run at random). min-of-2 with a GC breather measures the
+    // engine, not the previous query's garbage.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
+      val sec = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

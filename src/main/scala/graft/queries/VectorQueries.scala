@@ -56,6 +56,18 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** M5 — the composed query-side RAG search pipeline
+    * (rag_search.py:14-74): exact top-15 L2 → adaptive elbow cut → row
+    * lookup by id (join to documents) → result projection. One declared
+    * query exercising W3+W5+J-lookup end-to-end. */
+  def m05RagPipeline(s: SparkSession, d: String): DataFrame = {
+    val cut = Elbow.cut(q13TopKL2(s, d), col("dist"), col("vec_id"))
+    cut.join(documents(s, d), col("vec_id") === col("doc_id"))
+      .select(col("rank"), col("vec_id"), col("dist"),
+        substring(col("text"), 1, 120).as("chunk"), col("source"))
+      .orderBy(col("rank"))
+  }
+
   /** Q8 — lag/lead neighbor splice (rag_search.py:50-72 neighbor-chunk merge
     * re-expressed over (source, doc_id) ordering). */
   def q08NeighborSplice(s: SparkSession, d: String): DataFrame = {
@@ -108,6 +120,7 @@ object VectorQueries {
     "q13_topk_l2" -> q13TopKL2,
     "q13_topk_cosine" -> q13TopKCosine,
     "q14_elbow_cut" -> q14ElbowCut,
+    "m05_rag_pipeline" -> m05RagPipeline,
     "q15_multilabel_tag" -> q15MultilabelTag,
     "q21_chunk_fixed" -> q21ChunkFixed,
     "q21_chunk_recursive" -> q21ChunkRecursive)
@@ -158,6 +171,23 @@ object VectorQueries {
           SELECT vec_id, dist, rank FROM topk, cut
           WHERE cut.rk IS NULL OR rank <= cut.rk
           ORDER BY rank""",
+    "m05_rag_pipeline" ->
+      s"""WITH topk AS (
+            SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rank
+            FROM ($topKL2Sql) t
+          ), steps AS (
+            SELECT *, lead(dist) OVER (ORDER BY rank) - dist AS step FROM topk
+          ), thr AS (
+            SELECT greatest(2.5 * median(step), 0.05) AS v FROM steps WHERE step IS NOT NULL
+          ), cut AS (
+            SELECT min(rank) AS rk FROM steps, thr WHERE step > thr.v
+          ), kept AS (
+            SELECT vec_id, dist, rank FROM topk, cut
+            WHERE cut.rk IS NULL OR rank <= cut.rk
+          )
+          SELECT k.rank, k.vec_id, k.dist, substr(d.text, 1, 120) AS chunk, d.source
+          FROM kept k JOIN documents d ON k.vec_id = d.doc_id
+          ORDER BY k.rank""",
     "q15_multilabel_tag" ->
       s"""WITH reps AS (
             SELECT label AS theme, embedding AS qv FROM (
