@@ -11,8 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale factor.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fan a single-row-group fixture file out across the cores.
+    *
+    * The driver-generated test parquet has ONE row group per table, so the
+    * scan is a single InputPartition no matter what maxPartitionBytes says —
+    * and everything up to the first exchange (explode, hash, decimal agg,
+    * broadcast probe) would run on one core. One cheap round-robin exchange
+    * right after the scan restores parallelism. Production data at 100 TB
+    * has thousands of row groups and never takes this branch (the threshold
+    * checks the scan's actual partition count, not the fixture layout).
+    * Small dimension files stay as-is so they remain obvious broadcast
+    * candidates.
+    */
+  private def parallelize(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (bytes > 512 * 1024 && df.rdd.getNumPartitions < math.max(2, target / 4))
+      df.repartition(target)
+    else df
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    parallelize(spark, df, new java.io.File(path).length)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -46,6 +69,7 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 refuses;
       // read as long nanos and convert explicitly where event-time is needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
   }

@@ -30,13 +30,16 @@ object VectorFunctions {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** L2 (Euclidean) distance — FAISS IndexFlatL2 metric. */
+  /** L2 (Euclidean) distance — FAISS IndexFlatL2 metric. Native codegen
+    * expression (see [[graft.plans.L2DistanceExpr]]); bit-identical to the
+    * fold formulation. */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(foldSum(zip_with(a, b, (x, y) => pow(x.cast("double") - y.cast("double"), 2))))
+    graft.plans.VectorExpressions.l2Dist(a, b)
 
-  /** Cosine similarity — sentence-transformers `util.cos_sim` semantics. */
+  /** Cosine similarity — sentence-transformers `util.cos_sim` semantics.
+    * Native codegen expression (see [[graft.plans.CosineSimilarityExpr]]). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.plans.VectorExpressions.cosineSim(a, b)
 
   /** Cosine distance (1 - similarity) — LanceDB `metric="cosine"`. */
   def cosineDistance(a: Column, b: Column): Column =

