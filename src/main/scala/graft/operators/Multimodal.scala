@@ -52,4 +52,42 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** STUB resize — production body: vectorized image resize (e.g. libvips
+    * via FFM). The contract: payload + target dims in, payload out; the fake
+    * truncates/pads deterministically so batch-shape tests are stable. */
+  def resizeBytes(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w * h) / 256)
+    java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
+  }
+
+  /** Batched resize over partitions: rows are processed in fixed-size
+    * batches (the reference's 64/100-row batching contract — a vectorized
+    * decoder amortizes setup per batch, not per row). Shuffle-free. */
+  def withResized(df: DataFrame, payloadCol: String, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // production: one vectorized call per batch
+        batch.map(r => Row.fromSeq(r.toSeq :+ resizeBytes(r.getAs[Array[Byte]](idx), w, h)))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video-ish payloads: every `stride`-th frame index up
+    * to the stub-decoded n_frames, exploded to one row per sampled frame —
+    * the 1-row→N-rows generator shape (UDTF analog) for multimodal data. */
+  def explodeSampledFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nFrames = udf((b: Array[Byte]) => decodeBytes(b)._4)
+    df.withColumn("__n", nFrames(col(payloadCol)))
+      .withColumn("frame_idx",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__n")
+  }
 }

@@ -65,7 +65,27 @@ object RefineQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** c01 — the S4 type-inference converter end-to-end: stringify five
+    * lineitem columns (as a CSV read would produce), run the two-pass
+    * profile+cast, and return the typed values. Decisions exercised:
+    * integral-double → long, decimal → double, date → ISO string,
+    * low-parse-rate → string. */
+  def c01TypeInference(s: SparkSession, d: String): DataFrame = {
+    import graft.refine.CsvTypeInference
+    val raw = lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0) // keep the profiling pass cheap
+      .select(
+        col("l_orderkey").cast("string").as("okey"),
+        col("l_quantity").cast("string").as("qty"),
+        col("l_extendedprice").cast("string").as("price"),
+        col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("string").as("ship"))
+    CsvTypeInference.convert(raw)
+      .orderBy(col("okey"), col("qty"), col("price"), col("flag"), col("ship"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c01_type_inference" -> c01TypeInference,
     "r01_anonymize" -> r01Anonymize,
     "r02_refine_pipeline" -> r02RefinePipeline,
     "r03_conversation_explode" -> r03ConversationExplode,
@@ -83,6 +103,14 @@ object RefineQueries {
         ELSE len(regexp_extract_all(lower($c), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) END"""
 
   val oracle: Map[String, String] = Map(
+    "c01_type_inference" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                CAST(l_quantity AS BIGINT) AS qty,
+                CAST(l_extendedprice AS DOUBLE) AS price,
+                l_returnflag AS flag,
+                strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ship
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         ORDER BY okey, qty, price, flag, ship""",
     "r01_anonymize" ->
       s"SELECT doc_id, $anonSql AS anon FROM documents ORDER BY doc_id",
     "r02_refine_pipeline" ->

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet sink helpers (SURVEY S2/S18/S19) with the layouts that matter at
+  * 100 TB:
+  *
+  *  - [[writePartitioned]]: hive-style directory partitioning — readers
+  *    prune whole directories on the partition predicate (partition pruning
+  *    shows as `PartitionFilters` in the scan).
+  *  - [[writeBucketed]]: pre-shuffled bucket layout — two tables bucketed by
+  *    the same key join WITHOUT a shuffle (SortMergeJoin with no Exchange),
+  *    the co-located-join strategy for repeated large joins.
+  *  - [[writeVectorTable]]: the FAISS/LanceDB-sink analog — (id, vector)
+  *    parquet ordered by id; exact search is a scan (W3/W4), ANN is the
+  *    LSH path (s02). Index params from the reference
+  *    (create_lancedb_index.py:138-148) become table properties in the
+  *    file layout (bucket count ≙ num_partitions).
+  */
+object Sinks {
+
+  def writePartitioned(df: DataFrame, path: String, byCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(byCols: _*).parquet(path)
+
+  /** Bucketed write goes through the table catalog (bucket metadata lives
+    * there); `name` lands in the session's warehouse dir. */
+  def writeBucketed(df: DataFrame, name: String, byCol: String,
+      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, byCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(name)
+  }
+
+  /** Vector table sink: (id, vector [, payload...]) parquet bucketed by id
+    * so downstream id-lookups and self-joins co-locate. 256 buckets mirrors
+    * the reference's IVF num_partitions=256. */
+  def writeVectorTable(df: DataFrame, name: String, idCol: String,
+      nBuckets: Int = 256): Unit =
+    writeBucketed(df, name, idCol, nBuckets, sortCol = Some(idCol))
+
+  def readTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+}

@@ -32,4 +32,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBytes(null) == ((0, 0, 0, 0)))
     assert(Multimodal.decodeBytes("abcd".getBytes) == Multimodal.decodeBytes("abcd".getBytes))
   }
+
+  test("withResized: batched partition map, stable output size, no shuffle") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, Array.fill(100)(i.toByte))).toDF("id", "payload")
+    val out = Multimodal.withResized(df, "payload", 64, 64, batchSize = 4)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("resized").length == 16))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("explodeSampledFrames: one row per sampled frame, stride respected") {
+    import spark.implicits._
+    // payload of 25 bytes -> n_frames = 25 % 30 = 25; stride 10 -> frames 0,10,20
+    val df = Seq((1L, Array.fill(25)(1.toByte))).toDF("id", "payload")
+    val out = Multimodal.explodeSampledFrames(df, "payload", stride = 10)
+    assert(out.select("frame_idx").collect().map(_.getInt(0)).toSeq == Seq(0, 10, 20))
+    // empty payload -> no rows (not a null row)
+    val empty = Seq((2L, Array.emptyByteArray)).toDF("id", "payload")
+    assert(Multimodal.explodeSampledFrames(empty, "payload", 10).count() == 0)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Salting
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("partitioned write: partition pruning reaches the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString + "/t"
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "part", "v")
+    Sinks.writePartitioned(df, dir, Seq("part"))
+    val back = spark.read.parquet(dir).filter(col("part") === "a")
+    assert(back.count() == 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "graft_bucket_a", "k", 8, Some("k"))
+    Sinks.writeBucketed(b, "graft_bucket_b", "k", 8, Some("k"))
+    val joined = spark.table("graft_bucket_a")
+      .join(spark.table("graft_bucket_b"), "k")
+      .withColumn("j", col("va") === col("vb"))
+    // disable broadcast so the co-located sort-merge path is exercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // hot key: 90% of big side is key 1
+    val big = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
+      .toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Salting.saltedJoin(big, small, "k", buckets = 8, col("payload"))
+    assert(salted.count() == plain.count())
+    val sumPlain = plain.agg(sum("payload")).collect()(0).getLong(0)
+    val sumSalted = salted.agg(sum("payload")).collect()(0).getLong(0)
+    assert(sumPlain == sumSalted)
+    // salt is deterministic: same input -> same assignment
+    val s1 = Salting.salt(8, col("payload"))
+    val d1 = big.select(s1).collect().map(_.getInt(0)).toSeq
+    val d2 = big.select(s1).collect().map(_.getInt(0)).toSeq
+    assert(d1 == d2)
+    assert(d1.distinct.size > 1) // actually spreads
+  }
+}
