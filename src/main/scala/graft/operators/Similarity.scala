@@ -69,6 +69,51 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Approximate k-NN via IVF (inverted-file) partitioning — the LanceDB
+    * index shape (create_lancedb_index.py:143-148: IVF, num_partitions).
+    *
+    * Build: seeded KMeans over (a sample of) the corpus → every vector is
+    * assigned to its nearest centroid's partition. Search: each query probes
+    * only the `nProbe` nearest partitions — an equi-join on the partition
+    * id instead of a cross join. Recall/latency trades via nProbe exactly
+    * as in FAISS/LanceDB IVF.
+    *
+    * Scale: assignment is a narrow map (centroids broadcast); candidate
+    * generation shuffles on the partition id — bounded fan-in per query.
+    */
+  def ivfTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, nPartitions: Int = 16, nProbe: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = corpus.select(id.as("id"), vec.cast("array<float>").as("v"))
+    val feat = base.withColumn("features",
+      array_to_vector(col("v").cast("array<double>")))
+    val model = new KMeans().setK(nPartitions).setSeed(seed).setMaxIter(10)
+      .fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("id"), col("v"), col("prediction").as("part"))
+    // query-side: nProbe nearest centroids by cosine
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val centDf = queries.sparkSession.createDataFrame(centroids)
+      .toDF("part", "cvec")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("part"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qv"), col("part"),
+        cosineSimilarity(col("qv"), col("cvec")).as("cscore"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qv"), col("part"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("part"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), cosineSimilarity(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate k-NN via multi-table sign-LSH (OR-amplification): `nTables`
     * independent hash tables, each bucketing on `nPlanes` hyperplane signs.
     * A candidate surfaces if it collides with the query in ANY table —

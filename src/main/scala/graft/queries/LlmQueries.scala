@@ -64,6 +64,17 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-partitioned approximate k-NN (the LanceDB IVF index shape; the
+    * second scale path next to LSH). Rows-only check; recall pinned in
+    * SimilaritySpec. */
+  def s03AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopKByCosine(embeddings(s, d), col("vec_id"),
+      col("embedding"), qs, 5, nPartitions = 8, nProbe = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---------------------------------------------------------- text analysis
 
   def t01LangId(s: SparkSession, d: String): DataFrame =
@@ -117,6 +128,7 @@ object LlmQueries {
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
+    "s03_ann_ivf" -> s03AnnIvf,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,

@@ -15,7 +15,7 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   // rows-only queries: the driver only checks rows > 0, so pin that here too.
-  private val mustHaveRows = Set("q21_chunk_recursive", "s02_ann_lsh")
+  private val mustHaveRows = Set("q21_chunk_recursive", "s02_ann_lsh", "s03_ann_ivf")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {

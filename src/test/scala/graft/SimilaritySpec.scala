@@ -58,6 +58,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivfTopKByCosine recall vs brute force on sf0.001 embeddings >= 0.5") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKByCosine(emb, col("vec_id"), col("embedding"),
+      qs, 5, nPartitions = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("elbow cut keeps prefix before the first big step") {
     import spark.implicits._
     val ranked = Seq(
