@@ -73,4 +73,9 @@ object TimeFunctions {
     * (A deterministic scalar; registered as a UDF — the date-parse fallback
     * chain has no loss-free built-in equivalent.) */
   def isoNormalize(c: Column): Column = isoNormalizeUdf(c)
+
+  /** `now_iso8601_utc` (time_utils.py:4-6). Wall-clock — excluded from all
+    * oracle queries; pipelines should prefer an injected clock (SURVEY §7.6). */
+  def nowIso8601Utc(): String =
+    fmt(java.time.OffsetDateTime.now(ZoneOffset.UTC))
 }

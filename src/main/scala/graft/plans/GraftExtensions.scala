@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_dist"),
       info("l2_dist", "l2_dist(a, b) - euclidean distance of two float/double arrays"),
       (children: Seq[Expression]) => L2DistanceExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("explode_chunks"),
+      info("explode_chunks",
+        "explode_chunks(text[, size[, overlap]]) - recursive text chunks as (chunk_index, chunk) rows"),
+      (children: Seq[Expression]) => ChunkGeneratorExpr(children)))
   }
 }

@@ -41,4 +41,15 @@ object Sinks {
 
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** 256-way id-prefix sharded layout (SURVEY S20-adjacent: the reference's
+    * HF structured-upload sharding, assets/processing/assets.py:354-361 —
+    * subdirs by identifier[0:2] to keep any directory under ~10k files).
+    * With content-hash identifiers the prefix is uniform, so shards balance.
+    */
+  def writeSharded(df: DataFrame, path: String, idCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("shard", substring(col(idCol), 1, 2))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
 }

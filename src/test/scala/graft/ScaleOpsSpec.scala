@@ -38,6 +38,21 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sharded write: id-prefix shards balance and round-trip") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val id = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      (id, i)
+    }.toDF("identifier", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graftshard").toString + "/t"
+    Sinks.writeSharded(df, dir, "identifier")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    val shards = back.select("shard").distinct().count()
+    assert(shards > 50, s"expected many distinct shards, got $shards")
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     import spark.implicits._
     // hot key: 90% of big side is key 1
