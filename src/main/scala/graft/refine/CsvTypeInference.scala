@@ -55,7 +55,7 @@ object CsvTypeInference {
   }
 
   private def isTimeOnly(c: Column): Column =
-    trim(c).rlike("^\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$")
+    trim(c).rlike("^\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?$")
 
   /** Pass 1: one aggregate computing, per column: non-null count, numeric
     * parse count, integral count, date parse count, time-only count. */
@@ -76,14 +76,16 @@ object CsvTypeInference {
       val nonNull = row.getAs[Long](s"__nn_$name").toDouble
       def ratio(k: String) =
         if (nonNull == 0) 0.0 else row.getAs[Long](s"__${k}_$name") / nonNull
+      // Check order mirrors the reference (csv_to_parquet.py:85-92): dates
+      // are considered BEFORE numerics (with the time-only guard), so a
+      // column parseable as both becomes an ISO date column.
       val decision =
         if (nonNull == 0) AsString
+        else if (ratio("time") < 0.5 && ratio("date") >= DateThreshold) AsIsoDate
         else if (ratio("num") >= NumericThreshold) {
           if (row.getAs[Long](s"__int_$name") == row.getAs[Long](s"__num_$name")) AsLong
           else AsDouble
-        } else if (ratio("time") > 0.5) AsString // time-only guard
-        else if (ratio("date") >= DateThreshold) AsIsoDate
-        else AsString
+        } else AsString
       name -> decision
     }.toMap
   }
