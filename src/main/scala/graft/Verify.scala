@@ -41,6 +41,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full catalog listing so the compare tool can flag rows-only queries
+    // that errored (their missing output dir would otherwise be invisible)
+    Files.writeString(Paths.get(s"$outDir/all_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

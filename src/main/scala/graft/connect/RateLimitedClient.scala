@@ -54,7 +54,18 @@ object RateLimitedClient {
       .orElse(if (base.startsWith("text/")) Some(base.stripPrefix("text/")) else None)
   }
 
-  /** Filename resolution: RFC-5987 filename* > filename > final URL path. */
+  /** Strip any path components from a server-supplied name: both separators
+    * and traversal dots — the name must stay INSIDE the destination dir no
+    * matter what the server sends. */
+  private[connect] def sanitizeFilename(name: String): String = {
+    val base = name.replace('\\', '/').split('/').filter(_.nonEmpty).lastOption
+      .getOrElse("download")
+    val cleaned = base.replaceAll("^\\.+", "")
+    if (cleaned.isEmpty) "download" else cleaned
+  }
+
+  /** Filename resolution: RFC-5987 filename* > filename > final URL path.
+    * The result is always sanitized to a bare file name. */
   def resolveFilename(contentDisposition: Option[String], finalUrl: String): String = {
     val fromStar = contentDisposition.flatMap { cd =>
       "filename\\*=(?:UTF-8''|utf-8'')?\"?([^\";]+)\"?".r
@@ -64,11 +75,10 @@ object RateLimitedClient {
     val fromPlain = contentDisposition.flatMap { cd =>
       "filename=\"?([^\";]+)\"?".r.findFirstMatchIn(cd).map(_.group(1))
     }
-    fromStar.orElse(fromPlain).getOrElse {
+    sanitizeFilename(fromStar.orElse(fromPlain).getOrElse {
       val path = finalUrl.split("[?#]")(0)
-      val seg = path.split("/").lastOption.getOrElse("download")
-      if (seg.isEmpty) "download" else seg
-    }
+      path.split("/").lastOption.getOrElse("download")
+    })
   }
 }
 

@@ -61,8 +61,15 @@ object SpreadsheetConverter {
       catch { case _: Exception => Seq.empty[Sheet] }
       finally exec.shutdownNow()
     sheets.map { sheet =>
-      val schema = StructType(sheet.header.map(h =>
-        StructField(safeSheetName(h), StringType, nullable = true)))
+      // sanitize + dedupe headers pandas-style (col, col.1, col.2 ...)
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val names = sheet.header.map { h =>
+        val base = safeSheetName(h)
+        val n = seen.getOrElse(base, 0)
+        seen(base) = n + 1
+        if (n == 0) base else s"$base.$n"
+      }
+      val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
       val rows = sheet.rows.map(r =>
         Row.fromSeq(sheet.header.indices.map(i => r.lift(i).orNull)))
       val raw = spark.createDataFrame(rows.asJava, schema)

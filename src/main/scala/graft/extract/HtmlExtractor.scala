@@ -67,6 +67,7 @@ object HtmlExtractor {
     var stack = List[Elem](root)
     var i = 0
     val n = html.length
+    val lowerHtml = html.toLowerCase // hoisted: one pass, not one per drop tag
     def top = stack.head
     while (i < n) {
       val lt = html.indexOf('<', i)
@@ -100,10 +101,13 @@ object HtmlExtractor {
               val attrStr = if (sp < 0) "" else body.substring(sp)
               val attrs = parseAttrs(attrStr)
               if (DropTags(tag)) {
-                // skip to the matching close tag wholesale
-                val close = html.toLowerCase.indexOf(s"</$tag", i)
-                i = if (close < 0) n
-                else { val gt = html.indexOf('>', close); if (gt < 0) n else gt + 1 }
+                // skip to the matching close tag wholesale; a self-closing
+                // <script/> has no content to skip
+                if (!selfClose) {
+                  val close = lowerHtml.indexOf(s"</$tag", i)
+                  i = if (close < 0) n
+                  else { val gt = html.indexOf('>', close); if (gt < 0) n else gt + 1 }
+                }
               } else {
                 val e = Elem(tag, attrs)
                 top.children += e

@@ -45,7 +45,9 @@ object TextFunctions {
     */
   def safeName(c: Column): Column =
     substring(
-      regexp_replace(regexp_replace(lower(c), "[^a-z0-9._-]+", "_"), "_+", "_"),
+      regexp_replace(
+        regexp_replace(regexp_replace(lower(c), "[^a-z0-9._-]+", "_"), "_+", "_"),
+        "^[_.]+|[_.]+$", ""),
       1, 200)
 
   /** License-string normalization map (reference keeps a 12-entry lookup;

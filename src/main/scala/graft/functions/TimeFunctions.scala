@@ -66,8 +66,33 @@ object TimeFunctions {
         .map(ld => fmt(ld.atStartOfDay.atOffset(ZoneOffset.UTC))))
   }
 
+  private val lenientExtraFormats: Seq[DateTimeFormatter] = Seq(
+    "M/d/yyyy", "M-d-yyyy", "MMM d, yyyy", "MMMM d, yyyy", "yyyy/M/d")
+    .map(p => DateTimeFormatter.ofPattern(p, java.util.Locale.ENGLISH))
+
+  /** Inference-path date parsing (csv_to_parquet.py's `pd.to_datetime`):
+    * pandas resolves ambiguous numeric dates MONTH-FIRST ("01/02/2020" →
+    * Jan 2) and accepts "Jan 27, 2025"-style forms, so those take precedence
+    * here; anything else falls back to [[parseToIso8601Utc]] (which keeps
+    * the day-first `%d/%m/%Y` semantics of time_utils for forms month-first
+    * can't parse, e.g. "25/12/2020"). */
+  def parseDateLenientToIso(s: String): Option[String] = {
+    if (s == null || s.isEmpty) return None
+    val monthFirst = lenientExtraFormats.view.flatMap { f =>
+      try Some(fmt(LocalDate.parse(s.trim, f).atStartOfDay.atOffset(ZoneOffset.UTC)))
+      catch { case _: Exception => None }
+    }.headOption
+    monthFirst.orElse(parseToIso8601Utc(s).filter(_.nonEmpty))
+  }
+
   private val isoNormalizeUdf =
     udf((s: String) => parseToIso8601Utc(s).filter(_.nonEmpty).orNull)
+
+  private val lenientDateUdf =
+    udf((s: String) => parseDateLenientToIso(s).orNull)
+
+  /** Column form of [[parseDateLenientToIso]] — the S4 inference date path. */
+  def lenientDateNormalize(c: Column): Column = lenientDateUdf(c)
 
   /** Column form: normalized ISO string, null on empty/unparseable/null.
     * (A deterministic scalar; registered as a UDF — the date-parse fallback

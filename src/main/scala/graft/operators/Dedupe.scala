@@ -175,15 +175,15 @@ object Dedupe {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram (word-set) Jaccard similarity for pairs sharing a blocking
-    * key, with lossless PREFIX FILTERING: tokens are ranked rarest-first
-    * (global frequency within block), and only the first
-    * `|d| - ceil(t*|d|) + 1` tokens of each document generate candidate
-    * pairs — any pair with Jaccard >= t must share a prefix token (pigeonhole
-    * on the overlap bound), so the result set is identical to the all-pairs
-    * formulation while the join touches a fraction of the tokens. This is
-    * the shape that survives 100 TB: candidate generation is an equi-join on
-    * the rare-token key, verification only runs on surviving pairs.
+  /** Exact word-set Jaccard similarity for pairs sharing a blocking key.
+    * Blocking bounds the join: candidate pairs only form inside a block, and
+    * the block is caller-chosen (an LSH bucket, a cluster id, a source).
+    *
+    * Prefix filtering (rarest-token prefixes of length |d|-ceil(t|d|)+1) was
+    * implemented and MEASURED SLOWER here: this corpus has a tiny vocabulary,
+    * so no token is rare and the extra freq-join/rank shuffles cost more
+    * than they save. On a realistic heavy-tailed vocabulary it is the right
+    * 100 TB refinement of the token equi-join below.
     *
     * @return (id_a, id_b, inter, uni, jaccard)
     */
@@ -192,14 +192,8 @@ object Dedupe {
     val tok = df.select(id.as("id"), block.as("blk"),
       explode(array_distinct(words(text))).as("w"))
       .filter(length(col("w")) > 0)
-      .localCheckpoint(false) // feeds freq, prefix, and two verify joins
+      .localCheckpoint(false) // feeds sizes + both sides of the pair join
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // NOTE on prefix filtering: the classic lossless candidate pruning
-    // (rarest-token prefixes of length |d|-ceil(t|d|)+1) was measured here
-    // and LOST — this synthetic corpus has a tiny vocabulary, so no token is
-    // rare and the extra freq-join/rank shuffles cost more than they save.
-    // On a realistic heavy-tailed vocabulary it's the right 100 TB shape;
-    // the token equi-join below is already block-bounded either way.
     val aTok = tok.select(col("id").as("id_a"), col("blk"), col("w"))
     val bTok = tok.select(col("id").as("id_b"), col("blk"), col("w"))
     val inter = aTok.join(bTok, Seq("blk", "w"))

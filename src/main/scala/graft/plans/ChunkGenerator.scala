@@ -26,12 +26,19 @@ case class ChunkGeneratorExpr(children: Seq[Expression])
   override def prettyName: String = "explode_chunks"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = children.nonEmpty && children.size <= 3 &&
+    val shapeOk = children.nonEmpty && children.size <= 3 &&
       children.head.dataType == StringType &&
       children.drop(1).forall(c => c.dataType == IntegerType && c.foldable)
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (!shapeOk) return TypeCheckResult.TypeCheckFailure(
       "explode_chunks(text STRING [, chunk_size INT literal [, overlap INT literal]])")
+    // foldable args evaluate here: reject null/non-positive sizes at analysis
+    val sizeArg = children.lift(1).map(_.eval())
+    val overlapArg = children.lift(2).map(_.eval())
+    if (sizeArg.exists(v => v == null || v.asInstanceOf[Int] <= 0))
+      TypeCheckResult.TypeCheckFailure("explode_chunks: chunk_size must be a positive INT literal")
+    else if (overlapArg.exists(v => v == null || v.asInstanceOf[Int] < 0))
+      TypeCheckResult.TypeCheckFailure("explode_chunks: overlap must be a non-negative INT literal")
+    else TypeCheckResult.TypeCheckSuccess
   }
 
   override def elementSchema: StructType = StructType(Seq(

@@ -16,13 +16,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarityExpr].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (children: Seq[Expression]): Expression = {
+    if (children.size != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${children.size}")
+    mk(children(0), children(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
-      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+      binary("cosine_sim", CosineSimilarityExpr(_, _)) _))
     ext.injectFunction((FunctionIdentifier("l2_dist"),
       info("l2_dist", "l2_dist(a, b) - euclidean distance of two float/double arrays"),
-      (children: Seq[Expression]) => L2DistanceExpr(children(0), children(1))))
+      binary("l2_dist", L2DistanceExpr(_, _)) _))
     ext.injectFunction((FunctionIdentifier("explode_chunks"),
       info("explode_chunks",
         "explode_chunks(text[, size[, overlap]]) - recursive text chunks as (chunk_index, chunk) rows"),

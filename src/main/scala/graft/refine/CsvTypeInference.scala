@@ -68,7 +68,7 @@ object CsvTypeInference {
         count(c).as(s"__nn_$name"),
         count(num).as(s"__num_$name"),
         count(when(num === num.cast("long").cast("double"), 1)).as(s"__int_$name"),
-        count(when(TimeFunctions.isoNormalize(c).isNotNull, 1)).as(s"__date_$name"),
+        count(when(TimeFunctions.lenientDateNormalize(c).isNotNull, 1)).as(s"__date_$name"),
         count(when(isTimeOnly(c), 1)).as(s"__time_$name"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -98,7 +98,7 @@ object CsvTypeInference {
       decisions.getOrElse(name, AsString) match {
         case AsLong    => numericCandidate(c).cast("long").as(name)
         case AsDouble  => numericCandidate(c).as(name)
-        case AsIsoDate => TimeFunctions.isoNormalize(c).as(name)
+        case AsIsoDate => TimeFunctions.lenientDateNormalize(c).as(name)
         case AsString  => c.as(name)
       }
     }

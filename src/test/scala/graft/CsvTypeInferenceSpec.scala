@@ -47,8 +47,16 @@ class CsvTypeInferenceSpec extends SparkSpec {
     val vals = out.select("d").collect().map(_.getString(0)).toSeq
     assert(vals(0) == "2023-03-01T00:00:00+00:00")
     assert(vals(1) == "2023-04-01T00:00:00+00:00")
-    assert(vals(2) == "2023-05-02T00:00:00+00:00")
+    // pandas to_datetime resolves ambiguous numeric dates month-first
+    assert(vals(2) == "2023-02-05T00:00:00+00:00")
     assert(vals(3) == null) // unparseable in a date column -> null
+  }
+
+  test("month-first pandas semantics with day-first fallback for impossible months") {
+    import graft.functions.TimeFunctions.parseDateLenientToIso
+    assert(parseDateLenientToIso("01/02/2020") == Some("2020-01-02T00:00:00+00:00"))
+    assert(parseDateLenientToIso("25/12/2020") == Some("2020-12-25T00:00:00+00:00"))
+    assert(parseDateLenientToIso("Jan 27, 2025") == Some("2025-01-27T00:00:00+00:00"))
   }
 
   test("50% date threshold: below half parseable stays raw string") {

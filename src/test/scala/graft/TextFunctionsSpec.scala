@@ -45,8 +45,9 @@ class TextFunctionsSpec extends SparkSpec {
 
   test("safeName sanitizes to filesystem-safe form") {
     val got = eval1(TextFunctions.safeName(col("s")),
-      ("My File/Name v2", ""), ("weird***chars!!", ""), ("UPPER lower", ""))
-    assert(got == Seq("my_file_name_v2", "weird_chars_", "upper_lower"))
+      ("My File/Name v2", ""), ("weird***chars!!", ""), ("UPPER lower", ""),
+      ("__.dotted name._", ""))
+    assert(got == Seq("my_file_name_v2", "weird_chars", "upper_lower", "dotted_name"))
   }
 
   test("licenseNormalize maps known keys, defaults missing to OGL") {

@@ -32,7 +32,11 @@ def canon(df):
 
 fails = []
 present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
-for name in sorted(set(oracle) - present):
+expected = set(oracle)
+allq = os.path.join(outdir, "all_queries.json")
+if os.path.exists(allq):
+    expected |= set(json.load(open(allq)))  # rows-only queries too
+for name in sorted(expected - present):
     if not only or name in only:
         print(f"{name:28s} MISSING-OUTPUT"); fails.append(name)
 for name in sorted(present):
