@@ -51,6 +51,19 @@ object SpreadsheetConverter {
     else out
   }
 
+  /** Sanitize + dedupe column headers pandas-style: colliding sanitized
+    * names get `.1`, `.2`, ... suffixes (pandas read_excel mangle_dupe_cols
+    * behavior) so downstream column references stay unambiguous. */
+  def dedupeHeaders(headers: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    headers.map { h =>
+      val base = safeSheetName(h)
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"$base.$n"
+    }
+  }
+
   /** One workbook payload → (safeSheetName, typed DataFrame) per sheet,
     * decode bounded by the timeout guard. */
   def convert(spark: SparkSession, payload: Array[Byte]): Seq[(String, DataFrame)] = {
@@ -61,15 +74,8 @@ object SpreadsheetConverter {
       catch { case _: Exception => Seq.empty[Sheet] }
       finally exec.shutdownNow()
     sheets.map { sheet =>
-      // sanitize + dedupe headers pandas-style (col, col.1, col.2 ...)
-      val seen = scala.collection.mutable.Map.empty[String, Int]
-      val names = sheet.header.map { h =>
-        val base = safeSheetName(h)
-        val n = seen.getOrElse(base, 0)
-        seen(base) = n + 1
-        if (n == 0) base else s"$base.$n"
-      }
-      val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+      val schema = StructType(dedupeHeaders(sheet.header)
+        .map(StructField(_, StringType, nullable = true)))
       val rows = sheet.rows.map(r =>
         Row.fromSeq(sheet.header.indices.map(i => r.lift(i).orNull)))
       val raw = spark.createDataFrame(rows.asJava, schema)

@@ -64,6 +64,23 @@ class ConnectSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("server-controlled filenames cannot escape the destination directory") {
+    import RateLimitedClient._
+    assert(resolveFilename(Some("attachment; filename=\"../../etc/passwd\""),
+      "https://x/y") == "passwd")
+    assert(resolveFilename(Some("attachment; filename=\"..\\..\\boot.ini\""),
+      "https://x/y") == "boot.ini")
+    assert(resolveFilename(Some("attachment; filename=\"...\""), "https://x/y") == "download")
+    val dir = java.nio.file.Files.createTempDirectory("graftsafe")
+    val t = new Transport {
+      def get(url: String): Response =
+        ok("x", Map("Content-Disposition" -> "attachment; filename=\"../escape.txt\""))
+    }
+    val c = new RateLimitedClient(t, Config(requestsPerSecond = 1e6), _ => ())
+    val p = c.downloadFile("https://x.test/dl", dir).get
+    assert(p.getParent == dir, s"wrote outside destDir: $p")
+  }
+
   test("filename resolution: RFC-5987 beats plain beats URL; extension from content type") {
     import RateLimitedClient._
     assert(resolveFilename(Some("attachment; filename*=UTF-8''r%C3%A9port.pdf"),

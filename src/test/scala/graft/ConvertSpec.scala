@@ -86,6 +86,15 @@ class ConvertSpec extends SparkSpec {
     assert(u.length == 36)
   }
 
+  test("spreadsheet: colliding sanitized headers dedupe pandas-style") {
+    assert(SpreadsheetConverter.dedupeHeaders(Seq("Col A", "Col_A", "col  a"))
+      == Seq("col_a", "col_a.1", "col_a.2"))
+    // dots are legal name chars — "Col.A" is distinct, not a collision
+    assert(SpreadsheetConverter.dedupeHeaders(Seq("Col A", "Col.A"))
+      == Seq("col_a", "col.a"))
+    assert(SpreadsheetConverter.dedupeHeaders(Seq("x", "y")) == Seq("x", "y"))
+  }
+
   test("spreadsheet: stub decode produces per-sheet typed frames") {
     val out = SpreadsheetConverter.convert(spark, Array[Byte](10, 20, 30))
     assert(out.size == 1)

@@ -52,6 +52,11 @@ class HtmlExtractorSpec extends SparkSpec {
     assert(out == "just inline text")
   }
 
+  test("self-closing script does not swallow the rest of the document") {
+    val out = extractText("<p>a</p><script/><p>b</p>")
+    assert(out == "a\n\nb")
+  }
+
   test("empty and blank input give empty output") {
     assert(extractText("") == "")
     assert(extractText("   ") == "")
