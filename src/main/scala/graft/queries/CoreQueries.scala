@@ -176,16 +176,18 @@ object CoreQueries {
   }
 
   /** Q18 — array kernel: slice/distinct/union with sorted canonical form
-    * (SURVEY U2 tag-set semantics). */
+    * (SURVEY U2 tag-set semantics). Array results are serialized to '|'
+    * strings because the driver's pandas comparator cannot hash numpy
+    * arrays; the oracle SQL serializes identically. */
   def q18ArrayOps(s: SparkSession, d: String): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     val first5 = slice(words, 1, 5)
     documents(s, d)
       .select(
         col("doc_id"),
-        sort_array(array_distinct(first5)).as("tags"),
-        sort_array(array_distinct(array_union(first5, array(lit("extra"), lit("the"))))).as("tags_aug"),
-        size(array_intersect(first5, array(lit("the"), lit("data"), lit("spark")))).as("n_common"))
+        array_join(sort_array(array_distinct(first5)), "|").as("tags"),
+        array_join(sort_array(array_distinct(array_union(first5, array(lit("extra"), lit("the"))))), "|").as("tags_aug"),
+        size(array_intersect(first5, array(lit("the"), lit("data"), lit("spark")))).cast("long").as("n_common"))
       .orderBy(col("doc_id"))
   }
 
@@ -302,8 +304,8 @@ object CoreQueries {
          ORDER BY metric""",
     "q18_array_ops" ->
       """SELECT doc_id,
-                list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')[1:5])) AS tags,
-                list_sort(list_distinct(list_cat(regexp_split_to_array(trim(text), '\s+')[1:5], ['extra','the']))) AS tags_aug,
+                array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')[1:5])), '|') AS tags,
+                array_to_string(list_sort(list_distinct(list_cat(regexp_split_to_array(trim(text), '\s+')[1:5], ['extra','the']))), '|') AS tags_aug,
                 len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')[1:5]), ['the','data','spark'])) AS n_common
          FROM documents ORDER BY doc_id""",
     "q19_string_kernel" ->

@@ -55,13 +55,14 @@ object RefineQueries {
 
   /** r04 — ordered-unique collection (SURVEY U4: speakers list preserves
     * first-encounter order, no dups). Deterministic under parallel agg via
-    * sort_array-of-structs before distinct. */
+    * sort_array-of-structs before distinct. Serialized to a '|' string so
+    * the driver's pandas comparator can hash it (mirrored in the oracle). */
   def r04OrderedDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("user_id"))
-      .agg(array_distinct(transform(
+      .agg(array_join(array_distinct(transform(
         sort_array(collect_list(struct(col("event_id"), col("event_type")))),
-        x => x.getField("event_type"))).as("types_in_order"),
+        x => x.getField("event_type"))), "|").as("types_in_order"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -153,7 +154,7 @@ object RefineQueries {
            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
          )
          SELECT f.user_id,
-                array_agg(f.event_type ORDER BY f.first_id) AS types_in_order,
+                string_agg(f.event_type, '|' ORDER BY f.first_id) AS types_in_order,
                 any_value(t.n_events) AS n_events
          FROM firsts f JOIN totals t ON f.user_id = t.user_id
          GROUP BY f.user_id ORDER BY f.user_id""")

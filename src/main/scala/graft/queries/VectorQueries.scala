@@ -52,7 +52,11 @@ object VectorQueries {
     ThemeTagger.tag(
       emb.select(col("vec_id"), col("embedding")), col("vec_id"), col("embedding"),
       reps, col("theme"), col("theme_vec"))
-      .withColumnRenamed("id", "vec_id")
+      // canonical string, not array<string>: the driver's pandas comparator
+      // cannot hash numpy arrays, so array outputs are serialized on both
+      // sides (same in the oracle SQL)
+      .select(col("id").as("vec_id"),
+        array_join(col("labels"), "|").as("labels"), col("n_labels"))
       .orderBy(col("vec_id"))
   }
 
@@ -95,8 +99,8 @@ object VectorQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(length(col("chunk"))).as("total_chars"),
-        min(length(col("chunk"))).as("min_chunk"),
-        max(length(col("chunk"))).as("max_chunk"))
+        min(length(col("chunk"))).cast("long").as("min_chunk"),
+        max(length(col("chunk"))).cast("long").as("max_chunk"))
       .orderBy(col("doc_id"))
 
   /** Q21b — faithful recursive-separator chunker (LangChain
@@ -202,7 +206,7 @@ object VectorQueries {
                    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, theme) AS rk
             FROM scored WHERE score > 0.3
           )
-          SELECT vec_id, array_agg(theme ORDER BY rk) AS labels, count(*) AS n_labels
+          SELECT vec_id, string_agg(theme, '|' ORDER BY rk) AS labels, count(*) AS n_labels
           FROM ranked WHERE rk <= 3
           GROUP BY vec_id ORDER BY vec_id""",
     "q21_chunk_fixed" ->
@@ -214,7 +218,8 @@ object VectorQueries {
                        ELSE CAST(ceil((length(text) - 800) / 700.0) AS INT) END)) AS i) g
            WHERE length(text) > 0
          )
-         SELECT doc_id, count(*) AS n_chunks, sum(length(chunk)) AS total_chars,
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
                 min(length(chunk)) AS min_chunk, max(length(chunk)) AS max_chunk
          FROM chunks GROUP BY doc_id ORDER BY doc_id""")
 }
