@@ -156,24 +156,47 @@ object Dedupe {
     agg.select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Candidate generation buckets by the high byte of the fingerprint to
-    * avoid all-pairs at scale (documents differing only in low bits still
-    * collide on the high-byte bucket with high probability for near-dups).
+  /** SimHash candidate pairs from precomputed fingerprints via pigeonhole
+    * banding: the fingerprint splits into (maxHamming + 1) equal-width
+    * segments; two fingerprints within Hamming distance maxHamming MUST
+    * agree on at least one whole segment (pigeonhole), so the equi-join on
+    * (segment_idx, segment_value) has GUARANTEED recall — unlike bucketing
+    * on any fixed bit range, which silently misses pairs whose differing
+    * bits land inside the bucket. Still a pure equi-join: the 100 TB shape.
+    *
+    * @param fps (id, simhash) fingerprints
+    * @return (id_a, id_b, hamming) verified pairs with hamming <= maxHamming
     */
-  def simhashPairs(df: DataFrame, id: Column, text: Column,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(df, id, text, bits)
-    val a = fps.select(col("id").as("id_a"), col("simhash").as("fp_a"))
-      .withColumn("bucket", shiftright(col("fp_a"), bits - 8))
-    val b = fps.select(col("id").as("id_b"), col("simhash").as("fp_b"))
-      .withColumn("bucket", shiftright(col("fp_b"), bits - 8))
-    a.join(b, Seq("bucket"))
+  def simhashCandidatePairs(fps: DataFrame, bits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val nSegs = maxHamming + 1
+    require(bits % nSegs == 0, "bits must be divisible by maxHamming + 1")
+    val segBits = bits / nSegs
+    val mask = (1L << segBits) - 1
+    def segments(fp: Column): Column = array((0 until nSegs).map { i =>
+      shiftright(fp, i * segBits).bitwiseAND(lit(mask))
+    }: _*)
+    def side(idName: String, fpName: String) =
+      fps.select(col("id").as(idName), col("simhash").as(fpName),
+        posexplode(segments(col("simhash"))))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg_val")
+    side("id_a", "fp_a").join(side("id_b", "fp_b"), Seq("seg_idx", "seg_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct() // a pair may agree on several segments
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming:
+    * fingerprint + pigeonhole-banded candidate generation (see
+    * [[simhashCandidatePairs]] for the recall guarantee).
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame =
+    simhashCandidatePairs(simhash(df, id, text, bits), bits, maxHamming)
 
   /** Exact word-set Jaccard similarity for pairs sharing a blocking key.
     * Blocking bounds the join: candidate pairs only form inside a block, and

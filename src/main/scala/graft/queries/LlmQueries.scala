@@ -22,8 +22,8 @@ object LlmQueries {
     Dedupe.minhashLshPairs(documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (16-bit fingerprint, Hamming <= 3, high-byte
-    * bucket candidate generation). */
+  /** SimHash near-dup pairs (16-bit fingerprint, Hamming <= 3, pigeonhole
+    * 4x4-bit segment banding — guaranteed recall for Hamming <= 3). */
   def d02Simhash(s: SparkSession, d: String): DataFrame =
     Dedupe.simhashPairs(documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("id_a"), col("id_b"))
@@ -194,7 +194,11 @@ object LlmQueries {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.fp, b.fp)) AS hamming
         FROM fps a JOIN fps b
-          ON (a.fp >> 8) = (b.fp >> 8) AND a.doc_id < b.doc_id
+          ON a.doc_id < b.doc_id AND
+             (((a.fp >> 0) & 15) = ((b.fp >> 0) & 15) OR
+              ((a.fp >> 4) & 15) = ((b.fp >> 4) & 15) OR
+              ((a.fp >> 8) & 15) = ((b.fp >> 8) & 15) OR
+              ((a.fp >> 12) & 15) = ((b.fp >> 12) & 15))
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
         ORDER BY id_a, id_b"""
   }

@@ -56,6 +56,21 @@ class DedupeSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("simhash pigeonhole banding catches pairs differing only in high bits") {
+    import spark.implicits._
+    // fp 0x8001 vs 0x0001: hamming 1, but the differing bit (15) is in the
+    // top byte — the old high-byte bucketing (fp >> 8) silently missed this
+    // pair. Pigeonhole 4x4-bit segments guarantee a shared segment for any
+    // hamming <= 3 pair (segments 0..2 here), so it must surface.
+    val fps = Seq((1L, 0x8001L), (2L, 0x0001L), (3L, 0xFFFFL ^ 0x8001L))
+      .toDF("id", "simhash")
+    val pairs = Dedupe.simhashCandidatePairs(fps, bits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 1)))        // high-bit-only diff: now found
+    assert(!pairs.exists(p => p._3 > 3))       // verification still exact
+    assert(!pairs.exists(p => (p._1, p._2) == (1L, 3L))) // hamming 15: absent
+  }
+
   test("ngramJaccardPairs computes exact word-set jaccard within blocks") {
     import spark.implicits._
     val df = Seq(
