@@ -55,52 +55,111 @@ object Similarity {
       .select(col("qid"), col("id"), col("score"), col("rank"))
   }
 
+  /** Deterministic seeded hyperplanes for sign-LSH (shared by the bucket
+    * Column below and the DuckDB oracle SQL, which embeds the same values
+    * as literals). */
+  def lshPlanes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Sign-bucket LSH key: the concatenated signs of `nPlanes` fixed random
     * hyperplane projections. Deterministic (seeded) plane generation; the
     * projection is the same sequential-fold dot product as the exact path.
     */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.map { p =>
+    val bits = lshPlanes(dim, nPlanes, seed).map { p =>
       val planeCol = array(p.map(x => lit(x)): _*)
       when(dot(vec, planeCol) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  /** Approximate k-NN via IVF (inverted-file) partitioning — the LanceDB
-    * index shape (create_lancedb_index.py:143-148: IVF, num_partitions).
-    *
-    * Build: seeded KMeans over (a sample of) the corpus → every vector is
-    * assigned to its nearest centroid's partition. Search: each query probes
-    * only the `nProbe` nearest partitions — an equi-join on the partition
-    * id instead of a cross join. Recall/latency trades via nProbe exactly
-    * as in FAISS/LanceDB IVF.
-    *
-    * Scale: assignment is a narrow map (centroids broadcast); candidate
-    * generation shuffles on the partition id — bounded fan-in per query.
+  // ------------------------------------------------------------------- IVF
+  //
+  // The LanceDB index shape (create_lancedb_index.py:143-148: IVF,
+  // num_partitions), split into the lifecycle it has at 100 TB:
+  //
+  //   BUILD (offline, once):  centroids + per-vector partition assignment,
+  //                           persisted as parquet next to the vector table
+  //                           (as the reference persists its LanceDB/FAISS
+  //                           index artifacts).
+  //   SEARCH (per query set): probe the nProbe nearest partitions — an
+  //                           equi-join on the partition id, never a cross
+  //                           join, and NO training anywhere in the path.
+
+  /** Deterministic centroid seeding: the `nPartitions` lowest-id vectors.
+    * This is k-means with zero refinement iterations — exactly reproducible
+    * in plain SQL (the DuckDB oracle for s03 recomputes it), and the
+    * quality floor of the IVF family; [[buildIvfIndex]] is the trained
+    * alternative. Returns (part, cvec).
     */
-  def ivfTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, k: Int, nPartitions: Int = 16, nProbe: Int = 3,
-      seed: Long = 42L): DataFrame = {
+  def seededCentroids(corpus: DataFrame, id: Column, vec: Column,
+      nPartitions: Int): DataFrame =
+    corpus.select(id.as("cid"), vec.as("cvec"))
+      .orderBy(col("cid")).limit(nPartitions)
+      .select((row_number().over(Window.orderBy(col("cid"))) - 1).as("part"),
+        col("cvec"))
+
+  /** Assign every corpus vector to its nearest centroid by cosine
+    * (tie-break: lowest part). The centroid set is index metadata — tiny
+    * and bounded (<= a few hundred rows) — so it is collected once and
+    * inlined as literals: the assignment becomes a narrow, shuffle-free
+    * map over the corpus, the only shape that survives 100 TB.
+    * Returns (id, v, part).
+    */
+  def assignToCentroids(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("part").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid set")
+    // greatest() over (score, -part) structs = argmax with deterministic
+    // tie-break, evaluated per row with no join at all
+    val scored = cents.map { case (p, cv) =>
+      val cvec = array(cv.map(x => lit(x)): _*)
+      struct(cosineSimilarity(vec, cvec).as("cscore"), lit(-p).as("np"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    corpus.select(id.as("id"), vec.as("v"), (-best.getField("np")).as("part"))
+  }
+
+  /** Offline IVF index build: seeded KMeans over the corpus, then cosine
+    * assignment. Returns (centroids(part, cvec), assigned(id, v, part));
+    * persist both (e.g. [[graft.sources.Sinks.writeVectorTable]] for the
+    * assignment, plain parquet for the centroids) and search with
+    * [[searchIvf]] — training never runs at query time.
+    */
+  def buildIvfIndex(corpus: DataFrame, id: Column, vec: Column,
+      nPartitions: Int, seed: Long = 42L, maxIter: Int = 10): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = corpus.select(id.as("id"), vec.cast("array<float>").as("v"))
     val feat = base.withColumn("features",
       array_to_vector(col("v").cast("array<double>")))
-    val model = new KMeans().setK(nPartitions).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nPartitions).setSeed(seed).setMaxIter(maxIter)
       .fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("id"), col("v"), col("prediction").as("part"))
-    // query-side: nProbe nearest centroids by cosine
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }.toSeq
-    val centDf = queries.sparkSession.createDataFrame(centroids)
-      .toDF("part", "cvec")
+    val centDf = corpus.sparkSession.createDataFrame(cents).toDF("part", "cvec")
+    (centDf, assignToCentroids(base, col("id"), col("v"), centDf))
+  }
+
+  /** IVF search against a prebuilt index: each query probes its `nProbe`
+    * nearest partitions (by centroid cosine), candidates come from an
+    * equi-join on the partition id, and the final rank is exact cosine.
+    * No training, no cross join against the corpus.
+    *
+    * @param centroids (part, cvec) — index metadata, broadcast
+    * @param assigned  (id, v, part) — the partitioned corpus
+    * @param queries   (qid, qv) — small, broadcast
+    */
+  def searchIvf(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 3): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("part"))
-    val probes = queries.crossJoin(broadcast(centDf))
+    val probes = queries.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("part"),
         cosineSimilarity(col("qv"), col("cvec")).as("cscore"))
       .withColumn("prank", row_number().over(wProbe))

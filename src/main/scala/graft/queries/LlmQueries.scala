@@ -54,8 +54,8 @@ object LlmQueries {
   }
 
   /** LSH-bucketed approximate k-NN (the 100 TB path: bucket equi-join
-    * instead of cross join). Not SQL-expressible compactly → rows-only
-    * check; recall vs brute force is pinned in SimilaritySpec. */
+    * instead of cross join). The hyperplanes are seeded, so the DuckDB
+    * oracle reproduces the buckets exactly from embedded plane literals. */
   def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
     val qs = embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -65,13 +65,19 @@ object LlmQueries {
   }
 
   /** IVF-partitioned approximate k-NN (the LanceDB IVF index shape; the
-    * second scale path next to LSH). Rows-only check; recall pinned in
-    * SimilaritySpec. */
+    * second scale path next to LSH). The declared query uses the
+    * deterministic seeded-centroid build (nearest of the 8 lowest-id
+    * vectors) so the DuckDB oracle recomputes the identical index in SQL;
+    * the trained KMeans build + persisted-index lifecycle is
+    * [[graft.operators.Similarity.buildIvfIndex]]/searchIvf, pinned by
+    * SimilaritySpec. No training runs in this query. */
   def s03AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    Similarity.ivfTopKByCosine(embeddings(s, d), col("vec_id"),
-      col("embedding"), qs, 5, nPartitions = 8, nProbe = 3)
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val assigned = Similarity.assignToCentroids(emb, col("vec_id"), col("embedding"), cent)
+    Similarity.searchIvf(cent, assigned, qs, 5, nProbe = 3)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -207,6 +213,81 @@ object LlmQueries {
     "list_reduce(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
+
+  /** DuckDB sign-LSH bucket over SQL vector expr `v`: the same seeded
+    * hyperplanes as Similarity.lshBucket, embedded as double literals, with
+    * the identical sequential-fold projection — so buckets agree bit-for-bit
+    * with the Spark side. */
+  private def lshBucketSql(v: String, dim: Int, nPlanes: Int, seed: Long): String =
+    Similarity.lshPlanes(dim, nPlanes, seed).map { p =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_transform(list_zip($v, $lst), pp -> CAST(pp[1] AS DOUBLE) * pp[2]), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("(", " || ", ")")
+
+  /** s02 oracle: per-table sign buckets from embedded plane literals, bucket
+    * equi-join, distinct candidates, exact cosine rank — the same pipeline
+    * as Similarity.approxTopKByCosine. */
+  private def s02Sql: String = {
+    val (dim, nPlanes, nTables) = (64, 3, 4)
+    def bucketCase(v: String) = (0 until nTables).map { t =>
+      s"WHEN t.tbl = $t THEN ${lshBucketSql(v, dim, nPlanes, 42L + t)}"
+    }.mkString("CASE ", " ", " END")
+    val tblList = (0 until nTables).mkString("[", ", ", "]")
+    s"""WITH corpus_b AS (
+          SELECT vec_id AS id, embedding AS v, t.tbl,
+                 ${bucketCase("embedding")} AS bucket
+          FROM embeddings, LATERAL (SELECT unnest($tblList) AS tbl) t
+        ), qb AS (
+          SELECT qid, qv, t.tbl, ${bucketCase("qv")} AS bucket
+          FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3) q,
+               LATERAL (SELECT unnest($tblList) AS tbl) t
+        ), cand AS (
+          SELECT DISTINCT b.qid, a.id, ${cosSql("a.v", "b.qv")} AS score
+          FROM corpus_b a JOIN qb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.id <> b.qid
+        ), ranked AS (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+          FROM cand
+        )
+        SELECT qid, id, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** s03 oracle: recompute the seeded-centroid IVF index in SQL (centroids =
+    * 8 lowest-id vectors; assignment/probes by cosine with part tie-break)
+    * and search it — mirrors seededCentroids + assignToCentroids + searchIvf. */
+  private def s03Sql: String =
+    s"""WITH cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t
+        ), assigned AS (
+          SELECT id, v, part FROM (
+            SELECT a.vec_id AS id, a.embedding AS v, c.part,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY ${cosSql("a.embedding", "c.cvec")} DESC, c.part) AS rn
+            FROM embeddings a CROSS JOIN cent c) s
+          WHERE rn = 1
+        ), probes AS (
+          SELECT qid, qv, part FROM (
+            SELECT q.qid, q.qv, c.part,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.part) AS pr
+            FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3) q
+            CROSS JOIN cent c) s
+          WHERE pr <= 3
+        ), scored AS (
+          SELECT p.qid, a.id, ${cosSql("a.v", "p.qv")} AS score
+          FROM assigned a JOIN probes p ON a.part = p.part
+          WHERE a.id <> p.qid
+        )
+        SELECT qid, id, score, rank FROM (
+          SELECT qid, id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+          FROM scored) r
+        WHERE rank <= 5 ORDER BY qid, rank"""
 
   private val langScores = TextAnalysis.StopwordSets.toSeq.sortBy(_._1).map {
     case (lang, stops) =>
@@ -245,6 +326,8 @@ object LlmQueries {
           FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
           WHERE $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) >= 0.15
           ORDER BY id_a, id_b""",
+    "s02_ann_lsh" -> s02Sql,
+    "s03_ann_ivf" -> s03Sql,
     "s01_ann_brute_force" ->
       s"""WITH q AS (
             SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3

@@ -105,18 +105,21 @@ object VectorQueries {
 
   /** Q21b — faithful recursive-separator chunker (LangChain
     * RecursiveCharacterTextSplitter semantics; process_text_chunks.py:39-60).
-    * Not SQL-expressible → driver records a rows-only check; invariants are
-    * pinned by ChunkerSpec instead.
+    * chunkSize 120 / overlap 30 so the test corpus (docs <= ~580 chars)
+    * genuinely multi-chunks. The DuckDB oracle replays the greedy
+    * merge-with-overlap loop exactly via a recursive CTE (the corpus is
+    * single-space text, so the " " separator level is the whole algorithm);
+    * general separator-recursion semantics are pinned by ChunkerSpec.
     */
   def q21ChunkRecursive(s: SparkSession, d: String): DataFrame =
     Chunker.explodeChunks(
       documents(s, d).filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source")),
-      col("text"))
+      col("text"), chunkSize = 120, overlap = 30)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(length(col("chunk"))).as("total_chars"),
-        max(length(col("chunk"))).as("max_chunk"))
+        max(length(col("chunk"))).cast("long").as("max_chunk"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
@@ -209,6 +212,46 @@ object VectorQueries {
           SELECT vec_id, string_agg(theme, '|' ORDER BY rk) AS labels, count(*) AS n_labels
           FROM ranked WHERE rk <= 3
           GROUP BY vec_id ORDER BY vec_id""",
+    // Exact replay of Chunker.recursiveSplit's greedy merge-with-overlap
+    // (chunkSize 120, overlap 30) as a recursive CTE. State per doc =
+    // (window start f, window char total); a flush emits the pending chunk
+    // (trailing separator trimmed -> total - 1) and pops the front until the
+    // overlap budget fits — the pop target new_f is the first index where
+    // the remaining window is <= overlap AND the incoming split fits (or
+    // the window empties), exactly the Scala while-loop's stop condition.
+    "q21_chunk_recursive" ->
+      """WITH RECURSIVE splits AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, len(w)),
+                     i -> CASE WHEN i < len(w) THEN length(w[i]) + 1 ELSE length(w[i]) END) AS lens,
+                  len(w) AS n
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE length(text) > 0) t
+         ), steps AS (
+           SELECT doc_id, lens, n, CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS f,
+                  CAST(0 AS BIGINT) AS total, CAST(NULL AS BIGINT) AS flushed
+           FROM splits
+           UNION ALL
+           SELECT doc_id, lens, n, j + 1,
+                  CASE WHEN do_flush THEN new_f ELSE f END,
+                  CASE WHEN do_flush THEN coalesce(list_sum(lens[new_f : j]), 0) + lens[j + 1]
+                       ELSE total + lens[j + 1] END,
+                  CASE WHEN do_flush THEN total - 1 ELSE NULL END
+           FROM (
+             SELECT *,
+                    (total + lens[j + 1] > 120 AND total > 0) AS do_flush,
+                    list_min(list_filter(generate_series(f, j + 1), x ->
+                      coalesce(list_sum(lens[x : j]), 0) <= 30 AND
+                      (coalesce(list_sum(lens[x : j]), 0) + lens[j + 1] <= 120 OR x = j + 1))) AS new_f
+             FROM steps WHERE j < n) s
+         ), chunks AS (
+           SELECT doc_id, flushed AS clen FROM steps WHERE flushed IS NOT NULL
+           UNION ALL
+           SELECT doc_id, total AS clen FROM steps WHERE j = n AND total > 0
+         )
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(clen) AS BIGINT) AS total_chars,
+                CAST(max(clen) AS BIGINT) AS max_chunk
+         FROM chunks GROUP BY doc_id ORDER BY doc_id""",
     "q21_chunk_fixed" ->
       """WITH chunks AS (
            SELECT doc_id, substr(text, 1 + 700 * g.i, 800) AS chunk

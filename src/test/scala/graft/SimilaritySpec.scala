@@ -58,17 +58,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
-  test("ivfTopKByCosine recall vs brute force on sf0.001 embeddings >= 0.5") {
+  test("IVF lifecycle: offline KMeans build, persisted index, fit-free search, recall >= 0.5") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopKByCosine(emb, col("vec_id"), col("embedding"),
-      qs, 5, nPartitions = 8, nProbe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // BUILD once, offline: training happens here and only here
+    val (cent, assigned) = Similarity.buildIvfIndex(emb, col("vec_id"),
+      col("embedding"), nPartitions = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    // SEARCH consumes only the persisted artifact — no KMeans anywhere
+    val search = Similarity.searchIvf(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"), qs, 5, nProbe = 4)
+    val ivf = search.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // the search plan reads the index parquet (not the training lineage)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("centroids") && plan.contains("assigned"),
+      "search must scan the persisted index")
+  }
+
+  test("seededCentroids + assignToCentroids: deterministic parts, every vector assigned") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    assert(cent.select("part").collect().map(_.getInt(0)).sorted.toSeq == (0 until 8))
+    val assigned = Similarity.assignToCentroids(emb, col("vec_id"), col("embedding"), cent)
+    assert(assigned.count() == emb.count())
+    // a centroid's own vector must land in its own partition (cosine = 1)
+    val own = assigned.filter(col("id") < 8).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert((0L until 8L).forall(i => own(i) == i.toInt))
   }
 
   test("elbow cut keeps prefix before the first big step") {
