@@ -22,8 +22,9 @@ object LlmQueries {
     Dedupe.minhashLshPairs(documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (16-bit fingerprint, Hamming <= 3, pigeonhole
-    * 4x4-bit segment banding — guaranteed recall for Hamming <= 3). */
+  /** SimHash near-dup pairs (32-bit fingerprint, Hamming <= 3, pigeonhole
+    * 4x8-bit segment banding — guaranteed recall for Hamming <= 3, 256
+    * bucket values per segment so the candidate equi-join stays selective). */
   def d02Simhash(s: SparkSession, d: String): DataFrame =
     Dedupe.simhashPairs(documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("id_a"), col("id_b"))
@@ -178,12 +179,12 @@ object LlmQueries {
         FROM pairs WHERE agree >= 0.5 ORDER BY id_a, id_b"""
   }
 
-  /** SimHash SQL — 16-bit fingerprint, identical bit arithmetic. */
+  /** SimHash SQL — 32-bit fingerprint, identical bit arithmetic. */
   private val simhashSql: String = {
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until 32).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS b$j"
     }.mkString(", ")
-    val fp = (0 until 16).map { j =>
+    val fp = (0 until 32).map { j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH tf AS (
@@ -201,10 +202,10 @@ object LlmQueries {
                bit_count(xor(a.fp, b.fp)) AS hamming
         FROM fps a JOIN fps b
           ON a.doc_id < b.doc_id AND
-             (((a.fp >> 0) & 15) = ((b.fp >> 0) & 15) OR
-              ((a.fp >> 4) & 15) = ((b.fp >> 4) & 15) OR
-              ((a.fp >> 8) & 15) = ((b.fp >> 8) & 15) OR
-              ((a.fp >> 12) & 15) = ((b.fp >> 12) & 15))
+             (((a.fp >> 0) & 255) = ((b.fp >> 0) & 255) OR
+              ((a.fp >> 8) & 255) = ((b.fp >> 8) & 255) OR
+              ((a.fp >> 16) & 255) = ((b.fp >> 16) & 255) OR
+              ((a.fp >> 24) & 255) = ((b.fp >> 24) & 255))
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
         ORDER BY id_a, id_b"""
   }
