@@ -104,6 +104,14 @@ object LlmQueries {
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("token_count"))
       .orderBy(col("doc_id"))
 
+  /** Real BPE token count (embedded merges table; the regex approximation
+    * stays as t03 — see [[graft.functions.BpeTokenizer]] for the contract). */
+  def t05BpeTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenizer.bpeTokenCount(col("text")).as("bpe_token_count"))
+      .orderBy(col("doc_id"))
+
   def t04Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -140,6 +148,7 @@ object LlmQueries {
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
+    "t05_bpe_token_count" -> t05BpeTokenCount,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -374,6 +383,8 @@ object LlmQueries {
                 CASE WHEN text IS NULL OR length(text) = 0 THEN 0
                      ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) END AS token_count
          FROM documents ORDER BY doc_id""",
+    "t05_bpe_token_count" -> graft.functions.BpeTokenizer.oracleQuerySql(
+      "documents", "doc_id", "text", "bpe_token_count"),
     "t04_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))) AS fp,
