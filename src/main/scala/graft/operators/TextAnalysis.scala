@@ -10,16 +10,32 @@ import graft.functions.TextFunctions
   */
 object TextAnalysis {
 
-  /** Tiny per-language stopword lists for the n-gram-free heuristic. */
+  /** Tiny per-language stopword lists for the n-gram-free heuristic.
+    * 13 Latin-script languages; CJK scripts are handled by codepoint-range
+    * checks in [[languageId]] (the reference's langdetect covers 55
+    * languages — assets/processing/assets.py:318-327; this profile covers
+    * the high-traffic subset with the same deterministic contract).
+    */
   val StopwordSets: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"))
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "it" -> Seq("il", "che", "di", "per", "non", "sono", "una", "con"),
+    "pt" -> Seq("não", "uma", "os", "do", "da", "em", "por", "como"),
+    "nl" -> Seq("de", "het", "een", "van", "ik", "dat", "niet", "met"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "av", "är", "den"),
+    "da" -> Seq("og", "at", "det", "en", "til", "er", "den", "af"),
+    "no" -> Seq("og", "det", "er", "på", "som", "av", "ikke", "jeg"),
+    "pl" -> Seq("nie", "się", "na", "do", "to", "jest", "z", "czy"),
+    "ro" -> Seq("și", "de", "la", "cu", "este", "nu", "pentru", "care"),
+    "tr" -> Seq("ve", "bir", "bu", "için", "ile", "olarak", "da", "ama"))
 
   /** Heuristic language ID: count distinct stopword hits per language over
-    * the word set; pick the best score (ties broken by language code); CJK
-    * codepoints force "zh"; no hits → "und".
+    * the word set; pick the best score (ties broken by language code,
+    * alphabetically first wins — deterministic, mirrored in the DuckDB
+    * oracle's CASE order); script-range checks force ja/ko/zh (kana first:
+    * Japanese text contains kanji too); no hits → "und".
     */
   def languageId(text: Column): Column = {
     val ws = array_distinct(split(trim(lower(text)), "\\s+"))
@@ -30,7 +46,10 @@ object TextAnalysis {
     val pick = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
       when(sc === best && sc > 0, lit(lang)).otherwise(acc)
     }
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+    when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
+      .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko"))
+      .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .otherwise(pick)
   }
 
   /** Quality scoring features: char length, word count, mean word length,

@@ -357,7 +357,9 @@ object LlmQueries {
         s"WHEN $sc = ($best) AND $sc > 0 THEN '$lang'"
       }.mkString(" ")
       s"""SELECT doc_id,
-                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                 CASE WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+                      WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+                      WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
                       $cases ELSE 'und' END AS lang_pred
           FROM documents ORDER BY doc_id"""
     },

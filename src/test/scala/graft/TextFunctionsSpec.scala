@@ -76,6 +76,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "es", "und", "zh"))
   }
 
+  test("languageId discriminates 13 Latin-script languages + ja/ko scripts") {
+    val cases = Seq(
+      ("der hund ist nicht in das haus und zu", "de"),
+      ("le chien et les chats des maisons une est", "fr"),
+      ("il gatto che non sono una con per di", "it"),
+      ("não uma os do da em por como", "pt"),
+      ("het een van ik dat niet met de", "nl"),
+      ("och att det som på är av den", "sv"),
+      ("og at en til af den det er", "da"),
+      ("ikke jeg og er på som av det", "no"),
+      ("nie się na do to jest z czy", "pl"),
+      ("și de la cu este nu pentru care", "ro"),
+      ("ve bir bu için ile olarak ama", "tr"),
+      ("ひらがなとカタカナの文章", "ja"),
+      ("한국어 문장 입니다", "ko"))
+    val got = eval1(TextAnalysis.languageId(col("s")), cases.map(c => (c._1, "")): _*)
+    assert(got == cases.map(_._2))
+  }
+
   test("fingerprint is whitespace/case-insensitive stable identity") {
     import spark.implicits._
     val df = Seq("Hello  World", "hello world", "HELLO WORLD").toDF("s")
