@@ -103,4 +103,87 @@ class ConvertSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("col_a", "col_b"))
     assert(df.count() == 3)
   }
+
+  // Minimal real xlsx built with the JDK zip writer: 3 sheets, shared +
+  // inline strings, numeric, time-styled and datetime-styled cells —
+  // the reference's golden workbook shape
+  // (tests/resources/test_spreadsheet_to_parquet.py:35-78).
+  private def fixtureXlsx(): Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(baos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    val mainNs = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    put("xl/workbook.xml",
+      s"""<workbook xmlns="$mainNs" xmlns:r="$relNs"><sheets>
+         |<sheet name="Employees (2024)" sheetId="1" r:id="rId1"/>
+         |<sheet name="Shift Times" sheetId="2" r:id="rId2"/>
+         |<sheet name="Audit Log" sheetId="3" r:id="rId3"/>
+         |</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      s"""<sst xmlns="$mainNs"><si><t>Name</t></si><si><t>Age</t></si>
+         |<si><t>Alice</t></si><si><t>Bob</t></si><si><t>Time</t></si>
+         |<si><t>datetime</t></si><si><t>event</t></si></sst>""".stripMargin)
+    // style 1 = builtin 20 (h:mm, time-only); style 2 = builtin 22 (datetime)
+    put("xl/styles.xml",
+      s"""<styleSheet xmlns="$mainNs"><cellXfs count="3">
+         |<xf numFmtId="0"/><xf numFmtId="20"/><xf numFmtId="22"/>
+         |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      s"""<worksheet xmlns="$mainNs"><sheetData>
+         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+         |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>34</v></c></row>
+         |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>28</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      s"""<worksheet xmlns="$mainNs"><sheetData>
+         |<row r="1"><c r="A1" t="s"><v>4</v></c>
+         |<c r="B1" t="inlineStr"><is><t>label</t></is></c></row>
+         |<row r="2"><c r="A2" s="1"><v>0.6041666666666666</v></c>
+         |<c r="B2" t="inlineStr"><is><t>afternoon</t></is></c></row>
+         |<row r="3"><c r="A3" s="1"><v>0.25</v></c>
+         |<c r="B3" t="inlineStr"><is><t>morning</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet3.xml",
+      s"""<worksheet xmlns="$mainNs"><sheetData>
+         |<row r="1"><c r="A1" t="s"><v>5</v></c><c r="B1" t="s"><v>6</v></c></row>
+         |<row r="2"><c r="A2" s="2"><v>44256.5</v></c>
+         |<c r="B2" t="inlineStr"><is><t>login</t></is></c></row>
+         |<row r="3"><c r="A3" s="2"><v>44257.25</v></c>
+         |<c r="B3" t="inlineStr"><is><t>logout</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    baos.toByteArray
+  }
+
+  test("xlsx: real zip decode — 3 sheets, sanitized names, typed columns") {
+    val out = SpreadsheetConverter.convert(spark, fixtureXlsx())
+    assert(out.map(_._1) == Seq("employees_2024", "shift_times", "audit_log"))
+    val emp = out(0)._2
+    assert(emp.columns.toSeq == Seq("name", "age"))
+    assert(emp.schema("age").dataType == LongType)
+    assert(emp.orderBy("age").collect().map(_.getLong(1)).toSeq == Seq(28L, 34L))
+  }
+
+  test("xlsx: time-styled column stays HH:mm:ss strings (NOT ISO-ified)") {
+    val shift = SpreadsheetConverter.convert(spark, fixtureXlsx())(1)._2
+    assert(shift.schema("time").dataType == StringType)
+    assert(shift.orderBy("time").collect().map(_.getString(0)).toSeq
+      == Seq("06:00:00", "14:30:00"))
+  }
+
+  test("xlsx: datetime-styled column IS ISO-ified by inference") {
+    val audit = SpreadsheetConverter.convert(spark, fixtureXlsx())(2)._2
+    assert(audit.orderBy("datetime").collect().map(_.getString(0)).toSeq
+      == Seq("2021-03-01T12:00:00+00:00", "2021-03-02T06:00:00+00:00"))
+  }
 }
