@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -87,6 +87,45 @@ object TextAnalysis {
     when(text.isNull || length(text) === 0, lit(0))
       .otherwise(size(call_function("regexp_extract_all",
         lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+
+  /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1 repetition
+    * filters): per-doc duplicate-word fraction and most-frequent-bigram
+    * fraction — the cheap gates that drop boilerplate/templated docs before
+    * expensive dedupe.
+    *
+    * Scale design: computed relationally — explode words once, two
+    * hash-aggregates (map-side partial combine), join back tiny per-doc
+    * stat rows. NOT per-row higher-order lambdas: counting the modal
+    * bigram inside a lambda is O(words²) per document and interpreted,
+    * which dies on 10k-word docs at 100 TB.
+    *
+    * @return (id, n_words, dup_word_frac, top_bigram_frac)
+    */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = filter(split(trim(lower(text)), "\\s+"), w => length(w) > 0)
+    val base = df.select(id.as("id"), ws.as("w"))
+    val wordStats = base.select(col("id"), explode(col("w")).as("word"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_words"),
+        count_distinct(col("word")).as("n_distinct"))
+    val bigram = base
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(max(col("cnt")).as("top_bg"))
+    df.select(id.as("id"))
+      .join(wordStats, Seq("id"), "left")
+      .join(bigram, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          (col("n_words") - col("n_distinct")).cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        when(coalesce(col("n_words"), lit(0L)) >= 2,
+          coalesce(col("top_bg"), lit(0L)).cast("double") / (col("n_words") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
 
   /** Document fingerprint: md5 of the whitespace-normalized lower-cased
     * text — a stable content identity for shard-level dedupe bookkeeping.

@@ -112,6 +112,12 @@ object LlmQueries {
         graft.functions.BpeTokenizer.bpeTokenCount(col("text")).as("bpe_token_count"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition gates over documents. */
+  def t06Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(documents(s, d), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   def t04Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -149,6 +155,7 @@ object LlmQueries {
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
     "t05_bpe_token_count" -> t05BpeTokenCount,
+    "t06_repetition" -> t06Repetition,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -387,6 +394,36 @@ object LlmQueries {
          FROM documents ORDER BY doc_id""",
     "t05_bpe_token_count" -> graft.functions.BpeTokenizer.oracleQuerySql(
       "documents", "doc_id", "text", "bpe_token_count"),
+    "t06_repetition" -> {
+      val wClean = s"list_filter($wordsSql, x -> length(x) > 0)"
+      s"""WITH base AS (
+            SELECT doc_id, $wClean AS w FROM documents
+          ), wordstats AS (
+            SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+            FROM (SELECT doc_id, unnest(w) AS word FROM base) t GROUP BY doc_id
+          ), bg AS (
+            SELECT doc_id, max(cnt) AS top_bg FROM (
+              SELECT doc_id, bgv, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1])) AS bgv
+                FROM base WHERE len(w) >= 2) t1
+              GROUP BY doc_id, bgv) t2
+            GROUP BY doc_id
+          )
+          SELECT d.doc_id,
+                 CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+                 CASE WHEN coalesce(ws.n_words, 0) > 0
+                      THEN CAST(ws.n_words - ws.n_distinct AS DOUBLE) / CAST(ws.n_words AS DOUBLE)
+                      ELSE 0.0 END AS dup_word_frac,
+                 CASE WHEN coalesce(ws.n_words, 0) >= 2
+                      THEN CAST(coalesce(bg.top_bg, 0) AS DOUBLE) / CAST(ws.n_words - 1 AS DOUBLE)
+                      ELSE 0.0 END AS top_bigram_frac
+          FROM documents d
+          LEFT JOIN wordstats ws ON d.doc_id = ws.doc_id
+          LEFT JOIN bg ON d.doc_id = bg.doc_id
+          ORDER BY d.doc_id"""
+    },
     "t04_fingerprint" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))) AS fp,

@@ -95,6 +95,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("repetitionSignals: dup-word and top-bigram fractions, zero-safe") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "x y"), (3L, ""), (4L, "solo"),
+      (5L, "the cat and the dog and the fox")).toDF("id", "text")
+    val got = TextAnalysis.repetitionSignals(df, col("id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got(0) == ((4L, 0.75, 1.0)))     // "a a" 3 of 3 bigrams
+    assert(got(1) == ((2L, 0.0, 1.0)))      // one bigram of one
+    assert(got(2) == ((0L, 0.0, 0.0)))
+    assert(got(3) == ((1L, 0.0, 0.0)))
+    // 8 words, distinct {the,cat,and,dog,fox}=5 -> dup 3/8; "and the" x2 of 7
+    assert(got(4) == ((8L, 3.0 / 8.0, 2.0 / 7.0)))
+  }
+
   test("fingerprint is whitespace/case-insensitive stable identity") {
     import spark.implicits._
     val df = Seq("Hello  World", "hello world", "HELLO WORLD").toDF("s")
