@@ -212,8 +212,27 @@ object CoreQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** Q22 — backward as-of join: each error event picks the latest preceding
+    * click by the same user ([[graft.operators.AsofJoin]]: one shuffle +
+    * window, no range-join explosion). Nullable match keys are coalesced to
+    * -1 sentinels for the driver's hash compare (pandas NaN landmine). */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin.backward(errors, clicks, "user_id", "ts",
+        Seq("click_id", "value"), rightTieBreak = "click_id")
+      .select(col("event_id"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("matched_click_id"),
+        coalesce(col("asof_value"), lit(-1.0)).as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_scan_project" -> q01ScanProject,
+    "q22_asof_join" -> q22AsofJoin,
     "q02_group_count" -> q02GroupCount,
     "q03_filter" -> q03Filter,
     "q04_anti_join" -> q04AntiJoin,
@@ -234,6 +253,14 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q22_asof_join" ->
+      """SELECT l.event_id,
+                coalesce(r.event_id, -1) AS matched_click_id,
+                coalesce(r.value, -1.0) AS matched_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
     "q02_group_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type",
     "q03_filter" ->
