@@ -24,11 +24,17 @@ object PdfExtractor {
 
   val OcrThreshold = 200
 
-  /** STUB decoder — production body: PDFBox `PDFTextStripper` per page.
-    * The fake deterministically "extracts" printable ASCII from the bytes,
-    * which preserves the contract: bytes in, page texts out. */
+  /** PDF text decoder. Real %PDF payloads go through [[PdfTextParser]] — a
+    * pure-JVM content-stream reader (FlateDecode inflate + Tj/TJ/quote text
+    * operators) that covers the text-first PDFs the reference's extractor
+    * sees; image-only pages yield no text and flow to the OCR fallback
+    * below, exactly as in the reference. Non-PDF bytes keep the marked
+    * deterministic fake (printable ASCII) so plumbing tests are stable
+    * without fixture files. */
   def decodePdfText(payload: Array[Byte]): Seq[String] = {
     if (payload == null || payload.isEmpty) return Seq.empty
+    if (PdfTextParser.looksLikePdf(payload))
+      return try PdfTextParser.pageTexts(payload) catch { case _: Exception => Seq.empty }
     val printable = payload.iterator.filter(b => b >= 32 && b < 127)
       .map(_.toChar).mkString
     if (printable.isEmpty) Seq.empty else Seq(printable)

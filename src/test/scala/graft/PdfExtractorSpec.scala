@@ -1,8 +1,48 @@
 package graft
 
-import graft.extract.PdfExtractor
+import graft.extract.{PdfExtractor, PdfTextParser}
 
 class PdfExtractorSpec extends SparkSpec {
+
+  /** Minimal two-page PDF: page 1 uncompressed content stream, page 2
+    * FlateDecode-compressed, literal + hex strings, TJ kerning array. */
+  private def fixturePdf(): Array[Byte] = {
+    val content1 =
+      "BT /F1 12 Tf 72 720 Td (Hello from a real) Tj 0 -14 Td " +
+        "[(PDF) -250 (content) -250 (stream!)] TJ ET"
+    val content2Raw = "BT 72 720 Td (Compressed \\(Flate\\) page) Tj " +
+      "0 -14 Td <48657820737472696E67> Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content2Raw.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf)
+    val content2 = new String(buf.take(n), "ISO-8859-1")
+    val pdf = new StringBuilder("%PDF-1.4\n")
+    pdf ++= s"1 0 obj << /Length ${content1.length} >>\nstream\n$content1\nendstream\nendobj\n"
+    pdf ++= s"2 0 obj << /Length ${content2.length} /Filter /FlateDecode >>\nstream\n$content2\nendstream\nendobj\n"
+    pdf ++= "%%EOF\n"
+    pdf.toString.getBytes("ISO-8859-1")
+  }
+
+  test("real pdf: uncompressed and Flate streams, literal/hex/TJ strings") {
+    val pages = PdfExtractor.decodePdfText(fixturePdf())
+    assert(pages.size == 2)
+    assert(pages(0) == "Hello from a real\nPDFcontentstream!")
+    assert(pages(1) == "Compressed (Flate) page\nHex string")
+  }
+
+  test("pdf text operators: escapes, octal, positioning newlines") {
+    val t = PdfTextParser.runTextOperators(
+      "BT (A\\051B) Tj T* (line\\062) Tj ET")
+    assert(t == "A)B\nline2\n")
+  }
+
+  test("image-only pdf (no BT) yields no text and flows to OCR fallback") {
+    val pdf = ("%PDF-1.4\n1 0 obj << /Subtype /Image /Length 4 >>\n" +
+      "stream\nabcd\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfExtractor.decodePdfText(pdf).isEmpty)
+    assert(PdfExtractor.extractWithOcrFallback(pdf).startsWith("[ocr:"))
+  }
 
   test("long extracted text skips OCR") {
     val payload = ("A" * 300).getBytes("UTF-8")
