@@ -41,6 +41,38 @@ class PlanShapeSpec extends SparkSpec {
       "query vector should broadcast")
   }
 
+  test("q22: as-of join plans as ONE key shuffle + window — no join operator") {
+    val p = plan("q22_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(2000)}")
+    assert(p.contains("Window"), "running-window match carrier missing")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle:\n${p.take(2000)}")
+    assert(p.contains("EqualTo(event_type,error)"), "event-type filter not pushed to scan")
+  }
+
+  test("t06: repetition aggs have map-side partial combine, no cartesian") {
+    val p = plan("t06_repetition")
+    assert(p.contains("partial_count"), "map-side partial aggregation lost")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "repetition signals degraded to a product join")
+  }
+
+  test("d02: simhash candidates = segment equi-join with hamming pushed into it") {
+    val p = plan("d02_simhash")
+    assert(p.contains("posexplode"), "pigeonhole segment explode missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "candidate generation degraded to all-pairs")
+    assert(p.contains("bit_count"), "hamming verification missing from the plan")
+  }
+
+  test("s01: batched knn gets map-side WindowGroupLimit before the qid shuffle") {
+    val p = plan("s01_ann_brute_force")
+    // Spark's InferWindowGroupLimit turns rank<=k into a partial per-partition
+    // top-k BEFORE the exchange — only <=k rows per query survive the map side.
+    assert(p.contains("WindowGroupLimit"), s"rank-filter pushdown lost:\n${p.take(2000)}")
+    assert(p.contains("Partial"), "map-side partial top-k lost")
+  }
+
   test("r01: anonymization is a narrow projection (no Exchange beyond the input repartition)") {
     val p = plan("r01_anonymize")
     // one round-robin repartition of the single-row-group input is expected;
