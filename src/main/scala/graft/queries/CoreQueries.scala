@@ -230,9 +230,38 @@ object CoreQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q23 — gap sessionization of the event log: 30-minute inactivity gap
+    * per user ([[graft.operators.Sessionize]]); per-session event count and
+    * microsecond duration. ts is raw TIMESTAMP(NANOS) longs on the Spark
+    * side, integer-div'd to micros because DuckDB timestamps are
+    * microsecond-precision (`epoch_us` in the oracle — identical values;
+    * `epoch_ns` would zero-pad and mismatch). */
+  def q23Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessions(
+        events(s, d).withColumn("t_us", expr("ts DIV 1000")),
+        col("user_id"), col("t_us"), maxGap = 30L * 60 * 1000 * 1000)
+      .select(col("key").as("user_id"), col("session_idx"),
+        col("n_events"), col("duration").as("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  /** Q24 — histogram binning of event values over a fixed [0, 50) range in
+    * 25 bins plus overflow bin 26 / underflow bin 0 (width_bucket
+    * semantics, spelled out because the oracle's DuckDB lacks the
+    * function); group-count per bucket — the profiling primitive. */
+  def q24Histogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        when(col("value") < 0.0, lit(0L))
+          .when(col("value") >= 50.0, lit(26L))
+          .otherwise(floor(col("value") / 2.0) + 1).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, Q] = Map(
     "q01_scan_project" -> q01ScanProject,
     "q22_asof_join" -> q22AsofJoin,
+    "q23_sessionize" -> q23Sessionize,
+    "q24_histogram" -> q24Histogram,
     "q02_group_count" -> q02GroupCount,
     "q03_filter" -> q03Filter,
     "q04_anti_join" -> q04AntiJoin,
@@ -261,6 +290,32 @@ object CoreQueries {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+    "q23_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t FROM events
+         ), flagged AS (
+           SELECT user_id, t,
+                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM e
+         ), sess AS (
+           SELECT user_id, t,
+                  sum(opens) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM flagged
+         )
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                count(*) AS n_events,
+                max(t) - min(t) AS duration_us
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q24_histogram" ->
+      """SELECT CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 50.0 THEN 26
+                     ELSE CAST(floor(value / 2.0) AS BIGINT) + 1 END AS bucket,
+                count(*) AS cnt
+         FROM events GROUP BY bucket ORDER BY bucket""",
     "q02_group_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type",
     "q03_filter" ->
