@@ -257,11 +257,25 @@ object CoreQueries {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("bucket"))
 
+  /** Q25 — exact percentiles of event values per event type (distribution
+    * profiling). Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the same sorted-interpolation definition, so the doubles agree
+    * bit-for-bit. */
+  def q25Percentile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q01_scan_project" -> q01ScanProject,
     "q22_asof_join" -> q22AsofJoin,
     "q23_sessionize" -> q23Sessionize,
     "q24_histogram" -> q24Histogram,
+    "q25_percentile" -> q25Percentile,
     "q02_group_count" -> q02GroupCount,
     "q03_filter" -> q03Filter,
     "q04_anti_join" -> q04AntiJoin,
@@ -310,6 +324,12 @@ object CoreQueries {
                 max(t) - min(t) AS duration_us
          FROM sess GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    "q25_percentile" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.9) AS p90,
+                quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q24_histogram" ->
       """SELECT CASE WHEN value < 0.0 THEN 0
                      WHEN value >= 50.0 THEN 26

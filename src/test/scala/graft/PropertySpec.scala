@@ -81,3 +81,34 @@ object TimeProps extends Properties("TimeFunctions") {
         java.time.OffsetDateTime.parse(v).toEpochSecond == epoch)
     }
 }
+
+/** BPE tokenizer invariants: token concatenation reconstructs the word,
+  * doc count = sum of word counts, determinism. */
+object BpeProps extends Properties("BpeTokenizer") {
+  import graft.functions.BpeTokenizer
+
+  private val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaChar, 1 -> Gen.numChar,
+      1 -> Gen.oneOf('.', ',', '!', '?', '-'))).map(_.mkString))
+  private val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+    Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  property("tokens concatenate back to the word (lossless)") =
+    forAll(wordGen) { w =>
+      BpeTokenizer.tokenizeWord(w).mkString == w
+    }
+
+  property("doc count = sum of per-word counts") =
+    forAll(textGen) { t =>
+      val words = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      BpeTokenizer.countTokens(t) ==
+        words.map(w => BpeTokenizer.tokenizeWord(w).length).sum
+    }
+
+  property("count is deterministic and nonnegative") =
+    forAll(textGen) { t =>
+      val a = BpeTokenizer.countTokens(t)
+      a >= 0 && a == BpeTokenizer.countTokens(t)
+    }
+}
