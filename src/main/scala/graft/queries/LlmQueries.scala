@@ -124,6 +124,25 @@ object LlmQueries {
         TextAnalysis.fingerprintBucket(col("text")).as("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic 80/10/10 split assignment + per-(source, split) counts —
+    * the reproducible-sampling primitive ([[graft.operators.Sampling]]). */
+  def t07HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        graft.operators.Sampling.split(col("doc_id"), 80, 10).as("split"))
+      .groupBy(col("source"), col("split")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("source"), col("split"))
+
+  /** Corpus vocabulary profile: global top-20 words by frequency,
+    * deterministic tie-break. */
+  def t08TopVocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(Dedupe.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing: documents.text as an opaque binary column with
@@ -156,6 +175,8 @@ object LlmQueries {
     "t04_fingerprint" -> t04Fingerprint,
     "t05_bpe_token_count" -> t05BpeTokenCount,
     "t06_repetition" -> t06Repetition,
+    "t07_hash_split" -> t07HashSplit,
+    "t08_top_vocab" -> t08TopVocab,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -394,6 +415,23 @@ object LlmQueries {
          FROM documents ORDER BY doc_id""",
     "t05_bpe_token_count" -> graft.functions.BpeTokenizer.oracleQuerySql(
       "documents", "doc_id", "text", "bpe_token_count"),
+    "t07_hash_split" ->
+      s"""WITH b AS (
+            SELECT source,
+                   ${md5HashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt
+            FROM documents
+          )
+          SELECT source,
+                 CASE WHEN bkt < 80 THEN 'train'
+                      WHEN bkt < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 count(*) AS cnt
+          FROM b GROUP BY 1, 2 ORDER BY source, split""",
+    "t08_top_vocab" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+            SELECT unnest($wordsSql) AS word FROM documents) t
+          WHERE length(word) > 0
+          GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
     "t06_repetition" -> {
       val wClean = s"list_filter($wordsSql, x -> length(x) > 0)"
       s"""WITH base AS (
