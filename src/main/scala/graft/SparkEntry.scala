@@ -22,11 +22,13 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.RefineQueries.queries
+      graft.queries.RefineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
-      graft.queries.RefineQueries.oracle
+      graft.queries.RefineQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

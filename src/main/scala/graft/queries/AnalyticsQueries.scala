@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+import graft.operators.{Multimodal, RangeJoin}
+
+/** Round-4 analytics surface: grouping-sets/cube profiling, interval join,
+  * per-group top-k, pivot, and the multimodal frame-sampling generator —
+  * each a declared query with a DuckDB oracle (same design rules as
+  * [[CoreQueries]]: deterministic order, exact decimal money math).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(9, 2))
+
+  /** Q27 — CUBE + grouping_id: all four grouping sets of
+    * (returnflag, linestatus) in one pass (SURVEY A9 completed beyond
+    * q11's ROLLUP). Spark plans a single Expand + hash aggregate — one
+    * shuffle regardless of how many sets, which is why CUBE beats N
+    * separate group-bys at scale. `gid` disambiguates data-nulls from
+    * subtotal-nulls (first grouping column = most significant bit — the
+    * SQL-standard convention DuckDB shares). */
+  def q27Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("cnt"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q28 — banded interval join ([[RangeJoin]]): for each error event,
+    * count and max-value of the same user's clicks in the preceding
+    * 5 minutes. Bounded two-band equi-join, never a per-key cross join.
+    * Times in microseconds (ts is TIMESTAMP(NANOS) longs under
+    * nanosAsLong; DuckDB timestamps are micros — see q23). */
+  def q28RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("t_us", expr("ts DIV 1000"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("t_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"), col("value"))
+    RangeJoin.aggregateWithin(errors, clicks, "user_id", "t_us",
+        lookback = 5L * 60 * 1000 * 1000, rightPayload = Seq("value"),
+        aggs = Seq(
+          count(col("r_value")).as("n_clicks"),
+          coalesce(max(col("r_value")), lit(-1.0)).as("max_click_value")))
+      .select(col("event_id"), col("n_clicks"), col("max_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q29 — top-k per group: each customer's 3 highest-value orders.
+    * Spark 4 plans the rank-filter pattern as WindowGroupLimit (per-
+    * partition top-k heaps BEFORE the shuffle — pinned in PlanShapeSpec),
+    * so the full sort never materializes at scale. */
+  def q29GroupTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Q30 — pivot: per-returnflag counts and exact decimal quantity sums
+    * spread across linestatus columns (Spark's relational pivot = one
+    * group-by with conditional aggregation — a single shuffle; the
+    * explicit value list keeps the plan static, no discovery pass). */
+  def q30Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_cnt"), lit(0L)).as("cnt_f"), col("F_qty").as("qty_f"),
+        coalesce(col("O_cnt"), lit(0L)).as("cnt_o"), col("O_qty").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** M2 — multimodal frame sampling: every 7th frame index of each
+    * payload's (stub-)decoded frame count, exploded one row per sampled
+    * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
+    * generator shape; narrow, shuffle-free). */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    val withPayload = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.explodeSampledFrames(withPayload, "payload", stride = 7)
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q27_cube" -> q27Cube,
+    "q28_range_join" -> q28RangeJoin,
+    "q29_group_topk" -> q29GroupTopK,
+    "q30_pivot" -> q30Pivot,
+    "m02_frame_sample" -> m02FrameSample)
+
+  val oracle: Map[String, String] = Map(
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS cnt,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q28_range_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'
+         ), c AS (
+           SELECT user_id, epoch_us(ts) AS t, value FROM events
+           WHERE event_type = 'click'
+         )
+         SELECT e.event_id,
+                count(c.value) AS n_clicks,
+                coalesce(max(c.value), -1.0) AS max_click_value
+         FROM e LEFT JOIN c
+           ON e.user_id = c.user_id
+          AND c.t >= e.t - 300000000 AND c.t < e.t
+         GROUP BY e.event_id ORDER BY e.event_id""",
+    "q29_group_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q30_pivot" ->
+      """SELECT l_returnflag,
+                count(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+                count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "m02_frame_sample" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents
+         )
+         SELECT doc_id, CAST(unnest(generate_series(0, nf - 1, 7)) AS INT) AS frame_idx
+         FROM b WHERE nf > 0 ORDER BY doc_id, frame_idx""")
+}

@@ -73,6 +73,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Partial"), "map-side partial top-k lost")
   }
 
+  test("q29: per-group top-k gets map-side WindowGroupLimit before the shuffle") {
+    val p = plan("q29_group_topk")
+    assert(p.contains("WindowGroupLimit"), s"rank-filter pushdown lost:\n${p.take(2000)}")
+    assert(p.contains("Partial"), "map-side partial top-k lost")
+  }
+
+  test("q27: CUBE is one Expand + one aggregate pass — no per-grouping-set re-scan") {
+    val p = plan("q27_cube")
+    assert(p.contains("Expand"), s"cube should plan an Expand:\n${p.take(2000)}")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      "cube re-scans the input per grouping set")
+  }
+
+  test("q28: banded range join is a hash equi-join, never a per-key product") {
+    val p = plan("q28_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"range join degraded to a product join:\n${p.take(2000)}")
+  }
+
   test("r01: anonymization is a narrow projection (no Exchange beyond the input repartition)") {
     val p = plan("r01_anonymize")
     // one round-robin repartition of the single-row-group input is expected;

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Double)],
+      lookback: Long) = {
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("k", "t", "v")
+    RangeJoin.aggregateWithin(l, r, "k", "t", lookback, Seq("v"),
+        Seq(count(col("r_v")).as("n"), max(col("r_v")).as("mx")))
+      .select("id", "n", "mx").as[(Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("interval [t-W, t) is half-open: boundary rows on each side") {
+    val out = run(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq(
+        (7L, 89L, 1.0),  // t - W - 1: out
+        (7L, 90L, 2.0),  // exactly t - W: IN (closed lower bound)
+        (7L, 99L, 3.0),  // in
+        (7L, 100L, 4.0), // exactly t: OUT (open upper bound)
+        (7L, 101L, 5.0)),
+      lookback = 10L)
+    assert(out(1L) == ((2L, Some(3.0))))
+  }
+
+  test("candidates crossing a band boundary are found (left probes 2 bands)") {
+    // left t=105 (band 10), right t=97 (band 9): only reachable via the
+    // band-1 probe — a single-band join would silently miss it
+    val out = run(Seq((1L, 1L, 105L)), Seq((1L, 97L, 9.0)), lookback = 10L)
+    assert(out(1L) == ((1L, Some(9.0))))
+  }
+
+  test("left rows with no match survive with zero count") {
+    val out = run(
+      Seq((1L, 1L, 100L), (2L, 2L, 100L)),
+      Seq((1L, 95L, 1.0)), lookback = 10L)
+    assert(out(1L) == ((1L, Some(1.0))))
+    assert(out(2L) == ((0L, None)))
+  }
+
+  test("keys never mix and each right row is counted exactly once") {
+    val out = run(
+      Seq((1L, 1L, 100L), (2L, 2L, 100L)),
+      Seq((1L, 95L, 1.0), (1L, 96L, 2.0), (2L, 95L, 7.0)), lookback = 10L)
+    assert(out(1L) == ((2L, Some(2.0))))
+    assert(out(2L) == ((1L, Some(7.0))))
+  }
+
+  test("plan is a hash equi-join on (key, band) — never a nested loop") {
+    val l = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val r = Seq((1L, 95L, 1.0)).toDF("k", "t", "v")
+    val p = RangeJoin.aggregateWithin(l, r, "k", "t", 10L, Seq("v"),
+      Seq(count(col("r_v")).as("n"))).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"range join degraded to a product join:\n$p")
+  }
+}
