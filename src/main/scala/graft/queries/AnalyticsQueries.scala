@@ -83,6 +83,16 @@ object AnalyticsQueries {
         coalesce(col("O_cnt"), lit(0L)).as("cnt_o"), col("O_qty").as("qty_o"))
       .orderBy(col("l_returnflag"))
 
+  /** Q26 — stream/batch parity: the event-time windowed streaming
+    * aggregation ([[graft.streaming.StreamParity]]) run to completion with
+    * `Trigger.AvailableNow`; returns the append-mode (watermark-FINAL)
+    * windows. The oracle recomputes the identical set in batch SQL by
+    * filtering to windows whose end precedes the final watermark — pinning
+    * that the streaming path computes exactly what the batch engine would. */
+  def q26StreamWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.finalWindowCounts(s, s"$d/events.parquet")
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -96,6 +106,7 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
     "q29_group_topk" -> q29GroupTopK,
@@ -103,6 +114,18 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q26_stream_window" ->
+      """WITH wm AS (
+           SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+         ), agg AS (
+           SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+                  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+           FROM events GROUP BY 1, 2
+         )
+         SELECT epoch_us(ws) AS window_start_us, event_type, cnt, min_value, max_value
+         FROM agg, wm
+         WHERE ws + INTERVAL 1 HOUR <= wm.w
+         ORDER BY window_start_us, event_type""",
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,

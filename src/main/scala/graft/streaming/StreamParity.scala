@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Batch-parity streaming run: one `Trigger.AvailableNow` pass of the
+  * event-time windowed aggregation over a static event log, returning the
+  * emitted (watermark-FINAL) windows as a batch DataFrame.
+  *
+  * Why the result is deterministic — and therefore a declared query the
+  * DuckDB oracle can check: the source is a single parquet file, so batch 1
+  * processes every row under watermark 0 (nothing is late, nothing emits);
+  * the engine then runs its no-data flush microbatch with the advanced
+  * watermark `max(event_time) - lateness`, which append-emits exactly the
+  * windows with `window.end <= watermark`. The tail windows past the
+  * watermark stay in (discarded) state — the same rows a live pipeline
+  * would hold back as not-yet-final. So: emitted set == batch windows whose
+  * end precedes the final watermark, expressible in plain SQL.
+  *
+  * Scale: the aggregation state is keyed by (window, event_type) and
+  * bounded by the watermark horizon; at 100 TB/day the same plan runs
+  * unchanged with a real trigger, and finality (append mode) is what makes
+  * downstream incremental consumers safe (no partial-window rewrites).
+  */
+object StreamParity {
+
+  /** Hour-windowed per-type counts + min/max over `eventsPath`, 30-minute
+    * watermark, only FINAL windows. `ts` is TIMESTAMP(NANOS) read as long
+    * nanos (nanosAsLong); converted via integral micros so the Spark and
+    * oracle sides agree bit-for-bit (see q23). */
+  def finalWindowCounts(spark: SparkSession, eventsPath: String,
+      windowDur: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-streamparity")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val schema = spark.read.parquet(eventsPath).schema
+    // the file source requires a directory or glob, not a bare file path
+    val sourceGlob =
+      if (new java.io.File(eventsPath).isFile) eventsPath.dropRight(1) + "*"
+      else eventsPath
+    spark.readStream.schema(schema).parquet(sourceGlob)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("min_value"), col("max_value"))
+      .writeStream
+      .outputMode("append") // FINAL windows only — requires the watermark
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .start(out)
+      .awaitTermination()
+    spark.read.parquet(out)
+  }
+}

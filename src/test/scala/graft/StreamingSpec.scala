@@ -63,4 +63,29 @@ class StreamingSpec extends SparkSpec {
         r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0)), rows)
   }
+
+  test("stream/batch parity: AvailableNow windows == batch agg before the watermark") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamParity
+    val path = sf() + "/events.parquet"
+    val streamed = StreamParity.finalWindowCounts(spark, path)
+      .collect().map(_.toSeq).toSet
+
+    val ev = spark.read.parquet(path)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val wm = ev.agg(max(col("event_time"))).head.getTimestamp(0).toInstant
+      .minusSeconds(30 * 60)
+    val batch = ev
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .filter(col("window.end") <= lit(java.sql.Timestamp.from(wm)))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("min_value"), col("max_value"))
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty, "no final windows emitted")
+    assert(streamed == batch,
+      s"streamed-batch diff: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
 }
