@@ -29,17 +29,23 @@ object SpreadsheetConverter {
 
   final case class Sheet(name: String, header: Seq[String], rows: Seq[Seq[String]])
 
-  /** Workbook decoder. XLSX (ZIP container) is decoded for real by the
-    * pure-JVM [[XlsxDecoder]] — shared strings, inline strings, A1 refs,
-    * styles-driven date/datetime/time rendering. Legacy binary XLS and ODS
-    * would need POI/SODS (not in this container), so non-ZIP payloads fall
-    * back to a clearly-marked deterministic fake that keeps the plumbing
-    * tests stable. */
+  /** Workbook decoder. ZIP containers are decoded for real by the pure-JVM
+    * decoders — XLSX via [[XlsxDecoder]] (shared strings, inline strings,
+    * A1 refs, styles-driven date/datetime/time rendering), ODS via
+    * [[OdsDecoder]] (content.xml value-types, repeat expansion, the same
+    * date/time rendering contract). Legacy binary XLS would need POI (not
+    * in this container), so non-ZIP payloads fall back to a clearly-marked
+    * deterministic fake that keeps the plumbing tests stable. */
   def decodeWorkbook(payload: Array[Byte]): Seq[Sheet] = {
     if (payload == null || payload.isEmpty) return Seq.empty
-    if (XlsxDecoder.looksLikeZip(payload))
-      return try XlsxDecoder.decode(payload) catch { case _: Exception => Seq.empty }
-    // STUB for xls/ods: derives a single sheet from the bytes.
+    if (XlsxDecoder.looksLikeZip(payload)) {
+      return try {
+        val entries = OdsDecoder.readZip(payload)
+        if (OdsDecoder.looksLikeOds(entries)) OdsDecoder.decode(payload)
+        else XlsxDecoder.decode(payload)
+      } catch { case _: Exception => Seq.empty }
+    }
+    // STUB for legacy binary xls: derives a single sheet from the bytes.
     val n = payload.length
     Seq(Sheet(s"sheet_$n", Seq("col_a", "col_b"),
       (0 until math.min(3, n)).map(i => Seq(i.toString, (payload(i) & 0xFF).toString))))

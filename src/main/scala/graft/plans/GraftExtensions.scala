@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // HOF vector arithmetic → fused codegen kernels (see VectorHofRewrite)
+    ext.injectOptimizerRule(VectorHofRewrite)
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      binary("dot_product", DotProductExpr(_, _)) _))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
       binary("cosine_sim", CosineSimilarityExpr(_, _)) _))

@@ -61,6 +61,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0; val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // HOF null-poisoning parity
       val xv = get(x, i, fx); val yv = get(y, i, fy)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -81,12 +82,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  int $i = 0; int n$i = $a.numElements();
          |  while ($i < n$i) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = ${acc(a, i, isFloat(left))};
          |    double $y = ${acc(b, i, isFloat(right))};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |    $i++;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -108,6 +112,7 @@ case class L2DistanceExpr(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0; val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // HOF null-poisoning parity
       val d = get(x, i, fx) - get(y, i, fy)
       sum += math.pow(d, 2.0)
       i += 1
@@ -126,11 +131,61 @@ case class L2DistanceExpr(left: Expression, right: Expression)
          |  double $sum = 0.0;
          |  int $i = 0; int n$i = $a.numElements();
          |  while ($i < n$i) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $d = ${acc(a, i, isFloat(left))} - ${acc(b, i, isFloat(right))};
          |    $sum += java.lang.Math.pow($d, 2.0);
          |    $i++;
          |  }
-         |  ${ev.value} = java.lang.Math.sqrt($sum);
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($sum); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) = sum a_i*b_i, one pass. Null on length mismatch OR any null
+  * element — the exact semantics of the HOF formulation
+  * (`aggregate(zip_with(a,b,(x,y)->x*y), 0.0, +)`: zip_with null-pads
+  * unequal lengths and null elements poison the sum), so
+  * [[VectorHofRewrite]] can substitute this expression for that pattern
+  * without changing any result. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends VectorBinaryDoubleExpr {
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    var dot = 0.0
+    var i = 0; val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += get(x, i, fx) * get(y, i, fy)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  int $i = 0; int n$i = $a.numElements();
+         |  while ($i < n$i) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += ${acc(a, i, isFloat(left))} * ${acc(b, i, isFloat(right))};
+         |    $i++;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })
@@ -147,5 +202,9 @@ object VectorExpressions {
 
   def l2Dist(a: Column, b: Column): Column =
     GraftSqlBridge.column(L2DistanceExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite higher-order-function vector arithmetic into the
+  * native codegen kernels ([[DotProductExpr]] / [[CosineSimilarityExpr]] /
+  * [[L2DistanceExpr]]).
+  *
+  * Why this exists: Spark evaluates HOF lambdas (`zip_with` + `aggregate`)
+  * INTERPRETED — a closure dispatch per element, outside whole-stage
+  * codegen — measured ~50× slower than the generated loop on 64-dim
+  * embeddings in this engine's minhash work (round 1). Users writing the
+  * natural declarative formulation
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (s, v) -> s + v)`
+  * should not pay that; this rule recognizes the three shapes and swaps in
+  * the fused single-pass expressions:
+  *
+  *  1. dot:    `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)`
+  *  2. l2:     `sqrt(aggregate(zip_with(a, b, (x,y) -> pow(x-y, 2.0)), 0.0, +))`
+  *  3. cosine: `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` — fused to
+  *             ONE pass over both arrays instead of three.
+  *
+  * Semantics preservation (why the rewrite is always safe):
+  *  - the native kernels accumulate sequentially in element order from 0.0
+  *    — bit-identical doubles to the left-fold the lambdas spell out;
+  *  - length mismatch → null (zip_with null-pads, poisoning the fold);
+  *  - any null element → null (same poisoning), checked per element;
+  *  - lambda variables are matched by exprId through double-casts, in
+  *    either operand order (`x*y`/`y*x`, `(x-y)²`/`(y-x)²` — IEEE-exact
+  *    commutations only).
+  *
+  * Registered via [[GraftExtensions]] (`injectOptimizerRule`) — runs in
+  * the operator-optimization batch to fixed point; each rewrite strictly
+  * shrinks the tree, so it terminates.
+  */
+case class VectorHofRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def isVec(e: Expression): Boolean = e.resolved && (e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  })
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType => stripCast(c.child)
+    case other => other
+  }
+
+  private def isVar(e: Expression, v: NamedExpression): Boolean =
+    (stripCast(e), v) match {
+      case (n: NamedLambdaVariable, vv: NamedLambdaVariable) => n.exprId == vv.exprId
+      case _ => false
+    }
+
+  /** Operands reference the two lambda vars, either order (IEEE-commutative
+    * for `*`; `(x-y)^2 == (y-x)^2` exactly). */
+  private def isPair(l: Expression, r: Expression, x: NamedExpression,
+      y: NamedExpression): Boolean =
+    (isVar(l, x) && isVar(r, y)) || (isVar(l, y) && isVar(r, x))
+
+  private def isZeroDouble(e: Expression): Boolean = e match {
+    case Literal(0.0, DoubleType) => true
+    case _ => false
+  }
+
+  private def isIdentity(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body, Seq(arg), _) => isVar(body, arg)
+    case _ => false
+  }
+
+  private def isSum(merge: Expression): Boolean = merge match {
+    case LambdaFunction(add: Add, Seq(acc, v), _) =>
+      isPair(add.left, add.right, acc, v)
+    case _ => false
+  }
+
+  /** `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)` → (a, b). */
+  private def dotShape(e: Expression): Option[(Expression, Expression)] = e match {
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(m: Multiply, Seq(x, y), _)),
+        zero, merge, finish)
+        if isVec(a) && isVec(b) && isPair(m.left, m.right, x, y) &&
+          isZeroDouble(zero) && isSum(merge) && isIdentity(finish) =>
+      Some((a, b))
+    case _ => None
+  }
+
+  /** `sqrt(aggregate(zip_with(a, b, (x,y) -> pow(x-y, 2.0)), 0.0, +))`. */
+  private def l2Shape(e: Expression): Option[(Expression, Expression)] = e match {
+    case Sqrt(ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(p: Pow, Seq(x, y), _)),
+        zero, merge, finish))
+        if isVec(a) && isVec(b) && isZeroDouble(zero) && isSum(merge) &&
+          isIdentity(finish) =>
+      (p.left, p.right) match {
+        case (s: Subtract, Literal(2.0, DoubleType))
+            if isPair(s.left, s.right, x, y) => Some((a, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` → (a, b). */
+  private def cosineShape(e: Expression): Option[(Expression, Expression)] = e match {
+    case d: Divide =>
+      (dotShape(d.left), d.right) match {
+        case (Some((a, b)), m: Multiply) =>
+          (m.left, m.right) match {
+            case (Sqrt(l), Sqrt(r)) =>
+              (dotShape(l), dotShape(r)) match {
+                case (Some((a1, a2)), Some((b1, b2)))
+                    if a1.semanticEquals(a) && a2.semanticEquals(a) &&
+                      b1.semanticEquals(b) && b2.semanticEquals(b) =>
+                  Some((a, b))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // top-down: try the largest fusion first so cosine doesn't decay
+      // into three separate dot rewrites
+      case e if cosineShape(e).isDefined =>
+        val (a, b) = cosineShape(e).get; CosineSimilarityExpr(a, b)
+      case e if l2Shape(e).isDefined =>
+        val (a, b) = l2Shape(e).get; L2DistanceExpr(a, b)
+      case e if dotShape(e).isDefined =>
+        val (a, b) = dotShape(e).get; DotProductExpr(a, b)
+    }
+}

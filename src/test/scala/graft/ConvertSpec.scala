@@ -186,4 +186,106 @@ class ConvertSpec extends SparkSpec {
     assert(audit.orderBy("datetime").collect().map(_.getString(0)).toSeq
       == Seq("2021-03-01T12:00:00+00:00", "2021-03-02T06:00:00+00:00"))
   }
+
+  // ------------------------------------------------------------------- ODS
+
+  // Minimal real ODS built with the JDK zip writer: mimetype + content.xml,
+  // three tables with string/float/time/date cells, column-repeat padding —
+  // the same golden shape as the xlsx fixture, through the OpenDocument path.
+  private def fixtureOds(): Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(baos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+    def cellStr(s: String) =
+      s"""<table:table-cell office:value-type="string"><text:p>$s</text:p></table:table-cell>"""
+    def cellNum(v: String) =
+      s"""<table:table-cell office:value-type="float" office:value="$v"/>"""
+    def cellTime(d: String) =
+      s"""<table:table-cell office:value-type="time" office:time-value="$d"/>"""
+    def cellDate(d: String) =
+      s"""<table:table-cell office:value-type="date" office:date-value="$d"/>"""
+    // LibreOffice-style trailing padding: one empty cell repeated 16 thousand times
+    val pad = """<table:table-cell table:number-columns-repeated="16322"/>"""
+    put("content.xml",
+      s"""<office:document-content
+         | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+         | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+         |<office:body><office:spreadsheet>
+         |<table:table table:name="Employees (2024)">
+         |<table:table-row>${cellStr("Name")}${cellStr("Age")}$pad</table:table-row>
+         |<table:table-row>${cellStr("Alice")}${cellNum("34")}$pad</table:table-row>
+         |<table:table-row>${cellStr("Bob")}${cellNum("28")}$pad</table:table-row>
+         |<table:table-row table:number-rows-repeated="500">$pad</table:table-row>
+         |</table:table>
+         |<table:table table:name="Shift Times">
+         |<table:table-row>${cellStr("Time")}${cellStr("label")}</table:table-row>
+         |<table:table-row>${cellTime("PT14H30M0S")}${cellStr("afternoon")}</table:table-row>
+         |<table:table-row>${cellTime("PT6H0M0S")}${cellStr("morning")}</table:table-row>
+         |</table:table>
+         |<table:table table:name="Audit Log">
+         |<table:table-row>${cellStr("datetime")}${cellStr("event")}</table:table-row>
+         |<table:table-row>${cellDate("2021-03-01T12:00:00")}${cellStr("login")}</table:table-row>
+         |<table:table-row>${cellDate("2021-03-02T06:00:00")}${cellStr("logout")}</table:table-row>
+         |</table:table>
+         |</office:spreadsheet></office:body></office:document-content>""".stripMargin)
+    z.close()
+    baos.toByteArray
+  }
+
+  test("ods: real zip decode — 3 sheets, sanitized names, typed columns, padding dropped") {
+    val out = SpreadsheetConverter.convert(spark, fixtureOds())
+    assert(out.map(_._1) == Seq("employees_2024", "shift_times", "audit_log"))
+    val emp = out(0)._2
+    assert(emp.columns.toSeq == Seq("name", "age"))
+    assert(emp.schema("age").dataType == LongType)
+    assert(emp.count() == 2, "repeated empty padding rows must be dropped")
+    assert(emp.orderBy("age").collect().map(_.getLong(1)).toSeq == Seq(28L, 34L))
+  }
+
+  test("ods: time cells stay HH:mm:ss strings (NOT ISO-ified)") {
+    val shift = SpreadsheetConverter.convert(spark, fixtureOds())(1)._2
+    assert(shift.schema("time").dataType == StringType)
+    assert(shift.orderBy("time").collect().map(_.getString(0)).toSeq
+      == Seq("06:00:00", "14:30:00"))
+  }
+
+  test("ods: date-with-time cells ARE ISO-ified by inference") {
+    val audit = SpreadsheetConverter.convert(spark, fixtureOds())(2)._2
+    assert(audit.orderBy("datetime").collect().map(_.getString(0)).toSeq
+      == Seq("2021-03-01T12:00:00+00:00", "2021-03-02T06:00:00+00:00"))
+  }
+
+  test("ods: content-bearing column repeats expand; boolean renders TRUE/FALSE") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(baos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+    put("content.xml",
+      """<office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="t">
+        |<table:table-row><table:table-cell office:value-type="string" table:number-columns-repeated="3"><text:p>h</text:p></table:table-cell></table:table-row>
+        |<table:table-row>
+        |<table:table-cell office:value-type="float" office:value="7" table:number-columns-repeated="2"/>
+        |<table:table-cell office:value-type="boolean" office:boolean-value="true"/>
+        |</table:table-row>
+        |</table:table>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin)
+    z.close()
+    val sheets = graft.convert.OdsDecoder.decode(baos.toByteArray)
+    assert(sheets.size == 1)
+    assert(sheets.head.header == Seq("h", "h", "h"))
+    assert(sheets.head.rows == Seq(Seq("7", "7", "TRUE")))
+  }
 }
