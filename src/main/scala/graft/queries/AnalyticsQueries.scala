@@ -83,6 +83,44 @@ object AnalyticsQueries {
         coalesce(col("O_cnt"), lit(0L)).as("cnt_o"), col("O_qty").as("qty_o"))
       .orderBy(col("l_returnflag"))
 
+  /** Q31 — tolerance-banded backward as-of join: each error event picks
+    * the latest preceding click by the same user ONLY if it happened
+    * within the last 10 minutes ([[graft.operators.AsofJoin]] with a
+    * tolerance — the carried match-time makes the band check a free
+    * post-projection on the single-shuffle window plan). */
+  def q31AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin.backward(errors, clicks, "user_id", "ts",
+        Seq("click_id", "value"), rightTieBreak = "click_id",
+        tolerance = Some(10L * 60 * 1000 * 1000 * 1000)) // 10 min in nanos
+      .select(col("event_id"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("matched_click_id"),
+        coalesce(col("asof_value"), lit(-1.0)).as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q32 — forward as-of join: each error event picks the EARLIEST click
+    * by the same user at-or-after it (next-action attribution; the mirror
+    * of q22's backward direction — `first(ignoreNulls)` over the following
+    * frame, same one-shuffle shape). */
+  def q32AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin.forward(errors, clicks, "user_id", "ts",
+        Seq("click_id", "value"), rightTieBreak = "click_id")
+      .select(col("event_id"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("matched_click_id"),
+        coalesce(col("asof_value"), lit(-1.0)).as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q26 — stream/batch parity: the event-time windowed streaming
     * aggregation ([[graft.streaming.StreamParity]]) run to completion with
     * `Trigger.AvailableNow`; returns the append-mode (watermark-FINAL)
@@ -111,6 +149,8 @@ object AnalyticsQueries {
     "q28_range_join" -> q28RangeJoin,
     "q29_group_topk" -> q29GroupTopK,
     "q30_pivot" -> q30Pivot,
+    "q31_asof_tolerance" -> q31AsofTolerance,
+    "q32_asof_forward" -> q32AsofForward,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +203,24 @@ object AnalyticsQueries {
                 count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q31_asof_tolerance" ->
+      """SELECT l.event_id,
+                CASE WHEN r.event_id IS NOT NULL AND l.ts - r.ts <= INTERVAL 10 MINUTE
+                     THEN r.event_id ELSE -1 END AS matched_click_id,
+                CASE WHEN r.event_id IS NOT NULL AND l.ts - r.ts <= INTERVAL 10 MINUTE
+                     THEN r.value ELSE -1.0 END AS matched_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q32_asof_forward" ->
+      """SELECT l.event_id,
+                coalesce(r.event_id, -1) AS matched_click_id,
+                coalesce(r.value, -1.0) AS matched_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
+         ORDER BY l.event_id""",
     "m02_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents
