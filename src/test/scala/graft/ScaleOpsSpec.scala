@@ -17,6 +17,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the probe side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftbloom").toString
+    (1 to 20000).map(i => (i.toLong, s"v$i")).toDF("fk", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (1 to 50).map(i => (i * 400L, i)).toDF("k", "attr")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force a non-broadcast join so the runtime filter is the pruning path
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") <= 25)
+      val joined = fact.join(dim, col("fk") === col("k"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      // the dim side builds a bloom filter; the fact scan probes it BEFORE
+      // the shuffle — at 100 TB this skips most fact rows at the source
+      assert(plan.contains("might_contain"), s"no runtime bloom filter:\n$plan")
+      assert(joined.count() == 25)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
