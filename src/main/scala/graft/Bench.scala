@@ -22,7 +22,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "8").toInt
+    // measured at sf0.1 on local[32]: 4 threads 26s, 6 → 17s, 8 → 22s,
+    // 16 → 64s (scheduler+GC contention) — 6 is the sweet spot
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "6").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -39,13 +39,21 @@ object TextAnalysis {
     */
   def languageId(text: Column): Column = {
     val ws = array_distinct(split(trim(lower(text)), "\\s+"))
-    val scores = StopwordSets.toSeq.sortBy(_._1).map { case (lang, stops) =>
-      (lang, size(array_intersect(ws, array(stops.map(lit): _*))))
+    // one struct per language, max by (score, -index): each of the 13
+    // intersects is evaluated exactly ONCE — the earlier greatest+when-chain
+    // formulation spelled every intersect twice (best + pick) and leaned on
+    // codegen CSE to dedupe them. -index makes ties resolve to the
+    // alphabetically FIRST language (struct comparison is field-ordered),
+    // mirroring the oracle's CASE order.
+    val scored = StopwordSets.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, stops), idx) =>
+        struct(
+          size(array_intersect(ws, array(stops.map(lit): _*))).as("sc"),
+          lit(-idx).as("nidx"), lit(lang).as("lang"))
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && sc > 0, lit(lang)).otherwise(acc)
-    }
+    val best = array_max(array(scored: _*))
+    val pick = when(best.getField("sc") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
     when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
       .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko"))
       .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
