@@ -73,6 +73,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Seq(7L))
   }
 
+  test("randomized: both directions equal brute force, with and without tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lefts = (1L to 50L).map(id => (id, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+    val rights = (1000L to 1200L).map(rid =>
+      (rid, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, rnd.nextDouble()))
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("rid", "k", "t", "v")
+    for (tol <- Seq(None, Some(30L)); fwd <- Seq(false, true)) {
+      val expected = lefts.map { case (id, k, t) =>
+        val cand = rights.filter(rr => rr._2 == k &&
+          (if (fwd) rr._3 >= t else rr._3 <= t) &&
+          tol.forall(x => math.abs(rr._3 - t) <= x))
+        val pick =
+          if (cand.isEmpty) None
+          // backward: latest t, largest rid; forward: earliest t, smallest rid
+          else if (fwd) Some(cand.minBy(rr => (rr._3, rr._1))._1)
+          else Some(cand.maxBy(rr => (rr._3, rr._1))._1)
+        id -> pick
+      }.toMap
+      val op = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
+      val got = op(l, r, "k", "t", Seq("rid"), "rid", tol)
+        .collect().map(row => row.getLong(0) ->
+          Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got == expected, s"fwd=$fwd tol=$tol")
+    }
+  }
+
   test("tolerance nulls out matches beyond the band, keeps those inside") {
     val (left, right) = mk()
     // lid=1 at t=10 matches rid=100 at t=8 (gap 2); tolerance 1 kills it

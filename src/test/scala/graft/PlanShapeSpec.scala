@@ -92,6 +92,30 @@ class PlanShapeSpec extends SparkSpec {
       s"range join degraded to a product join:\n${p.take(2000)}")
   }
 
+  test("q31/q32: as-of variants keep the one-key-shuffle window plan (no join op)") {
+    for (q <- Seq("q31_asof_tolerance", "q32_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not plan a join:\n${p.take(2000)}")
+      assert(p.contains("Window"), s"$q: window match carrier missing")
+      assert("hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: expected exactly one key shuffle:\n${p.take(2000)}")
+    }
+  }
+
+  test("q30: pivot pre-aggregates per (key, value) before pivoting — no re-scan per value") {
+    val p = plan("q30_pivot")
+    // Spark's two-phase pivot: shuffle 1 aggregates to one row per
+    // (returnflag, linestatus) — the data-shrinking step — and shuffle 2
+    // pivots those tiny rows (pivotfirst). Both phases have map-side
+    // partials; the fact table is scanned exactly once.
+    assert(p.contains("pivotfirst"), s"pivot aggregation missing:\n${p.take(2000)}")
+    assert(p.contains("partial_pivotfirst"), "map-side partial pivot lost")
+    assert("hashpartitioning".r.findAllIn(p).size <= 2,
+      s"pivot should need at most two key shuffles:\n${p.take(2000)}")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      "pivot re-scans the input per pivot value")
+  }
+
   test("r01: anonymization is a narrow projection (no Exchange beyond the input repartition)") {
     val p = plan("r01_anonymize")
     // one round-robin repartition of the single-row-group input is expected;

@@ -52,6 +52,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(out(2L) == ((1L, Some(7.0))))
   }
 
+  test("randomized: banded join equals brute force on 3 lookback widths") {
+    val rnd = new scala.util.Random(42)
+    val lefts = (1L to 60L).map(id => (id, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val rights = (1 to 400).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    for (lookback <- Seq(7L, 64L, 1000L)) {
+      val expected = lefts.map { case (id, k, t) =>
+        val inRange = rights.filter { case (rk, rt, _) =>
+          rk == k && rt >= t - lookback && rt < t }
+        id -> ((inRange.size.toLong,
+          if (inRange.isEmpty) None else Some(inRange.map(_._3).max)))
+      }.toMap
+      val got = run(lefts, rights, lookback)
+      assert(got == expected, s"lookback=$lookback")
+    }
+  }
+
   test("plan is a hash equi-join on (key, band) — never a nested loop") {
     val l = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
     val r = Seq((1L, 95L, 1.0)).toDF("k", "t", "v")
