@@ -29,6 +29,17 @@ object StreamingDedupe {
   def exactOnce(df: DataFrame, hashCol: String): DataFrame =
     df.dropDuplicates(hashCol)
 
+  /** Watermark-bounded tier: duplicates are dropped only within the
+    * watermark horizon and each key's state is EVICTED once the watermark
+    * passes it — the variant that runs indefinitely at 100 TB/day
+    * ([[exactOnce]]'s state grows with distinct keys forever). A repeat
+    * arriving after the horizon re-emits: bounded state trades away global
+    * uniqueness, which the downstream batch dedupe (q07) reconciles — the
+    * standard stream-dedupe + batch-compaction split. Caller must set the
+    * watermark on `df` first. */
+  def withinWatermark(df: DataFrame, hashCol: String): DataFrame =
+    df.dropDuplicatesWithinWatermark(hashCol)
+
   final case class DedupeState(dupCount: Long)
   final case class DedupeEvent(hash: String, id: Long, firstSeen: Boolean,
       dupsSoFar: Long)
