@@ -131,6 +131,25 @@ object AnalyticsQueries {
     graft.streaming.StreamParity.finalWindowCounts(s, s"$d/events.parquet")
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** Q33 — native session windows: Spark's `session_window` operator over
+    * the event log, 30-minute gap — the built-in counterpart of q23's
+    * manual lag+cumsum sessionization ([[graft.operators.Sessionize]]),
+    * proven equal by the same oracle shape (start = min t, duration =
+    * max t - min t, count). One shuffle on the user key; window merging
+    * happens inside the session-window aggregation. */
+  def q33SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    ev.groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        (unix_micros(col("session_window.end")) - unix_micros(col("session_window.start"))
+          - lit(30L * 60 * 1000 * 1000)).as("duration_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -151,6 +170,7 @@ object AnalyticsQueries {
     "q30_pivot" -> q30Pivot,
     "q31_asof_tolerance" -> q31AsofTolerance,
     "q32_asof_forward" -> q32AsofForward,
+    "q33_session_window" -> q33SessionWindow,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -221,6 +241,26 @@ object AnalyticsQueries {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
+    "q33_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t FROM events
+         ), flagged AS (
+           SELECT user_id, t,
+                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM e
+         ), sess AS (
+           SELECT user_id, t,
+                  sum(opens) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM flagged
+         )
+         SELECT user_id, min(t) AS session_start_us,
+                max(t) - min(t) AS duration_us,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_start_us""",
     "m02_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents
