@@ -243,6 +243,14 @@ object Dedupe {
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. an LSH
     * bucket or cluster label). Cosine via the deterministic sequential fold
     * in [[graft.functions.VectorFunctions]].
+    *
+    * Scale guard: the self-join is O(B²) PER BLOCK — the caller's blocking
+    * key bounds the cost, so blocks must stay small (LSH buckets / IVF
+    * partitions, not raw labels, at corpus scale). A hot block should be
+    * split by composing the key with [[Salting.salt]] (recall loss is
+    * confined to cross-salt pairs of that block) or routed through
+    * [[graft.operators.Similarity.approxTopKByCosine]]'s banded path
+    * instead. AQE's skew-join split also caps a runaway block's task size.
     */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       block: Column, minCosine: Double): DataFrame = {
