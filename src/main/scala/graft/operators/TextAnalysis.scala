@@ -135,6 +135,44 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** C4-style line-level quality gates (cf. Raffel et al. 2020 §2.2): the
+    * heuristics C4 applies per LINE rather than per document — fraction of
+    * lines ending in terminal punctuation, mean words per line, and the
+    * bracket/lorem-ipsum boilerplate flags. Pure Column expressions over a
+    * single line-split (narrow, no shuffle); ratios are single divisions so
+    * the doubles hash-match the oracle.
+    */
+  def c4LineGates(text: Column): Map[String, Column] = {
+    val lines = filter(
+      transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    val terminal = size(filter(lines, l => l.rlike("[.!?\"]$")))
+    Map(
+      "n_lines" -> nLines,
+      "frac_lines_terminal" -> when(nLines > 0,
+        terminal.cast("double") / nLines.cast("double")).otherwise(lit(0.0)),
+      "mean_words_per_line" -> when(nLines > 0,
+        TextFunctions.wordCount(text).cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0)),
+      "has_curly" -> text.contains("{").cast("int"),
+      "has_lorem" -> lower(text).contains("lorem ipsum").cast("int"))
+  }
+
+  /** PII surface counts — how many email / phone-shaped spans a document
+    * carries (the detection side of the anonymizer M4; at corpus scale the
+    * counts drive routing: only flagged docs pay the rewrite). Patterns are
+    * deliberately RE2-safe (no lookarounds) so Java regex and the oracle's
+    * RE2 agree span-for-span.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  def piiCounts(text: Column): Map[String, Column] = Map(
+    "n_emails" -> when(text.isNull, lit(0)).otherwise(
+      size(call_function("regexp_extract_all", lower(text), lit(EmailPattern), lit(0)))),
+    "n_phones" -> when(text.isNull, lit(0)).otherwise(
+      size(call_function("regexp_extract_all", text, lit(PhonePattern), lit(0)))))
+
   /** Document fingerprint: md5 of the whitespace-normalized lower-cased
     * text — a stable content identity for shard-level dedupe bookkeeping.
     */

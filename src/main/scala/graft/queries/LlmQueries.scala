@@ -143,6 +143,26 @@ object LlmQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** C4-style line gates over documents. */
+  def t09C4Gates(s: SparkSession, d: String): DataFrame = {
+    val g = TextAnalysis.c4LineGates(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), g("n_lines").cast("long").as("n_lines"),
+        g("frac_lines_terminal").as("frac_lines_terminal"),
+        g("mean_words_per_line").as("mean_words_per_line"),
+        g("has_curly").as("has_curly"), g("has_lorem").as("has_lorem"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII surface counts over documents. */
+  def t10PiiCount(s: SparkSession, d: String): DataFrame = {
+    val p = TextAnalysis.piiCounts(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), p("n_emails").cast("long").as("n_emails"),
+        p("n_phones").cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing: documents.text as an opaque binary column with
@@ -177,6 +197,8 @@ object LlmQueries {
     "t06_repetition" -> t06Repetition,
     "t07_hash_split" -> t07HashSplit,
     "t08_top_vocab" -> t08TopVocab,
+    "t09_c4_gates" -> t09C4Gates,
+    "t10_pii_count" -> t10PiiCount,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -427,6 +449,34 @@ object LlmQueries {
                       ELSE 'test' END AS split,
                  count(*) AS cnt
           FROM b GROUP BY 1, 2 ORDER BY source, split""",
+    "t09_c4_gates" -> {
+      val lines =
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0)"
+      s"""WITH g AS (
+            SELECT doc_id, $lines AS lines,
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc,
+                   text
+            FROM documents
+          )
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 CASE WHEN len(lines) > 0
+                      THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$$'))) AS DOUBLE)
+                           / CAST(len(lines) AS DOUBLE)
+                      ELSE 0.0 END AS frac_lines_terminal,
+                 CASE WHEN len(lines) > 0
+                      THEN CAST(wc AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                      ELSE 0.0 END AS mean_words_per_line,
+                 CAST(contains(text, '{') AS INT) AS has_curly,
+                 CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem
+          FROM g ORDER BY doc_id"""
+    },
+    "t10_pii_count" ->
+      s"""SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '${TextAnalysis.EmailPattern}')) AS n_emails,
+                 len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS n_phones
+          FROM documents ORDER BY doc_id""",
     "t08_top_vocab" ->
       s"""SELECT word, count(*) AS cnt FROM (
             SELECT unnest($wordsSql) AS word FROM documents) t

@@ -110,6 +110,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4) == ((8L, 3.0 / 8.0, 2.0 / 7.0)))
   }
 
+  test("c4LineGates: terminal-line fraction, words-per-line, boilerplate flags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Good line.\nAnother one!\nno punct here\n\n"),
+      (2L, "var x = { a: 1 }"),
+      (3L, "Lorem Ipsum dolor sit."),
+      (4L, "")).toDF("id", "text")
+    val g = TextAnalysis.c4LineGates(col("text"))
+    val got = df.select(col("id"), g("n_lines"), g("frac_lines_terminal"),
+        g("mean_words_per_line"), g("has_curly"), g("has_lorem"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))).toSeq
+    assert(got(0) == ((3, 2.0 / 3.0, 8.0 / 3.0, 0, 0))) // blank line dropped
+    assert(got(1) == ((1, 0.0, 7.0, 1, 0)))
+    assert(got(2) == ((1, 1.0, 4.0, 0, 1)))             // case-insensitive lorem
+    assert(got(3) == ((0, 0.0, 0.0, 0, 0)))             // empty text is zero-safe
+  }
+
+  test("piiCounts: email and phone spans counted, clean text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail Alice@Example.COM and bob@test.org, call +44 20 7946 0958"),
+      (2L, "no pii in sight"),
+      (3L, "order 123 costs 45")).toDF("id", "text")
+    val p = TextAnalysis.piiCounts(col("text"))
+    val got = df.select(col("id"), p("n_emails"), p("n_phones"))
+      .orderBy("id").collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((2, 1), (0, 0), (0, 0)))
+  }
+
   test("fingerprint is whitespace/case-insensitive stable identity") {
     import spark.implicits._
     val df = Seq("Hello  World", "hello world", "HELLO WORLD").toDF("s")
