@@ -72,6 +72,38 @@ object VectorQueries {
       .orderBy(col("rank"))
   }
 
+  /** M6 — hybrid retrieval rerank: the vector stage recalls top-15 by L2
+    * (q13), a lexical stage scores query-term overlap on the candidates'
+    * text, and reciprocal-rank fusion (k=60, Cormack et al. 2009) merges
+    * the two rankings — the standard dense+sparse hybrid pattern that a
+    * cross-encoder rerank would slot into (swap `lex_score` for the model
+    * score; everything else is unchanged).
+    *
+    * Scale: the expensive lexical/model scoring runs on 15 candidate rows,
+    * never the corpus — recall is the ANN stage's job. The unpartitioned
+    * rank windows operate on that post-limit candidate set only (same
+    * bounded-window rationale as the elbow cut). */
+  def m06RagRerank(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("data", "model", "with", "value")
+    val cands = q13TopKL2(s, d).withColumn("vec_rank",
+      row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+    val joined = cands.join(documents(s, d), col("vec_id") === col("doc_id"))
+    val words = array_distinct(split(trim(lower(col("text"))), "\\s+"))
+    val lex = size(array_intersect(words, array(qTerms.map(lit): _*)))
+      .cast("double") / lit(qTerms.size.toDouble)
+    joined
+      .withColumn("lex_score", lex)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("lex_score").desc, col("vec_id"))))
+      .withColumn("rrf", lit(1.0) / (lit(60.0) + col("vec_rank"))
+        + lit(1.0) / (lit(60.0) + col("lex_rank")))
+      .withColumn("final_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("vec_id"))).cast("long"))
+      .filter(col("final_rank") <= 5)
+      .select(col("final_rank"), col("vec_id"), col("rrf"), col("source"))
+      .orderBy(col("final_rank"))
+  }
+
   /** Q8 — lag/lead neighbor splice (rag_search.py:50-72 neighbor-chunk merge
     * re-expressed over (source, doc_id) ordering). */
   def q08NeighborSplice(s: SparkSession, d: String): DataFrame = {
@@ -128,6 +160,7 @@ object VectorQueries {
     "q13_topk_cosine" -> q13TopKCosine,
     "q14_elbow_cut" -> q14ElbowCut,
     "m05_rag_pipeline" -> m05RagPipeline,
+    "m06_rag_rerank" -> m06RagRerank,
     "q15_multilabel_tag" -> q15MultilabelTag,
     "q21_chunk_fixed" -> q21ChunkFixed,
     "q21_chunk_recursive" -> q21ChunkRecursive)
@@ -159,6 +192,29 @@ object VectorQueries {
          WINDOW w AS (PARTITION BY source ORDER BY doc_id)
          ORDER BY doc_id""",
     "q13_topk_l2" -> topKL2Sql,
+    "m06_rag_rerank" ->
+      s"""WITH topk AS (
+            SELECT vec_id, dist,
+                   row_number() OVER (ORDER BY dist, vec_id) AS vec_rank
+            FROM ($topKL2Sql) t
+          ), j AS (
+            SELECT t.vec_id, t.vec_rank, d.source,
+                   CAST(len(list_intersect(
+                     list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+')),
+                     ['data', 'model', 'with', 'value'])) AS DOUBLE) / 4.0 AS lex_score
+            FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+          ), l AS (
+            SELECT *, row_number() OVER (ORDER BY lex_score DESC, vec_id) AS lex_rank
+            FROM j
+          ), r AS (
+            SELECT vec_id, source,
+                   1.0 / (60.0 + vec_rank) + 1.0 / (60.0 + lex_rank) AS rrf
+            FROM l
+          )
+          SELECT final_rank, vec_id, rrf, source FROM (
+            SELECT *, row_number() OVER (ORDER BY rrf DESC, vec_id) AS final_rank
+            FROM r) x
+          WHERE final_rank <= 5 ORDER BY final_rank""",
     "q13_topk_cosine" ->
       s"""SELECT a.vec_id, $dotAB / (${norm("a.embedding")} * ${norm("q.qv")}) AS score
           FROM embeddings a
