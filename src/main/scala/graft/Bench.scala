@@ -70,7 +70,9 @@ object Bench {
     // shared session; FAIR scheduling interleaves their jobs so scheduling
     // gaps overlap with other queries' compute. min-of-2 walls, same
     // host-noise rationale as above.
-    def suiteWallOnce(): Double = {
+    // Returns (wall, failedCount): a wall with failures did NOT do the full
+    // suite's work, so it must never be reported as a fast "success".
+    def suiteWallOnce(): (Double, Int) = {
       System.gc()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val t0 = System.nanoTime()
@@ -79,13 +81,18 @@ object Bench {
           def call(): Unit = run(fn)
         })
       }
-      futures.foreach(f => try f.get() catch { case _: Throwable => () })
+      var failed = 0
+      futures.foreach(f => try f.get() catch { case _: Throwable => failed += 1 })
       pool.shutdown()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, failed)
     }
-    val wall = math.min(suiteWallOnce(), suiteWallOnce())
+    val passes = Seq(suiteWallOnce(), suiteWallOnce())
+    val clean = passes.filter(_._2 == 0).map(_._1)
+    // -1 sentinel (like the isolated pass) when no pass completed cleanly
+    val wall = if (clean.nonEmpty) clean.min else -1.0
+    val failedMax = passes.map(_._2).max
 
-    println(s"""{"metric":"suite_wall_concurrent","value":$wall,"unit":"sec","threads":$threads,"total_isolated_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"suite_wall_concurrent","value":$wall,"unit":"sec","threads":$threads,"failed":$failedMax,"total_isolated_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,16 +21,35 @@ import scala.collection.mutable
   *    `office:value` text; `string`: the `text:p` content.
   *
   * ODS quirks handled: `table:number-columns-repeated` /
-  * `table:number-rows-repeated` expansion (LibreOffice pads rows to 16k
-  * columns with one repeated empty cell — trailing empties are dropped,
-  * and empty-cell repeats are capped so a pathological file cannot blow
-  * up memory), covered cells from merges, and multi-paragraph text.
+  * `table:number-rows-repeated` expansion. Trailing repeated-empty
+  * cells/rows (LibreOffice's pad-to-16k-width / pad-row-count idiom) are
+  * dropped BEFORE expansion, so interior repeats — empty or not — expand
+  * EXACTLY and never shift later cells out of alignment with the header.
+  * All expansion is charged against an absolute per-sheet cell budget
+  * ([[MaxSheetCells]]) and the ZIP reader against a byte budget
+  * ([[MaxZipBytes]]); a file that demands more is treated like any other
+  * parse failure (`Seq.empty`), bounding memory without silently
+  * corrupting valid data.
   */
 object OdsDecoder {
 
-  /** Cap on expanding REPEATED EMPTY cells/rows (content-bearing repeats
-    * expand fully; the cap only stops the 16384-column padding idiom). */
-  private val MaxEmptyRepeat = 64
+  /** Absolute cap on expanded cells per sheet, content-bearing repeats
+    * included. Generous (1M cells ≈ far beyond any real workbook sheet
+    * this pipeline ingests); exceeding it fails the decode to Seq.empty. */
+  private val MaxSheetCells = 1000000L
+
+  /** Cap on total uncompressed bytes buffered out of the ZIP container
+    * (zip-bomb guard for [[readZip]]'s eager buffering). */
+  private val MaxZipBytes = 256L * 1024 * 1024
+
+  private final class Oversized extends RuntimeException("ods decode budget exceeded")
+
+  private final class CellBudget(private var remaining: Long) {
+    def charge(n: Long): Unit = {
+      remaining -= n
+      if (remaining < 0) throw new Oversized
+    }
+  }
 
   private def parseXml(bytes: Array[Byte]): Document = {
     val f = DocumentBuilderFactory.newInstance()
@@ -54,10 +73,18 @@ object OdsDecoder {
   def readZip(payload: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(payload))
     val out = mutable.Map.empty[String, Array[Byte]]
+    var budget = MaxZipBytes
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) out(e.getName.stripPrefix("/")) = zin.readAllBytes()
+        if (!e.isDirectory) {
+          // read at most the remaining budget; one more byte means the
+          // uncompressed payload exceeds the cap (zip-bomb guard)
+          val bytes = zin.readNBytes(math.min(budget, Int.MaxValue.toLong - 8).toInt)
+          if (zin.read() != -1) throw new Oversized
+          budget -= bytes.length
+          out(e.getName.stripPrefix("/")) = bytes
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -105,46 +132,63 @@ object OdsDecoder {
     }
   }
 
-  private def decodeRow(row: Element): Seq[Option[String]] = {
-    val out = mutable.ArrayBuffer.empty[Option[String]]
-    childElemsNS(row, TableNs, "table-cell").foreach { cell =>
+  /** One row → expanded cells. Trailing repeated-empty cells (the
+    * pad-to-sheet-width idiom) are dropped BEFORE expansion — they'd be
+    * trimmed anyway, and skipping them means the 16384-wide padding cell
+    * costs nothing. Interior repeats expand exactly (capping them would
+    * shift later cells left, silently misaligning data vs the header);
+    * the expansion is charged to the sheet-wide budget instead. */
+  private def decodeRow(row: Element, budget: CellBudget): Seq[Option[String]] = {
+    val cells = childElemsNS(row, TableNs, "table-cell").map { cell =>
       val repeat = Option(cell.getAttributeNS(TableNs, "number-columns-repeated"))
         .filter(_.nonEmpty).map(_.toInt).getOrElse(1)
-      val v = cellValue(cell)
-      val n = if (v.isEmpty) math.min(repeat, MaxEmptyRepeat) else repeat
+      (cellValue(cell), math.max(repeat, 1))
+    }
+    val kept = cells.reverse.dropWhile(_._1.isEmpty).reverse
+    val out = mutable.ArrayBuffer.empty[Option[String]]
+    kept.foreach { case (v, n) =>
+      budget.charge(n.toLong)
       (0 until n).foreach(_ => out += v)
     }
-    // drop the trailing padding LibreOffice writes out to the sheet width
-    out.toSeq.reverse.dropWhile(_.isEmpty).reverse
+    out.toSeq
   }
 
   /** Decode an ODS payload into ordered sheets of string cells; header =
     * first row, extra unnamed columns `unnamed_i` — identical contract to
-    * [[XlsxDecoder.decode]]. Empty on anything that doesn't parse. */
-  def decode(payload: Array[Byte]): Seq[SpreadsheetConverter.Sheet] = {
-    val parts = readZip(payload)
-    val content = parts.get("content.xml").getOrElse(return Seq.empty)
-    val doc = parseXml(content)
-    val tables = doc.getElementsByTagNameNS(TableNs, "table")
-    (0 until tables.getLength).map(tables.item(_).asInstanceOf[Element]).map { t =>
-      val name = Option(t.getAttributeNS(TableNs, "name")).filter(_.nonEmpty)
-        .getOrElse("sheet")
-      val rows = mutable.ArrayBuffer.empty[Seq[Option[String]]]
-      childElemsNS(t, TableNs, "table-row").foreach { r =>
-        val repeat = Option(r.getAttributeNS(TableNs, "number-rows-repeated"))
-          .filter(_.nonEmpty).map(_.toInt).getOrElse(1)
-        val decoded = decodeRow(r)
-        val n = if (decoded.isEmpty) math.min(repeat, MaxEmptyRepeat) else repeat
-        (0 until n).foreach(_ => rows += decoded)
+    * [[XlsxDecoder.decode]]. Empty on anything that doesn't parse or that
+    * exceeds the cell/byte budgets. */
+  def decode(payload: Array[Byte]): Seq[SpreadsheetConverter.Sheet] =
+    try {
+      val parts = readZip(payload)
+      val content = parts.get("content.xml").getOrElse(return Seq.empty)
+      val doc = parseXml(content)
+      val tables = doc.getElementsByTagNameNS(TableNs, "table")
+      (0 until tables.getLength).map(tables.item(_).asInstanceOf[Element]).map { t =>
+        val name = Option(t.getAttributeNS(TableNs, "name")).filter(_.nonEmpty)
+          .getOrElse("sheet")
+        val budget = new CellBudget(MaxSheetCells)
+        // (cells, repeat) per row element; trailing repeated-empty rows
+        // (the row-repeat padding idiom) are dropped BEFORE expansion so
+        // a pad-to-1M-rows tail costs nothing, while interior empty-row
+        // repeats expand exactly and keep row alignment
+        val pairs = childElemsNS(t, TableNs, "table-row").map { r =>
+          val repeat = Option(r.getAttributeNS(TableNs, "number-rows-repeated"))
+            .filter(_.nonEmpty).map(_.toInt).getOrElse(1)
+          (decodeRow(r, budget), math.max(repeat, 1))
+        }
+        val kept = pairs.reverse.dropWhile(_._1.forall(_.isEmpty)).reverse
+        val rows = mutable.ArrayBuffer.empty[Seq[Option[String]]]
+        kept.foreach { case (cells, n) =>
+          budget.charge(n.toLong * math.max(cells.length, 1))
+          (0 until n).foreach(_ => rows += cells)
+        }
+        val trimmed = rows.toSeq
+        val width = trimmed.foldLeft(0)((m, r) => math.max(m, r.length))
+        val header0 = trimmed.headOption.getOrElse(Seq.empty)
+        val header = (0 until width).map(j =>
+          header0.lift(j).flatten.getOrElse(s"unnamed_$j"))
+        val data = trimmed.drop(1).map(r => (0 until width).map(j => r.lift(j).flatten.orNull))
+        SpreadsheetConverter.Sheet(name, header, data)
       }
-      // drop trailing all-empty rows (the row-repeat padding idiom)
-      val trimmed = rows.toSeq.reverse.dropWhile(_.forall(_.isEmpty)).reverse
-      val width = trimmed.foldLeft(0)((m, r) => math.max(m, r.length))
-      val header0 = trimmed.headOption.getOrElse(Seq.empty)
-      val header = (0 until width).map(j =>
-        header0.lift(j).flatten.getOrElse(s"unnamed_$j"))
-      val data = trimmed.drop(1).map(r => (0 until width).map(j => r.lift(j).flatten.orNull))
-      SpreadsheetConverter.Sheet(name, header, data)
-    }
-  }
+    } catch { case _: Exception => Seq.empty }
 }

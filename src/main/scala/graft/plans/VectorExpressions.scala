@@ -48,7 +48,13 @@ abstract class VectorBinaryDoubleExpr extends BinaryExpression {
     if (float) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
 }
 
-/** cosine(a, b) = dot / (||a|| * ||b||), one pass. */
+/** cosine(a, b) = dot / (||a|| * ||b||), one pass.
+  *
+  * Zero-norm (or empty) inputs yield NULL, not NaN: the HOF spelling this
+  * kernel replaces divides with Spark's `Divide`, which returns NULL on a
+  * zero divisor even for doubles (non-ANSI), so [[VectorHofRewrite]] must
+  * preserve that — and NULL is the saner answer anyway (cosine is
+  * undefined for the zero vector). */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends VectorBinaryDoubleExpr {
 
@@ -66,6 +72,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null // Divide-by-zero → NULL parity
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -89,7 +96,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |    $i++;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; } // zero-norm → NULL
+         |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |  }
          |}
        """.stripMargin

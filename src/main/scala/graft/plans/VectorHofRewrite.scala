@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *  - any null element → null (same poisoning), checked per element;
   *  - lambda variables are matched by exprId through double-casts, in
   *    either operand order (`x*y`/`y*x`, `(x-y)²`/`(y-x)²` — IEEE-exact
-  *    commutations only).
+  *    commutations only);
+  *  - zero-norm / empty vectors → null for cosine: the HOF spelling goes
+  *    through Spark's `Divide`, which yields NULL on a 0.0 divisor
+  *    (non-ANSI), and [[CosineSimilarityExpr]] guards the same case
+  *    explicitly instead of emitting NaN (pinned in VectorHofRewriteSpec).
   *
   * Registered via [[GraftExtensions]] (`injectOptimizerRule`) — runs in
   * the operator-optimization batch to fixed point; each rewrite strictly

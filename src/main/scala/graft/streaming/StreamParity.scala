@@ -35,26 +35,40 @@ object StreamParity {
     val tmp = Files.createTempDirectory("graft-streamparity")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
-    val schema = spark.read.parquet(eventsPath).schema
-    // the file source requires a directory or glob, not a bare file path
-    val sourceGlob =
-      if (new java.io.File(eventsPath).isFile) eventsPath.dropRight(1) + "*"
-      else eventsPath
-    spark.readStream.schema(schema).parquet(sourceGlob)
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("event_time", lateness)
-      .groupBy(window(col("event_time"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("event_type"), col("cnt"), col("min_value"), col("max_value"))
-      .writeStream
-      .outputMode("append") // FINAL windows only — requires the watermark
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("parquet")
-      .start(out)
-      .awaitTermination()
-    spark.read.parquet(out)
+    try {
+      val schema = spark.read.parquet(eventsPath).schema
+      // the file source requires a directory (a bare file path throws
+      // "basePath must be a directory"): stream the parent dir with a
+      // pathGlobFilter on the EXACT filename, so unintended siblings
+      // (events.parquet.bak, ...) can never leak into the batch
+      val f = new java.io.File(eventsPath)
+      val reader = spark.readStream.schema(schema)
+      val source =
+        if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else reader.parquet(eventsPath)
+      source
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("event_time", lateness)
+        .groupBy(window(col("event_time"), windowDur), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("cnt"), col("min_value"), col("max_value"))
+        .writeStream
+        .outputMode("append") // FINAL windows only — requires the watermark
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+        .awaitTermination()
+      // materialize off the temp dir (eager localCheckpoint) so the dir can
+      // be deleted before returning instead of leaking per call
+      spark.read.parquet(out).localCheckpoint(true)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
   }
 }

@@ -288,4 +288,81 @@ class ConvertSpec extends SparkSpec {
     assert(sheets.head.header == Seq("h", "h", "h"))
     assert(sheets.head.rows == Seq(Seq("7", "7", "TRUE")))
   }
+
+  private def odsWithContent(contentXml: String): Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(baos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+    put("content.xml",
+      s"""<office:document-content
+         | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+         | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+         |<office:body><office:spreadsheet>$contentXml</office:spreadsheet></office:body></office:document-content>""".stripMargin)
+    z.close()
+    baos.toByteArray
+  }
+
+  test("ods: interior empty repeat > 64 expands EXACTLY (no column misalignment)") {
+    // 1 value, 100 interior empties, 1 value: the trailing value must land
+    // at column index 101, not be shifted left by an empty-repeat cap
+    val bytes = odsWithContent(
+      """<table:table table:name="t">
+        |<table:table-row>
+        |<table:table-cell office:value-type="string"><text:p>first</text:p></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="100"/>
+        |<table:table-cell office:value-type="string"><text:p>last</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row>
+        |<table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="100"/>
+        |<table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell>
+        |</table:table-row>
+        |</table:table>""".stripMargin)
+    val sheets = graft.convert.OdsDecoder.decode(bytes)
+    assert(sheets.size == 1)
+    assert(sheets.head.header.length == 102)
+    assert(sheets.head.header.head == "first" && sheets.head.header.last == "last")
+    val row = sheets.head.rows.head
+    assert(row.length == 102 && row.head == "a" && row.last == "b",
+      s"interior empties misaligned the trailing cell: len=${row.length}")
+  }
+
+  test("ods: trailing padding repeats (16k cols / 1M rows) still cost nothing") {
+    val bytes = odsWithContent(
+      """<table:table table:name="t">
+        |<table:table-row>
+        |<table:table-cell office:value-type="string"><text:p>h</text:p></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="16383"/>
+        |</table:table-row>
+        |<table:table-row>
+        |<table:table-cell office:value-type="string"><text:p>v</text:p></table:table-cell>
+        |<table:table-cell table:number-columns-repeated="16383"/>
+        |</table:table-row>
+        |<table:table-row table:number-rows-repeated="1048575">
+        |<table:table-cell table:number-columns-repeated="16384"/>
+        |</table:table-row>
+        |</table:table>""".stripMargin)
+    val sheets = graft.convert.OdsDecoder.decode(bytes)
+    assert(sheets.size == 1)
+    assert(sheets.head.header == Seq("h"))
+    assert(sheets.head.rows == Seq(Seq("v")))
+  }
+
+  test("ods: content-bearing repeat past the cell budget fails to Seq.empty, not OOM") {
+    // a single cell asked to repeat 100M times with real content — must be
+    // rejected as a parse failure instead of expanding
+    val bytes = odsWithContent(
+      """<table:table table:name="t">
+        |<table:table-row>
+        |<table:table-cell office:value-type="float" office:value="1" table:number-columns-repeated="100000000"/>
+        |<table:table-cell office:value-type="string"><text:p>end</text:p></table:table-cell>
+        |</table:table-row>
+        |</table:table>""".stripMargin)
+    assert(graft.convert.OdsDecoder.decode(bytes) == Seq.empty)
+  }
 }

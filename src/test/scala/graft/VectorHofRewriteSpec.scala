@@ -87,6 +87,26 @@ class VectorHofRewriteSpec extends SparkSpec {
     assert(r2.isNullAt(0), "length mismatch must yield null")
   }
 
+  test("zero-norm and empty vectors yield NULL from both HOF and fused cosine") {
+    // HOF path divides via Spark's Divide → NULL on a 0.0 divisor; the
+    // fused kernel must agree (NULL, never NaN) for the rewrite to be safe
+    // parquet-backed so the fused kernel runs its CODEGEN path, not a
+    // constant-folded interpreted eval
+    val dir = java.nio.file.Files.createTempDirectory("vhof-zero").toString + "/t"
+    Seq(
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)), // zero-norm left
+      (Seq.empty[Double], Seq.empty[Double])     // empty arrays
+    ).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val zero = spark.read.parquet(dir)
+    val hof = zero.select(hofCosine(col("a"), col("b")).as("c")).collect()
+    val native = zero.select(
+      graft.functions.VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c")).collect()
+    hof.zip(native).zipWithIndex.foreach { case ((h, n), i) =>
+      assert(h.isNullAt(0), s"row $i: HOF cosine must be NULL, got ${h.get(0)}")
+      assert(n.isNullAt(0), s"row $i: fused cosine must be NULL, got ${n.get(0)}")
+    }
+  }
+
   test("dot_product is registered as a SQL function") {
     df.createOrReplaceTempView("vhof")
     val out = spark.sql("SELECT dot_product(a, b) AS d FROM vhof ORDER BY d")
