@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.operators.{Dedupe, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedupe, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators beyond the reference's own surface
   * (BASELINE.json north star): near-dup dedupe family, ANN similarity
@@ -34,6 +34,28 @@ object LlmQueries {
     Dedupe.ngramJaccardPairs(documents(s, d), col("doc_id"), col("text"),
       col("source"), minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Transitive duplicate clusters: the d03 Jaccard pairs form an edge
+    * graph; connected components assign every document a cluster (min
+    * doc_id of its component — own id when it has no near-dups), plus the
+    * cluster size and a canonical-representative flag. This is the full
+    * dedup story: pairs → clusters → keep one doc per cluster. */
+  def d05DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedupe.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      col("source"), minJaccard = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val comp = ConnectedComponents.run(pairs)
+    val assigned = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Embedding-cosine near-dup pairs, blocked by label, sampled ids. */
   def d04EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
@@ -186,6 +208,7 @@ object LlmQueries {
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
+    "d05_dup_clusters" -> d05DupClusters,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
@@ -354,29 +377,63 @@ object LlmQueries {
       lang -> s"len(list_intersect(list_distinct($wordsSql), ${stops.mkString("['", "', '", "']")}))"
   }
 
+  /** Shared CTE block producing the blocked Jaccard pairs (d03's kernel):
+    * ends with `jpairs(id_a, id_b, inter, uni, jaccard)`. Reused verbatim
+    * by the d05 cluster oracle so both sides agree on the edge set. */
+  private val jaccardPairCtes: String =
+    s"""tok AS (
+          SELECT doc_id, source, unnest(list_distinct($wordsSql)) AS w
+          FROM documents
+        ), tok2 AS (
+          SELECT doc_id, source, w FROM tok WHERE length(w) > 0
+        ), jsizes AS (
+          SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), jpairs AS (
+          SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni,
+                 CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN jsizes sa ON sa.doc_id = id_a
+          JOIN jsizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+        )"""
+
+  /** d05 oracle: same jpairs edge set, transitive closure by recursive CTE
+    * (labels flow along symmetrized edges; min reachable label = component),
+    * then per-document cluster assignment, size, canonical flag. */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+          SELECT id_a AS src, id_b AS dst FROM jpairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM jpairs
+        ), reach AS (
+          SELECT src AS id, src AS label FROM edges
+          UNION
+          SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+          SELECT id, min(label) AS comp FROM reach GROUP BY id
+        ), assigned AS (
+          SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ), csizes AS (
+          SELECT cluster, count(*) AS cluster_size FROM assigned GROUP BY cluster
+        )
+        SELECT a.doc_id, a.cluster, s.cluster_size,
+               CAST(a.doc_id = a.cluster AS INT) AS is_canonical
+        FROM assigned a JOIN csizes s ON a.cluster = s.cluster
+        ORDER BY a.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "d01_minhash_lsh" -> minhashSql,
     "d02_simhash" -> simhashSql,
     "d03_ngram_jaccard" ->
-      s"""WITH tok AS (
-            SELECT doc_id, source, unnest(list_distinct($wordsSql)) AS w
-            FROM documents
-          ), tok2 AS (
-            SELECT doc_id, source, w FROM tok WHERE length(w) > 0
-          ), sizes AS (
-            SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id
-          ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-          )
-          SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni,
-                 CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+      s"""WITH $jaccardPairCtes
+          SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",
+    "d05_dup_clusters" -> dupClustersSql,
     "d04_embedding_near_dup" ->
       s"""WITH base AS (
             SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings WHERE vec_id % 5 = 0

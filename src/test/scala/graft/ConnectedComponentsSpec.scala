@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+/** Connected components: the transitive-clustering step of near-dup
+  * dedupe. Pinned against a driver-side union-find on randomized graphs. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  test("chain propagates the min label end-to-end; separate components stay apart") {
+    // chain 1-2-3-4, pair 10-11, singleton edge 20-20 never appears
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("randomized graphs match driver-side union-find") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = ConnectedComponents.run(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: CC disagrees with union-find")
+    }
+  }
+
+  test("long path needs diameter rounds and still converges") {
+    // path 0-1-2-...-19: worst case for label propagation
+    val edges = (0L until 19L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+  }
+}
