@@ -150,6 +150,38 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Q34 — second stream/batch parity query: streaming dedupe with
+    * duplicate accounting ([[graft.streaming.StreamingDedupe.withDuplicateCounts]],
+    * the `flatMapGroupsWithState` custom-state surface) run to completion
+    * with `Trigger.AvailableNow` over the document fingerprints. The
+    * oracle recomputes the emitted (first_seen, dups_so_far) sequence as a
+    * batch row_number over (hash ORDER BY id) — pinning that the custom
+    * state machine computes exactly the batch answer. */
+  def q34StreamDedupe(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.dedupeWithCounts(s, s"$d/documents.parquet")
+      .select(col("hash"), col("id"),
+        col("firstSeen").cast("int").as("first_seen"),
+        col("dupsSoFar").as("dups_so_far"))
+      .orderBy(col("hash"), col("id"))
+
+  /** Q35 — salted skew join proven result-identical to the plain join:
+    * events (big, skewed on hot users) joined to a per-user dim through
+    * [[graft.operators.Salting.saltedJoin]] (hot keys spread over 8
+    * buckets; dim exploded 8 ways), then aggregated. The oracle is the
+    * PLAIN join in SQL — equality is the whole point: salting is a
+    * physical-distribution rewrite that must never change results. */
+  def q35SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    graft.operators.Salting.saltedJoin(ev, dim, "user_id",
+        buckets = 8, saltContext = col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ts") > col("first_ts"), 1L).otherwise(0L)).as("n_after_first"))
+      .orderBy(col("event_type"))
+  }
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -171,6 +203,8 @@ object AnalyticsQueries {
     "q31_asof_tolerance" -> q31AsofTolerance,
     "q32_asof_forward" -> q32AsofForward,
     "q33_session_window" -> q33SessionWindow,
+    "q34_stream_dedupe" -> q34StreamDedupe,
+    "q35_salted_join" -> q35SaltedJoin,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -261,6 +295,27 @@ object AnalyticsQueries {
                 count(*) AS n_events
          FROM sess GROUP BY user_id, session_idx
          ORDER BY user_id, session_start_us""",
+    "q34_stream_dedupe" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))) AS hash
+           FROM documents
+         ), r AS (
+           SELECT hash, doc_id AS id,
+                  row_number() OVER (PARTITION BY hash ORDER BY doc_id) AS rn
+           FROM fp
+         )
+         SELECT hash, id, CAST(rn = 1 AS INT) AS first_seen,
+                rn - 1 AS dups_so_far
+         FROM r ORDER BY hash, id""",
+    "q35_salted_join" ->
+      """WITH dim AS (
+           SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+         )
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN e.ts > d.first_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_after_first
+         FROM events e JOIN dim d ON e.user_id = d.user_id
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "m02_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.operators.{ConnectedComponents, Dedupe, Multimodal, Similarity, TextAnalysis}
@@ -165,6 +166,32 @@ object LlmQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** Per-document top-3 terms by TF-IDF with a LINEAR inverse document
+    * frequency (score = tf * N / df, no logarithm): log would make the
+    * score transcendental and cross-engine bit-equality of the oracle
+    * hash unreliable, while the linear form ranks by the same tf/df
+    * signal with only IEEE-exact multiply/divide. Shape: explode →
+    * two hash aggregates (tf per (doc, term), df per term) → equi-join —
+    * df is NOT broadcast-hinted (vocabulary scales with the corpus; AQE
+    * decides) — → per-doc top-k window. */
+  def t11Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** C4-style line gates over documents. */
   def t09C4Gates(s: SparkSession, d: String): DataFrame = {
     val g = TextAnalysis.c4LineGates(col("text"))
@@ -222,6 +249,7 @@ object LlmQueries {
     "t08_top_vocab" -> t08TopVocab,
     "t09_c4_gates" -> t09C4Gates,
     "t10_pii_count" -> t10PiiCount,
+    "t11_tfidf" -> t11Tfidf,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -539,6 +567,28 @@ object LlmQueries {
             SELECT unnest($wordsSql) AS word FROM documents) t
           WHERE length(word) > 0
           GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+    "t11_tfidf" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents
+          ), tok2 AS (
+            SELECT doc_id, w FROM tok WHERE length(w) > 0
+          ), tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM tok2 GROUP BY doc_id, w
+          ), dfreq AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+          ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+          ), scored AS (
+            SELECT tf.doc_id, tf.w,
+                   CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+            FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+          ), ranked AS (
+            SELECT doc_id, w, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS INT) AS rank
+            FROM scored
+          )
+          SELECT doc_id, w AS term, score, rank FROM ranked
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "t06_repetition" -> {
       val wClean = s"list_filter($wordsSql, x -> length(x) > 0)"
       s"""WITH base AS (

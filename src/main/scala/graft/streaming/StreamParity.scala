@@ -71,4 +71,49 @@ object StreamParity {
       rm(tmp.toFile)
     }
   }
+
+  /** Streaming dedupe-with-accounting run to completion over a static
+    * document file: content fingerprints stream through
+    * [[StreamingDedupe.withDuplicateCounts]] (`flatMapGroupsWithState`
+    * custom state), emitting one event per arrival with the first-seen
+    * flag and running duplicate count for its hash.
+    *
+    * Deterministic for the same single-file reason as
+    * [[finalWindowCounts]]: one source file = one microbatch, so every
+    * arrival of a hash lands in the same `flatMapGroupsWithState`
+    * invocation, which sorts arrivals by id — the emitted
+    * (first_seen, dups_so_far) sequence is then exactly the batch
+    * row_number over (hash ORDER BY id), which is what the oracle pins. */
+  def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-streamdedupe")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    try {
+      val schema = spark.read.parquet(docsPath).schema
+      val f = new java.io.File(docsPath)
+      val reader = spark.readStream.schema(schema)
+      val source =
+        if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else reader.parquet(docsPath)
+      val pairs = source.select(
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("_1"),
+        col("doc_id").as("_2")).as[(String, Long)]
+      StreamingDedupe.withDuplicateCounts(spark, pairs)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+        .awaitTermination()
+      spark.read.parquet(out).localCheckpoint(true)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
 }
