@@ -206,6 +206,37 @@ object Dedupe {
       bits: Int = 32, maxHamming: Int = 3): DataFrame =
     simhashCandidatePairs(simhash(df, id, text, bits), bits, maxHamming)
 
+  /** Cross-corpus line-level dedupe (the C4/RefinedWeb "remove repeated
+    * lines across documents" pass): every trimmed non-empty line of every
+    * document, flagged `kept = 1` only at its GLOBAL first occurrence —
+    * first = lexicographic min (docOrder, lineIdx) over all appearances
+    * of that exact line.
+    *
+    * Scale shape: one shuffle keyed by line content, and the first-
+    * occurrence choice is `min(struct(docOrder, lineIdx))` — a PARTIAL
+    * aggregate (map-side combine), so a line repeated 100M times
+    * ("cookie banner" boilerplate) reduces to one row per map task before
+    * the shuffle. The window-function formulation (row_number over the
+    * line partition) computes the same flag but must sort every
+    * occurrence of the hot line in one task — this agg-join shape is the
+    * one that survives boilerplate skew at 100 TB.
+    *
+    * @return (id, line_idx, line, kept) one row per non-empty line
+    */
+  def lineDedupe(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = df.select(id.as("id"),
+        posexplode(split(text, "\n")).as(Seq("line_idx", "raw")))
+      .withColumn("line", trim(col("raw")))
+      .filter(length(col("line")) > 0)
+      .select(col("id"), col("line_idx"), col("line"))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("line_idx"))).as("first"))
+    lines.join(firsts, "line")
+      .withColumn("kept",
+        (struct(col("id"), col("line_idx")) === col("first")).cast("int"))
+      .select(col("id"), col("line_idx"), col("line"), col("kept"))
+  }
+
   /** Exact word-set Jaccard similarity for pairs sharing a blocking key.
     * Blocking bounds the join: candidate pairs only form inside a block, and
     * the block is caller-chosen (an LSH bucket, a cluster id, a source).

@@ -30,4 +30,24 @@ object Sampling {
 
   /** Deterministic p-percent sample predicate over a stable id. */
   def samplePredicate(id: Column, pct: Int): Column = hashBucket(id) < pct
+
+  /** Fine bucket 0..9999 — for stratum-adaptive rates where 1% steps are
+    * too coarse. */
+  def hashBucket10k(id: Column): Column =
+    Dedupe.md5Hash32(id.cast("string")) % 10000
+
+  /** Stratum-capped sample predicate: keep each row with probability
+    * ~cap/strataSize (1.0 when the stratum is smaller than the cap), via
+    * the fine hash bucket against an integer-arithmetic threshold —
+    * `bucket < (cap * 10000) DIV strataSize` — so the decision is a pure
+    * deterministic function of (id, stratum size) that any engine
+    * reproduces exactly. Balancing strata this way (cap docs per source /
+    * language / domain) is how training mixes are rebalanced without a
+    * shuffle: the stratum sizes are a tiny broadcast aggregate and the
+    * predicate is a narrow projection. */
+  def stratumCappedPredicate(id: Column, strataSize: Column, cap: Int): Column =
+    hashBucket10k(id) < least(lit(10000L),
+      // floor(double div) == integer DIV here: operands < 2^31 keep the
+      // quotient's rounding error far below the distance to the next int
+      floor(lit(cap.toLong * 10000L) / strataSize).cast("long"))
 }

@@ -182,6 +182,17 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Q36 — third stream/batch parity query: native `session_window`
+    * streamed with a watermark in append mode ([[graft.streaming.StreamParity.finalSessions]]).
+    * The oracle recomputes the manual q23/q33 sessionization and keeps
+    * only sessions final at the last watermark (session end = last event
+    * + gap; watermark truncated to milliseconds exactly as the engine
+    * holds it). Pins that streaming session merging + watermark eviction
+    * emit exactly the batch sessions. */
+  def q36StreamSessions(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.finalSessions(s, s"$d/events.parquet")
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -205,6 +216,7 @@ object AnalyticsQueries {
     "q33_session_window" -> q33SessionWindow,
     "q34_stream_dedupe" -> q34StreamDedupe,
     "q35_salted_join" -> q35SaltedJoin,
+    "q36_stream_sessions" -> q36StreamSessions,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -308,6 +320,32 @@ object AnalyticsQueries {
          SELECT hash, id, CAST(rn = 1 AS INT) AS first_seen,
                 rn - 1 AS dups_so_far
          FROM r ORDER BY hash, id""",
+    "q36_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t FROM events
+         ), wm AS (
+           SELECT (max(t) // 1000 - 1800000) * 1000 AS w FROM e
+         ), flagged AS (
+           SELECT user_id, t,
+                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
+                       THEN 1 ELSE 0 END AS opens
+           FROM e
+         ), sess AS (
+           SELECT user_id, t,
+                  sum(opens) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM flagged
+         ), agg AS (
+           SELECT user_id, min(t) AS session_start_us,
+                  max(t) - min(t) AS duration_us,
+                  count(*) AS n_events,
+                  max(t) + 1800000000 AS session_end_us
+           FROM sess GROUP BY user_id, session_idx
+         )
+         SELECT user_id, session_start_us, duration_us, n_events
+         FROM agg, wm WHERE agg.session_end_us <= wm.w
+         ORDER BY user_id, session_start_us""",
     "q35_salted_join" ->
       """WITH dim AS (
            SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id

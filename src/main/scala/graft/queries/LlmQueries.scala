@@ -58,6 +58,18 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus line dedupe profile: per document, how many non-empty
+    * lines it has and how many survive global first-occurrence line
+    * dedupe ([[Dedupe.lineDedupe]] — the C4-style boilerplate-removal
+    * pass). Docs whose text has no non-empty lines drop out (both sides). */
+  def d06LineDedupe(s: SparkSession, d: String): DataFrame =
+    Dedupe.lineDedupe(documents(s, d), col("doc_id"), col("text"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("kept")).as("n_kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_lines").cast("double")).as("kept_frac"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs, blocked by label, sampled ids. */
   def d04EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedupe.embeddingNearDupPairs(
@@ -192,6 +204,24 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Stratum-capped deterministic sampling profile: rebalance the corpus
+    * to at most ~60 docs per source by keeping each doc iff its fine hash
+    * bucket clears the stratum-adaptive threshold
+    * ([[graft.operators.Sampling.stratumCappedPredicate]]). Two-pass:
+    * tiny per-source counts (broadcast), then a narrow predicate — no
+    * shuffle of the corpus itself. */
+  def t12StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val strata = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    docs.join(broadcast(strata), "source")
+      .withColumn("sampled",
+        graft.operators.Sampling.stratumCappedPredicate(
+          col("doc_id"), col("n_total"), cap = 60).cast("int"))
+      .groupBy(col("source"))
+      .agg(max(col("n_total")).as("n_total"), sum(col("sampled")).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
   /** C4-style line gates over documents. */
   def t09C4Gates(s: SparkSession, d: String): DataFrame = {
     val g = TextAnalysis.c4LineGates(col("text"))
@@ -236,6 +266,7 @@ object LlmQueries {
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
+    "d06_line_dedupe" -> d06LineDedupe,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
@@ -250,6 +281,7 @@ object LlmQueries {
     "t09_c4_gates" -> t09C4Gates,
     "t10_pii_count" -> t10PiiCount,
     "t11_tfidf" -> t11Tfidf,
+    "t12_stratified_sample" -> t12StratifiedSample,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   // ----------------------------------------------------------- oracle SQL
@@ -462,6 +494,24 @@ object LlmQueries {
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",
     "d05_dup_clusters" -> dupClustersSql,
+    "d06_line_dedupe" ->
+      """WITH split AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+         ), lines AS (
+           SELECT doc_id, i.i - 1 AS line_idx, trim(ls[i.i]) AS line
+           FROM split, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i
+           WHERE length(trim(ls[i.i])) > 0
+         ), flagged AS (
+           SELECT doc_id, line,
+                  CASE WHEN row_number() OVER (PARTITION BY line
+                         ORDER BY doc_id, line_idx) = 1
+                       THEN 1 ELSE 0 END AS kept
+           FROM lines
+         )
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(kept) AS BIGINT) AS n_kept,
+                CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS kept_frac
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     "d04_embedding_near_dup" ->
       s"""WITH base AS (
             SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings WHERE vec_id % 5 = 0
@@ -567,6 +617,19 @@ object LlmQueries {
             SELECT unnest($wordsSql) AS word FROM documents) t
           WHERE length(word) > 0
           GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+    "t12_stratified_sample" ->
+      s"""WITH strata AS (
+            SELECT source, count(*) AS n_total FROM documents GROUP BY source
+          ), flagged AS (
+            SELECT d.source, s.n_total,
+                   CASE WHEN ${md5HashSql("CAST(d.doc_id AS VARCHAR)")} % 10000
+                          < least(10000, (60 * 10000) // s.n_total)
+                        THEN 1 ELSE 0 END AS sampled
+            FROM documents d JOIN strata s ON d.source = s.source
+          )
+          SELECT source, max(n_total) AS n_total,
+                 CAST(sum(sampled) AS BIGINT) AS n_sampled
+          FROM flagged GROUP BY source ORDER BY source""",
     "t11_tfidf" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($wordsSql) AS w FROM documents

@@ -72,6 +72,59 @@ object StreamParity {
     }
   }
 
+  /** Native session windows streamed to completion: `session_window`
+    * (gap-merged per user) + watermark, append mode, one AvailableNow
+    * pass — the streaming twin of the q33 batch query.
+    *
+    * Finality: batch 1 runs under watermark 0 (emits nothing); the
+    * no-data flush batch advances the watermark to max(event_time) -
+    * lateness and append-emits exactly the sessions whose end
+    * (last event + gap) precedes it. NOTE the watermark is held at
+    * MILLISECOND granularity internally (event-time stats accumulate ms),
+    * so the cut is `session_end_us <= (max_us DIV 1000 - lateness_ms) *
+    * 1000` — the oracle must truncate the same way or boundary sessions
+    * flip. Sessions still open at the final watermark stay in (discarded)
+    * state, exactly as a live pipeline would hold them. */
+  def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = {
+    val gap = "30 minutes"; val lateness = "30 minutes" // fixed: the
+    // duration projection below subtracts the gap as a literal
+    val tmp = Files.createTempDirectory("graft-streamsessions")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    try {
+      val schema = spark.read.parquet(eventsPath).schema
+      val f = new java.io.File(eventsPath)
+      val reader = spark.readStream.schema(schema)
+      val source =
+        if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else reader.parquet(eventsPath)
+      source
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("event_time", lateness)
+        .groupBy(col("user_id"), session_window(col("event_time"), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          (unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start")) -
+            lit(30L * 60 * 1000 * 1000)).as("duration_us"),
+          col("n_events"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+        .awaitTermination()
+      spark.read.parquet(out).localCheckpoint(true)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   /** Streaming dedupe-with-accounting run to completion over a static
     * document file: content fingerprints stream through
     * [[StreamingDedupe.withDuplicateCounts]] (`flatMapGroupsWithState`

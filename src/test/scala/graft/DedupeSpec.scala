@@ -15,6 +15,24 @@ class DedupeSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("lineDedupe flags only the global first occurrence of each line") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "copyright footer\nunique one\ncopyright footer"),
+      (2L, "  copyright footer  \nunique two"),
+      (3L, "\n\n")) // no non-empty lines → absent from output
+      .toDF("id", "text")
+    val out = Dedupe.lineDedupe(df, col("id"), col("text"))
+      .orderBy("id", "line_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "copyright footer", 1), // global first
+      (1L, 1, "unique one", 1),
+      (1L, 2, "copyright footer", 0), // repeat within the same doc
+      (2L, 0, "copyright footer", 0), // trimmed match across docs
+      (2L, 1, "unique two", 1)))
+  }
+
   test("shingles builds n-gram word shingles; short text gives empty array") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("s")

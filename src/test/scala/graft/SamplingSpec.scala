@@ -33,4 +33,18 @@ class SamplingSpec extends SparkSpec {
       .filter(col("b") < 10).collect().map(_.getLong(0)).toSet
     assert(viaPred == viaBucket && viaPred.nonEmpty)
   }
+
+  test("stratumCappedPredicate: small strata keep everything, big strata ~cap") {
+    import spark.implicits._
+    // stratum A: 30 rows (< cap 60, threshold 10000 → keep all);
+    // stratum B: 2000 rows (threshold 300 → expect ~60 kept)
+    val df = ((0L until 30L).map(i => ("A", i)) ++
+      (1000L until 3000L).map(i => ("B", i))).toDF("src", "id")
+    val sizes = df.groupBy("src").count()
+    val kept = df.join(sizes, "src")
+      .filter(Sampling.stratumCappedPredicate(col("id"), col("count"), cap = 60))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("A") == 30L, s"small stratum must be fully kept: $kept")
+    assert(math.abs(kept.getOrElse("B", 0L) - 60L) < 35, s"big stratum far off cap: $kept")
+  }
 }
