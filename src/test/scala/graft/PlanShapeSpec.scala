@@ -116,6 +116,31 @@ class PlanShapeSpec extends SparkSpec {
       "pivot re-scans the input per pivot value")
   }
 
+  test("d06: first-occurrence choice is a PARTIAL min aggregate (map-side combine)") {
+    val p = plan("d06_line_dedupe")
+    // the whole point of the agg-join shape over a row_number window: a
+    // boilerplate line repeated everywhere reduces per map task before the
+    // line-keyed exchange instead of sorting in one task
+    assert(p.contains("partial_min(struct"), s"map-side partial min lost:\n${p.take(2000)}")
+    assert(!p.contains("row_number"), "first-occurrence degraded to a hot-key window sort")
+  }
+
+  test("t11: per-doc top-k terms gets map-side WindowGroupLimit before the shuffle") {
+    val p = plan("t11_tfidf")
+    assert(p.contains("WindowGroupLimit"), s"rank-filter pushdown lost:\n${p.take(2000)}")
+    assert(p.contains("Partial"), "map-side partial top-k lost")
+  }
+
+  test("q35: salted join fans the dim out with explode under the join") {
+    val p = plan("q35_salted_join")
+    // the 0..buckets-1 sequence constant-folds to an array literal, so pin
+    // the Generate node + the composite (key, __salt) join keys instead
+    assert(p.contains("Generate explode("), s"salt fan-out missing:\n${p.take(2000)}")
+    assert(p.contains("__salt"), "join keys lost the salt component")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "salted join degraded to a product join")
+  }
+
   test("r01: anonymization is a narrow projection (no Exchange beyond the input repartition)") {
     val p = plan("r01_anonymize")
     // one round-robin repartition of the single-row-group input is expected;
