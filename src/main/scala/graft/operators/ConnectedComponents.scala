@@ -29,13 +29,19 @@ import org.apache.spark.sql.functions._
   *  - each round `localCheckpoint`s its labels: lineage would otherwise
   *    double per iteration and re-execute the whole history at every
   *    convergence check;
-  *  - convergence check is a `limit(1).count` on changed labels — it stops
-  *    at the first changed row instead of counting all of them.
+  *  - round 0 is FUSED into label initialization — `label(v) = min(v,
+  *    min(neighbors))` is one aggregate over the edge list, replacing a
+  *    distinct + a full propagation round;
+  *  - convergence is detected from the exact decimal SUM of labels:
+  *    labels only ever decrease, so the sum strictly decreases iff any
+  *    label changed. One cheap aggregate action per round doubles as the
+  *    checkpoint materializer — no per-round change-detection join.
   */
 object ConnectedComponents {
 
-  /** @param edges two-column DataFrame of undirected edges (any
-    *              orientation, duplicates fine); column names are taken
+  /** @param edges two-column DataFrame of undirected edges over NUMERIC
+    *              vertex ids (any orientation, duplicates fine; hash
+    *              non-numeric ids first) — column names are taken
     *              positionally
     * @return (id, component) for every vertex that appears in `edges`;
     *         component = min vertex id of the connected component
@@ -49,9 +55,15 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // exact decimal sum — overflow-safe far beyond long ids × row counts
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(false)
+    var cur = sig(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -61,12 +73,10 @@ object ConnectedComponents {
       val next = labels.unionByName(offered)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count() > 0L
+      val nextSig = sig(next)
+      converged = nextSig.compareTo(cur) == 0
+      cur = nextSig
       labels = next
-      converged = !changed
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))

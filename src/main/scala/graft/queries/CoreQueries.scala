@@ -74,6 +74,23 @@ object CoreQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q37 — full outer join (completing the join family next to q04/q05's
+    * anti/semi/left): both sides keep unmatched rows, keys coalesced.
+    * Spark plans a sort-merge full-outer on the key shuffle — the only
+    * correct distributed shape (broadcast cannot preserve the unmatched
+    * build side). */
+  def q37FullOuter(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"))
+    val emb = embeddings(s, d).filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("label"))
+    docs.join(emb, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("key"),
+        coalesce(col("source"), lit("none")).as("source"),
+        coalesce(col("label").cast("long"), lit(-1L)).as("label"))
+      .orderBy(col("key"))
+  }
+
   /** TPC-H money/quantity values fit decimal(9,2) and rates decimal(3,2);
     * narrow precisions keep Spark's Long-backed Decimal fast path (products
     * stay <= precision 18 — no BigDecimal per row; measured 2x on q11) while
@@ -291,11 +308,21 @@ object CoreQueries {
     "q17_union_except" -> q17UnionExcept,
     "q18_array_ops" -> q18ArrayOps,
     "q19_string_kernel" -> q19StringKernel,
-    "q20_json_extract" -> q20JsonExtract)
+    "q20_json_extract" -> q20JsonExtract,
+    "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q37_full_outer" ->
+      """SELECT coalesce(d.doc_id, e.vec_id) AS key,
+                coalesce(d.source, 'none') AS source,
+                coalesce(e.label, -1) AS label
+         FROM (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0) d
+         FULL OUTER JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label
+                          FROM embeddings WHERE vec_id % 2 = 0) e
+           ON d.doc_id = e.vec_id
+         ORDER BY key""",
     "q22_asof_join" ->
       """SELECT l.event_id,
                 coalesce(r.event_id, -1) AS matched_click_id,

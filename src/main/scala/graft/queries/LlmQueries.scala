@@ -117,6 +117,19 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SQ8 scalar-quantized approximate k-NN: 8-bit per-dimension codes
+    * drive the candidate scan (integer dot, exact in doubles), exact
+    * cosine reranks the top-20 candidates ([[Similarity.sq8TopKByCosine]]
+    * — the memory-compression ANN path next to LSH (s02) and IVF (s03)). */
+  def s04AnnSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.sq8TopKByCosine(emb, col("vec_id"), col("embedding"), qs,
+        k = 5, candidateK = 20)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---------------------------------------------------------- text analysis
 
   def t01LangId(s: SparkSession, d: String): DataFrame =
@@ -270,6 +283,7 @@ object LlmQueries {
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
+    "s04_ann_sq8" -> s04AnnSq8,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
@@ -523,6 +537,40 @@ object LlmQueries {
           ORDER BY id_a, id_b""",
     "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql,
+    "s04_ann_sq8" ->
+      s"""WITH base AS (
+            SELECT vec_id AS id, embedding AS v,
+                   CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                   CAST(list_max(embedding) AS DOUBLE) AS vmax
+            FROM embeddings
+          ), q8 AS (
+            SELECT id, v, vmin, (vmax - vmin) / 255.0 AS scale,
+                   CASE WHEN vmax = vmin THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x ->
+                          floor((CAST(x AS DOUBLE) - vmin) * 255.0 / (vmax - vmin)))
+                   END AS code
+            FROM base
+          ), dec AS (
+            SELECT id, v, list_transform(code, q -> vmin + q * scale) AS dv FROM q8
+          ), qs AS (
+            SELECT id AS qid, v AS qv, dv AS qdv FROM dec WHERE id < 3
+          ), cand AS (
+            SELECT b.qid, a.id, a.v, b.qv, ${cosSql("a.dv", "b.qdv")} AS qscore
+            FROM dec a CROSS JOIN qs b WHERE a.id <> b.qid
+          ), top AS (
+            SELECT qid, id, v, qv FROM (
+              SELECT qid, id, v, qv,
+                     row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS crank
+              FROM cand) t
+            WHERE crank <= 20
+          ), scored AS (
+            SELECT qid, id, ${cosSql("v", "qv")} AS score FROM top
+          )
+          SELECT qid, id, score, rank FROM (
+            SELECT qid, id, score,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
+            FROM scored) r
+          WHERE rank <= 5 ORDER BY qid, rank""",
     "s01_ann_brute_force" ->
       s"""WITH q AS (
             SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3

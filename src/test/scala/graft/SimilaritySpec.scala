@@ -58,6 +58,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("SQ8: codes are integers in [0,255]; quantized-scan recall vs brute force >= 0.6") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val codes = Similarity.withSq8Codes(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), "code")
+      .select(explode(col("code")).as("c")).collect().map(_.getDouble(0))
+    assert(codes.forall(c => c >= 0.0 && c <= 255.0 && c == math.floor(c)),
+      "codes must be integers in [0,255]")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopKByCosine(emb, col("vec_id"), col("embedding"),
+      qs, 5, candidateK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    assert(recall >= 0.6, s"SQ8 recall too low: $recall")
+  }
+
   test("IVF lifecycle: offline KMeans build, persisted index, fit-free search, recall >= 0.5") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 3)
