@@ -70,12 +70,50 @@ object LlmQueries {
         (col("n_kept").cast("double") / col("n_lines").cast("double")).as("kept_frac"))
       .orderBy(col("doc_id"))
 
+  /** Line-dedupe with text RECONSTRUCTION: the d06 kept-flags applied —
+    * each document rebuilt from only its globally-first lines, in line
+    * order, and fingerprinted. `array_sort(collect_list(struct(idx,
+    * line)))` makes the rebuild deterministic regardless of collect
+    * order (structs sort by the leading index field). This is the
+    * output-corpus half of the C4 boilerplate pass; d06 is the profile. */
+  def d07LineRebuild(s: SparkSession, d: String): DataFrame =
+    Dedupe.lineDedupe(documents(s, d), col("doc_id"), col("text"))
+      .filter(col("kept") === 1)
+      .groupBy(col("id").as("doc_id"))
+      .agg(md5(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x.getField("line")))).as("rebuilt_fp"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs, blocked by label, sampled ids. */
   def d04EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedupe.embeddingNearDupPairs(
       embeddings(s, d).filter(col("vec_id") % 5 === 0),
       col("vec_id"), col("embedding"), col("label"), minCosine = 0.15)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** End-to-end training-data prep pipeline in ONE declared query —
+    * operator COMPOSITION is the product: exact first-wins dedupe on the
+    * content fingerprint → language + min-length quality gates →
+    * stratum-capped rebalance (cap 40/source over the post-gate counts)
+    * → per-source doc and token totals. Every stage is an operator with
+    * its own green query (q07/t02/t12/t03); this pins that they compose
+    * without semantic drift, mirrored stage-for-stage in the oracle. */
+  def p01Pipeline(s: SparkSession, d: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    val deduped = Dedupe.exactFirstWins(documents(s, d),
+      TextAnalysis.fingerprint(col("text")), col("doc_id"))
+    val gated = deduped.filter(col("lang") === "en" && f("word_count") >= 50)
+    val strata = gated.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    gated.join(broadcast(strata), "source")
+      .filter(graft.operators.Sampling.stratumCappedPredicate(
+        col("doc_id"), col("n_total"), cap = 40))
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("tc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).cast("long").as("total_tokens"))
+      .orderBy(col("source"))
+  }
 
   // ------------------------------------------------------------ similarity
 
@@ -280,6 +318,8 @@ object LlmQueries {
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
     "d06_line_dedupe" -> d06LineDedupe,
+    "d07_line_rebuild" -> d07LineRebuild,
+    "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
@@ -526,6 +566,52 @@ object LlmQueries {
                 CAST(sum(kept) AS BIGINT) AS n_kept,
                 CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS kept_frac
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    "d07_line_rebuild" ->
+      """WITH split AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+         ), lines AS (
+           SELECT doc_id, i.i - 1 AS line_idx, trim(ls[i.i]) AS line
+           FROM split, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) i
+           WHERE length(trim(ls[i.i])) > 0
+         ), flagged AS (
+           SELECT doc_id, line_idx, line,
+                  CASE WHEN row_number() OVER (PARTITION BY line
+                         ORDER BY doc_id, line_idx) = 1
+                       THEN 1 ELSE 0 END AS kept
+           FROM lines
+         )
+         SELECT doc_id,
+                md5(string_agg(line, chr(10) ORDER BY line_idx)) AS rebuilt_fp,
+                count(*) AS n_kept
+         FROM flagged WHERE kept = 1
+         GROUP BY doc_id ORDER BY doc_id""",
+    "p01_pipeline" ->
+      s"""WITH fp AS (
+            SELECT doc_id, source, lang, text,
+                   md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+          ), fw AS (
+            SELECT doc_id, source, lang, text FROM (
+              SELECT doc_id, source, lang, text,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM fp) t
+            WHERE rn = 1
+          ), gated AS (
+            SELECT doc_id, source, text FROM fw
+            WHERE lang = 'en'
+              AND (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE len($wordsSql) END) >= 50
+          ), strata AS (
+            SELECT source, count(*) AS n_total FROM gated GROUP BY source
+          ), sampled AS (
+            SELECT g.source, g.text FROM gated g JOIN strata s ON g.source = s.source
+            WHERE ${md5HashSql("CAST(g.doc_id AS VARCHAR)")} % 10000
+                  < least(10000, (40 * 10000) // s.n_total)
+          )
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) END) AS BIGINT) AS total_tokens
+          FROM sampled GROUP BY source ORDER BY source""",
     "d04_embedding_near_dup" ->
       s"""WITH base AS (
             SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings WHERE vec_id % 5 = 0
