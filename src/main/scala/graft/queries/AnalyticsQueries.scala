@@ -193,6 +193,23 @@ object AnalyticsQueries {
     graft.streaming.StreamParity.finalSessions(s, s"$d/events.parquet")
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Q38 — sliding event-time windows (batch): hour-long windows sliding
+    * every 30 minutes, so each event lands in exactly two windows —
+    * completing the window-family triad next to tumbling (q26) and
+    * session (q33/q36). Spark's `window(col, "1 hour", "30 minutes")`
+    * plans one Expand (×2 rows) + hash aggregate — a single shuffle, the
+    * same shape CUBE uses. Count+min/max only (no double sums — cross-
+    * engine order sensitivity). */
+  def q38SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"), col("min_value"), col("max_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -217,6 +234,7 @@ object AnalyticsQueries {
     "q34_stream_dedupe" -> q34StreamDedupe,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_stream_sessions" -> q36StreamSessions,
+    "q38_sliding_window" -> q38SlidingWindow,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -320,6 +338,20 @@ object AnalyticsQueries {
          SELECT hash, id, CAST(rn = 1 AS INT) AS first_seen,
                 rn - 1 AS dups_so_far
          FROM r ORDER BY hash, id""",
+    "q38_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts)) AS b, event_type, value
+           FROM events
+         ), fanned AS (
+           -- hour windows sliding by 30 min: every event is in exactly the
+           -- windows starting at its 30-min bucket and 30 min before it
+           SELECT u.ws, event_type, value FROM e,
+                  LATERAL (SELECT unnest([b, b - 1800000000]) AS ws) u
+         )
+         SELECT ws AS window_start_us, event_type,
+                count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+         FROM fanned GROUP BY ws, event_type
+         ORDER BY window_start_us, event_type""",
     "q36_stream_sessions" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) AS t FROM events
