@@ -136,7 +136,14 @@ object Bench {
       keep = keep.dropRight(1)
       line = jsonLine(keep)
     }
-    println(line)
+    // stop Spark BEFORE printing: the executor/UI shutdown logs otherwise
+    // race the result line, and the json line must be the process's last
+    // stdout write (build.sbt forks run with StdoutOutput so no "[info] "
+    // prefix is added — rounds 1-5 were recorded parsed:null because the
+    // sbt logger prefix made the line non-JSON).
     spark.stop()
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }

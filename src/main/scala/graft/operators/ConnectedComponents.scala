@@ -55,17 +55,20 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
-    // exact decimal sum — overflow-safe far beyond long ids × row counts
-    def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
+    // exact decimal sum — overflow-safe far beyond long ids × row counts.
+    // Option: sum() over zero rows is NULL; an empty graph must not NPE.
+    def sig(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
     var labels = sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label"))
       .localCheckpoint(false)
     var cur = sig(labels)
     var iter = 0
-    var converged = false
+    // empty graph: sig is None (NULL sum) and there is nothing to
+    // propagate — the (empty) label frame is already the fixpoint
+    var converged = cur.isEmpty
     while (!converged && iter < maxIters) {
       // one hop: each vertex offers its label to every neighbor
       val offered = sym.join(labels, sym("src") === labels("id"))
@@ -74,11 +77,22 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val nextSig = sig(next)
-      converged = nextSig.compareTo(cur) == 0
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = (nextSig, cur) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (a, b)             => a.isEmpty && b.isEmpty
+      }
       cur = nextSig
       labels = next
       iter += 1
     }
+    // a silent truncation would return wrong components with no signal:
+    // a component chain longer than maxIters hops is still mid-propagation
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIters rounds — " +
+          "graph diameter exceeds maxIters; raise it (or switch to the " +
+          "large-star/small-star O(log n) variant for adversarial chains)")
     labels.select(col("id"), col("label").as("component"))
   }
 }

@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
+/** Batch-parity streaming run helpers — see object doc below. */
+private[streaming] object TempDirs {
+  /** Defer recursive deletion to JVM exit. The returned DataFrames are
+    * `localCheckpoint(eager)`-materialized, but localCheckpoint blocks live
+    * in NON-reliable block-manager storage: if one were evicted under
+    * memory pressure, recompute would re-read the backing parquet — so the
+    * backing dir must outlive the DataFrame, i.e. the session. Deleting at
+    * exit instead of eagerly trades a few MB of /tmp for correctness under
+    * pressure. */
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      pending.forEach(rm(_))
+    }))
+  }
+  def deleteOnExit(dir: java.io.File): Unit = { hook; pending.add(dir); () }
+}
+
 /** Batch-parity streaming run: one `Trigger.AvailableNow` pass of the
   * event-time windowed aggregation over a static event log, returning the
   * emitted (watermark-FINAL) windows as a batch DataFrame.
@@ -61,15 +82,10 @@ object StreamParity {
         .format("parquet")
         .start(out)
         .awaitTermination()
-      // materialize off the temp dir (eager localCheckpoint) so the dir can
-      // be deleted before returning instead of leaking per call
+      // eager localCheckpoint materializes the result; the backing dir is
+      // kept until JVM exit (TempDirs) so evicted blocks can recompute
       spark.read.parquet(out).localCheckpoint(true)
-    } finally {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    } finally TempDirs.deleteOnExit(tmp.toFile)
   }
 
   /** Native session windows streamed to completion: `session_window`
@@ -117,12 +133,7 @@ object StreamParity {
         .start(out)
         .awaitTermination()
       spark.read.parquet(out).localCheckpoint(true)
-    } finally {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    } finally TempDirs.deleteOnExit(tmp.toFile)
   }
 
   /** Streaming dedupe-with-accounting run to completion over a static
@@ -162,11 +173,6 @@ object StreamParity {
         .start(out)
         .awaitTermination()
       spark.read.parquet(out).localCheckpoint(true)
-    } finally {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(tmp.toFile)
-    }
+    } finally TempDirs.deleteOnExit(tmp.toFile)
   }
 }

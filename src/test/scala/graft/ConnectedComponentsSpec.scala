@@ -42,6 +42,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("empty edge frame returns an empty component frame (no NPE)") {
+    // a corpus with zero near-dup pairs is the COMMON case — the clustering
+    // step must degrade to "every doc is its own cluster" downstream
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+    assert(got.columns.toSeq == Seq("id", "component"))
+    assert(got.count() == 0L)
+  }
+
+  test("maxIters shorter than the diameter fails loudly instead of returning wrong labels") {
+    val edges = (0L until 19L).map(i => (i + 1, i)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIters = 3)
+    }
+  }
+
   test("long path needs diameter rounds and still converges") {
     // path 0-1-2-...-19: worst case for label propagation
     val edges = (0L until 19L).map(i => (i + 1, i)).toDF("a", "b")
