@@ -23,12 +23,14 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.RefineQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
       graft.queries.RefineQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.MiningQueries.oracle
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected simple graph — the
+  * classic graph-mining statistic (clustering coefficient, community
+  * density, co-occurrence strength). Input is any two-column numeric edge
+  * list; orientation, self-loops and duplicates are normalized away.
+  *
+  * Scale design: the naive three-way self-join enumerates every wedge
+  * around every vertex — a hot vertex of degree d contributes O(d²)
+  * candidates from BOTH endpoints. The standard fix (Suri & Vassilvitskii,
+  * "Counting Triangles and the Curse of the Last Reducer", WWW'11) is
+  * degree orientation: direct each edge from its lower-(degree, id)
+  * endpoint to the higher one. The orientation is acyclic, every triangle
+  * keeps exactly one vertex with two out-edges, and wedges are enumerated
+  * only at that apex — total wedge work drops from Σ deg² to
+  * O(m^{3/2}), which is what lets a skewed 100 TB graph (celebrity
+  * vertices) finish. All steps are hash equi-joins + hash aggregates; the
+  * degree table joins in via broadcast when small, AQE otherwise.
+  */
+object Triangles {
+
+  /** One-row frame: (n_vertices, n_edges, n_triangles) of the normalized
+    * undirected graph. Columns of `edges` are taken positionally. */
+  def stats(edges: DataFrame): DataFrame = {
+    val Seq(c0, c1) = edges.columns.toSeq.take(2)
+    // normalize: undirected (u < v), no self-loops, no duplicate edges;
+    // checkpointed once — reused by degrees, orientation, and the closure
+    // probe (lineage would re-run the upstream pair-generation each time)
+    val e = edges
+      .select(least(col(c0), col(c1)).as("u"), greatest(col(c0), col(c1)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("x").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    // wedges at the apex: unordered {d1, d2} out-neighbor pairs, id-ordered
+    // so the closure probe hits the id-normalized edge set directly
+    val o1 = oriented.select(col("src"), col("dst").as("d1"))
+    val o2 = oriented.select(col("src"), col("dst").as("d2"))
+    val wedges = o1.join(o2, Seq("src")).filter(col("d1") < col("d2"))
+    val closed = wedges.join(e, wedges("d1") === e("u") && wedges("d2") === e("v"))
+    val nVerts = deg.agg(count(lit(1)).as("n_vertices"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    nVerts.crossJoin(nEdges).crossJoin(nTris)
+  }
+}

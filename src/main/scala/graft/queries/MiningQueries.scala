@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables._
+import graft.operators.{GlobalRank, RangeJoin, Triangles}
+
+/** Round-6 mining surface: event-funnel analysis, exact global deciles via
+  * distributed ranking, triangle counting, benchmark decontamination,
+  * deterministic char-diversity quality stats, and centroid-partitioned
+  * semantic dedupe. Same design rules as the rest of the catalog —
+  * deterministic order, exact integer/decimal math, double folds only in
+  * engine-identical evaluation order.
+  */
+object MiningQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q39 — ordered event funnel (view → click → purchase, each step within
+    * 6 h of the previous): the canonical product-analytics sequence query.
+    * "Qualified" clicks have a view by the same user in the preceding
+    * window; qualified purchases have a qualified click. Each step is a
+    * [[RangeJoin]] banded interval join — hash equi-join on (user, band),
+    * two band probes per row, never a per-user cross join — so the chain
+    * survives hot users at 100 TB. Stage per user = deepest step reached. */
+  def q39Funnel(s: SparkSession, d: String): DataFrame = {
+    val L = 6L * 3600 * 1000000 // 6 hours in micros
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("ts DIV 1000").as("t"))
+    val views = ev.filter(col("event_type") === "view").select(col("user_id"), col("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val qc = RangeJoin.aggregateWithin(clicks, views, "user_id", "t", L,
+        Seq("t"), Seq(count(col("r_t")).as("n_prior")))
+      .filter(col("n_prior") > 0).select(col("user_id"), col("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val qp = RangeJoin.aggregateWithin(purchases, qc, "user_id", "t", L,
+        Seq("t"), Seq(count(col("r_t")).as("n_prior")))
+      .filter(col("n_prior") > 0).select(col("user_id")).distinct()
+    ev.select(col("user_id")).distinct()
+      .join(views.select(col("user_id")).distinct().withColumn("s1", lit(1)),
+        Seq("user_id"), "left")
+      .join(qc.select(col("user_id")).distinct().withColumn("s2", lit(1)),
+        Seq("user_id"), "left")
+      .join(qp.withColumn("s3", lit(1)), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("s3") === 1, 3).when(col("s2") === 1, 2)
+          .when(col("s1") === 1, 1).otherwise(0).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Q40 — exact decile profile of order values via [[GlobalRank]]: global
+    * NTILE(10) computed from a distributed range-shuffle rank, NOT a
+    * SinglePartition window (the plan a bare `ntile() OVER (ORDER BY ...)`
+    * would produce — one task sorting everything). Exact decimal sums. */
+  def q40Decile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.count() // metadata-only parquet count
+    val ranked = GlobalRank.withGlobalRank(o, Seq(col("o_totalprice"), col("o_orderkey")))
+    ranked.withColumn("decile", GlobalRank.ntileExpr("global_rank", n, 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("sum_price"))
+      .orderBy(col("decile"))
+  }
+
+  /** G01 — triangle census of the co-purchase graph (parts linked when
+    * they appear in the same order): [[Triangles]] with degree
+    * orientation. The oracle counts the same triangles with the simple
+    * a<b<c triple join — orientation is a physical rewrite that must not
+    * change the count, exactly like q35's salting. */
+  def g01Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    Triangles.stats(edges)
+  }
+
+  /** T13 — benchmark decontamination: flag training documents sharing any
+    * word-trigram shingle with the held-out eval slice (doc_id % 97 = 0 —
+    * the stand-in for a benchmark suite). The eval shingle set is small by
+    * construction (benchmarks are thousands of docs, the corpus is
+    * billions), so it BROADCASTs and the corpus-side scan stays
+    * shuffle-free up to the per-doc aggregate — the GPT-3/Pile n-gram
+    * decontamination shape. Tokenizer identical to d03's (lower, trim,
+    * whitespace split). */
+  def t13Contamination(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"),
+      expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+    val sh = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(0, size(ws) - 3),
+          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .distinct()
+    val evalSet = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val ov = train.join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+    documents(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contamination", when(col("n_shingles") > 0,
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T14 — character-diversity quality stats: distinct chars, top-char
+    * fraction, and Gini impurity (1 - Σ p²) of the per-doc char
+    * distribution — gibberish/boilerplate detectors a quality pipeline
+    * runs next to t02/t09. Everything stays hash-comparable across
+    * engines: counts are exact, ratios are single divisions, and the Gini
+    * sum is folded over CHAR-SORTED counts so Spark and the oracle add the
+    * same doubles in the same order (an unordered SUM of doubles is
+    * engine-order-dependent — the q26 landmine). */
+  def t14CharStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN char_length(text) > 0
+          |  THEN transform(sequence(1, char_length(text)), i -> substring(text, i, 1))
+          |  ELSE array() END""".stripMargin)).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cs"),
+        sum(col("cnt")).as("n"))
+      .select(col("doc_id"),
+        col("n").as("n_chars"),
+        size(col("cs")).cast("long").as("distinct_chars"),
+        expr("round(CAST(array_max(transform(cs, x -> x.cnt)) AS DOUBLE) / CAST(n AS DOUBLE), 9)")
+          .as("top_frac"),
+        expr("""round(1.0D - aggregate(cs, CAST(0.0 AS DOUBLE),
+               |  (acc, x) -> acc + (CAST(x.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+               |                  * (CAST(x.cnt AS DOUBLE) / CAST(n AS DOUBLE))), 9)""".stripMargin)
+          .as("char_gini"))
+      .orderBy(col("doc_id"))
+
+  /** D08 — SemDeDup-style semantic dedupe: assign every embedding to its
+    * max-cosine centroid (8 fixed seed vectors — stand-in for a persisted
+    * k-means codebook, the s03 lifecycle), then flag as duplicate any
+    * vector with a LOWER-id neighbor in the SAME cluster at cosine ≥ 0.25.
+    * The cluster partition bounds the pairwise work: O(Σ cluster²)
+    * instead of O(corpus²) — the published SemDeDup recipe. Assignment is
+    * one broadcast cross join + a map-side-partial hash agg (max over
+    * (cos, -centroid) structs = argmax with min-id tiebreak), NOT a
+    * window sort. */
+  def d08SemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val emb = embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cents = emb.filter(col("id") < 8).select(col("id").as("cid"), col("v").as("cv"))
+    val asg = emb.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
+        cosineSimilarity(col("v"), col("cv")).as("cos"))
+      .groupBy(col("id"), col("v"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), col("v"), (-col("m.nc")).as("cluster"))
+    val a = asg.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = asg.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineSimilarity(col("va"), col("vb")) >= 0.25)
+      .select(col("id_b").as("id")).distinct()
+    asg.select(col("id"), col("cluster"))
+      .join(dups.withColumn("dupflag", lit(1)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        coalesce(col("dupflag"), lit(0)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q39_funnel" -> q39Funnel,
+    "q40_decile" -> q40Decile,
+    "g01_triangles" -> g01Triangles,
+    "t13_contamination" -> t13Contamination,
+    "t14_char_stats" -> t14CharStats,
+    "d08_semdedup" -> d08SemDedup)
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Same double-fold macros as the d04/s0x oracles: element-order dot and
+    * norms so DuckDB adds the exact doubles Spark's codegen kernel adds. */
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
+
+  val oracle: Map[String, String] = Map(
+    "q39_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+         ), v AS (
+           SELECT user_id, t FROM e WHERE event_type = 'view'
+         ), qc AS (
+           SELECT DISTINCT c.user_id, c.t
+           FROM (SELECT user_id, t FROM e WHERE event_type = 'click') c
+           WHERE EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                           AND v.t >= c.t - 21600000000 AND v.t < c.t)
+         ), qp AS (
+           SELECT DISTINCT p.user_id
+           FROM (SELECT user_id, t FROM e WHERE event_type = 'purchase') p
+           WHERE EXISTS (SELECT 1 FROM qc WHERE qc.user_id = p.user_id
+                           AND qc.t >= p.t - 21600000000 AND qc.t < p.t)
+         ), u AS (SELECT DISTINCT user_id FROM e)
+         SELECT u.user_id,
+                CASE WHEN u.user_id IN (SELECT user_id FROM qp) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM qc) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+                     ELSE 0 END AS funnel_stage
+         FROM u ORDER BY u.user_id""",
+    "q40_decile" ->
+      """WITH rk AS (
+           SELECT o_totalprice,
+                  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+           FROM orders
+         )
+         SELECT decile, count(*) AS n_orders,
+                min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM rk GROUP BY decile ORDER BY decile""",
+    "g01_triangles" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         ), verts AS (
+           SELECT count(DISTINCT x) AS n_vertices
+           FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+         ), ecnt AS (SELECT count(*) AS n_edges FROM e
+         ), tri AS (
+           SELECT count(*) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+         )
+         SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+                CAST(n_edges AS BIGINT) AS n_edges,
+                CAST(n_triangles AS BIGINT) AS n_triangles
+         FROM verts, ecnt, tri""",
+    "t13_contamination" ->
+      """WITH tokd AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> length(w) > 0) AS ws
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS g
+           FROM tokd, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) i
+         ), ev AS (
+           SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+         ), ov AS (
+           SELECT s.doc_id, count(*) AS n, count(e.g) AS o
+           FROM sh s LEFT JOIN ev e ON s.g = e.g
+           WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(o.n, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(o.o, 0) AS BIGINT) AS n_overlap,
+                CASE WHEN coalesce(o.n, 0) > 0
+                     THEN CAST(o.o AS DOUBLE) / CAST(o.n AS DOUBLE)
+                     ELSE 0.0 END AS contamination,
+                CAST(coalesce(o.o, 0) > 0 AS INT) AS contaminated
+         FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    "t14_char_stats" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE length(text) > 0
+         ), cnts AS (
+           SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+         ), per AS (
+           SELECT doc_id,
+                  list(CAST(cnt AS DOUBLE) ORDER BY c) AS cl,
+                  CAST(sum(cnt) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS dc,
+                  CAST(max(cnt) AS BIGINT) AS mx
+           FROM cnts GROUP BY doc_id
+         )
+         SELECT doc_id, n AS n_chars, dc AS distinct_chars,
+                round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS top_frac,
+                round(1.0 - list_reduce(list_transform(cl, x -> (x / n) * (x / n)),
+                                        (a, b) -> a + b), 9) AS char_gini
+         FROM per ORDER BY doc_id""",
+    "d08_semdedup" ->
+      s"""WITH e AS (
+            SELECT vec_id AS id, embedding AS v FROM embeddings
+          ), c AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+          ), sc AS (
+            SELECT e.id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS cos FROM e, c
+          ), asg AS (
+            SELECT id, v, cid AS cluster FROM (
+              SELECT id, v, cid,
+                     row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+              FROM sc) WHERE rn = 1
+          ), dup AS (
+            SELECT DISTINCT b.id FROM asg a JOIN asg b
+              ON a.cluster = b.cluster AND a.id < b.id
+            WHERE ${cosSql("a.v", "b.v")} >= 0.25
+          )
+          SELECT a.id AS vec_id, a.cluster,
+                 CAST(d.id IS NOT NULL AS INT) AS is_dup
+          FROM asg a LEFT JOIN dup d ON d.id = a.id ORDER BY vec_id""")
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+
+/** Distributed global rank pinned against the single-partition window
+  * formulation it replaces, and the ntile closed form against Spark's own
+  * ntile — including non-divisible row counts. */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank equals the SinglePartition row_number on a random frame") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(997)((rnd.nextInt(100000), rnd.nextLong()))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = rows.toDF("id", "k1", "k2")
+    val got = GlobalRank.withGlobalRank(df, Seq(col("k1"), col("id")))
+      .select(col("id"), col("global_rank"))
+    val expected = df
+      .withColumn("global_rank",
+        row_number().over(Window.orderBy(col("k1"), col("id"))).cast("long"))
+      .select(col("id"), col("global_rank"))
+    assert(got.as[(Long, Long)].collect().toMap ==
+      expected.as[(Long, Long)].collect().toMap)
+  }
+
+  test("rank is dense 1..n and deterministic across invocations") {
+    val df = (0L until 500L).map(i => (i, (i * 7919) % 501)).toDF("id", "k")
+    val a = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")))
+      .select(col("id"), col("global_rank")).as[(Long, Long)].collect().toMap
+    val b = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")))
+      .select(col("id"), col("global_rank")).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (1L to 500L))
+  }
+
+  test("ntileExpr matches Spark's ntile, divisible and non-divisible n") {
+    for (n <- Seq(100, 97, 7, 10, 11)) {
+      val df = (1 to n).map(_.toLong).toDF("r")
+      val got = df.withColumn("b", GlobalRank.ntileExpr("r", n, 10))
+        .select(col("r"), col("b")).as[(Long, Int)].collect().toMap
+      val expected = df
+        .withColumn("b", ntile(10).over(Window.orderBy(col("r"))))
+        .select(col("r"), col("b")).as[(Long, Int)].collect().toMap
+      assert(got == expected, s"n=$n")
+    }
+  }
+
+  test("empty input yields empty output without failing") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "k")
+    assert(GlobalRank.withGlobalRank(df, Seq(col("k"), col("id"))).count() == 0L)
+  }
+}
