@@ -266,4 +266,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // -------------------------------------------------------------------- PQ
+  //
+  // Product quantization (the FAISS IndexPQ shape): the d-dim vector is
+  // split into m subspaces of d/m dims and each subvector is replaced by
+  // the id of its nearest codebook centroid — m small codes instead of d
+  // floats (32× smaller at d=64, m=8, 16 centroids). At 100 TB the codes
+  // table is the resident scan set; candidates are ranked on the
+  // RECONSTRUCTED vectors (per-subspace centroids stitched back in order —
+  // the asymmetric-distance scan), and only ~candidateK rows per query
+  // touch full precision for the exact rerank. The codebook is a
+  // caller-supplied artifact — the persisted-index lifecycle (offline
+  // training), same split as IVF's build/search; nothing trains at query
+  // time.
+
+  /** @param codebook (cid, cv) centroid frame — must be small (broadcast)
+    * @param m        number of subspaces; must divide the vector dim */
+  def pqTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
+      codebook: DataFrame, queries: DataFrame, m: Int, k: Int,
+      candidateK: Int = 20): DataFrame = {
+    val base = corpus.select(id.as("id"), vec.as("v"))
+    val cb = codebook
+      .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("cs", expr(s"slice(cv, j * (size(cv) DIV $m) + 1, size(cv) DIV $m)"))
+      .select(col("j"), col("cid"), col("cs"))
+    val sub = base
+      .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("vs", expr(s"slice(v, j * (size(v) DIV $m) + 1, size(v) DIV $m)"))
+      .select(col("id"), col("j"), col("vs"))
+    // encode: nearest centroid per (vector, subspace) — argmin as one
+    // partial-aggregable struct-max (min dist, then min cid), not a window;
+    // the winning centroid subvector rides along for the decode
+    val codes = sub.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2Distance(col("vs"), col("cs")))
+      .groupBy(col("id"), col("j"))
+      .agg(max(struct((-col("dist")).as("nd"), (-col("cid")).as("nc"), col("cs"))).as("mx"))
+      .select(col("id"), col("j"), col("mx.cs").as("cs"))
+    val decoded = codes.groupBy(col("id"))
+      .agg(collect_list(struct(col("j"), col("cs"))).as("parts"))
+      .select(col("id"), expr("flatten(transform(array_sort(parts), x -> x.cs))").as("dv"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    decoded.crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), col("qv"),
+        cosineSimilarity(col("dv"), col("qv")).as("qscore"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidateK)
+      .join(base, Seq("id"))
+      .select(col("qid"), col("id"),
+        cosineSimilarity(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

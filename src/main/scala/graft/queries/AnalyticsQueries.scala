@@ -210,6 +210,30 @@ object AnalyticsQueries {
         col("event_type"), col("cnt"), col("min_value"), col("max_value"))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** Q41 — value-RANGE window frame: per event, count/min/max of the same
+    * user's events in the preceding hour, expressed as
+    * `rangeBetween(-1h, -1µs)` over the integral event time — the
+    * value-based frame variant next to q16's ROWS frames (peers at equal
+    * timestamps enter the frame together; both engines define RANGE on the
+    * ORDER BY value, so the results are engine-exact). Same one
+    * key-shuffle + sort plan as every window query; the running frame
+    * never materializes per-row candidate lists, which is what makes it
+    * preferable to a self-join at 100 TB. */
+  def q41RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-hourUs, -1)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t"), col("value"))
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .withColumn("min_prev_value", min(col("value")).over(w))
+      .withColumn("max_prev_value", max(col("value")).over(w))
+      .select(col("event_id"), col("n_prev_hour"),
+        coalesce(col("min_prev_value"), lit(-1.0)).as("min_prev_value"),
+        coalesce(col("max_prev_value"), lit(-1.0)).as("max_prev_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -235,6 +259,7 @@ object AnalyticsQueries {
     "q35_salted_join" -> q35SaltedJoin,
     "q36_stream_sessions" -> q36StreamSessions,
     "q38_sliding_window" -> q38SlidingWindow,
+    "q41_range_frame" -> q41RangeFrame,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +411,18 @@ object AnalyticsQueries {
                 CAST(sum(CASE WHEN e.ts > d.first_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_after_first
          FROM events e JOIN dim d ON e.user_id = d.user_id
          GROUP BY e.event_type ORDER BY e.event_type""",
+    "q41_range_frame" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+         )
+         SELECT event_id,
+                count(*) OVER w AS n_prev_hour,
+                coalesce(min(value) OVER w, -1.0) AS min_prev_value,
+                coalesce(max(value) OVER w, -1.0) AS max_prev_value
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY t
+                      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+         ORDER BY event_id""",
     "m02_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents

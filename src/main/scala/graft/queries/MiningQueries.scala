@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
-import graft.operators.{GlobalRank, RangeJoin, Triangles}
+import graft.operators.{GlobalRank, RangeJoin, Similarity, Triangles}
 
 /** Round-6 mining surface: event-funnel analysis, exact global deciles via
   * distributed ranking, triangle counting, benchmark decontamination,
@@ -176,7 +176,24 @@ object MiningQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** S05 — product-quantization ANN ([[Similarity.pqTopKByCosine]]):
+    * 8 subspaces × 16-centroid codebook (fixed seed vectors — the
+    * persisted-artifact lifecycle, nothing trains at query time), ADC
+    * candidate scan over reconstructed vectors, exact rerank of the top
+    * 20. Completes the quantized-index family next to s04's SQ8. */
+  def s05AnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.pqTopKByCosine(emb, col("vec_id"), col("embedding"),
+        codebook, qs, m = 8, k = 5, candidateK = 20)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s05_ann_pq" -> s05AnnPq,
     "q39_funnel" -> q39Funnel,
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
@@ -193,7 +210,49 @@ object MiningQueries {
   private def cosSql(a: String, b: String) =
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
+  private def l2Sql(a: String, b: String) =
+    s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
+
   val oracle: Map[String, String] = Map(
+    "s05_ann_pq" ->
+      s"""WITH cbv AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+          ), subidx AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS j
+          ), cb AS (
+            SELECT s.j, cid, list_slice(cv, s.j * 8 + 1, s.j * 8 + 8) AS cs
+            FROM cbv, subidx s
+          ), sub AS (
+            SELECT vec_id AS id, s.j, list_slice(embedding, s.j * 8 + 1, s.j * 8 + 8) AS vs
+            FROM embeddings, subidx s
+          ), scored AS (
+            SELECT s.id, s.j, c.cid, c.cs, ${l2Sql("s.vs", "c.cs")} AS dist
+            FROM sub s JOIN cb c ON c.j = s.j
+          ), codes AS (
+            SELECT id, j, cs FROM (
+              SELECT id, j, cs,
+                     row_number() OVER (PARTITION BY id, j ORDER BY dist, cid) AS rn
+              FROM scored) t WHERE rn = 1
+          ), dec AS (
+            SELECT id, flatten(list(cs ORDER BY j)) AS dv FROM codes GROUP BY id
+          ), qs AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+          ), cand AS (
+            SELECT b.qid, a.id, ${cosSql("a.dv", "b.qv")} AS qscore
+            FROM dec a CROSS JOIN qs b WHERE a.id <> b.qid
+          ), top AS (
+            SELECT qid, id FROM (
+              SELECT qid, id,
+                     row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS crank
+              FROM cand) t WHERE crank <= 20
+          ), rescored AS (
+            SELECT t.qid, t.id, ${cosSql("e.embedding", "q.qv")} AS score
+            FROM top t JOIN embeddings e ON e.vec_id = t.id JOIN qs q ON q.qid = t.qid
+          )
+          SELECT qid, id, score, rank FROM (
+            SELECT qid, id, score,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
+            FROM rescored) r
+          WHERE rank <= 5 ORDER BY qid, rank""",
     "q39_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(ts) AS t FROM events

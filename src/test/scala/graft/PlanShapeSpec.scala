@@ -148,4 +148,30 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(2000)}")
   }
+
+  test("q40: global decile has no window operator at all — rank comes from the range shuffle") {
+    val p = plan("q40_decile")
+    assert(!p.contains("Window"),
+      s"global rank degraded to a window (one-task sort at scale):\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"), s"range shuffle missing:\n${p.take(2000)}")
+  }
+
+  test("t13: eval shingle set joins via broadcast — corpus side never shuffles for it") {
+    val p = plan("t13_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval-set broadcast lost:\n${p.take(2000)}")
+  }
+
+  test("d08: centroid argmax is a partial hash agg, not a window sort") {
+    val p = plan("d08_semdedup")
+    assert(p.contains("partial_max"), s"map-side argmax combine lost:\n${p.take(2000)}")
+    assert(!p.contains("row_number"), "assignment degraded to a window sort")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids should broadcast")
+  }
+
+  test("q41: range frame is one key shuffle + window, no self-join") {
+    val p = plan("q41_range_frame")
+    assert(!p.contains("Join"), s"range frame degraded to a join:\n${p.take(2000)}")
+    assert(p.contains("Window"), "window operator missing")
+  }
 }

@@ -76,6 +76,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"SQ8 recall too low: $recall")
   }
 
+  test("PQ: decoded vectors have full dim; ADC-scan recall vs brute force >= 0.5") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopKByCosine(emb, col("vec_id"), col("embedding"),
+      codebook, qs, m = 8, k = 5, candidateK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 random seed centroids on near-random vectors is a coarse codebook;
+    // the exact rerank of a generous candidate set is what restores quality
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
+
   test("IVF lifecycle: offline KMeans build, persisted index, fit-free search, recall >= 0.5") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 3)
