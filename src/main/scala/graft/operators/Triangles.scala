@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** One-row frame: (n_vertices, n_edges, n_triangles) of the normalized
-    * undirected graph. Columns of `edges` are taken positionally. */
-  def stats(edges: DataFrame): DataFrame = {
+  /** Normalized edges, degree table, and closed wedges (one row per
+    * triangle, as (src, d1, d2) with d1 < d2). Shared by [[stats]] and
+    * [[perVertex]]. */
+  private def core(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val Seq(c0, c1) = edges.columns.toSeq.take(2)
     // normalize: undirected (u < v), no self-loops, no duplicate edges;
     // checkpointed once — reused by degrees, orientation, and the closure
@@ -48,9 +49,38 @@ object Triangles {
     val o2 = oriented.select(col("src"), col("dst").as("d2"))
     val wedges = o1.join(o2, Seq("src")).filter(col("d1") < col("d2"))
     val closed = wedges.join(e, wedges("d1") === e("u") && wedges("d2") === e("v"))
+      .select(col("src"), col("d1"), col("d2"))
+    (e, deg, closed)
+  }
+
+  /** One-row frame: (n_vertices, n_edges, n_triangles) of the normalized
+    * undirected graph. Columns of `edges` are taken positionally. */
+  def stats(edges: DataFrame): DataFrame = {
+    val (e, deg, closed) = core(edges)
     val nVerts = deg.agg(count(lit(1)).as("n_vertices"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nTris = closed.agg(count(lit(1)).as("n_triangles"))
     nVerts.crossJoin(nEdges).crossJoin(nTris)
+  }
+
+  /** Per-vertex triangle participation and local clustering coefficient —
+    * (vertex, degree, n_triangles, clustering_coeff) for every vertex,
+    * coeff = 2·T(v) / (deg·(deg-1)), 0.0 for degree < 2. Each closed
+    * wedge is one triangle touching its three corners, so per-vertex
+    * counts are one explode + hash agg over the triangle list — exact
+    * integers until the single final division. */
+  def perVertex(edges: DataFrame): DataFrame = {
+    val (_, deg, closed) = core(edges)
+    val tv = closed
+      .select(explode(array(col("src"), col("d1"), col("d2"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("nt"))
+    deg.join(tv, Seq("x"), "left")
+      .select(col("x").as("vertex"), col("deg").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (lit(2.0) * col("n_triangles")) /
+            (col("degree").cast("double") * (col("degree").cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)))
   }
 }

@@ -234,6 +234,17 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q42 — stream-STATIC join parity ([[graft.streaming.StreamParity.staticJoinWindowCounts]]):
+    * the event stream enriched against a batch dimension (per-user first
+    * event time) before the watermarked windowed aggregation, AvailableNow
+    * append — pinned equal to the batch join+agg restricted to
+    * watermark-final windows. Completes the streaming family: plain agg
+    * (q26), custom state (q34), session windows (q36), stream-static join
+    * (q42). */
+  def q42StreamStaticJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.staticJoinWindowCounts(s, s"$d/events.parquet")
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** M2 — multimodal frame sampling: every 7th frame index of each
     * payload's (stub-)decoded frame count, exploded one row per sampled
     * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
@@ -260,6 +271,7 @@ object AnalyticsQueries {
     "q36_stream_sessions" -> q36StreamSessions,
     "q38_sliding_window" -> q38SlidingWindow,
     "q41_range_frame" -> q41RangeFrame,
+    "q42_stream_static_join" -> q42StreamStaticJoin,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
@@ -423,6 +435,24 @@ object AnalyticsQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY t
                       RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
          ORDER BY event_id""",
+    "q42_stream_static_join" ->
+      """WITH dim AS (
+           SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+         ), j AS (
+           SELECT e.ts, e.event_type, d.first_ts
+           FROM events e JOIN dim d ON e.user_id = d.user_id
+         ), wm AS (
+           SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+         ), agg AS (
+           SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+                  count(*) AS cnt,
+                  CAST(sum(CASE WHEN ts > first_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_after_first
+           FROM j GROUP BY 1, 2
+         )
+         SELECT epoch_us(ws) AS window_start_us, event_type, cnt, n_after_first
+         FROM agg, wm
+         WHERE ws + INTERVAL 1 HOUR <= wm.w
+         ORDER BY window_start_us, event_type""",
     "m02_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents

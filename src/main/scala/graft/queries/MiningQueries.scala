@@ -176,6 +176,20 @@ object MiningQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** G02 — per-vertex local clustering coefficient over the co-purchase
+    * graph ([[Triangles.perVertex]]): triangle participation counts from
+    * the same degree-oriented wedge enumeration as g01 (one explode + hash
+    * agg over closed wedges), exact integers until the single final
+    * division — so the hash check is engine-exact. */
+  def g02ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    Triangles.perVertex(edges).orderBy(col("vertex"))
+  }
+
   /** S05 — product-quantization ANN ([[Similarity.pqTopKByCosine]]):
     * 8 subspaces × 16-centroid codebook (fixed seed vectors — the
     * persisted-artifact lifecycle, nothing trains at query time), ADC
@@ -193,6 +207,7 @@ object MiningQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "g02_clustering_coeff" -> g02ClusteringCoeff,
     "s05_ann_pq" -> s05AnnPq,
     "q39_funnel" -> q39Funnel,
     "q40_decile" -> q40Decile,
@@ -285,6 +300,34 @@ object MiningQueries {
                 min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM rk GROUP BY decile ORDER BY decile""",
+    "g02_clustering_coeff" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         ), deg AS (
+           SELECT x, count(*) AS deg
+           FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+           GROUP BY x
+         ), tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+         ), tv AS (
+           SELECT x, count(*) AS nt
+           FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+                 UNION ALL SELECT c AS x FROM tri)
+           GROUP BY x
+         )
+         SELECT d.x AS vertex, CAST(d.deg AS BIGINT) AS degree,
+                CAST(coalesce(tv.nt, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN d.deg >= 2
+                     THEN (2.0 * CAST(coalesce(tv.nt, 0) AS DOUBLE))
+                          / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+                     ELSE 0.0 END AS clustering_coeff
+         FROM deg d LEFT JOIN tv ON tv.x = d.x
+         ORDER BY vertex""",
     "g01_triangles" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -136,6 +136,53 @@ object StreamParity {
     } finally TempDirs.deleteOnExit(tmp.toFile)
   }
 
+  /** Stream-STATIC join parity: the streaming event source equi-joined to
+    * a batch-computed dimension (per-user first event time) BEFORE the
+    * watermark windowed aggregation, run to completion with
+    * `Trigger.AvailableNow` in append mode. This is the third streaming
+    * join/agg class next to q26's plain agg and q34's custom state: the
+    * static side is re-read per microbatch by the engine (here it is
+    * deterministic), the watermark column originates on the stream side
+    * and propagates through the join, and finality works exactly as in
+    * [[finalWindowCounts]] — emitted set = batch windows whose end
+    * precedes the final watermark.
+    *
+    * Scale: stream-static joins are how a 100 TB/day event stream enriches
+    * against slowly-changing dimensions without stream-stream state; the
+    * dim side broadcasts when small and the stream never buffers. */
+  def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-streamstatic")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    try {
+      val schema = spark.read.parquet(eventsPath).schema
+      val f = new java.io.File(eventsPath)
+      val reader = spark.readStream.schema(schema)
+      val source =
+        if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else reader.parquet(eventsPath)
+      val dim = spark.read.parquet(eventsPath)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      source
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("event_time", "30 minutes")
+        .join(dim, Seq("user_id"))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("ts") > col("first_ts"), 1L).otherwise(0L)).as("n_after_first"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("cnt"), col("n_after_first"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+        .awaitTermination()
+      spark.read.parquet(out).localCheckpoint(true)
+    } finally TempDirs.deleteOnExit(tmp.toFile)
+  }
+
   /** Streaming dedupe-with-accounting run to completion over a static
     * document file: content fingerprints stream through
     * [[StreamingDedupe.withDuplicateCounts]] (`flatMapGroupsWithState`

@@ -36,6 +36,28 @@ class TrianglesSpec extends SparkSpec {
     assert(stats(g) == (4L, 5L, 2L))
   }
 
+  test("perVertex: triangle counts and coefficients on a known graph") {
+    // triangle {1,2,3} + pendant 4 on vertex 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+    val got = Triangles.perVertex(g.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 2.0 / 6.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("perVertex totals are consistent with stats (each triangle counted thrice)") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val total = stats(edges)._3
+    val perV = Triangles.perVertex(edges.toDF("a", "b"))
+      .collect().map(_.getLong(2)).sum
+    assert(perV == 3 * total)
+  }
+
   test("random graphs match driver-side brute force (incl. skewed hub)") {
     val rnd = new scala.util.Random(13)
     (0 until 3).foreach { trial =>
