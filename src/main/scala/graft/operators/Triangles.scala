@@ -37,6 +37,9 @@ object Triangles {
       .localCheckpoint(false)
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      // referenced by both endpoint joins (and the vertex count) — without
+      // the checkpoint each reference re-runs the degree aggregation
+      .localCheckpoint(false)
     val du = deg.select(col("x").as("u"), col("deg").as("du"))
     val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
