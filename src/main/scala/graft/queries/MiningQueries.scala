@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
-import graft.operators.{GlobalRank, RangeJoin, Similarity, Triangles}
+import graft.operators.{Dedupe, GlobalRank, RangeJoin, Similarity, Triangles}
 
 /** Round-6 mining surface: event-funnel analysis, exact global deciles via
   * distributed ranking, triangle counting, benchmark decontamination,
@@ -206,7 +206,40 @@ object MiningQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** D09 — sketch-accuracy audit: every MinHash-banded candidate pair
+    * (minAgree = 0 — the raw LSH recall set) carries both its signature
+    * ESTIMATE (agreeing lanes / 16) and the EXACT trigram-shingle Jaccard,
+    * plus the absolute error. This is the measurement a pipeline owner
+    * runs before trusting a sketch threshold at 100 TB. The exact side is
+    * computed ONLY for candidate pairs (join through the candidate list,
+    * never all-pairs), so the sketch itself bounds the audit's cost. */
+  def d09SketchAccuracy(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cands = Dedupe.minhashLshPairs(docs, col("doc_id"), col("text"),
+      minAgree = 0.0)
+    val sh = docs.select(col("doc_id"),
+      explode(Dedupe.shingles(col("text"), 3)).as("g")).distinct()
+      .localCheckpoint(false) // both join sides below re-read it
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cands.select(col("id_a"), col("id_b"), col("agree").as("est_jaccard"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).as("uni"))
+      .withColumn("exact_jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d09_sketch_accuracy" -> d09SketchAccuracy,
     "g02_clustering_coeff" -> g02ClusteringCoeff,
     "s05_ann_pq" -> s05AnnPq,
     "q39_funnel" -> q39Funnel,
@@ -225,10 +258,72 @@ object MiningQueries {
   private def cosSql(a: String, b: String) =
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
+  /** d09 oracle: the same 16-lane (a,b) hash family as
+    * `Dedupe.hashFamily(16)` (shared seed), banded candidates WITHOUT the
+    * agree filter, then exact trigram-shingle Jaccard for just those
+    * pairs — mirroring the Spark plan's candidate-restricted exact join. */
+  private val d09Sql: String = {
+    val P = 2147483647L
+    val fam = Dedupe.hashFamily(16)
+    val md5 = (v: String) => s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
+    val shingle =
+      s"""list_transform(generate_series(1, len(w) - 2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""
+    val base = s"list_transform($shingle, sh -> ${md5("sh")} % $P)"
+    val sigEntries = fam.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""WITH w0 AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        ), hh AS (
+          SELECT doc_id, $base AS h
+          FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
+        ), sig AS (
+          SELECT doc_id, $sigEntries AS sig FROM hh
+        ), banded AS (
+          SELECT doc_id, sig, b.band_idx,
+                 array_to_string(sig[band_idx * 4 + 1 : band_idx * 4 + 4], ':') AS band_key
+          FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS band_idx) b
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), est AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS est_jaccard
+          FROM pairs
+        ), shing AS (
+          SELECT doc_id, unnest(list_distinct($shingle)) AS g
+          FROM w0 WHERE len(w) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id
+        ), inter AS (
+          SELECT e.id_a, e.id_b, count(*) AS inter
+          FROM est e
+          JOIN shing a ON a.doc_id = e.id_a
+          JOIN shing b ON b.doc_id = e.id_b AND b.g = a.g
+          GROUP BY e.id_a, e.id_b
+        )
+        SELECT e.id_a, e.id_b, e.est_jaccard,
+               CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+               CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS BIGINT) AS uni,
+               CAST(coalesce(i.inter, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE) AS exact_jaccard,
+               abs(e.est_jaccard - CAST(coalesce(i.inter, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE)) AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN sizes sb ON sb.doc_id = e.id_b
+        ORDER BY e.id_a, e.id_b"""
+  }
+
   private def l2Sql(a: String, b: String) =
     s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "d09_sketch_accuracy" -> d09Sql,
     "s05_ann_pq" ->
       s"""WITH cbv AS (
             SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
