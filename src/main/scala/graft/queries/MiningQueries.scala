@@ -206,6 +206,33 @@ object MiningQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Q43 — bucketed co-located join: both sides written through the
+    * catalog bucketed (and sorted) on the join key
+    * ([[graft.sources.Sinks.writeBucketed]], 8 buckets), then sort-merge
+    * joined with ZERO exchange on either input — the physical plan reads
+    * pre-bucketed files straight into the join (pinned in PlanShapeSpec:
+    * SelectedBucketsCount on both scans, no shuffle below the join). This
+    * is the 100 TB fact-to-fact join answer: pay the shuffle ONCE at write
+    * time, then every subsequent join on the bucket key is co-located.
+    * The oracle is the plain join — bucketing is a physical layout choice
+    * that must never change results (same contract as q35's salting). */
+  def q43BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Sinks
+    Sinks.writeBucketed(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+      "graft_b_lineitem", "l_orderkey", nBuckets = 8, sortCol = Some("l_orderkey"))
+    Sinks.writeBucketed(
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey", nBuckets = 8, sortCol = Some("o_orderkey"))
+    val li = s.table("graft_b_lineitem")
+    val o = s.table("graft_b_orders")
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(9, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** D09 — sketch-accuracy audit: every MinHash-banded candidate pair
     * (minAgree = 0 — the raw LSH recall set) carries both its signature
     * ESTIMATE (agreeing lanes / 16) and the EXACT trigram-shingle Jaccard,
@@ -239,6 +266,7 @@ object MiningQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q43_bucketed_join" -> q43BucketedJoin,
     "d09_sketch_accuracy" -> d09SketchAccuracy,
     "g02_clustering_coeff" -> g02ClusteringCoeff,
     "s05_ann_pq" -> s05AnnPq,
@@ -323,6 +351,11 @@ object MiningQueries {
     s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "q43_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "d09_sketch_accuracy" -> d09Sql,
     "s05_ann_pq" ->
       s"""WITH cbv AS (

@@ -24,9 +24,24 @@ object Sinks {
     df.write.mode(mode).partitionBy(byCols: _*).parquet(path)
 
   /** Bucketed write goes through the table catalog (bucket metadata lives
-    * there); `name` lands in the session's warehouse dir. */
+    * there); `name` lands in the session's warehouse dir.
+    *
+    * The in-memory catalog forgets tables across JVMs but their warehouse
+    * directories persist, and `saveAsTable` refuses to reuse an orphaned
+    * location (LOCATION_ALREADY_EXISTS) — so drop the table AND clear any
+    * stale location before writing. */
   def writeBucketed(df: DataFrame, name: String, byCol: String,
       nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new java.io.File(
+      if (warehouse.startsWith("file:")) new java.net.URI(warehouse).getPath
+      else warehouse, name)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, byCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(name)

@@ -169,6 +169,17 @@ class PlanShapeSpec extends SparkSpec {
       "centroids should broadcast")
   }
 
+  test("q43: bucketed join reads co-located buckets — no exchange below the join") {
+    val p = plan("q43_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(2000)}")
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+      s"bucketed scan lost:\n${p.take(2000)}")
+    // the ONLY exchanges are the post-join aggregate + final order — the
+    // join itself must consume the bucketed layout directly
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"join re-shuffled bucketed inputs ($exchanges):\n${p.take(3000)}")
+  }
+
   test("q41: range frame is one key shuffle + window, no self-join") {
     val p = plan("q41_range_frame")
     assert(!p.contains("Join"), s"range frame degraded to a join:\n${p.take(2000)}")
