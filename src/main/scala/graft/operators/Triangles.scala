@@ -8,28 +8,37 @@ import org.apache.spark.sql.functions._
   * density, co-occurrence strength). Input is any two-column numeric edge
   * list; orientation, self-loops and duplicates are normalized away.
   *
-  * Scale design: the naive three-way self-join enumerates every wedge
-  * around every vertex — a hot vertex of degree d contributes O(d²)
-  * candidates from BOTH endpoints. The standard fix (Suri & Vassilvitskii,
-  * "Counting Triangles and the Curse of the Last Reducer", WWW'11) is
-  * degree orientation: direct each edge from its lower-(degree, id)
-  * endpoint to the higher one. The orientation is acyclic, every triangle
-  * keeps exactly one vertex with two out-edges, and wedges are enumerated
-  * only at that apex — total wedge work drops from Σ deg² to
-  * O(m^{3/2}), which is what lets a skewed 100 TB graph (celebrity
-  * vertices) finish. All steps are hash equi-joins + hash aggregates; the
-  * degree table joins in via broadcast when small, AQE otherwise.
+  * Scale design: two standard ideas compose.
+  *
+  *  1. **Degree orientation** (Suri & Vassilvitskii, "Counting Triangles
+  *     and the Curse of the Last Reducer", WWW'11): direct each edge from
+  *     its lower-(degree, id) endpoint to the higher one. The orientation
+  *     is acyclic, every triangle keeps exactly one apex with two
+  *     out-edges, and out-degrees are bounded by ~√(2m) even for celebrity
+  *     vertices.
+  *  2. **Compact-forward intersection** (Latapy, TCS'08): instead of
+  *     materializing every wedge as a row (Σ outdeg² rows through a
+  *     shuffle — measured as the sf0.1 bottleneck), build each vertex's
+  *     out-neighbor ARRAY once and count, per oriented edge (u,v),
+  *     |N⁺(u) ∩ N⁺(v)| with a per-row sorted-array intersection. The only
+  *     shuffled rows are the m edges themselves; the adjacency table is
+  *     one row per vertex (out-degree ≤ √(2m) elements) and joins in via
+  *     broadcast when it fits, hash equi-join otherwise.
+  *
+  * Every triangle is counted exactly once — at the edge between its apex
+  * and its middle vertex — so the count is orientation-invariant, which
+  * the g01 oracle (naive a<b<c triple join) pins.
   */
 object Triangles {
 
-  /** Normalized edges, degree table, and closed wedges (one row per
-    * triangle, as (src, d1, d2) with d1 < d2). Shared by [[stats]] and
-    * [[perVertex]]. */
+  /** Normalized edge set, degree table, and per-oriented-edge triangle
+    * closers: (src, dst, w) where w = sorted array of vertices closing a
+    * triangle over edge (src, dst). Shared by [[stats]] and [[perVertex]]. */
   private def core(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val Seq(c0, c1) = edges.columns.toSeq.take(2)
     // normalize: undirected (u < v), no self-loops, no duplicate edges;
-    // checkpointed once — reused by degrees, orientation, and the closure
-    // probe (lineage would re-run the upstream pair-generation each time)
+    // checkpointed once — reused by degrees and orientation (lineage would
+    // re-run the upstream pair-generation each time)
     val e = edges
       .select(least(col(c0), col(c1)).as("u"), greatest(col(c0), col(c1)).as("v"))
       .filter(col("u") =!= col("v"))
@@ -46,37 +55,48 @@ object Triangles {
     val oriented = e.join(du, "u").join(dv, "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-    // wedges at the apex: unordered {d1, d2} out-neighbor pairs, id-ordered
-    // so the closure probe hits the id-normalized edge set directly
-    val o1 = oriented.select(col("src"), col("dst").as("d1"))
-    val o2 = oriented.select(col("src"), col("dst").as("d2"))
-    val wedges = o1.join(o2, Seq("src")).filter(col("d1") < col("d2"))
-    val closed = wedges.join(e, wedges("d1") === e("u") && wedges("d2") === e("v"))
-      .select(col("src"), col("d1"), col("d2"))
-    (e, deg, closed)
+      .localCheckpoint(false) // feeds the adjacency agg AND the probe join
+    // out-adjacency arrays, sorted so the intersection is a merge
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val aU = adj.select(col("src"), col("nbrs").as("nu"))
+    val aV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+    // per-edge closers. nu is never null (src has this very out-edge); a
+    // dst with no out-edges gets an empty set of nu's element type
+    // (slice(nu, 1, 0)) so the operator stays generic over id types
+    val closers = oriented
+      .join(aU, Seq("src"))
+      .join(aV, Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nu"),
+          when(col("nv").isNull, slice(col("nu"), 1, 0)).otherwise(col("nv"))).as("w"))
+    (e, deg, closers)
   }
 
   /** One-row frame: (n_vertices, n_edges, n_triangles) of the normalized
     * undirected graph. Columns of `edges` are taken positionally. */
   def stats(edges: DataFrame): DataFrame = {
-    val (e, deg, closed) = core(edges)
+    val (e, deg, closers) = core(edges)
     val nVerts = deg.agg(count(lit(1)).as("n_vertices"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    val nTris = closers
+      .agg(coalesce(sum(size(col("w"))), lit(0)).cast("long").as("n_triangles"))
     nVerts.crossJoin(nEdges).crossJoin(nTris)
   }
 
   /** Per-vertex triangle participation and local clustering coefficient —
     * (vertex, degree, n_triangles, clustering_coeff) for every vertex,
-    * coeff = 2·T(v) / (deg·(deg-1)), 0.0 for degree < 2. Each closed
-    * wedge is one triangle touching its three corners, so per-vertex
-    * counts are one explode + hash agg over the triangle list — exact
-    * integers until the single final division. */
+    * coeff = 2·T(v) / (deg·(deg-1)), 0.0 for degree < 2. Each closer row
+    * (u, v, W) is |W| triangles touching u and v and one triangle per
+    * w ∈ W — so per-vertex counts are two narrow projections + one explode
+    * over the (already bounded) closer sets, exact integers until the
+    * single final division. */
   def perVertex(edges: DataFrame): DataFrame = {
-    val (_, deg, closed) = core(edges)
-    val tv = closed
-      .select(explode(array(col("src"), col("d1"), col("d2"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("nt"))
+    val (_, deg, closers) = core(edges)
+    val contributions = closers.select(col("src").as("x"), size(col("w")).cast("long").as("c"))
+      .unionAll(closers.select(col("dst").as("x"), size(col("w")).cast("long").as("c")))
+      .unionAll(closers.select(explode(col("w")).as("x"), lit(1L).as("c")))
+    val tv = contributions.groupBy(col("x")).agg(sum(col("c")).as("nt"))
     deg.join(tv, Seq("x"), "left")
       .select(col("x").as("vertex"), col("deg").as("degree"),
         coalesce(col("nt"), lit(0L)).as("n_triangles"))
