@@ -93,9 +93,14 @@ object Triangles {
     * single final division. */
   def perVertex(edges: DataFrame): DataFrame = {
     val (_, deg, closers) = core(edges)
-    val contributions = closers.select(col("src").as("x"), size(col("w")).cast("long").as("c"))
-      .unionAll(closers.select(col("dst").as("x"), size(col("w")).cast("long").as("c")))
-      .unionAll(closers.select(explode(col("w")).as("x"), lit(1L).as("c")))
+    // ONE generate pass per closer row (a 3-way union would re-execute the
+    // whole closer pipeline once per branch): the edge endpoints get |W|
+    // each, every closing vertex gets 1
+    val contributions = closers.select(explode(concat(
+        array(struct(col("src").as("x"), size(col("w")).cast("long").as("c")),
+          struct(col("dst").as("x"), size(col("w")).cast("long").as("c"))),
+        transform(col("w"), wv => struct(wv.as("x"), lit(1L).as("c"))))).as("s"))
+      .select(col("s.x").as("x"), col("s.c").as("c"))
     val tv = contributions.groupBy(col("x")).agg(sum(col("c")).as("nt"))
     deg.join(tv, Seq("x"), "left")
       .select(col("x").as("vertex"), col("deg").as("degree"),
