@@ -50,4 +50,16 @@ object Sampling {
       // floor(double div) == integer DIV here: operands < 2^31 keep the
       // quotient's rounding error far below the distance to the next int
       floor(lit(cap.toLong * 10000L) / strataSize).cast("long"))
+
+  /** Deterministic weighted-priority key: rows ranked ASCENDING by
+    * hash(id)/weight, take-k = a weighted sample without replacement where
+    * a row's selection odds grow with its weight (the integer-hash analog
+    * of Efraimidis–Spirakis u^(1/w) priorities, with the uniform draw
+    * replaced by the stable md5 hash so every engine, run and partitioning
+    * agrees bit-for-bit — the priority is ONE IEEE division of exact
+    * integers). Weighted mixture sampling (oversample long/high-quality
+    * docs) is a training-data staple; rand()-based weighted sampling is
+    * irreproducible across retries, which silently changes the corpus. */
+  def weightedPriority(id: Column, weight: Column): Column =
+    Dedupe.md5Hash32(id.cast("string")).cast("double") / weight.cast("double")
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
-import graft.operators.{Dedupe, GlobalRank, RangeJoin, Similarity, Triangles}
+import graft.operators.{Dedupe, GlobalRank, RangeJoin, Sampling, Similarity, Triangles}
 
 /** Round-6 mining surface: event-funnel analysis, exact global deciles via
   * distributed ranking, triangle counting, benchmark decontamination,
@@ -265,7 +265,23 @@ object MiningQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** T15 — deterministic weighted sampling
+    * ([[Sampling.weightedPriority]]): the 20 highest-priority documents
+    * under hash(id)/n_chars ranking — longer docs are proportionally more
+    * likely to surface, yet the draw is a pure function of the row, so
+    * every engine/run/partitioning picks the identical sample (a rand()
+    * weighted sample silently changes the corpus on every retry). Plans
+    * as scan → narrow projection → TakeOrderedAndProject: no shuffle, no
+    * full sort. */
+  def t15WeightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("priority",
+        Sampling.weightedPriority(col("doc_id"), col("n_chars")))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "t15_weighted_sample" -> t15WeightedSample,
     "q43_bucketed_join" -> q43BucketedJoin,
     "d09_sketch_accuracy" -> d09SketchAccuracy,
     "g02_clustering_coeff" -> g02ClusteringCoeff,
@@ -351,6 +367,12 @@ object MiningQueries {
     s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "t15_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+                CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                  / CAST(n_chars AS DOUBLE) AS priority
+         FROM documents
+         ORDER BY priority, doc_id LIMIT 20""",
     "q43_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
                 CAST(sum(CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
