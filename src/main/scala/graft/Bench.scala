@@ -140,8 +140,9 @@ object Bench {
     // race the result line, and the json line must be the process's last
     // stdout write (build.sbt forks run with StdoutOutput so no "[info] "
     // prefix is added — rounds 1-5 were recorded parsed:null because the
-    // sbt logger prefix made the line non-JSON).
-    spark.stop()
+    // sbt logger prefix made the line non-JSON). A throwing stop() must
+    // not take the already-computed result down with it.
+    try spark.stop() catch { case _: Throwable => () }
     System.out.flush()
     println(line)
     System.out.flush()

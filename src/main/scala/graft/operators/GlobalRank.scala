@@ -38,6 +38,9 @@ object GlobalRank {
     */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
       rankCol: String = "global_rank"): DataFrame = {
+    Seq("__pid", "__rn", rankCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would be silently dropped"))
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

@@ -59,7 +59,11 @@ object Sampling {
     * agrees bit-for-bit — the priority is ONE IEEE division of exact
     * integers). Weighted mixture sampling (oversample long/high-quality
     * docs) is a training-data staple; rand()-based weighted sampling is
-    * irreproducible across retries, which silently changes the corpus. */
+    * irreproducible across retries, which silently changes the corpus.
+    *
+    * CONTRACT: weights must be > 0. A zero weight yields ±Infinity (the
+    * row sorts last — never sampled) and a NEGATIVE weight sorts FIRST
+    * (always sampled); filter or clamp weights upstream. */
   def weightedPriority(id: Column, weight: Column): Column =
     Dedupe.md5Hash32(id.cast("string")).cast("double") / weight.cast("double")
 }

@@ -286,6 +286,10 @@ object Similarity {
   def pqTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
       codebook: DataFrame, queries: DataFrame, m: Int, k: Int,
       candidateK: Int = 20): DataFrame = {
+    // fail fast on a non-dividing m: slice() would silently drop the tail
+    // dims of every vector and mis-rank candidates with no error
+    val dim = codebook.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the vector dimension $dim")
     val base = corpus.select(id.as("id"), vec.as("v"))
     val cb = codebook
       .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))

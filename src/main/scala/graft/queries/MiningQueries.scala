@@ -72,13 +72,18 @@ object MiningQueries {
     * orientation. The oracle counts the same triangles with the simple
     * a<b<c triple join — orientation is a physical rewrite that must not
     * change the count, exactly like q35's salting. */
-  def g01Triangles(s: SparkSession, d: String): DataFrame = {
+  def g01Triangles(s: SparkSession, d: String): DataFrame =
+    Triangles.stats(coPurchaseEdges(s, d))
+
+  /** The g01/g02 input graph — ONE definition so the two queries can
+    * never silently analyze different graphs: parts are linked when they
+    * appear in the same order. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.select(col("ok"), col("pk").as("u"))
     val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+    a.join(b, Seq("ok")).filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    Triangles.stats(edges)
   }
 
   /** T13 — benchmark decontamination: flag training documents sharing any
@@ -181,14 +186,8 @@ object MiningQueries {
     * the same degree-oriented wedge enumeration as g01 (one explode + hash
     * agg over closed wedges), exact integers until the single final
     * division — so the hash check is engine-exact. */
-  def g02ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
-    val edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    Triangles.perVertex(edges).orderBy(col("vertex"))
-  }
+  def g02ClusteringCoeff(s: SparkSession, d: String): DataFrame =
+    Triangles.perVertex(coPurchaseEdges(s, d)).orderBy(col("vertex"))
 
   /** S05 — product-quantization ANN ([[Similarity.pqTopKByCosine]]):
     * 8 subspaces × 16-centroid codebook (fixed seed vectors — the

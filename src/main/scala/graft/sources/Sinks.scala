@@ -38,10 +38,7 @@ object Sinks {
     val dir = new java.io.File(
       if (warehouse.startsWith("file:")) new java.net.URI(warehouse).getPath
       else warehouse, name)
-    def rm(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) graft.core.Fs.rmTree(dir)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, byCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(name)

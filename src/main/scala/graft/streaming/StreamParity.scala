@@ -13,17 +13,17 @@ private[streaming] object TempDirs {
     * memory pressure, recompute would re-read the backing parquet — so the
     * backing dir must outlive the DataFrame, i.e. the session. Deleting at
     * exit instead of eagerly trades a few MB of /tmp for correctness under
-    * pressure. */
+    * pressure. Only the OUT parquet backs recompute — callers delete the
+    * streaming checkpoint (offsets/state store) eagerly via [[dropNow]] so
+    * repeated invocations in one JVM don't accumulate state-store files. */
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   private lazy val hook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      pending.forEach(rm(_))
+      pending.forEach(graft.core.Fs.rmTree(_))
     }))
   }
   def deleteOnExit(dir: java.io.File): Unit = { hook; pending.add(dir); () }
+  def dropNow(dir: java.io.File): Unit = graft.core.Fs.rmTree(dir)
 }
 
 /** Batch-parity streaming run: one `Trigger.AvailableNow` pass of the
@@ -85,7 +85,10 @@ object StreamParity {
       // eager localCheckpoint materializes the result; the backing dir is
       // kept until JVM exit (TempDirs) so evicted blocks can recompute
       spark.read.parquet(out).localCheckpoint(true)
-    } finally TempDirs.deleteOnExit(tmp.toFile)
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt)) // state store — dead after the run
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
   }
 
   /** Native session windows streamed to completion: `session_window`
@@ -133,7 +136,10 @@ object StreamParity {
         .start(out)
         .awaitTermination()
       spark.read.parquet(out).localCheckpoint(true)
-    } finally TempDirs.deleteOnExit(tmp.toFile)
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt)) // state store — dead after the run
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
   }
 
   /** Stream-STATIC join parity: the streaming event source equi-joined to
@@ -180,7 +186,10 @@ object StreamParity {
         .start(out)
         .awaitTermination()
       spark.read.parquet(out).localCheckpoint(true)
-    } finally TempDirs.deleteOnExit(tmp.toFile)
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt)) // state store — dead after the run
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
   }
 
   /** Streaming dedupe-with-accounting run to completion over a static
@@ -220,6 +229,9 @@ object StreamParity {
         .start(out)
         .awaitTermination()
       spark.read.parquet(out).localCheckpoint(true)
-    } finally TempDirs.deleteOnExit(tmp.toFile)
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt)) // state store — dead after the run
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
   }
 }
