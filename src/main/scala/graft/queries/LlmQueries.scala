@@ -41,12 +41,23 @@ object LlmQueries {
     * doc_id of its component — own id when it has no near-dups), plus the
     * cluster size and a canonical-representative flag. This is the full
     * dedup story: pairs → clusters → keep one doc per cluster. */
-  def d05DupClusters(s: SparkSession, d: String): DataFrame = {
+  def d05DupClusters(s: SparkSession, d: String): DataFrame =
+    dupClustersVia(ConnectedComponents.run(_))(s, d)
+
+  /** D10 — the same duplicate clusters through the O(log n)-round
+    * large-star/small-star components ([[ConnectedComponents.runStar]]);
+    * the algorithm swap must be result-invariant, and the shared d05
+    * oracle pins it (same contract as q35 salting / g01 orientation). */
+  def d10DupClustersStar(s: SparkSession, d: String): DataFrame =
+    dupClustersVia(ConnectedComponents.runStar(_))(s, d)
+
+  private def dupClustersVia(cc: DataFrame => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val pairs = Dedupe.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       col("source"), minJaccard = 0.8)
       .select(col("id_a"), col("id_b"))
-    val comp = ConnectedComponents.run(pairs)
+    val comp = cc(pairs)
     val assigned = docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -317,6 +328,7 @@ object LlmQueries {
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
+    "d10_dup_clusters_star" -> d10DupClustersStar,
     "d06_line_dedupe" -> d06LineDedupe,
     "d07_line_rebuild" -> d07LineRebuild,
     "p01_pipeline" -> p01Pipeline,
@@ -548,6 +560,7 @@ object LlmQueries {
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",
     "d05_dup_clusters" -> dupClustersSql,
+    "d10_dup_clusters_star" -> dupClustersSql,
     "d06_line_dedupe" ->
       """WITH split AS (
            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents

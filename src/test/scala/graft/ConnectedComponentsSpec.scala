@@ -64,4 +64,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
     assert(got.size == 20 && got.values.forall(_ == 0L))
   }
+
+  test("runStar matches run() on randomized graphs") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = ConnectedComponents.runStar(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: runStar disagrees with union-find")
+    }
+  }
+
+  test("runStar collapses a 200-hop chain in O(log n) alternations") {
+    // label propagation would need 200 rounds; the star alternation halves
+    // path lengths — maxIters 12 forces the logarithmic behavior to hold
+    val edges = (0L until 199L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = ConnectedComponents.runStar(edges, maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("runStar on an empty edge frame returns empty without failing") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.runStar(edges).count() == 0L)
+  }
 }
