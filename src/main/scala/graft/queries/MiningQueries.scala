@@ -279,7 +279,36 @@ object MiningQueries {
       .orderBy(col("priority"), col("doc_id"))
       .limit(20)
 
+  /** Q44 — INTERSECT (distinct): nations that have BOTH customers and
+    * suppliers — completes the set-op family next to q17's
+    * UNION/EXCEPT. Spark plans intersect as a left-semi hash join over
+    * distinct keys — one shuffle per side, no row explosion. */
+  def q44Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Q45 — correlated scalar subquery: orders priced above 90% of their
+    * priority class's maximum. Catalyst's RewriteCorrelatedScalarSubquery
+    * de-correlates this into an aggregate + join — the declarative form a
+    * warehouse user writes, planned into the same shuffle shape a manual
+    * window/join formulation would produce. (The threshold is 0.9·max —
+    * exact single multiply — never an unordered-average, which would be
+    * engine-order-dependent at the boundary.) */
+  def q45Correlated(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_near_max
+        |FROM orders_v o
+        |WHERE o_totalprice > 0.9 * (SELECT max(x.o_totalprice)
+        |                            FROM orders_v x
+        |                            WHERE x.o_orderpriority = o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_intersect" -> q44Intersect,
+    "q45_correlated" -> q45Correlated,
     "t15_weighted_sample" -> t15WeightedSample,
     "q43_bucketed_join" -> q43BucketedJoin,
     "d09_sketch_accuracy" -> d09SketchAccuracy,
@@ -366,6 +395,18 @@ object MiningQueries {
     s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "q44_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q45_correlated" ->
+      """SELECT o_orderpriority, count(*) AS n_near_max
+         FROM orders o
+         WHERE o_totalprice > 0.9 * (SELECT max(x.o_totalprice)
+                                     FROM orders x
+                                     WHERE x.o_orderpriority = o.o_orderpriority)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "t15_weighted_sample" ->
       """SELECT doc_id, n_chars,
                 CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
