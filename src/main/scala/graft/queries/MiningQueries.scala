@@ -264,6 +264,22 @@ object MiningQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Q46 — explicit GROUPING SETS: exactly the (returnflag) and
+    * (linestatus) marginals in ONE pass — neither CUBE (q27, all 4 sets)
+    * nor ROLLUP (q11, hierarchical) can express this selection. Same
+    * single Expand + hash-agg plan shape: sets are rows in the Expand,
+    * never extra passes over the fact table. */
+  def q46GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+        |       grouping_id() AS gid
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** T15 — deterministic weighted sampling
     * ([[Sampling.weightedPriority]]): the 20 highest-priority documents
     * under hash(id)/n_chars ranking — longer docs are proportionally more
@@ -309,6 +325,7 @@ object MiningQueries {
   val queries: Map[String, Q] = Map(
     "q44_intersect" -> q44Intersect,
     "q45_correlated" -> q45Correlated,
+    "q46_grouping_sets" -> q46GroupingSets,
     "t15_weighted_sample" -> t15WeightedSample,
     "q43_bucketed_join" -> q43BucketedJoin,
     "d09_sketch_accuracy" -> d09SketchAccuracy,
@@ -407,6 +424,13 @@ object MiningQueries {
                                      FROM orders x
                                      WHERE x.o_orderpriority = o.o_orderpriority)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q46_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "t15_weighted_sample" ->
       """SELECT doc_id, n_chars,
                 CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)

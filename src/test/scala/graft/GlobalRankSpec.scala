@@ -47,6 +47,19 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("heavily skewed keys (one hot value) still rank densely via the tiebreaker") {
+    // 90% of rows share one key — the range partitioner puts the hot value
+    // in one partition; ranks must still be the unique total order
+    val df = (0L until 1000L).map(i => (i, if (i < 900) 7L else i)).toDF("id", "k")
+    val got = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")))
+      .select(col("id"), col("global_rank")).as[(Long, Long)].collect().toMap
+    val expected = df
+      .withColumn("global_rank",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select(col("id"), col("global_rank")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("empty input yields empty output without failing") {
     val df = Seq.empty[(Long, Long)].toDF("id", "k")
     assert(GlobalRank.withGlobalRank(df, Seq(col("k"), col("id"))).count() == 0L)
