@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.RefineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.MiningQueries.queries
+      graft.queries.MiningQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracle ++
       graft.queries.RefineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.MiningQueries.oracle
+      graft.queries.MiningQueries.oracle ++
+      graft.queries.SketchQueries.oracle
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS hop counts over an undirected edge list — the
+  * reachability/shortest-path primitive next to [[ConnectedComponents]]
+  * (full-graph labels) and [[Triangles]] (local structure). Reference
+  * behavior class: graph expansion over the crawl/link tables
+  * (ndl-core-data-pipeline walks catalog→dataset→resource links;
+  * assets/processing/assets.py builds the link closure imperatively).
+  *
+  * Pregel-style frontier expansion, one hash equi-join per hop:
+  *   frontier(h) ⋈ edges → neighbors, anti-join visited → frontier(h+1).
+  * Each hop is one shuffle on the vertex key; the visited set never
+  * re-shuffles (same key), so at 100 TB the cost is O(hops) joins over
+  * frontier-sized — not graph-sized — probe sides. `localCheckpoint`
+  * after every hop truncates the lineage chain exactly like
+  * [[ConnectedComponents.run]] (an un-checkpointed loop re-executes all
+  * prior hops per action, turning O(h) work into O(h²)).
+  *
+  * Depth is CAPPED at `maxHops` by contract — this computes "hops within
+  * a radius", a fixed-depth semantic (deterministic, oracle-expressible
+  * as a bounded recursive CTE), not full single-source shortest paths.
+  */
+object ShortestPaths {
+
+  /** @param edges undirected edge list with columns (u, v)
+    * @param seeds  source vertices, column (node)
+    * @return (node, hops) — min hop count from any seed, hops ∈ [0, maxHops]
+    */
+  def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // both directions once, up front: the per-hop join is then a plain
+    // equi-join instead of a union of two joins per iteration
+    val dir = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.join(dir, frontier("node") === dir("u"))
+        .select(dir("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+}

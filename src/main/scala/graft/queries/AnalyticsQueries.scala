@@ -257,7 +257,30 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Q47 — exact per-group median without a median() builtin: count +
+    * row_number windows over each priority class, keep the middle row
+    * (odd n) or middle pair (even n), average. Spark's own
+    * `percentile(col, 0.5)` buffers every group value in one aggregation
+    * buffer — a hot group OOMs the executor at 100 TB; this formulation
+    * is a partition-by-group sort (spillable, streaming window) and for
+    * truly skewed single groups composes with [[graft.operators.GlobalRank]]
+    * (q40's range-shuffle rank) instead. The middle-pair average is ONE
+    * IEEE division of two doubles — bit-identical to DuckDB's
+    * lower/upper-interpolation `median`. */
+  def q47GroupedMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("cnt")).as("n_orders"), avg(col("o_totalprice")).as("median_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_grouped_median" -> q47GroupedMedian,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
@@ -275,6 +298,10 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q47_grouped_median" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                median(o_totalprice) AS median_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q26_stream_window" ->
       """WITH wm AS (
            SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events

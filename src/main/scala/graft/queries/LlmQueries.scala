@@ -304,6 +304,46 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12 — content-defined substring dedupe (Manber/Broder mod-sampling;
+    * the shingle-sampling half of the suffix-array exact-substring dedupe
+    * of Lee et al. 2021): hash EVERY 16-char gram, keep grams whose hash
+    * ≡ 0 (mod 8), flag a doc when any kept gram already appears in a
+    * lower-id doc (the A1 first-wins rule at substring granularity).
+    *
+    * Selection depends only on gram CONTENT — never on the gram's offset —
+    * so two documents sharing a run of text select the SAME grams
+    * regardless of where the run sits in each doc. (A stride/phase scheme
+    * — "every 16th position" — silently misses shared runs whose offsets
+    * differ mod the stride; that failure mode is why winnowing/CDC exist.)
+    * A shared run of L chars survives sampling with prob 1-(7/8)^(L-15):
+    * ≥99.8 % at L=64. One narrow gram scan (no shuffle until the
+    * vocabulary-sized group-min on the sampled 1/8 subset), so at 100 TB
+    * the shuffle moves ~total_chars/8 hashes, not total_chars grams. */
+  def d12SubstringDedupe(s: SparkSession, d: String): DataFrame = {
+    val sel = documents(s, d)
+      .select(col("doc_id"), expr(
+        """CASE WHEN char_length(text) >= 16
+          |  THEN transform(sequence(1, char_length(text) - 15),
+          |                 i -> substring(text, i, 16))
+          |  ELSE array() END""".stripMargin).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), Dedupe.md5Hash32(col("g")).as("h"))
+      .filter(col("h") % 8 === 0)
+    val owners = sel.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val per = sel.join(owners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"),
+        max(when(col("first_id") < col("doc_id"), 1).otherwise(0)).as("is_dup"))
+    documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing: documents.text as an opaque binary column with
@@ -331,6 +371,7 @@ object LlmQueries {
     "d10_dup_clusters_star" -> d10DupClustersStar,
     "d06_line_dedupe" -> d06LineDedupe,
     "d07_line_rebuild" -> d07LineRebuild,
+    "d12_substring_dedupe" -> d12SubstringDedupe,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -555,6 +596,30 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "d01_minhash_lsh" -> minhashSql,
     "d02_simhash" -> simhashSql,
+    "d12_substring_dedupe" ->
+      """WITH sel AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(substr(text, i.i, 16)), 1, 8))
+                       AS BIGINT) AS h
+           FROM documents,
+                LATERAL (SELECT unnest(generate_series(1, length(text) - 15)) AS i) i
+           WHERE length(text) >= 16
+             AND CAST(concat('0x', substr(md5(substr(text, i.i, 16)), 1, 8))
+                      AS BIGINT) % 8 = 0
+         ), own AS (
+           SELECT h, min(doc_id) AS first_id FROM sel GROUP BY h
+         ), per AS (
+           SELECT s.doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN o.first_id < s.doc_id THEN 1 ELSE 0 END) AS n_shared,
+                  max(CASE WHEN o.first_id < s.doc_id THEN 1 ELSE 0 END) AS is_dup
+           FROM sel s JOIN own o ON o.h = s.h GROUP BY s.doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                CAST(coalesce(p.is_dup, 0) AS INTEGER) AS is_dup
+         FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "d03_ngram_jaccard" ->
       s"""WITH $jaccardPairCtes
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs

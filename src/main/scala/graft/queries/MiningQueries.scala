@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
-import graft.operators.{Dedupe, GlobalRank, RangeJoin, Sampling, Similarity, Triangles}
+import graft.operators.{Dedupe, GlobalRank, RangeJoin, Sampling, ShortestPaths, Similarity, Triangles}
 
 /** Round-6 mining surface: event-funnel analysis, exact global deciles via
   * distributed ranking, triangle counting, benchmark decontamination,
@@ -74,6 +74,21 @@ object MiningQueries {
     * change the count, exactly like q35's salting. */
   def g01Triangles(s: SparkSession, d: String): DataFrame =
     Triangles.stats(coPurchaseEdges(s, d))
+
+  /** G03 — BFS hop counts within radius 3 of the seed parts (every 500th
+    * part key) over the co-purchase graph: [[ShortestPaths.hops]] frontier
+    * expansion — one equi-join shuffle per hop, visited set never
+    * re-shuffled, lineage checkpointed per hop. The oracle is a bounded
+    * recursive CTE computing min(hop) per reached vertex — the declarative
+    * spec the Pregel loop must reproduce exactly (integer hops, so the
+    * comparison is hash-exact). Completes the graph family: g01 counts
+    * global structure, g02 local structure, g03 reachability. */
+  def g03BfsHops(s: SparkSession, d: String): DataFrame = {
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("node"))
+    ShortestPaths.hops(coPurchaseEdges(s, d), seeds, maxHops = 3)
+      .orderBy(col("node"))
+  }
 
   /** The g01/g02 input graph — ONE definition so the two queries can
     * never silently analyze different graphs: parts are linked when they
@@ -334,6 +349,7 @@ object MiningQueries {
     "q39_funnel" -> q39Funnel,
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
+    "g03_bfs_hops" -> g03BfsHops,
     "t13_contamination" -> t13Contamination,
     "t14_char_stats" -> t14CharStats,
     "d08_semdedup" -> d08SemDedup)
@@ -561,6 +577,24 @@ object MiningQueries {
                 CAST(n_edges AS BIGINT) AS n_edges,
                 CAST(n_triangles AS BIGINT) AS n_triangles
          FROM verts, ecnt, tri""",
+    "g03_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+           SELECT u, v FROM (
+             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+           UNION ALL SELECT v, u FROM (
+             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         ), walk(node, hop) AS (
+           SELECT p_partkey AS node, 0 AS hop FROM part WHERE p_partkey % 500 = 0
+           UNION
+           SELECT e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.node
+           WHERE w.hop < 3
+         )
+         SELECT node, CAST(min(hop) AS INTEGER) AS hops
+         FROM walk GROUP BY node ORDER BY node""",
     "t13_contamination" ->
       """WITH tokd AS (
            SELECT doc_id,

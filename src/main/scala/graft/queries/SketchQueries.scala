@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.Dedupe
+
+/** Round-7 sketch surface: streaming-friendly approximate aggregates with
+  * EXACT integer evaluation so the DuckDB oracle hash-matches bit for bit.
+  *
+  * Both sketches follow the d01/d02 hashing discipline: md5-prefix integer
+  * hashing ([[Dedupe.md5Hash32]]) because every engine agrees on md5 of a
+  * UTF-8 string, and ALL sketch math stays in BIGINT (shifts, truncating
+  * division) — never an unordered double fold, never a transcendental.
+  * The estimates are therefore reproducible across engines, runs, AND
+  * partitionings — the property that makes a sketch auditable (d09's
+  * accuracy-audit pattern applied to cardinality and frequency).
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Second 32-bit word of md5 (hex chars 9-16) — independent of
+    * [[Dedupe.md5Hash32]] (chars 1-8), so an HLL can draw its bucket and
+    * its rank from one md5 evaluation. */
+  private def md5Word2(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** D11 — HyperLogLog cardinality of the order-key stream, fully
+    * deterministic.
+    *
+    * m = 256 buckets from the low bits of hash word 1; rank ρ = leading
+    * zeros + 1 of hash word 2 (independent words, one md5). The register
+    * table is ONE map-side-combinable hash aggregate (`max` per bucket) —
+    * the shuffle moves at most m rows per partition no matter how many
+    * trillions of keys feed it, which is the whole point of HLL at
+    * 100 TB (an exact count(distinct) shuffles the full key universe).
+    *
+    * The harmonic-mean estimate is evaluated in scaled BIGINT arithmetic:
+    *   S = Σ_buckets 2^(32-ρ_j)  (empty bucket ⇒ ρ=0 ⇒ 2^32),
+    *   E = α·m²·2^32 / S  with α = 0.718273 (= 0.7213/(1+1.079/m)) carried
+    * as ×10⁶ integer — m²·2^32 = 2^48 and α·2^48/S stay in BIGINT range,
+    * and truncating `div` is identical in Spark and DuckDB, so the
+    * estimate is bit-stable. Raw HLL only — the small-range linear-count
+    * branch needs ln(), which is not cross-engine bit-safe, so m is sized
+    * (256) to keep every fixture scale in the raw regime (n ≥ 2.5m needs
+    * n ≥ 640; orders = 1.5k at sf0.001). ρ is capped at 32 (the w=0
+    * case, probability 2⁻³²).
+    *
+    * Output also carries the exact distinct count and the error in basis
+    * points — the d09 audit pattern: the sketch ships WITH its measured
+    * accuracy. Reference behavior class: corpus-stats distinct counts
+    * (reference summarizes vocab/file cardinalities driver-side;
+    * assets/processing/assets.py:300-317 profiles corpus stats). */
+  def d11HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val keys = orders(s, d).select(col("o_orderkey").cast("string").as("w"))
+    val regs = keys
+      .select((Dedupe.md5Hash32(col("w")) % m).as("bucket"),
+        md5Word2(col("w")).as("wd"))
+      .select(col("bucket"),
+        when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    val est = regs
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(lit(256L).as("n_buckets"), (lit(256L) - col("nb")).as("zero_buckets"),
+        (col("sp") + (lit(256L) - col("nb")) * lit(4294967296L)).as("s_total"))
+      .selectExpr("n_buckets", "zero_buckets",
+        "(718273 * (CAST(281474976710656 AS BIGINT) div s_total)) div 1000000 AS est_distinct")
+    val exact = keys.agg(count_distinct(col("w")).as("exact_distinct"))
+    est.crossJoin(exact)
+      .selectExpr("n_buckets", "zero_buckets", "est_distinct", "exact_distinct",
+        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct AS err_bp")
+  }
+
+  /** T16 — count-min sketch heavy hitters: a 4×1024 CMS over the word
+    * stream, then the top-20 true-frequency words point-queried against
+    * it (est = min over the 4 rows; CMS guarantees est ≥ true, so
+    * `overcount` is the measured collision inflation — never negative).
+    *
+    * The sketch build is ONE hash aggregate over (row, col): 4 cells per
+    * occurrence, partial-aggregated map-side down to ≤ 4096 rows per
+    * partition before the shuffle — constant communication at any corpus
+    * size, vs. a full vocabulary shuffle for exact counts (t08). The
+    * 4 salted hashes reuse one md5 per (word, row) — same lane discipline
+    * as d01's minhash family. Point-probes broadcast against the sketch.
+    * Reference behavior class: extension/vocab histograms
+    * (resources/summarize.py:41-58) recast as the sketch a 100 TB corpus
+    * needs when the key universe itself doesn't fit. */
+  def t16CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val w = 1024
+    def cellOf(word: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      Dedupe.md5Hash32(concat(word, lit("#"), r.cast("string"))) % w
+    val occ = documents(s, d)
+      .select(explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val sketch = occ
+      .select(col("w"), explode(expr("sequence(0, 3)")).as("r"))
+      .select(col("r"), cellOf(col("w"), col("r")).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
+    val top = occ.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w")).limit(20)
+    val probes = top
+      .select(col("w"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("r"))
+      .select(col("w"), col("true_cnt"), col("r"), cellOf(col("w"), col("r")).as("c"))
+    broadcast(probes).join(sketch, Seq("r", "c"))
+      .groupBy(col("w"), col("true_cnt")).agg(min(col("cell")).as("cms_est"))
+      .select(col("w").as("word"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("word"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d11_hll_distinct" -> d11HllDistinct,
+    "t16_cms_heavy_hitters" -> t16CmsHeavyHitters)
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  val oracle: Map[String, String] = Map(
+    "d11_hll_distinct" ->
+      s"""WITH occ AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS w FROM orders
+          ), h AS (
+            SELECT CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                   CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+            FROM occ
+          ), regs AS (
+            SELECT bucket,
+                   max(CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END) AS r
+            FROM h GROUP BY bucket
+          ), agg AS (
+            SELECT CAST(sum(1::BIGINT << (32 - r)) AS BIGINT) AS sp,
+                   count(*) AS nb
+            FROM regs
+          ), est AS (
+            SELECT CAST(256 AS BIGINT) AS n_buckets,
+                   CAST(256 - nb AS BIGINT) AS zero_buckets,
+                   CAST((718273 * (281474976710656::BIGINT
+                          // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
+                        AS BIGINT) AS est_distinct
+            FROM agg
+          ), ex AS (
+            SELECT count(DISTINCT w) AS exact_distinct FROM occ
+          )
+          SELECT n_buckets, zero_buckets, est_distinct,
+                 CAST(exact_distinct AS BIGINT) AS exact_distinct,
+                 CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
+                      AS BIGINT) AS err_bp
+          FROM est, ex""",
+    "t16_cms_heavy_hitters" ->
+      s"""WITH occ AS (
+            SELECT w FROM (
+              SELECT unnest($wordsSql) AS w FROM documents) t
+            WHERE length(w) > 0
+          ), cells AS (
+            SELECT r.r,
+                   CAST(concat('0x', substr(md5(w || '#' || CAST(r.r AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1024 AS c
+            FROM occ, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) r
+          ), sketch AS (
+            SELECT r, c, count(*) AS cell FROM cells GROUP BY r, c
+          ), top AS (
+            SELECT w, count(*) AS true_cnt FROM occ
+            GROUP BY w ORDER BY true_cnt DESC, w LIMIT 20
+          ), probes AS (
+            SELECT w, true_cnt, r.r,
+                   CAST(concat('0x', substr(md5(w || '#' || CAST(r.r AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1024 AS c
+            FROM top, LATERAL (SELECT unnest([0, 1, 2, 3]) AS r) r
+          )
+          SELECT p.w AS word, p.true_cnt,
+                 min(s.cell) AS cms_est,
+                 CAST(min(s.cell) - p.true_cnt AS BIGINT) AS overcount
+          FROM probes p JOIN sketch s ON s.r = p.r AND s.c = p.c
+          GROUP BY p.w, p.true_cnt
+          ORDER BY p.true_cnt DESC, word""")
+}

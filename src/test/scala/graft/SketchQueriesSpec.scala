@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, LlmQueries, SketchQueries}
+import org.apache.spark.sql.functions._
+
+/** Behavior contracts for the deterministic sketch/median/substring-dedupe
+  * queries — properties the DuckDB hash check can't express (error bounds,
+  * one-sidedness, phase independence).
+  */
+class SketchQueriesSpec extends SparkSpec {
+
+  test("d11: HLL estimate lands within 25% of the exact distinct count") {
+    val r = SketchQueries.d11HllDistinct(spark, sf()).head
+    val (est, exact) = (r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+    assert(r.getAs[Long]("n_buckets") == 256L)
+    assert(exact >= 640, s"fixture must keep HLL in the raw regime (n >= 2.5m), n=$exact")
+    // 256 buckets → σ ≈ 1.04/√256 = 6.5%; 25% is ~4σ
+    assert(math.abs(est - exact).toDouble / exact < 0.25, s"est=$est exact=$exact")
+    assert(r.getAs[Long]("err_bp") == math.abs(est - exact) * 10000 / exact)
+  }
+
+  test("d11: registers are merge-stable — estimate identical across partitionings") {
+    val a = SketchQueries.d11HllDistinct(spark, sf()).head.getAs[Long]("est_distinct")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val b = SketchQueries.d11HllDistinct(spark, sf()).head.getAs[Long]("est_distinct")
+      assert(a == b, s"partitioning changed the sketch: $a vs $b")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("t16: CMS is one-sided — every estimate >= true count, 20 probes") {
+    val rows = SketchQueries.t16CmsHeavyHitters(spark, sf()).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"), r.toString)
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+    // ordered by true frequency, then word
+    val freqs = rows.map(_.getAs[Long]("true_cnt")).toSeq
+    assert(freqs == freqs.sorted.reverse)
+  }
+
+  test("q47: window-median matches a driver-side exact median per group") {
+    val got = AnalyticsQueries.q47GroupedMedian(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_orders"), r.getAs[Double]("median_price")))
+      .toMap
+    val byGroup = spark.read.parquet(sf() + "/orders.parquet")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(got.keySet == byGroup.keySet)
+    byGroup.foreach { case (k, xs) =>
+      val expect =
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+      assert(got(k)._1 == xs.length.toLong, s"group $k count")
+      assert(got(k)._2 == expect, s"group $k median: got ${got(k)._2} want $expect")
+    }
+  }
+
+  test("d12: gram selection is content-defined — shared run found at ANY offset") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (1L, "A" * 13 + run + " totally different tail content here"),
+      // same run at a different offset AND different phase mod 16
+      (2L, "zzz unrelated prefix of another length 9q8w7e " + run + " end"),
+      (3L, "completely disjoint text with no overlap whatsoever in its grams x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d12spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmQueries.d12SubstringDedupe(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("is_dup")).toMap
+    assert(got(1L) == 0, "first owner must not be flagged")
+    assert(got(2L) == 1, "doc sharing the run at a shifted offset must be flagged")
+    assert(got(3L) == 0, "disjoint doc must not be flagged")
+  }
+
+  test("d12: every doc present exactly once, flags only 0/1") {
+    val df = LlmQueries.d12SubstringDedupe(spark, sf())
+    val n = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(df.count() == n)
+    val flags = df.select(col("is_dup")).distinct().collect().map(_.getInt(0)).toSet
+    assert(flags.subsetOf(Set(0, 1)))
+  }
+}
