@@ -279,8 +279,63 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q48 — per-user EWMA (α=0.25) of daily event counts: the smoothing
+    * fold every monitoring/trending pipeline runs. EWMA is inherently
+    * recursive, so it CANNOT be a commutative aggregate — the engine-safe
+    * shape is groupBy user → sorted day array → `aggregate` fold
+    * (first element seeds, exactly DuckDB `list_reduce`'s contract, so
+    * both engines fold the identical doubles in the identical order;
+    * α = 1/4 is dyadic, keeping every step an exact IEEE operation).
+    * Per-user arrays are bounded by the day span — thousands of elements,
+    * not corpus-sized; the heavy lifting stays in the (user, day)
+    * hash-agg, which partial-aggregates map-side. */
+  def q48Ewma(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
+      .select(col("user_id"),
+        size(col("ds")).cast("long").as("n_days"),
+        expr("""round(aggregate(slice(ds, 2, size(ds) - 1),
+               |  CAST(ds[0].cnt AS DOUBLE),
+               |  (acc, x) -> 0.25D * CAST(x.cnt AS DOUBLE) + 0.75D * acc), 9)""".stripMargin)
+          .as("ewma"))
+      .orderBy(col("user_id"))
+
+  /** Q49 — 2-D skyline (Pareto frontier): parts no other part dominates
+    * on (cheaper price, larger size). The naive formulation is the O(n²)
+    * self-anti-join the ORACLE uses (NOT EXISTS dominance — deliberately
+    * an independent quadratic spec); the engine side is the O(n log n)
+    * sweep: collapse to per-price max-size (map-side-combinable hash agg
+    * — the only corpus-sized pass), then one running-max scan over the
+    * DISTINCT price values. A point is dominated iff a strictly cheaper
+    * price reaches its size (lag of the running max) or its own price
+    * class strictly exceeds it. The sweep window is SinglePartition but
+    * over the value domain (distinct prices), not rows — the q40/q25
+    * post-shrink rationale; at 100 TB it composes with [[GlobalRank]]'s
+    * range-shuffle if the price domain itself explodes. */
+  def q49Skyline(s: SparkSession, d: String): DataFrame = {
+    val perPrice = part(s, d)
+      .groupBy(col("p_retailprice")).agg(max(col("p_size")).as("mx"))
+      .withColumn("run_incl",
+        max(col("mx")).over(Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("run_strict",
+        lag(col("run_incl"), 1).over(Window.orderBy(col("p_retailprice"))))
+    part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .join(perPrice, Seq("p_retailprice"))
+      .filter(!(coalesce(col("run_strict") >= col("p_size"), lit(false)) ||
+        col("run_incl") > col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_grouped_median" -> q47GroupedMedian,
+    "q48_ewma" -> q48Ewma,
+    "q49_skyline" -> q49Skyline,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
@@ -302,6 +357,25 @@ object AnalyticsQueries {
       """SELECT o_orderpriority, count(*) AS n_orders,
                 median(o_totalprice) AS median_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q48_ewma" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+           FROM events GROUP BY user_id, CAST(ts AS DATE)
+         ), arr AS (
+           SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs
+           FROM daily GROUP BY user_id
+         )
+         SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+                round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS ewma
+         FROM arr ORDER BY user_id""",
+    "q49_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p.p_partkey""",
     "q26_stream_window" ->
       """WITH wm AS (
            SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
