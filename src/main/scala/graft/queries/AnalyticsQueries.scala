@@ -332,10 +332,49 @@ object AnalyticsQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Q51 — calendar gap-fill + gaps-and-islands: densify each user's
+    * activity onto a per-user day spine (`sequence(min_day, max_day)`
+    * explode — rows that never existed in the source), then the longest
+    * inactive streak via the rn-difference island trick (day_index −
+    * row_number over inactive days is constant within a run). Spine
+    * generation is a narrow generator off a tiny per-user (min, max)
+    * aggregate — the fact table is scanned ONCE; the two windows share
+    * one user-key shuffle. The time-series densification every
+    * monitoring/feature pipeline needs before training on "events per
+    * day" (missing day ≠ missing row). */
+  def q51GapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = filled
+      .withColumn("idx", row_number().over(w))
+      .filter(col("cnt") === 0L)
+      .withColumn("grp", col("idx") - row_number().over(w))
+    val gapRuns = islands.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("user_id")).agg(max(col("run")).as("max_gap_run"))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("span_days"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("active_days"),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("gap_days"))
+      .join(gapRuns, Seq("user_id"), "left")
+      .select(col("user_id"), col("span_days"), col("active_days"), col("gap_days"),
+        coalesce(col("max_gap_run"), lit(0L)).as("max_gap_run"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_grouped_median" -> q47GroupedMedian,
     "q48_ewma" -> q48Ewma,
     "q49_skyline" -> q49Skyline,
+    "q51_gap_fill" -> q51GapFill,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
@@ -368,6 +407,38 @@ object AnalyticsQueries {
          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
                 round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS ewma
          FROM arr ORDER BY user_id""",
+    "q51_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2
+         ), span AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+         ), spine AS (
+           SELECT user_id, CAST(g.g AS DATE) AS day
+           FROM span, LATERAL (SELECT unnest(generate_series(
+             CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g) g
+         ), filled AS (
+           SELECT s.user_id, s.day, coalesce(d.cnt, 0) AS cnt
+           FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+         ), numbered AS (
+           SELECT user_id, day, cnt,
+                  row_number() OVER (PARTITION BY user_id ORDER BY day) AS idx
+           FROM filled
+         ), islands AS (
+           SELECT user_id,
+                  idx - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM numbered WHERE cnt = 0
+         ), runs AS (
+           SELECT user_id, grp, count(*) AS run FROM islands GROUP BY user_id, grp
+         ), mg AS (
+           SELECT user_id, max(run) AS max_gap_run FROM runs GROUP BY user_id
+         )
+         SELECT f.user_id, count(*) AS span_days,
+                CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+                CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS gap_days,
+                CAST(coalesce(max(m.max_gap_run), 0) AS BIGINT) AS max_gap_run
+         FROM filled f LEFT JOIN mg m ON m.user_id = f.user_id
+         GROUP BY f.user_id ORDER BY f.user_id""",
     "q49_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
          FROM part p

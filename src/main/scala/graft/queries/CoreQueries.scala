@@ -287,7 +287,41 @@ object CoreQueries {
         percentile(col("value"), lit(0.99)).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Q50 — fuzzy record linkage with LOSSLESS pigeonhole blocking: all
+    * same-nation customer pairs within edit distance 1 (equal-length, so
+    * substitution distance). The naive spec is O(n²) levenshtein; a
+    * single blocking key trades recall for cost. This uses the d02
+    * SimHash trick instead: two COMPLEMENTARY character masks over the
+    * name's digit region (even positions / odd positions). A pair
+    * differing in exactly one character agrees completely on at least
+    * one mask — so two hash equi-join passes on (nation, length, mask)
+    * provably generate every qualifying pair, and the expensive
+    * levenshtein runs only on O(Σ block²) candidates. The ORACLE is the
+    * independent UNBLOCKED quadratic spec — the hash match proves the
+    * blocking rewrite loses nothing, the q35/q43 physical-rewrite
+    * pattern. */
+  def q50FuzzyLink(s: SparkSession, d: String): DataFrame = {
+    def mask(parity: Int) = concat((0 until 9).filter(_ % 2 == parity)
+      .map(i => substring(col("c_name"), 10 + i, 1)): _*)
+    val c = customer(s, d).select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      length(col("c_name")).as("ln"), mask(0).as("m0"), mask(1).as("m1"))
+    def pass(mk: String) = {
+      val a = c.select(col("c_nationkey").as("nk"), col("ln"), col(mk).as("blk"),
+        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey").as("nk"), col("ln"), col(mk).as("blk"),
+        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("nk", "ln", "blk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+    }
+    pass("m0").union(pass("m1")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_fuzzy_link" -> q50FuzzyLink,
     "q01_scan_project" -> q01ScanProject,
     "q22_asof_join" -> q22AsofJoin,
     "q23_sessionize" -> q23Sessionize,
@@ -312,6 +346,14 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q50_fuzzy_link" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE length(a.c_name) = length(b.c_name)
+           AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
     "q01_scan_project" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q37_full_outer" ->

@@ -344,6 +344,39 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T17 — positional inverted index + phrase search: the IR primitive a
+    * RAG/search stack needs beyond bag-of-words (t08/t11 can't tell
+    * "data protection" from "protection data"). Postings are
+    * (term, doc, position) rows from ONE posexplode scan; a 2-term phrase
+    * query is then a self-equi-join of the two terms' posting lists on
+    * (doc, adjacent position) — the scan never re-reads text. The probed
+    * phrase is data-derived (the globally most frequent bigram, ties
+    * broken lexicographically) so the query is meaningful at every scale
+    * factor. Per-doc hit counts come out of the join's hash aggregate;
+    * posting lists for the two probe terms are filtered BEFORE the join,
+    * so the join probes term-frequency-sized inputs, not the corpus. */
+  def t17PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(Dedupe.words(col("text"))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val top = toks.alias("a")
+      .join(toks.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+    val pa = toks.join(broadcast(top), toks("w") === top("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val pb = toks.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("w").as("wb"))
+    pa.join(pb, pa("doc_id") === pb("doc_b") &&
+        pb("pos_b") === pa("pos") + 1 && pb("wb") === pa("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing: documents.text as an opaque binary column with
@@ -372,6 +405,7 @@ object LlmQueries {
     "d06_line_dedupe" -> d06LineDedupe,
     "d07_line_rebuild" -> d07LineRebuild,
     "d12_substring_dedupe" -> d12SubstringDedupe,
+    "t17_phrase_search" -> t17PhraseSearch,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -596,6 +630,26 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "d01_minhash_lsh" -> minhashSql,
     "d02_simhash" -> simhashSql,
+    "t17_phrase_search" ->
+      s"""WITH w0 AS (
+            SELECT doc_id, $wordsSql AS ws FROM documents
+          ), toks AS (
+            SELECT doc_id, ws[i.i] AS w, i.i AS pos
+            FROM w0, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
+            WHERE length(ws[i.i]) > 0
+          ), big AS (
+            SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.w, b.w
+          ), top AS (
+            SELECT w1, w2 FROM big ORDER BY cnt DESC, w1, w2 LIMIT 1
+          )
+          SELECT a.doc_id, t.w1 || ' ' || t.w2 AS phrase, count(*) AS n_hits
+          FROM toks a
+          JOIN top t ON a.w = t.w1
+          JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = t.w2
+          GROUP BY a.doc_id, t.w1, t.w2
+          ORDER BY a.doc_id""",
     "d12_substring_dedupe" ->
       """WITH sel AS (
            SELECT doc_id,
