@@ -370,11 +370,44 @@ object AnalyticsQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Q52 — stream-stream interval join run to parity
+    * ([[graft.streaming.StreamParity.streamStreamIntervalJoin]]): views
+    * and clicks as two watermarked streams, click matched to same-user
+    * views in the preceding 30 min. The fifth and final streaming class
+    * (agg / custom state / session / stream-static / stream-stream). */
+  def q52StreamStreamJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.streamStreamIntervalJoin(s, s"$d/events.parquet")
+      .orderBy(col("view_id"), col("click_id"))
+
+  /** Q53 — CDC last-write-wins merge: collapse an insert/update/delete
+    * changelog (events; `error` = tombstone) to final table state. The
+    * lakehouse MERGE shape, computed as ONE partial-aggregable
+    * struct-argmax per key — `max(struct(ts, event_id, ...))` — so a
+    * 100 TB changelog collapses map-side per task instead of sorting the
+    * whole log under a row_number window (the q07/d06/d08 aggregation
+    * discipline); tombstoned keys drop at the very end. The oracle is the
+    * window formulation — proving the argmax rewrite emits exactly the
+    * latest-op row per surviving key. */
+  def q53CdcMerge(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .filter(col("m.event_type") =!= "error")
+      .select(col("user_id"), col("n_ops"),
+        expr("m.ts DIV 1000").as("last_us"),
+        col("m.event_type").as("last_op"), col("m.value").as("last_value"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
     "q47_grouped_median" -> q47GroupedMedian,
     "q48_ewma" -> q48Ewma,
     "q49_skyline" -> q49Skyline,
     "q51_gap_fill" -> q51GapFill,
+    "q52_stream_stream_join" -> q52StreamStreamJoin,
+    "q53_cdc_merge" -> q53CdcMerge,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
@@ -407,6 +440,26 @@ object AnalyticsQueries {
          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
                 round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS ewma
          FROM arr ORDER BY user_id""",
+    "q52_stream_stream_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+                epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+         FROM events v JOIN events c ON c.user_id = v.user_id
+         WHERE v.event_type = 'view' AND c.event_type = 'click'
+           AND epoch_us(c.ts) >= epoch_us(v.ts)
+           AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+         ORDER BY view_id, click_id""",
+    "q53_cdc_merge" ->
+      """WITH ranked AS (
+           SELECT user_id, ts, event_id, event_type, value, count(*) OVER w AS n_ops,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id)
+         )
+         SELECT user_id, n_ops, epoch_us(ts) AS last_us,
+                event_type AS last_op, value AS last_value
+         FROM ranked WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
     "q51_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt

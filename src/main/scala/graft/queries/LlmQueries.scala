@@ -320,7 +320,12 @@ object LlmQueries {
     * vocabulary-sized group-min on the sampled 1/8 subset), so at 100 TB
     * the shuffle moves ~total_chars/8 hashes, not total_chars grams. */
   def d12SubstringDedupe(s: SparkSession, d: String): DataFrame = {
-    val sel = documents(s, d)
+    // ONE pass over the gram stream, immediately collapsed to the sampled
+    // per-(hash, doc) fingerprint table and materialized (localCheckpoint):
+    // both downstream consumers (owner-min and the per-doc rollup) read the
+    // ~chars/8-sized fingerprint table, never the corpus again — the
+    // artifact a production pipeline would persist
+    val g = documents(s, d)
       .select(col("doc_id"), expr(
         """CASE WHEN char_length(text) >= 16
           |  THEN transform(sequence(1, char_length(text) - 15),
@@ -329,11 +334,13 @@ object LlmQueries {
       .select(col("doc_id"), explode(col("gs")).as("g"))
       .select(col("doc_id"), Dedupe.md5Hash32(col("g")).as("h"))
       .filter(col("h") % 8 === 0)
-    val owners = sel.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-    val per = sel.join(owners, Seq("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .localCheckpoint(true)
+    val owners = g.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val per = g.join(owners, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"),
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("first_id") < col("doc_id"), col("occ")).otherwise(0L)).as("n_shared"),
         max(when(col("first_id") < col("doc_id"), 1).otherwise(0)).as("is_dup"))
     documents(s, d).select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")

@@ -192,6 +192,62 @@ object StreamParity {
     }
   }
 
+  /** Stream-STREAM interval join parity: views and clicks each arrive as
+    * their own watermarked stream; a click joins every view by the same
+    * user in the preceding 30 minutes (equality key + both-sided
+    * time-range predicate — exactly the condition class Spark needs to
+    * bound join state and evict by watermark). Completes the streaming
+    * matrix: plain agg (q26), custom state (q34), session windows (q36),
+    * stream-static join (q42), stream-stream join (this).
+    *
+    * Determinism: both sides read the SAME single parquet file, so one
+    * microbatch holds every row of both sides — each match forms within
+    * that batch and inner-join append emits it; the watermark only evicts
+    * state afterwards. The emitted set is therefore the complete batch
+    * interval join, which is what the DuckDB oracle computes. At
+    * production scale the identical plan runs with a real trigger: state
+    * is bounded by the 30-minute range + watermark, so neither side
+    * buffers unboundedly. */
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-streamstream")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    try {
+      val schema = spark.read.parquet(eventsPath).schema
+      val f = new java.io.File(eventsPath)
+      def source() = {
+        val reader = spark.readStream.schema(schema)
+        if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else reader.parquet(eventsPath)
+      }
+      val views = source().filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("v_time"))
+        .withWatermark("v_time", "30 minutes")
+      val clicks = source().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          timestamp_micros(expr("ts DIV 1000")).as("c_time"))
+        .withWatermark("c_time", "30 minutes")
+      views.join(clicks, expr(
+          """user_id = c_user AND
+            |c_time >= v_time AND c_time <= v_time + interval 30 minutes""".stripMargin))
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          unix_micros(col("v_time")).as("view_us"),
+          unix_micros(col("c_time")).as("click_us"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .start(out)
+        .awaitTermination()
+      spark.read.parquet(out).localCheckpoint(true)
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt)) // state store — dead after the run
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
+  }
+
   /** Streaming dedupe-with-accounting run to completion over a static
     * document file: content fingerprints stream through
     * [[StreamingDedupe.withDuplicateCounts]] (`flatMapGroupsWithState`

@@ -51,6 +51,24 @@ class LinkPhraseGapSpec extends SparkSpec {
     assert(got(3L) == ((8L, 4L, 4L, 3L)), got(3L).toString)
   }
 
+  test("q53: latest op wins; tombstoned keys vanish; ties impossible by event_id") {
+    val dir = tmp()
+    // user 1: insert → update (survives with value 2.0)
+    // user 2: insert → delete tombstone (vanishes)
+    // user 3: delete → re-insert (survives — resurrection after tombstone)
+    Seq(
+      (10L, 1000L, 1L, "view", 1.0), (11L, 2000L, 1L, "click", 2.0),
+      (20L, 1000L, 2L, "view", 9.0), (21L, 2000L, 2L, "error", 0.0),
+      (30L, 1000L, 3L, "error", 0.0), (31L, 2000L, 3L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AnalyticsQueries.q53CdcMerge(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((2L, "click", 2.0)))
+    assert(got(3L) == ((2L, "purchase", 7.0)))
+  }
+
   test("t17: most frequent bigram wins and per-doc hits count every position") {
     val dir = tmp()
     Seq(
