@@ -185,4 +185,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"range frame degraded to a join:\n${p.take(2000)}")
     assert(p.contains("Window"), "window operator missing")
   }
+
+  test("q47: both median windows share ONE key shuffle") {
+    val p = plan("q47_grouped_median")
+    assert("hashpartitioning".r.findAllIn(p).size <= 2, // window + final agg
+      s"median windows re-shuffled:\n${p.take(2000)}")
+    assert(p.contains("Window"), "window operator missing")
+  }
+
+  test("q50: pigeonhole blocking stays an equi-join — never a product join") {
+    val p = plan("q50_fuzzy_link")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy link degraded to a product join:\n${p.take(2000)}")
+  }
+
+  test("q49: skyline sweep has no product join (the O(n²) the sweep replaces)") {
+    val p = plan("q49_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degraded to the quadratic plan:\n${p.take(2000)}")
+  }
+
+  test("d11: HLL registers partial-aggregate map-side before the bucket shuffle") {
+    val p = plan("d11_hll_distinct")
+    assert(p.contains("partial_max"), s"register max lost its partial:\n${p.take(2000)}")
+  }
+
+  test("q53: CDC merge is ONE hash aggregate — no window sort over the changelog") {
+    val p = plan("q53_cdc_merge")
+    assert(!p.contains("Window"), s"argmax degraded to a window:\n${p.take(2000)}")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      "map-side partial aggregation lost")
+  }
 }
