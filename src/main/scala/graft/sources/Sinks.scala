@@ -54,6 +54,44 @@ object Sinks {
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * lake table needs: streaming appends, per-trigger microbatches, and
+    * over-parallel writers each leave files far below the ~128 MB row-group
+    * sweet spot, and scan planning cost grows with FILE COUNT, not bytes
+    * (footer reads + task scheduling dominate; at 100 TB a million 1 MB
+    * files is an outage, the same bytes in 8k files is routine).
+    *
+    * Rewrites `path` so each output file targets `targetBytes` of ON-DISK
+    * parquet: repartition count = ceil(current_bytes / target) — a
+    * round-robin shuffle of the data once, then an atomic directory swap
+    * (write to sibling tmp, rename over — the S15 temp+rename discipline).
+    * Returns (files_before, files_after). Content is preserved exactly
+    * (pinned by spec); ordering is not (parquet directories carry no order
+    * contract).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def dataFiles(d: java.io.File) =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = dataFiles(dir)
+    val totalBytes = before.map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(dir.getParentFile, dir.getName + ".compact-tmp")
+    graft.core.Fs.rmTree(tmp)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val old = new java.io.File(dir.getParentFile, dir.getName + ".compact-old")
+    graft.core.Fs.rmTree(old)
+    if (!dir.renameTo(old)) sys.error(s"compact: cannot displace $dir")
+    if (!tmp.renameTo(dir)) { // restore on failure — never leave no table
+      old.renameTo(dir); sys.error(s"compact: cannot publish $tmp")
+    }
+    graft.core.Fs.rmTree(old)
+    (before.length, dataFiles(dir).length)
+  }
+
   /** 256-way id-prefix sharded layout (SURVEY S20-adjacent: the reference's
     * HF structured-upload sharding, assets/processing/assets.py:354-361 —
     * subdirs by identifier[0:2] to keep any directory under ~10k files).
