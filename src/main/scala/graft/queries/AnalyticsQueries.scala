@@ -401,6 +401,28 @@ object AnalyticsQueries {
         col("m.event_type").as("last_op"), col("m.value").as("last_value"))
       .orderBy(col("user_id"))
 
+  /** Q54 — SCD2 validity-interval build: turn the per-user changelog into
+    * type-2 dimension history — each op opens an interval that the NEXT op
+    * closes (`lead` over the user's time-ordered ops; the final interval
+    * stays open, modeled as to_us = -1). One key shuffle + one window
+    * shared by both the close-time and the version number; q53 is this
+    * table's final open row, q22's as-of join is how facts probe it.
+    * Versions are contiguous from 1 — an auditability property the oracle
+    * hash enforces globally. */
+  def q54Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("to_ts", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version"),
+        expr("ts DIV 1000").as("from_us"),
+        coalesce(expr("to_ts DIV 1000"), lit(-1L)).as("to_us"),
+        col("event_type").as("op"), col("value"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_grouped_median" -> q47GroupedMedian,
     "q48_ewma" -> q48Ewma,
@@ -408,6 +430,7 @@ object AnalyticsQueries {
     "q51_gap_fill" -> q51GapFill,
     "q52_stream_stream_join" -> q52StreamStreamJoin,
     "q53_cdc_merge" -> q53CdcMerge,
+    "q54_scd2" -> q54Scd2,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
     "q28_range_join" -> q28RangeJoin,
@@ -440,6 +463,15 @@ object AnalyticsQueries {
          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
                 round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS ewma
          FROM arr ORDER BY user_id""",
+    "q54_scd2" ->
+      """SELECT user_id,
+                CAST(row_number() OVER w AS INTEGER) AS version,
+                epoch_us(ts) AS from_us,
+                coalesce(epoch_us(lead(ts, 1) OVER w), -1) AS to_us,
+                event_type AS op, value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
     "q52_stream_stream_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
                 epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
