@@ -90,6 +90,45 @@ object MiningQueries {
       .orderBy(col("node"))
   }
 
+  /** G04 — PageRank (3 rounds, damping 0.85) over the co-purchase graph,
+    * in SCALED-BIGINT arithmetic: ranks carried as p·10¹², every division
+    * a truncating integer `div`. Floating-point PageRank cannot be
+    * hash-checked across engines (per-vertex sums fold doubles in
+    * engine-dependent order); integer truncation is bit-identical in
+    * Spark and DuckDB, so the full 3-round fixpoint prefix hash-matches —
+    * truncation loses < 10⁻¹² per op, identically on both sides.
+    *
+    * Shape per round: ranks ⋈ degrees (same key, no extra shuffle) →
+    * contributions along edges (one hash equi-join on the src key) →
+    * sum per dst (map-side partial) → affine update. Ranks
+    * localCheckpoint per round (the L15/G3 lineage discipline). The
+    * oracle unrolls the same three rounds as chained CTEs — fixed
+    * iteration count is what makes an iterative algorithm a declarative,
+    * checkable query. */
+  def g04PageRank(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000000L // rank scale: p × 10^12
+    val und = coPurchaseEdges(s, d)
+    val e = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val n = deg.count()
+    val p0 = S / n // integral: S div N, identical to the oracle's `//`
+    var p = deg.select(col("u").as("v"), lit(p0).as("p")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val contrib = e
+        .join(p.withColumnRenamed("v", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v"), expr("p div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      p = contrib
+        .select(col("v"),
+          (lit((15L * p0) / 100) + expr("(85 * s) div 100")).as("p"))
+        .localCheckpoint(true)
+    }
+    p.orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
+  }
+
   /** The g01/g02 input graph — ONE definition so the two queries can
     * never silently analyze different graphs: parts are linked when they
     * appear in the same order. */
@@ -350,6 +389,7 @@ object MiningQueries {
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
     "g03_bfs_hops" -> g03BfsHops,
+    "g04_pagerank" -> g04PageRank,
     "t13_contamination" -> t13Contamination,
     "t14_char_stats" -> t14CharStats,
     "d08_semdedup" -> d08SemDedup)
@@ -577,6 +617,38 @@ object MiningQueries {
                 CAST(n_edges AS BIGINT) AS n_edges,
                 CAST(n_triangles AS BIGINT) AS n_triangles
          FROM verts, ecnt, tri""",
+    "g04_pagerank" ->
+      """WITH eu AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         ), e AS (
+           SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu
+         ), deg AS (
+           SELECT u, count(*) AS deg FROM e GROUP BY u
+         ), nn AS (SELECT count(*) AS n FROM deg
+         ), p0 AS (
+           SELECT u AS v, 1000000000000 // nn.n AS p FROM deg, nn
+         ), c1 AS (
+           SELECT e.v, CAST(sum(p0.p // d.deg) AS BIGINT) AS s
+           FROM e JOIN p0 ON p0.v = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+         ), p1 AS (
+           SELECT c1.v, (15 * (1000000000000 // nn.n)) // 100 + (85 * c1.s) // 100 AS p
+           FROM c1, nn
+         ), c2 AS (
+           SELECT e.v, CAST(sum(p1.p // d.deg) AS BIGINT) AS s
+           FROM e JOIN p1 ON p1.v = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+         ), p2 AS (
+           SELECT c2.v, (15 * (1000000000000 // nn.n)) // 100 + (85 * c2.s) // 100 AS p
+           FROM c2, nn
+         ), c3 AS (
+           SELECT e.v, CAST(sum(p2.p // d.deg) AS BIGINT) AS s
+           FROM e JOIN p2 ON p2.v = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+         ), p3 AS (
+           SELECT c3.v, (15 * (1000000000000 // nn.n)) // 100 + (85 * c3.s) // 100 AS p
+           FROM c3, nn
+         )
+         SELECT v, CAST(p AS BIGINT) AS rank_scaled FROM p3 ORDER BY v""",
     "g03_bfs_hops" ->
       """WITH RECURSIVE e AS (
            SELECT u, v FROM (

@@ -77,6 +77,27 @@ class SketchQueriesSpec extends SparkSpec {
     assert(got(3L) == 0, "disjoint doc must not be flagged")
   }
 
+  test("g04: star-graph PageRank — hub dominates, leaves tie, mass ≈ conserved") {
+    import graft.queries.MiningQueries
+    import spark.implicits._
+    // co-purchase star: one order containing part 1 with parts 2..5 only
+    // (same-order pairs (1,2),(1,3),(1,4),(1,5) but never leaf-leaf) is not
+    // expressible in one order — use 4 two-item orders sharing part 1
+    val dir = java.nio.file.Files.createTempDirectory("g04spec").toString
+    Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L),
+      (300L, 1L), (300L, 4L), (400L, 1L), (400L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = MiningQueries.g04PageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = Set(2L, 3L, 4L, 5L).map(got)
+    assert(leaves.size == 1, s"leaves must tie: $got")
+    assert(got(1L) > leaves.head * 5, s"hub must dominate: $got")
+    // total mass stays within truncation loss of the scale (≤ a few ULP·N)
+    val total = got.values.sum
+    assert(math.abs(total - 1000000000000L) < 1000000L, s"mass drifted: $total")
+  }
+
   test("d12: every doc present exactly once, flags only 0/1") {
     val df = LlmQueries.d12SubstringDedupe(spark, sf())
     val n = spark.read.parquet(sf() + "/documents.parquet").count()
