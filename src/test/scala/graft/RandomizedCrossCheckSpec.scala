@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.ShortestPaths
+import graft.queries.{AnalyticsQueries, CoreQueries}
+import scala.util.Random
+
+/** Seeded randomized cross-checks: each distributed operator vs a
+  * brute-force driver-side reference on small random inputs (the
+  * TrianglesSpec discipline). Fixed seeds — failures reproduce exactly.
+  */
+class RandomizedCrossCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("xcheck").toString
+
+  test("BFS hops == brute-force reference on random graphs (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 25
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextDouble() < 0.1
+      } yield (u.toLong, v.toLong)).toList
+      val seeds = List(1L, 2L)
+      val maxHops = 4
+      // driver-side BFS
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      val got = ShortestPaths.hops(edges.toDF("u", "v"), seeds.toDF("node"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == dist.map { case (k, v) => (k, v) }, s"seed=$seed")
+    }
+  }
+
+  test("skyline sweep == brute-force dominance on random points (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(100 + seed)
+      val pts = (1 to 60).map(i =>
+        (i.toLong, (rnd.nextInt(15) + 1).toDouble, rnd.nextInt(10) + 1))
+      val dir = tmp()
+      pts.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      def dominated(p: (Long, Double, Int)) = pts.exists { q =>
+        q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+      }
+      val expect = pts.filterNot(dominated).map(_._1).toSet
+      val got = AnalyticsQueries.q49Skyline(spark, dir).collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"seed=$seed missing=${expect -- got} extra=${got -- expect}")
+    }
+  }
+
+  test("pigeonhole-blocked linkage finds EVERY Hamming<=1 same-nation pair (random names)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      // names over a tiny alphabet in the digit region => dense near-pairs;
+      // q50's mask positions are chars 10..18, so build names shaped like
+      // the fixture: 9-char prefix + 9 'digit' chars
+      def name() = "Customer#" + (1 to 9).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString
+      val rows = (1 to 80).map(i => (i.toLong, name(), rnd.nextInt(3)))
+      val dir = tmp()
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+      val expect = (for {
+        a <- rows; b <- rows
+        if a._1 < b._1 && a._3 == b._3 && ham(a._2, b._2) <= 1
+      } yield (a._1, b._1)).toSet
+      val got = CoreQueries.q50FuzzyLink(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"seed=$seed missing=${expect -- got} extra=${got -- expect}")
+    }
+  }
+
+  test("grouped median == sorted-middle reference on random groups") {
+    val rnd = new Random(42)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, s"P${rnd.nextInt(4)}", (rnd.nextInt(1000) + 1).toDouble))
+    val dir = tmp()
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val expect = rows.groupBy(_._2).map { case (k, rs) =>
+      val xs = rs.map(_._3).sorted
+      k -> (if (xs.length % 2 == 1) xs(xs.length / 2)
+            else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0)
+    }
+    val got = AnalyticsQueries.q47GroupedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
+    assert(got == expect)
+  }
+}
