@@ -320,8 +320,27 @@ object CoreQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Q55 — schema-evolution union: merge two "generations" of a table
+    * where the newer one grew a column (`unionByName` with
+    * allowMissingColumns — positional UNION would silently misalign or
+    * reject). The lakehouse reality that a 100 TB table is never one
+    * schema: old partitions lack the new column, readers coalesce a
+    * default. Plans as a plain union of projections — no shuffle. */
+  def q55UnionByName(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val gen2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_fuzzy_link" -> q50FuzzyLink,
+    "q55_union_by_name" -> q55UnionByName,
     "q01_scan_project" -> q01ScanProject,
     "q22_asof_join" -> q22AsofJoin,
     "q23_sessionize" -> q23Sessionize,
@@ -346,6 +365,13 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q55_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, 'UNKNOWN' AS priority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+         FROM orders WHERE o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
     "q50_fuzzy_link" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                 CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist

@@ -387,6 +387,32 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T18 — corpus-familiarity score: mean corpus frequency of a doc's
+    * tokens — the rare-word/gibberish detector that needs no language
+    * model (docs of corpus-rare tokens score low; boilerplate scores
+    * high). All arithmetic stays integral until ONE final division
+    * (familiarity = Σ corpus_count(token) / (n_tokens · corpus_total)),
+    * so the double is a single IEEE op both engines compute identically —
+    * the t11 linear-idf discipline. Shape: one explode scan → vocab
+    * hash-agg → equi-join back (vocab scales with corpus: NOT
+    * broadcast-hinted, AQE decides) → per-doc sum; the 1-row corpus
+    * total rides a broadcast cross join. */
+  def t18Familiarity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cf")).as("fam_sum"), count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("fam_sum"),
+        (col("fam_sum").cast("double") /
+          (col("n_tokens") * col("total")).cast("double")).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing: documents.text as an opaque binary column with
@@ -416,6 +442,7 @@ object LlmQueries {
     "d07_line_rebuild" -> d07LineRebuild,
     "d12_substring_dedupe" -> d12SubstringDedupe,
     "t17_phrase_search" -> t17PhraseSearch,
+    "t18_familiarity" -> t18Familiarity,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -640,6 +667,23 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "d01_minhash_lsh" -> minhashSql,
     "d02_simhash" -> simhashSql,
+    "t18_familiarity" ->
+      s"""WITH toks AS (
+            SELECT doc_id, w FROM (
+              SELECT doc_id, unnest($wordsSql) AS w FROM documents) t
+            WHERE length(w) > 0
+          ), vocab AS (
+            SELECT w, count(*) AS cf FROM toks GROUP BY w
+          ), tot AS (SELECT count(*) AS total FROM toks
+          ), per AS (
+            SELECT t.doc_id, CAST(sum(v.cf) AS BIGINT) AS fam_sum,
+                   count(*) AS n_tokens
+            FROM toks t JOIN vocab v ON v.w = t.w GROUP BY t.doc_id
+          )
+          SELECT doc_id, n_tokens, fam_sum,
+                 CAST(fam_sum AS DOUBLE) / CAST(n_tokens * total AS DOUBLE)
+                   AS familiarity
+          FROM per, tot ORDER BY doc_id""",
     "t17_phrase_search" ->
       s"""WITH w0 AS (
             SELECT doc_id, $wordsSql AS ws FROM documents
