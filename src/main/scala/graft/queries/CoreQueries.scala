@@ -338,9 +338,28 @@ object CoreQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q56 — ANALYZE-style table profile in ONE pass: row count, per-column
+    * null and distinct counts, typed min/max, exact decimal money sum.
+    * Spark plans the multiple COUNT(DISTINCT) via a single Expand +
+    * two-level aggregate — one scan however many distinct columns are
+    * profiled (the optimizer-statistics collection shape; never one
+    * scan per column). Every output is TYPED (no numeric→string
+    * rendering, which is never cross-engine-stable). */
+  def q56Profile(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("o_custkey")).as("custkey_distinct"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+      count_distinct(col("o_orderstatus")).as("status_distinct"),
+      count_distinct(col("o_orderpriority")).as("priority_distinct"),
+      min(col("o_totalprice")).as("price_min"),
+      max(col("o_totalprice")).as("price_max"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("price_sum"))
+
   val queries: Map[String, Q] = Map(
     "q50_fuzzy_link" -> q50FuzzyLink,
     "q55_union_by_name" -> q55UnionByName,
+    "q56_profile" -> q56Profile,
     "q01_scan_project" -> q01ScanProject,
     "q22_asof_join" -> q22AsofJoin,
     "q23_sessionize" -> q23Sessionize,
@@ -365,6 +384,17 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q56_profile" ->
+      """SELECT count(*) AS n_rows,
+                count(DISTINCT o_custkey) AS custkey_distinct,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS custkey_nulls,
+                count(DISTINCT o_orderstatus) AS status_distinct,
+                count(DISTINCT o_orderpriority) AS priority_distinct,
+                min(o_totalprice) AS price_min,
+                max(o_totalprice) AS price_max,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM orders""",
     "q55_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, 'UNKNOWN' AS priority
          FROM orders WHERE o_orderkey % 2 = 0

@@ -111,8 +111,47 @@ object SketchQueries {
       .orderBy(col("true_cnt").desc, col("word"))
   }
 
+  /** D13 — GROUPED HLL: distinct customers per order-priority segment —
+    * the per-segment cardinality cube that motivates sketches at 100 TB
+    * (exact per-segment distinct = one shuffle of every (segment, key)
+    * pair; grouped HLL = max-per-(segment, bucket), ≤ m rows per segment
+    * regardless of corpus size, AND the registers are mergeable — roll
+    * segments up to any coarser grouping without touching the data
+    * again). Same scaled-BIGINT estimator as d11, keyed by (segment,
+    * bucket); segments are sized thousands-of-distinct (the d11 lesson:
+    * below n ≈ 2.5m the raw estimator degrades, and the ln()-based
+    * correction is not cross-engine-bit-safe — err_bp exposes any
+    * segment that drifts). Exact per-segment counts ride along as the
+    * audit. */
+  def d13HllGrouped(s: SparkSession, d: String): DataFrame = {
+    val occ = orders(s, d)
+      .select(col("o_orderpriority").as("segment"),
+        col("o_custkey").cast("string").as("w"))
+    val regs = occ
+      .select(col("segment"), (Dedupe.md5Hash32(col("w")) % 256).as("bucket"),
+        md5Word2(col("w")).as("wd"))
+      .select(col("segment"), col("bucket"),
+        when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+      .groupBy(col("segment"), col("bucket")).agg(max(col("rho")).as("r"))
+    val est = regs.groupBy(col("segment"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col("segment"),
+        (col("sp") + (lit(256L) - col("nb")) * lit(4294967296L)).as("s_total"))
+      .selectExpr("segment",
+        "(718273 * (CAST(281474976710656 AS BIGINT) div s_total)) div 1000000 AS est_distinct")
+    val exact = occ.groupBy(col("segment"))
+      .agg(count_distinct(col("w")).as("exact_distinct"))
+    est.join(exact, Seq("segment"))
+      .selectExpr("segment", "est_distinct", "exact_distinct",
+        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct AS err_bp")
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d11_hll_distinct" -> d11HllDistinct,
+    "d13_hll_grouped" -> d13HllGrouped,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters)
 
   // ----------------------------------------------------------- oracle SQL
@@ -150,6 +189,39 @@ object SketchQueries {
                  CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
                       AS BIGINT) AS err_bp
           FROM est, ex""",
+    "d13_hll_grouped" ->
+      s"""WITH occ AS (
+            SELECT o_orderpriority AS segment, CAST(o_custkey AS VARCHAR) AS w
+            FROM orders
+          ), h AS (
+            SELECT segment,
+                   CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                   CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+            FROM occ
+          ), regs AS (
+            SELECT segment, bucket,
+                   max(CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END) AS r
+            FROM h GROUP BY segment, bucket
+          ), agg AS (
+            SELECT segment, CAST(sum(1::BIGINT << (32 - r)) AS BIGINT) AS sp,
+                   count(*) AS nb
+            FROM regs GROUP BY segment
+          ), est AS (
+            SELECT segment,
+                   CAST((718273 * (281474976710656::BIGINT
+                          // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
+                        AS BIGINT) AS est_distinct
+            FROM agg
+          ), ex AS (
+            SELECT segment, count(DISTINCT w) AS exact_distinct
+            FROM occ GROUP BY segment
+          )
+          SELECT e.segment, e.est_distinct,
+                 CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+                 CAST(abs(e.est_distinct - x.exact_distinct) * 10000
+                      // x.exact_distinct AS BIGINT) AS err_bp
+          FROM est e JOIN ex x ON x.segment = e.segment
+          ORDER BY e.segment""",
     "t16_cms_heavy_hitters" ->
       s"""WITH occ AS (
             SELECT w FROM (

@@ -29,6 +29,17 @@ class SketchQueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("d13: every segment's grouped-HLL estimate within 4σ of exact") {
+    val rows = SketchQueries.d13HllGrouped(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+      assert(exact >= 640, s"segment ${r.getString(0)} below the raw-HLL regime: $exact")
+      assert(math.abs(est - exact).toDouble / exact < 0.26,
+        s"segment ${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("t16: CMS is one-sided — every estimate >= true count, 20 probes") {
     val rows = SketchQueries.t16CmsHeavyHitters(spark, sf()).collect()
     assert(rows.length == 20)
