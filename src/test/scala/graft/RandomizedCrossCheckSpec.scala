@@ -78,6 +78,52 @@ class RandomizedCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("EWMA fold == driver recurrence on random daily series (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(300 + seed)
+      val us = 86400L * 1000000
+      val rows = for {
+        u <- 1 to 10; day <- 0 to 20 if rnd.nextDouble() < 0.5
+        k <- 1 to (rnd.nextInt(3) + 1)
+      } yield (u * 10000L + day * 10 + k, day * us * 1000 + k, u.toLong)
+      val dir = tmp()
+      rows.toDF("event_id", "ts", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expect = rows.groupBy(_._3).map { case (u, rs) =>
+        val daily = rs.groupBy(_._2 / (us * 1000)).toSeq.sortBy(_._1)
+          .map(_._2.size.toDouble)
+        u -> daily.tail.foldLeft(daily.head)((acc, x) => 0.25 * x + 0.75 * acc)
+      }
+      val got = AnalyticsQueries.q48Ewma(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("ewma")).toMap
+      assert(got.keySet == expect.keySet, s"seed=$seed")
+      expect.foreach { case (u, e) =>
+        assert(math.abs(got(u) - e) < 1e-9, s"seed=$seed user=$u got=${got(u)} want=$e")
+      }
+    }
+  }
+
+  test("CDC merge == last-op-wins reference on random changelogs (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(400 + seed)
+      val ops = Array("view", "click", "purchase", "error")
+      val rows = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(40).toLong * 1000000L, // coarse ts => real ties
+          rnd.nextInt(15).toLong + 1, ops(rnd.nextInt(4)), rnd.nextDouble()))
+      val dir = tmp()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expect = rows.groupBy(_._3).flatMap { case (u, rs) =>
+        val last = rs.maxBy(r => (r._2, r._1))
+        if (last._4 == "error") None
+        else Some(u -> (rs.size.toLong, last._4, last._5))
+      }
+      val got = AnalyticsQueries.q53CdcMerge(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3), r.getDouble(4))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("grouped median == sorted-middle reference on random groups") {
     val rnd = new Random(42)
     val rows = (1 to 200).map(i =>
