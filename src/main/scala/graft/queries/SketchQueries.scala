@@ -149,10 +149,30 @@ object SketchQueries {
       .orderBy(col("segment"))
   }
 
+  /** T19 — log₂-bucketed document-length histogram: the corpus-shape
+    * profile every dataset card reports (length distributions are
+    * heavy-tailed, so linear bins like q24's are useless — power-of-two
+    * buckets give the standard log-scale view). Integer log₂ via bit
+    * length (`length(bin(n))` — the d11 rho trick), so the bucketing is
+    * cross-engine exact with no log()/floor() float hazard. One narrow
+    * projection + map-side-combinable group-count. */
+  def t19LengthHistogram(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(when(col("n_chars") <= 0, lit(0))
+        .otherwise(length(bin(col("n_chars")))).as("log2_bucket"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("log2_bucket"),
+        expr("CASE WHEN log2_bucket = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), log2_bucket - 1) END").as("bucket_min_chars"),
+        col("n_docs"))
+      .orderBy(col("log2_bucket"))
+
   val queries: Map[String, Q] = Map(
     "d11_hll_distinct" -> d11HllDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
-    "t16_cms_heavy_hitters" -> t16CmsHeavyHitters)
+    "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
+    "t19_length_histogram" -> t19LengthHistogram)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -222,6 +242,18 @@ object SketchQueries {
                       // x.exact_distinct AS BIGINT) AS err_bp
           FROM est e JOIN ex x ON x.segment = e.segment
           ORDER BY e.segment""",
+    "t19_length_histogram" ->
+      """WITH b AS (
+           SELECT CASE WHEN n_chars <= 0 THEN 0
+                       ELSE CAST(length(bin(n_chars)) AS INTEGER) END AS log2_bucket
+           FROM documents
+         )
+         SELECT log2_bucket,
+                CASE WHEN log2_bucket = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(1::BIGINT << (log2_bucket - 1) AS BIGINT) END
+                  AS bucket_min_chars,
+                count(*) AS n_docs
+         FROM b GROUP BY log2_bucket ORDER BY log2_bucket""",
     "t16_cms_heavy_hitters" ->
       s"""WITH occ AS (
             SELECT w FROM (
