@@ -69,7 +69,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
     val bits = lshPlanes(dim, nPlanes, seed).map { p =>
-      val planeCol = array(p.map(x => lit(x)): _*)
+      val planeCol = array(p.toIndexedSeq.map(x => lit(x)): _*)
       when(dot(vec, planeCol) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
@@ -118,7 +118,7 @@ object Similarity {
     // greatest() over (score, -part) structs = argmax with deterministic
     // tie-break, evaluated per row with no join at all
     val scored = cents.map { case (p, cv) =>
-      val cvec = array(cv.map(x => lit(x)): _*)
+      val cvec = array(cv.toIndexedSeq.map(x => lit(x)): _*)
       struct(cosineSimilarity(vec, cvec).as("cscore"), lit(-p).as("np"))
     }
     val best = if (scored.length == 1) scored.head else greatest(scored: _*)

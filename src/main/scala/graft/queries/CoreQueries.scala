@@ -499,7 +499,7 @@ object CoreQueries {
     "q10_scalar_enrich" ->
       """SELECT doc_id,
                 CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_count,
+                     ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS word_count,
                 CASE WHEN source IN ('src0','src5') THEN 'OGL-UK-3.0'
                      WHEN source IN ('src1','src6') THEN 'CC BY'
                      WHEN source IN ('src2','src7') THEN 'CC0'
@@ -538,7 +538,7 @@ object CoreQueries {
     "q19_string_kernel" ->
       """SELECT doc_id,
                 concat_ws(' | ', source, lang, upper(substr(trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g')), 1, 40))) AS packed,
-                length(trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g'))) AS clean_len,
+                CAST(length(trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g'))) AS INTEGER) AS clean_len,
                 substr(trim(regexp_replace(regexp_replace(lower(source || '-' || lang), '[^a-z0-9._-]+', '_', 'g'), '_+', '_', 'g'), '_.'), 1, 200) AS safe_name
          FROM documents ORDER BY doc_id""",
     "q20_json_extract" ->

@@ -519,7 +519,7 @@ object LlmQueries {
           SELECT doc_id, $fp AS fp FROM bits
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         FROM fps a JOIN fps b
           ON a.doc_id < b.doc_id AND
              (((a.fp >> 0) & 255) = ((b.fp >> 0) & 255) OR
@@ -570,7 +570,7 @@ object LlmQueries {
           WHERE a.id <> b.qid
         ), ranked AS (
           SELECT qid, id, score,
-                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
           FROM cand
         )
         SELECT qid, id, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
@@ -606,7 +606,7 @@ object LlmQueries {
         )
         SELECT qid, id, score, rank FROM (
           SELECT qid, id, score,
-                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
           FROM scored) r
         WHERE rank <= 5 ORDER BY qid, rank"""
 
@@ -852,7 +852,7 @@ object LlmQueries {
                    / (${normSql("a.embedding")} * ${normSql("b.v")}) AS score
             FROM embeddings a CROSS JOIN q b WHERE a.vec_id <> b.qid
           ), ranked AS (
-            SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+            SELECT qid, id, score, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
             FROM scored
           )
           SELECT qid, id, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
@@ -870,9 +870,9 @@ object LlmQueries {
     },
     "t02_quality" ->
       s"""SELECT doc_id,
-                 length(text) AS n_chars,
+                 CAST(length(text) AS INTEGER) AS n_chars,
                  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-                      ELSE len($wordsSql) END AS word_count,
+                      ELSE CAST(len($wordsSql) AS INTEGER) END AS word_count,
                  CASE WHEN (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len($wordsSql) END) > 0
                       THEN CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
                            / CAST(len($wordsSql) AS DOUBLE)
@@ -883,12 +883,12 @@ object LlmQueries {
                  CASE WHEN length(text) > 0
                       THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
                       ELSE 0.0 END AS upper_ratio,
-                 len(list_intersect(list_distinct($wordsSql), ${TextAnalysis.StopwordSets("en").mkString("['", "', '", "']")})) AS stopword_hits
+                 len(list_intersect(list_distinct($wordsSql), ${TextAnalysis.StopwordSets("en").mkString("['", "', '", "']")}))::INTEGER AS stopword_hits
           FROM documents ORDER BY doc_id""",
     "t03_token_count" ->
       """SELECT doc_id,
                 CASE WHEN text IS NULL OR length(text) = 0 THEN 0
-                     ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) END AS token_count
+                     ELSE CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) END AS token_count
          FROM documents ORDER BY doc_id""",
     "t05_bpe_token_count" -> graft.functions.BpeTokenizer.oracleQuerySql(
       "documents", "doc_id", "text", "bpe_token_count"),
@@ -1009,9 +1009,9 @@ object LlmQueries {
          FROM documents ORDER BY doc_id""",
     "m01_multimodal_meta" ->
       """SELECT doc_id,
-                octet_length(encode(text)) AS n_bytes,
-                octet_length(encode(text)) % 640 AS width,
-                (octet_length(encode(text)) * 7) % 480 AS height,
-                octet_length(encode(text)) % 30 AS n_frames
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+                CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""")
 }

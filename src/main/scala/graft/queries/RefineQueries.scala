@@ -123,8 +123,8 @@ object RefineQueries {
             SELECT doc_id, source, lang, text,
                    substr(sha256(text), 1, 16) AS identifier,
                    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
-                   ${tokenSql("text")} AS token_count,
+                        ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) END AS word_count,
+                   CAST(${tokenSql("text")} AS INTEGER) AS token_count,
                    CASE WHEN source IN ('src0','src3') THEN 'OGL-UK-3.0'
                         WHEN source = 'src1' THEN 'CC BY'
                         WHEN source = 'src2' THEN 'CC0'
@@ -139,9 +139,9 @@ object RefineQueries {
             ON e.doc_id = p.vec_id
           ORDER BY e.doc_id""",
     "r03_conversation_explode" ->
-      """SELECT doc_id, g.i - 1 AS conv_idx,
+      """SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS conv_idx,
                 source || ' conversation_' || CAST(g.i - 1 AS VARCHAR) AS conv_title,
-                length(parts[g.i]) AS seg_len
+                CAST(length(parts[g.i]) AS INTEGER) AS seg_len
          FROM (SELECT doc_id, source, string_split(text, '. ') AS parts FROM documents) t,
               LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
          WHERE length(parts[g.i]) >= 40

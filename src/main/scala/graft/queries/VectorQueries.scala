@@ -222,7 +222,7 @@ object VectorQueries {
           ORDER BY score DESC, a.vec_id LIMIT 5""",
     "q14_elbow_cut" ->
       s"""WITH topk AS (
-            SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rank
+            SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
             FROM ($topKL2Sql) t
           ), steps AS (
             SELECT *, lead(dist) OVER (ORDER BY rank) - dist AS step FROM topk
@@ -236,7 +236,7 @@ object VectorQueries {
           ORDER BY rank""",
     "m05_rag_pipeline" ->
       s"""WITH topk AS (
-            SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rank
+            SELECT vec_id, dist, CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank
             FROM ($topKL2Sql) t
           ), steps AS (
             SELECT *, lead(dist) OVER (ORDER BY rank) - dist AS step FROM topk
