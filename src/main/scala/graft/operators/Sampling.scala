@@ -61,9 +61,16 @@ object Sampling {
     * docs) is a training-data staple; rand()-based weighted sampling is
     * irreproducible across retries, which silently changes the corpus.
     *
-    * CONTRACT: weights must be > 0. A zero weight yields ±Infinity (the
-    * row sorts last — never sampled) and a NEGATIVE weight sorts FIRST
-    * (always sampled); filter or clamp weights upstream. */
+    * CONTRACT: a zero weight yields +Infinity — the row sorts last, i.e.
+    * is never sampled (the Efraimidis–Spirakis limit for w→0). A NEGATIVE
+    * weight sorts FIRST (always sampled); clamp upstream if undesired.
+    * The zero case must be an explicit branch: under ANSI mode (Spark 4's
+    * default) the bare division raises DIVIDE_BY_ZERO, so ONE empty
+    * document would poison the whole sampling job — found by
+    * AdversarialInputSpec. DuckDB's x/0.0 is already +Infinity, so the
+    * oracle needs no mirror. */
   def weightedPriority(id: Column, weight: Column): Column =
-    Dedupe.md5Hash32(id.cast("string")).cast("double") / weight.cast("double")
+    when(weight =!= 0,
+      Dedupe.md5Hash32(id.cast("string")).cast("double") / weight.cast("double"))
+      .otherwise(lit(Double.PositiveInfinity))
 }

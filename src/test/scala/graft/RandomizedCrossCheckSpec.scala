@@ -124,6 +124,39 @@ class RandomizedCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("scaled-BIGINT PageRank == driver integer recurrence on random graphs") {
+    import graft.queries.MiningQueries
+    for (seed <- 1 to 2) {
+      val rnd = new Random(500 + seed)
+      // random co-purchase lineitem: 12 orders × 2-4 parts from a pool of 10
+      val rows = (1 to 12).flatMap { ok =>
+        rnd.shuffle((1 to 10).toList).take(2 + rnd.nextInt(3))
+          .map(pk => (ok * 100L, pk.toLong))
+      }
+      val dir = tmp()
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // driver-side reference: same integer recurrence
+      val und = rows.groupBy(_._1).values.toSeq
+        .flatMap(g => for (a <- g.map(_._2); b <- g.map(_._2) if a < b) yield (a, b))
+        .distinct
+      val e = und ++ und.map(_.swap)
+      val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val n = deg.size
+      val S = 1000000000000L
+      var p = deg.keys.map(_ -> S / n).toMap
+      for (_ <- 1 to 3) {
+        val sums = e.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => p(u) / deg(u) }.sum
+        }
+        p = sums.map { case (v, sum) => v -> ((15L * (S / n)) / 100 + (85L * sum) / 100) }
+      }
+      val got = MiningQueries.g04PageRank(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == p, s"seed=$seed\ngot    $got\nexpect $p")
+    }
+  }
+
   test("grouped median == sorted-middle reference on random groups") {
     val rnd = new Random(42)
     val rows = (1 to 200).map(i =>
