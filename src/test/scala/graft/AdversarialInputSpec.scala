@@ -59,6 +59,30 @@ class AdversarialInputSpec extends SparkSpec {
     }
   }
 
+  test("vector queries survive zero-norm and null embeddings, and emit no NaN") {
+    val vdir = java.nio.file.Files.createTempDirectory("advvec").toString
+    val base = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
+    val dim = base.head.getAs[Seq[Float]]("embedding").length
+    val zero = spark.range(1).select(
+      lit(9001L).as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"), lit(1).as("label"))
+    val nul = spark.range(1).select(
+      lit(9002L).as("vec_id"),
+      lit(null).cast(s"array<float>").as("embedding"), lit(2).as("label"))
+    base.unionByName(zero).unionByName(nul)
+      .write.mode("overwrite").parquet(s"$vdir/embeddings.parquet")
+    spark.read.parquet(sf() + "/documents.parquet")
+      .write.mode("overwrite").parquet(s"$vdir/documents.parquet")
+    for (name <- Seq("s01_ann_brute_force", "q13_topk_cosine", "q13_topk_l2",
+      "d04_embedding_near_dup", "s02_ann_lsh")) {
+      val rows = SparkEntry.queries(name)(spark, vdir).collect()
+      val nan = rows.exists(r => (0 until r.length).exists(i =>
+        !r.isNullAt(i) && r.get(i).isInstanceOf[Double] &&
+          r.getDouble(i).isNaN))
+      assert(!nan, s"$name emitted NaN on zero-norm/null vectors")
+    }
+  }
+
   test("chunkers cover the 20k-char single line completely") {
     val total = graft.queries.VectorQueries // touch module; use query output
     val rows = SparkEntry.queries("q21_chunk_fixed")(spark, dir)
