@@ -84,7 +84,6 @@ class AdversarialInputSpec extends SparkSpec {
   }
 
   test("chunkers cover the 20k-char single line completely") {
-    val total = graft.queries.VectorQueries // touch module; use query output
     val rows = SparkEntry.queries("q21_chunk_fixed")(spark, dir)
       .filter(col("doc_id") === 5L).collect()
     assert(rows.nonEmpty, "huge doc produced no chunk stats")
