@@ -62,13 +62,18 @@ object Sampling {
     * irreproducible across retries, which silently changes the corpus.
     *
     * CONTRACT: a zero weight yields +Infinity — the row sorts last, i.e.
-    * is never sampled (the Efraimidis–Spirakis limit for w→0). A NEGATIVE
-    * weight sorts FIRST (always sampled); clamp upstream if undesired.
-    * The zero case must be an explicit branch: under ANSI mode (Spark 4's
-    * default) the bare division raises DIVIDE_BY_ZERO, so ONE empty
-    * document would poison the whole sampling job — found by
-    * AdversarialInputSpec. DuckDB's x/0.0 is already +Infinity, so the
-    * oracle needs no mirror. */
+    * is never sampled (the Efraimidis–Spirakis limit for w→0). A NULL
+    * weight ALSO yields +Infinity (never sampled): `weight =!= 0` is NULL
+    * for a NULL weight, `when` treats NULL as false, and the row falls into
+    * the otherwise-branch — deliberately kept, since "unknown weight" and
+    * "zero weight" both mean "contributes nothing to the mix"; callers who
+    * want NULL to propagate (row excluded from ordering entirely) must
+    * filter or coalesce upstream. A NEGATIVE weight sorts FIRST (always
+    * sampled); clamp upstream if undesired. The zero case must be an
+    * explicit branch: under ANSI mode (Spark 4's default) the bare division
+    * raises DIVIDE_BY_ZERO, so ONE empty document would poison the whole
+    * sampling job — found by AdversarialInputSpec. DuckDB's x/0.0 is
+    * already +Infinity, so the oracle needs no mirror. */
   def weightedPriority(id: Column, weight: Column): Column =
     when(weight =!= 0,
       Dedupe.md5Hash32(id.cast("string")).cast("double") / weight.cast("double"))

@@ -264,9 +264,10 @@ object AnalyticsQueries {
     * buffer — a hot group OOMs the executor at 100 TB; this formulation
     * is a partition-by-group sort (spillable, streaming window) and for
     * truly skewed single groups composes with [[graft.operators.GlobalRank]]
-    * (q40's range-shuffle rank) instead. The middle-pair average is ONE
-    * IEEE division of two doubles — bit-identical to DuckDB's
-    * lower/upper-interpolation `median`. */
+    * (q40's range-shuffle rank) instead. The middle-pair average is
+    * (a+b)/2; DuckDB's builtin `median` interpolates lower+0.5*(upper-lower)
+    * instead, which can differ by 1 ULP on adversarial doubles — so the
+    * oracle pins the SAME (a+b)/2 formulation in explicit SQL. */
   def q47GroupedMedian(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -449,9 +450,22 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q47_grouped_median" ->
-      """SELECT o_orderpriority, count(*) AS n_orders,
-                median(o_totalprice) AS median_price
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      // Deliberately NOT builtin median(): DuckDB interpolates lower +
+      // 0.5*(upper-lower), which can differ from the engine's (a+b)/2 by
+      // 1 ULP on adversarial doubles. The oracle pins the SAME middle-pair
+      // avg formulation, so both engines run identical IEEE operations.
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+           FROM orders
+         )
+         SELECT o_orderpriority, max(cnt) AS n_orders,
+                avg(o_totalprice) AS median_price
+         FROM r
+         WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q48_ewma" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt

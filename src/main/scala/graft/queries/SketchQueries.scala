@@ -71,7 +71,10 @@ object SketchQueries {
     val exact = keys.agg(count_distinct(col("w")).as("exact_distinct"))
     est.crossJoin(exact)
       .selectExpr("n_buckets", "zero_buckets", "est_distinct", "exact_distinct",
-        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct AS err_bp")
+        // Zero guard: an empty orders table has exact_distinct = 0, and ANSI
+        // mode turns `div 0` into DIVIDE_BY_ZERO (the t15 hazard class).
+        "CASE WHEN exact_distinct = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE abs(est_distinct - exact_distinct) * 10000 div exact_distinct END AS err_bp")
   }
 
   /** T16 — count-min sketch heavy hitters: a 4×1024 CMS over the word
@@ -145,7 +148,10 @@ object SketchQueries {
       .agg(count_distinct(col("w")).as("exact_distinct"))
     est.join(exact, Seq("segment"))
       .selectExpr("segment", "est_distinct", "exact_distinct",
-        "abs(est_distinct - exact_distinct) * 10000 div exact_distinct AS err_bp")
+        // Same zero guard as d11: a segment with zero distinct keys must not
+        // raise DIVIDE_BY_ZERO under ANSI mode.
+        "CASE WHEN exact_distinct = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE abs(est_distinct - exact_distinct) * 10000 div exact_distinct END AS err_bp")
       .orderBy(col("segment"))
   }
 
@@ -206,7 +212,9 @@ object SketchQueries {
           )
           SELECT n_buckets, zero_buckets, est_distinct,
                  CAST(exact_distinct AS BIGINT) AS exact_distinct,
-                 CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
+                 CAST(CASE WHEN exact_distinct = 0 THEN 0
+                           ELSE abs(est_distinct - exact_distinct) * 10000
+                                // exact_distinct END
                       AS BIGINT) AS err_bp
           FROM est, ex""",
     "d13_hll_grouped" ->
@@ -238,8 +246,10 @@ object SketchQueries {
           )
           SELECT e.segment, e.est_distinct,
                  CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-                 CAST(abs(e.est_distinct - x.exact_distinct) * 10000
-                      // x.exact_distinct AS BIGINT) AS err_bp
+                 CAST(CASE WHEN x.exact_distinct = 0 THEN 0
+                           ELSE abs(e.est_distinct - x.exact_distinct) * 10000
+                                // x.exact_distinct END
+                      AS BIGINT) AS err_bp
           FROM est e JOIN ex x ON x.segment = e.segment
           ORDER BY e.segment""",
     "t19_length_histogram" ->

@@ -63,15 +63,36 @@ object Sinks {
     *
     * Rewrites `path` so each output file targets `targetBytes` of ON-DISK
     * parquet: repartition count = ceil(current_bytes / target) — a
-    * round-robin shuffle of the data once, then an atomic directory swap
-    * (write to sibling tmp, rename over — the S15 temp+rename discipline).
-    * Returns (files_before, files_after). Content is preserved exactly
-    * (pinned by spec); ordering is not (parquet directories carry no order
-    * contract).
+    * round-robin shuffle of the data once, then a two-rename directory swap
+    * (write to sibling tmp, displace to `.compact-old`, publish tmp — the
+    * S15 temp+rename discipline). Returns (files_before, files_after).
+    * Content is preserved exactly (pinned by spec); ordering is not
+    * (parquet directories carry no order contract).
+    *
+    * CONTRACT — swap atomicity and scope:
+    *  - The swap is two renames, NOT one atomic operation: a reader racing
+    *    the window between `dir→.compact-old` and `tmp→dir` sees no table,
+    *    and a crash inside that window strands the data in `.compact-old`.
+    *    The next `compact` run on the same path repairs that state (the
+    *    recovery branch below restores `.compact-old` when `dir` is gone),
+    *    so the window is crash-RECOVERABLE but not crash-INVISIBLE. Callers
+    *    needing concurrent readers during compaction should publish a new
+    *    path and flip a pointer instead.
+    *  - `java.io.File` rename/list semantics hold on LOCAL filesystems
+    *    only; object stores (s3a/gs) fake renames as copy+delete and this
+    *    helper must not be pointed at them — there, compact to a fresh
+    *    prefix and swap at the catalog/manifest layer.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val dir = new java.io.File(path)
+    // Crash recovery: a previous run that died between its two renames left
+    // the table at `.compact-old` and nothing at `path` — restore it first.
+    val crashed = new java.io.File(dir.getParentFile, dir.getName + ".compact-old")
+    if (!dir.exists() && crashed.exists()) {
+      if (!crashed.renameTo(dir))
+        sys.error(s"compact: cannot recover $crashed to $dir")
+    }
     def dataFiles(d: java.io.File) =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))

@@ -66,6 +66,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(after.agg(sum($"id")).head.getLong(0) == beforeSum)
   }
 
+  test("compact: recovers a table stranded at .compact-old by a crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcompactcrash").toString
+    val tbl = s"$dir/lake"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(tbl)
+    val beforeSum = spark.read.parquet(tbl).agg(sum($"id")).head.getLong(0)
+    // simulate a crash between compact's two renames: table displaced to
+    // .compact-old, nothing published at `tbl`
+    val old = new java.io.File(s"$dir/lake.compact-old")
+    assert(new java.io.File(tbl).renameTo(old))
+    assert(!new java.io.File(tbl).exists())
+    val (_, nAfter) = graft.sources.Sinks.compact(spark, tbl)
+    assert(nAfter >= 1)
+    val after = spark.read.parquet(tbl)
+    assert(after.count() == 100)
+    assert(after.agg(sum($"id")).head.getLong(0) == beforeSum)
+    assert(!old.exists(), ".compact-old should be cleaned up after recovery")
+  }
+
   test("AQE splits a skewed join partition at runtime (automatic q35)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftskew").toString
