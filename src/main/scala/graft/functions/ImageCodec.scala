@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.util.zip.CRC32
+
+/** Pure-JVM image container parsing — REAL header decode, zero external
+  * deps: PNG (IHDR chunk), JPEG (SOFn marker scan), GIF (logical screen
+  * descriptor), BMP (BITMAPINFOHEADER). This replaces the former stub for
+  * image payloads: width/height come from the actual byte stream, not
+  * arithmetic on its length.
+  *
+  * Reference behavior class: image metadata extraction before the heavy
+  * decode (assets/multimodal pipelines resize/filter on dimensions first);
+  * at 100 TB sniffing ~64 header bytes instead of inflating pixels is the
+  * difference between an I/O-bound scan and a CPU-bound one — so `parse`
+  * deliberately reads headers only and never decompresses pixel data.
+  *
+  * Full pixel decode (when a build needs it) drops into the same seam via
+  * `javax.imageio.ImageIO` — the spec proves `parse` agrees with ImageIO's
+  * own encoders on all four formats.
+  *
+  * The `*Bytes` builders emit minimal VALID streams (real signatures, real
+  * chunk layout, real CRCs for PNG) — the fixture-synthesis side used by
+  * m01 to exercise the parser against byte streams the oracle can size
+  * exactly.
+  */
+object ImageCodec {
+
+  final case class ImageMeta(format: String, width: Int, height: Int)
+
+  // ------------------------------------------------------------- parsing
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Detect format and read dimensions from the header bytes alone.
+    * Returns None for null/short/unrecognized/structurally-invalid input —
+    * never throws, so it is safe on a poisoned corpus (the
+    * AdversarialInputSpec discipline). */
+  def parse(bytes: Array[Byte]): Option[ImageMeta] =
+    if (bytes == null || bytes.length < 14) None
+    else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
+      .orElse(parseBmp(bytes))
+
+  private def parsePng(b: Array[Byte]): Option[ImageMeta] = {
+    val sigOk = b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i))
+    // first chunk must be IHDR: length@8, type@12, width@16, height@20
+    if (sigOk && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w > 0 && h > 0) Some(ImageMeta("png", w, h)) else None
+    } else None
+  }
+
+  /** Marker scan: skip segments until a SOFn frame header (C0–CF minus the
+    * non-frame C4/C8/CC), whose payload is precision(1), height(2),
+    * width(2) big-endian. */
+  private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    if (u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return None // desynced — not a marker stream
+      var j = i
+      while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+      val m = u8(b, j + 1)
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i = j + 2
+      else if (m == 0xD9) return None // EOI before any SOF
+      else {
+        if (j + 3 >= b.length) return None
+        val len = be16(b, j + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (j + 8 >= b.length) return None
+          val h = be16(b, j + 5); val w = be16(b, j + 7)
+          return if (w > 0 && h > 0) Some(ImageMeta("jpeg", w, h)) else None
+        }
+        i = j + 2 + len
+      }
+    }
+    None
+  }
+
+  private def parseGif(b: Array[Byte]): Option[ImageMeta] = {
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic == "GIF87a" || magic == "GIF89a") {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w > 0 && h > 0) Some(ImageMeta("gif", w, h)) else None
+    } else None
+  }
+
+  /** "BM" alone is two printable ASCII bytes, so require the structural
+    * DIB-header size field (40/108/124) too — plain text can never match
+    * it (ASCII has no NUL bytes). */
+  private def parseBmp(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dib = le32(b, 14)
+    if (dib != 40 && dib != 108 && dib != 124) return None
+    val w = le32(b, 18); val h = math.abs(le32(b, 22)) // negative h = top-down
+    if (w > 0 && h > 0) Some(ImageMeta("bmp", w, h)) else None
+  }
+
+  // --------------------------------------------- minimal stream builders
+
+  private def crcOf(chunks: Array[Byte]*): Array[Byte] = {
+    val c = new CRC32
+    chunks.foreach(c.update)
+    val v = c.getValue
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  }
+  private def be32b(v: Int) =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16b(v: Int) = Array((v >>> 8).toByte, v.toByte)
+  private def le16b(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+  private def le32b(v: Int) =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** PNG: signature + IHDR (8-bit RGB) + one IDAT of `idatLen`
+    * deterministic filler bytes + IEND; chunk CRCs are real.
+    * Total size = 57 + idatLen. */
+  def pngBytes(w: Int, h: Int, idatLen: Int): Array[Byte] = {
+    val ihdrData = be32b(w) ++ be32b(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val idatData = Array.tabulate(idatLen)(i => ((i * 31 + 7) & 0xFF).toByte)
+    val ihdrType = "IHDR".getBytes("US-ASCII")
+    val idatType = "IDAT".getBytes("US-ASCII")
+    val iendType = "IEND".getBytes("US-ASCII")
+    PngSig ++
+      be32b(13) ++ ihdrType ++ ihdrData ++ crcOf(ihdrType, ihdrData) ++
+      be32b(idatLen) ++ idatType ++ idatData ++ crcOf(idatType, idatData) ++
+      be32b(0) ++ iendType ++ crcOf(iendType)
+  }
+
+  /** JPEG: SOI + APP0/JFIF + COM of `commentLen` filler bytes (the parser
+    * must skip it to reach the frame header) + SOF0 (3-component) + EOI.
+    * Total size = 45 + commentLen. */
+  def jpegBytes(w: Int, h: Int, commentLen: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16b(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ be16b(2 + commentLen) ++
+      Array.tabulate(commentLen)(i => ((i * 17 + 3) & 0x7F).toByte)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16b(17) ++
+      Array[Byte](8) ++ be16b(h) ++ be16b(w) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ com ++ sof0 ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** GIF89a: header + logical screen descriptor + trailer. Total size = 14. */
+  def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16b(w) ++ le16b(h) ++
+      Array[Byte](0, 0, 0, 0x3B)
+
+  /** BMP: 14-byte file header + 40-byte BITMAPINFOHEADER (24-bit), no
+    * pixel data. Total size = 54. */
+  def bmpBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte]('B', 'M') ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+      Array.fill(24)(0.toByte)
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ImageCodec
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,34 +9,57 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata structs; decode / feature
   * extraction runs batched per partition.
   *
-  * The real decoders (image/audio codecs) are NOT available in this
-  * environment, so [[fakeDecode]] is a clearly-marked deterministic stand-in
-  * — the Spark-side contract (schema, batching, partition-parallel map, no
-  * shuffle) is the real, tested part. Swap `decodeBytes` for a JNI/FFM codec
-  * call in production; everything around it is unchanged.
+  * Image metadata decode is REAL: [[ImageCodec.parse]] reads PNG/JPEG/GIF/
+  * BMP headers from the actual bytes (no external codec needed — pure JVM).
+  * Payloads that are NOT a recognized image container (audio/video/raw
+  * blobs — codecs for those are absent in this environment) fall back to
+  * the clearly-marked deterministic stand-in arithmetic, preserving the
+  * schema/batching contract so a production codec drops into the same seam.
   *
   * Scale notes: decode is a narrow transformation (mapPartitions) — it
   * pipelines with the scan, never shuffles, and batches rows per partition
-  * so a vectorized decoder amortizes setup cost. Payload skew is handled
-  * upstream by `spark.sql.files.maxPartitionBytes` on the binaryFile scan.
+  * so a vectorized decoder amortizes setup cost. Header-only parsing never
+  * inflates pixel data, keeping the metadata pass I/O-bound. Payload skew
+  * is handled upstream by `spark.sql.files.maxPartitionBytes` on the
+  * binaryFile scan.
   */
 object Multimodal {
 
-  /** Metadata schema attached to every decoded payload. */
+  /** Metadata schema attached to every decoded payload. `format` is the
+    * sniffed container ("png"/"jpeg"/"gif"/"bmp"), or "raw" for
+    * unrecognized payloads on the stand-in path. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder — deterministic fake. A real build replaces this body with
-    * an actual codec (e.g. TwelveMonkeys ImageIO / JCodec); the signature —
-    * bytes in, fixed-schema features out — is the production contract.
-    */
-  def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Int) = {
+  /** Decode payload metadata: real header parse for image containers
+    * (width/height read from the byte stream, n_frames = 1), deterministic
+    * STUB arithmetic for everything else (audio/video codecs are not
+    * available in this environment; the signature — bytes in, fixed-schema
+    * features out — is the production contract for those). */
+  def decodeMeta(payload: Array[Byte]): (Int, Int, Int, Int, String) = {
     val n = if (payload == null) 0 else payload.length
-    (n, n % 640, (n * 7) % 480, n % 30)
+    ImageCodec.parse(payload) match {
+      case Some(m) => (n, m.width, m.height, 1, m.format)
+      case None => (n, n % 640, (n * 7) % 480, n % 30, "raw")
+    }
   }
+
+  /** Back-compat tuple view of [[decodeMeta]] without the format tag. */
+  def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val m = decodeMeta(payload)
+    (m._1, m._2, m._3, m._4)
+  }
+
+  /** STUB frame counter for video-ish payloads — container demuxers are
+    * not available in this environment; deterministic on payload size so
+    * the generator shape is testable. Production body: read the container
+    * index (moov/atom scan), same bytes-in/int-out seam. */
+  def videoFrameCount(payload: Array[Byte]): Int =
+    (if (payload == null) 0 else payload.length) % 30
 
   /** Attach a decoded-metadata struct column to a DataFrame with a binary
     * `payload` column. Runs as mapPartitions over an explicit row encoder —
@@ -47,8 +71,8 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val (n, w, h, f) = decodeBytes(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq :+ Row(n, w, h, f))
+        val (n, w, h, f, fmt) = decodeMeta(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(n, w, h, f, fmt))
       }
     }(enc)
   }
@@ -79,11 +103,13 @@ object Multimodal {
   }
 
   /** Frame sampling for video-ish payloads: every `stride`-th frame index up
-    * to the stub-decoded n_frames, exploded to one row per sampled frame —
-    * the 1-row→N-rows generator shape (UDTF analog) for multimodal data. */
+    * to the stub-counted n_frames, exploded to one row per sampled frame —
+    * the 1-row→N-rows generator shape (UDTF analog) for multimodal data.
+    * Uses [[videoFrameCount]] directly (frame sampling is a video-container
+    * operation; image sniffing does not apply). */
   def explodeSampledFrames(df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val nFrames = udf((b: Array[Byte]) => decodeBytes(b)._4)
+    val nFrames = udf((b: Array[Byte]) => videoFrameCount(b))
     df.withColumn("__n", nFrames(col(payloadCol)))
       .withColumn("frame_idx",
         explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1, lit(stride)))

@@ -415,19 +415,40 @@ object LlmQueries {
 
   // ------------------------------------------------------------ multimodal
 
-  /** Binary-payload plumbing: documents.text as an opaque binary column with
-    * decoded (stub) metadata. The mapPartitions decode path itself is pinned
-    * by MultimodalSpec; this query exposes the metadata arithmetic, which IS
-    * oracle-expressible.
+  /** Binary-payload plumbing with REAL image decode: each document is
+    * materialized as a minimal VALID image byte stream (format cycles
+    * png/jpeg/gif/bmp by doc_id, dimensions derived from n_chars — see
+    * [[graft.functions.ImageCodec]]; real signatures, chunk layout, CRCs),
+    * then [[Multimodal.withDecodedMeta]] parses width/height back OUT OF
+    * THE BYTES via the header parser (PNG IHDR / JPEG SOFn scan / GIF LSD /
+    * BMP DIB). The oracle computes the dimensions the synthesizer encoded
+    * and the exact container size — so a green hash proves the parse path
+    * recovered real values from real byte streams across all four formats,
+    * not stub arithmetic. The mapPartitions decode shape (narrow, batched,
+    * shuffle-free) is additionally pinned by MultimodalSpec.
     */
   def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val nBytes = length(col("text").cast("binary"))
-    documents(s, d)
+    import graft.functions.ImageCodec
+    val makePayload = udf { (docId: Long, nChars: Long) =>
+      val w = (nChars % 640 + 1).toInt
+      val h = (nChars * 7 % 480 + 1).toInt
+      val k = (nChars % 100).toInt
+      (docId % 4) match {
+        case 0 => ImageCodec.pngBytes(w, h, k)
+        case 1 => ImageCodec.jpegBytes(w, h, k)
+        case 2 => ImageCodec.gifBytes(w, h)
+        case _ => ImageCodec.bmpBytes(w, h)
+      }
+    }
+    val withPayload = documents(s, d)
+      .select(col("doc_id"), makePayload(col("doc_id"), col("n_chars")).as("payload"))
+    Multimodal.withDecodedMeta(withPayload, "payload")
       .select(col("doc_id"),
-        nBytes.as("n_bytes"),
-        (nBytes % 640).as("width"),
-        ((nBytes * 7) % 480).as("height"),
-        (nBytes % 30).as("n_frames"))
+        col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
       .orderBy(col("doc_id"))
   }
 
@@ -1008,10 +1029,19 @@ object LlmQueries {
                 substr(md5(trim(regexp_replace(replace(lower(text), chr(160), ' '), '\s+', ' ', 'g'))), 1, 2) AS bucket
          FROM documents ORDER BY doc_id""",
     "m01_multimodal_meta" ->
+      // The oracle computes the dimensions the synthesizer ENCODED and the
+      // exact container size per format (png = 57 + idat, jpeg = 45 + com,
+      // gif = 14, bmp = 54) — the engine must recover them by PARSING the
+      // actual byte streams, so a hash match proves the real header decode.
       """SELECT doc_id,
-                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-                CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-                CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-                CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                                WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+                CAST(CASE doc_id % 4
+                     WHEN 0 THEN 57 + n_chars % 100
+                     WHEN 1 THEN 45 + n_chars % 100
+                     WHEN 2 THEN 14 ELSE 54 END AS INTEGER) AS n_bytes,
+                CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+                CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
+                CAST(1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""")
 }

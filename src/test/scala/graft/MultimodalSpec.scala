@@ -33,6 +33,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBytes("abcd".getBytes) == Multimodal.decodeBytes("abcd".getBytes))
   }
 
+  test("ImageCodec.parse recovers dimensions from images written by the JDK's own encoders") {
+    import graft.functions.ImageCodec
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val img = new BufferedImage(17, 23, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(3, 5, 0x336699) // non-trivial pixel so encoders emit data
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      val parsed = ImageCodec.parse(bos.toByteArray)
+      assert(parsed.isDefined, s"parse failed on ImageIO-written $fmt")
+      val expectFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(parsed.get == ImageCodec.ImageMeta(expectFmt, 17, 23),
+        s"$fmt: got ${parsed.get}")
+    }
+  }
+
+  test("ImageCodec builders round-trip through the parser at boundary dimensions") {
+    import graft.functions.ImageCodec
+    assert(ImageCodec.parse(ImageCodec.pngBytes(640, 480, 0))
+      .contains(ImageCodec.ImageMeta("png", 640, 480)))
+    assert(ImageCodec.parse(ImageCodec.pngBytes(1, 1, 99))
+      .contains(ImageCodec.ImageMeta("png", 1, 1)))
+    // the COM segment before SOF0 must be skipped by the marker scan
+    assert(ImageCodec.parse(ImageCodec.jpegBytes(640, 480, 99))
+      .contains(ImageCodec.ImageMeta("jpeg", 640, 480)))
+    assert(ImageCodec.parse(ImageCodec.gifBytes(1, 480))
+      .contains(ImageCodec.ImageMeta("gif", 1, 480)))
+    assert(ImageCodec.parse(ImageCodec.bmpBytes(640, 1))
+      .contains(ImageCodec.ImageMeta("bmp", 640, 1)))
+    // documented stream sizes (the m01 oracle depends on these)
+    assert(ImageCodec.pngBytes(9, 9, 42).length == 57 + 42)
+    assert(ImageCodec.jpegBytes(9, 9, 42).length == 45 + 42)
+    assert(ImageCodec.gifBytes(9, 9).length == 14)
+    assert(ImageCodec.bmpBytes(9, 9).length == 54)
+  }
+
+  test("ImageCodec.parse rejects adversarial non-image bytes without throwing") {
+    import graft.functions.ImageCodec
+    assert(ImageCodec.parse(null).isEmpty)
+    assert(ImageCodec.parse(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.parse("plain text payload, long enough to clear minimums".getBytes).isEmpty)
+    // "BM" text prefix must NOT sniff as BMP (the DIB-size structural check)
+    assert(ImageCodec.parse("BMW dealerships report record Q3 sales this year....".getBytes).isEmpty)
+    // truncated PNG: signature only
+    assert(ImageCodec.parse(ImageCodec.pngBytes(5, 5, 0).take(12)).isEmpty)
+    // JPEG with no SOF before EOI
+    assert(ImageCodec.parse(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    // zero-dimension image is structurally invalid
+    assert(ImageCodec.parse(ImageCodec.gifBytes(0, 5)).isEmpty)
+    // non-image payloads fall back to the deterministic stand-in
+    val b = "plain text".getBytes
+    assert(Multimodal.decodeMeta(b) ==
+      ((b.length, b.length % 640, (b.length * 7) % 480, b.length % 30, "raw")))
+    // image payloads get REAL dimensions
+    assert(Multimodal.decodeMeta(graft.functions.ImageCodec.pngBytes(320, 200, 10)) ==
+      ((67, 320, 200, 1, "png")))
+  }
+
   test("withResized: batched partition map, stable output size, no shuffle") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, Array.fill(100)(i.toByte))).toDF("id", "payload")
