@@ -3,21 +3,24 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Banded interval ("range") join: for each left row, aggregate the right
-  * rows of the same key whose time lies in `[left.time - lookback,
-  * left.time)` — the "activity in the last N minutes before the event"
-  * enrichment (fraud features, error attribution, sliding context windows).
+/** Interval ("range") join: for each left row, aggregate the right rows of
+  * the same key whose time lies in `[left.time - lookback, left.time)` —
+  * the "activity in the last N minutes before the event" enrichment (fraud
+  * features, error attribution, sliding context windows).
   *
   * Scale design: a naive formulation (`l JOIN r ON l.k = r.k AND r.t
   * BETWEEN l.t - W AND l.t`) gives Catalyst only the key equi-condition; a
-  * hot key degenerates to an all-pairs comparison within the key. Instead
-  * both sides are bucketed into fixed `lookback`-width time bands and
-  * joined on `(key, band)`: any right row in `[l.t - lookback, l.t)` lies
-  * in the left row's band or the one before it, so each left row probes
-  * exactly TWO bands. Candidate fan-out is bounded by band population, the
-  * join stays a hash equi-join (AQE can still split skewed bands), and the
-  * exact range predicate is applied as the join residual. Cost = one
-  * 2× left explode + one shuffle on (key, band) — survives 100 TB.
+  * hot key degenerates to an all-pairs comparison within the key. The
+  * engine plans this shape as a CUSTOM PHYSICAL OPERATOR instead:
+  * [[graft.plans.RangeJoinRewrite]] recognizes the authored join condition
+  * and swaps in [[graft.plans.RangeJoinExec]] — a sort-merge interval join
+  * (both sides hash-clustered on the key, sorted by (key, time), one
+  * streaming pass with a sliding window buffer). One shuffle per side on
+  * the key alone; memory bounded by a key's WINDOW population; the
+  * aggregation that follows reuses the key partitioning with no further
+  * exchange — survives 100 TB. If the rewrite is not installed the same
+  * condition still executes as a plain left-outer join with identical
+  * results (the exec is a physical-only optimization, pinned by spec).
   */
 object RangeJoin {
 
@@ -38,18 +41,17 @@ object RangeJoin {
       time: String, lookback: Long, rightPayload: Seq[String],
       aggs: Seq[Column]): DataFrame = {
     require(lookback > 0, s"lookback must be positive, got $lookback")
+    graft.plans.RangeJoinExec.ensureRegistered(left.sparkSession)
     val leftCols = left.columns.toSeq
+    val probes = left.withColumn("__lt", col(time).cast("long"))
     val r = right.select(
-      col(key).as("__rk") +: expr(s"$time DIV $lookback").as("__rband") +:
-        col(time).as("__rt") +: rightPayload.map(c => col(c).as(s"r_$c")): _*)
-    val probes = left
-      .withColumn("__lband", expr(s"$time DIV $lookback"))
-      .withColumn("__band", explode(array(col("__lband") - 1, col("__lband"))))
-    // Hash equi-join on (key, band); the exact interval check is the
-    // residual, so band-edge candidates from the neighbor band are dropped.
+      col(key).as("__rk") +: col(time).cast("long").as("__rt") +:
+        rightPayload.map(c => col(c).as(s"r_$c")): _*)
+    // EXACTLY the shape RangeJoinRewrite recognizes: key equality + the
+    // two band inequalities on 64-bit times, left-outer.
     val joined = probes.join(r,
-      probes("__band") === r("__rband") && col(key) === col("__rk") &&
-        col("__rt") >= col(time) - lit(lookback) && col("__rt") < col(time),
+      probes(key) === r("__rk") &&
+        r("__rt") >= probes("__lt") - lit(lookback) && r("__rt") < probes("__lt"),
       "left_outer")
     joined.groupBy(leftCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

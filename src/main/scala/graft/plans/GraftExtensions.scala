@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // HOF vector arithmetic → fused codegen kernels (see VectorHofRewrite)
     ext.injectOptimizerRule(VectorHofRewrite)
+    // banded interval join → custom logical node + sort-merge interval exec
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
       binary("dot_product", DotProductExpr(_, _)) _))

@@ -35,11 +35,13 @@ object AnalyticsQueries {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
-  /** Q28 — banded interval join ([[RangeJoin]]): for each error event,
-    * count and max-value of the same user's clicks in the preceding
-    * 5 minutes. Bounded two-band equi-join, never a per-key cross join.
-    * Times in microseconds (ts is TIMESTAMP(NANOS) longs under
-    * nanosAsLong; DuckDB timestamps are micros — see q23). */
+  /** Q28 — interval join ([[RangeJoin]]): for each error event, count and
+    * max-value of the same user's clicks in the preceding 5 minutes.
+    * Planned as the custom sort-merge interval exec
+    * ([[graft.plans.RangeJoinExec]] — one key shuffle per side, sliding
+    * window buffer), never a per-key cross join. Times in microseconds
+    * (ts is TIMESTAMP(NANOS) longs under nanosAsLong; DuckDB timestamps
+    * are micros — see q23). */
   def q28RangeJoin(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).withColumn("t_us", expr("ts DIV 1000"))
     val errors = ev.filter(col("event_type") === "error")

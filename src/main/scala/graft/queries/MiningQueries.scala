@@ -20,9 +20,11 @@ object MiningQueries {
     * 6 h of the previous): the canonical product-analytics sequence query.
     * "Qualified" clicks have a view by the same user in the preceding
     * window; qualified purchases have a qualified click. Each step is a
-    * [[RangeJoin]] banded interval join — hash equi-join on (user, band),
-    * two band probes per row, never a per-user cross join — so the chain
-    * survives hot users at 100 TB. Stage per user = deepest step reached. */
+    * [[RangeJoin]] interval join — planned as the custom sort-merge
+    * interval exec ([[graft.plans.RangeJoinExec]]): one key shuffle per
+    * side, sliding window buffer, never a per-user cross join — so the
+    * chain survives hot users at 100 TB. Stage per user = deepest step
+    * reached. */
   def q39Funnel(s: SparkSession, d: String): DataFrame = {
     val L = 6L * 3600 * 1000000 // 6 hours in micros
     val ev = events(s, d).select(col("event_id"), col("user_id"),

@@ -86,10 +86,24 @@ class PlanShapeSpec extends SparkSpec {
       "cube re-scans the input per grouping set")
   }
 
-  test("q28: banded range join is a hash equi-join, never a per-key product") {
+  test("q28: range join plans as the custom sort-merge interval exec") {
     val p = plan("q28_range_join")
+    // RangeJoinExec prints as "RangeJoin <keys>" (nodeName strips "Exec")
+    assert(p.contains("RangeJoin "),
+      s"custom interval-join exec not planned:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"range join degraded to a product join:\n${p.take(2000)}")
+    // the exec's key clustering feeds the per-left-row aggregation directly:
+    // exactly one hashpartitioning per join side, none added for the agg
+    assert("hashpartitioning".r.findAllIn(p).size <= 2,
+      s"aggregation after the interval join reshuffled:\n${p.take(3000)}")
+  }
+
+  test("q39: both funnel stages plan the custom interval exec") {
+    val p = plan("q39_funnel")
+    // qc's subtree appears twice (feeds both qp and the s2 branch) + qp's
+    assert("RangeJoin ".r.findAllIn(p).size >= 2,
+      s"expected RangeJoinExec stages:\n${p.take(3000)}")
   }
 
   test("q31/q32: as-of variants keep the one-key-shuffle window plan (no join op)") {

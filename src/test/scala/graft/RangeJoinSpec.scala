@@ -68,12 +68,49 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
-  test("plan is a hash equi-join on (key, band) — never a nested loop") {
+  test("plan is the custom sort-merge interval exec — never a nested loop") {
     val l = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
     val r = Seq((1L, 95L, 1.0)).toDF("k", "t", "v")
     val p = RangeJoin.aggregateWithin(l, r, "k", "t", 10L, Seq("v"),
       Seq(count(col("r_v")).as("n"))).queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin "), s"custom exec not planned:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"range join degraded to a product join:\n$p")
+  }
+
+  test("custom exec equals the un-rewritten fallback join") {
+    val rnd = new scala.util.Random(7)
+    val lefts = (1L to 50L).map(id => (id, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+    val rights = (1 to 300).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, rnd.nextInt(100).toDouble))
+    val w = 40L
+    // a redundant 4th conjunct keeps RangeJoinRewrite from firing (it
+    // requires the exact 3-predicate shape), forcing the plain join plan
+    val probes = lefts.toDF("id", "k", "t").withColumn("__lt", col("t").cast("long"))
+    val rr = rights.toDF("k", "t", "v").select(col("k").as("__rk"),
+      col("t").cast("long").as("__rt"), col("v").as("r_v"))
+    val joined = probes.join(rr,
+      probes("k") === rr("__rk") &&
+        rr("__rt") >= probes("__lt") - lit(w) && rr("__rt") < probes("__lt") &&
+        rr("__rt") < probes("__lt") + lit(1L),
+      "left_outer")
+    assert(!joined.queryExecution.executedPlan.toString.contains("RangeJoin "),
+      "fallback control was unexpectedly rewritten — test is vacuous")
+    val fallback = joined.groupBy(col("id"))
+      .agg(count(col("r_v")).as("n"), max(col("r_v")).as("mx"))
+      .as[(Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run(lefts, rights, w) == fallback)
+  }
+
+  test("null keys and times never match but left rows survive") {
+    val l = Seq((1L, Option(1L), Option(100L)), (2L, None: Option[Long], Option(100L)),
+      (3L, Option(1L), None: Option[Long])).toDF("id", "k", "t")
+    val r = Seq((Option(1L), Option(95L), 1.0), (None: Option[Long], Option(96L), 2.0),
+      (Option(1L), None: Option[Long], 3.0)).toDF("k", "t", "v")
+    val out = RangeJoin.aggregateWithin(l, r, "k", "t", 10L, Seq("v"),
+        Seq(count(col("r_v")).as("n")))
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 }
