@@ -44,10 +44,11 @@ object Triangles {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(false)
+    // referenced by both endpoint joins, the stats agg and perVertex's
+    // final join — measured: dropping this checkpoint in favor of exchange
+    // reuse re-ran the agg and cost perVertex +2 s at sf0.1
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-      // referenced by both endpoint joins (and the vertex count) — without
-      // the checkpoint each reference re-runs the degree aggregation
       .localCheckpoint(false)
     val du = deg.select(col("x").as("u"), col("deg").as("du"))
     val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
@@ -74,14 +75,18 @@ object Triangles {
   }
 
   /** One-row frame: (n_vertices, n_edges, n_triangles) of the normalized
-    * undirected graph. Columns of `edges` are taken positionally. */
+    * undirected graph. Columns of `edges` are taken positionally.
+    * n_vertices and n_edges come from ONE pass over the degree table
+    * (n_edges = Σdeg / 2 — every edge contributes to exactly two degrees),
+    * so the stats side adds a single 1-row aggregate to the triangle
+    * pipeline instead of two extra corpus passes. */
   def stats(edges: DataFrame): DataFrame = {
-    val (e, deg, closers) = core(edges)
-    val nVerts = deg.agg(count(lit(1)).as("n_vertices"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val (_, deg, closers) = core(edges)
+    val graphStats = deg.agg(count(lit(1)).as("n_vertices"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"))
     val nTris = closers
       .agg(coalesce(sum(size(col("w"))), lit(0)).cast("long").as("n_triangles"))
-    nVerts.crossJoin(nEdges).crossJoin(nTris)
+    graphStats.crossJoin(nTris)
   }
 
   /** Per-vertex triangle participation and local clustering coefficient —

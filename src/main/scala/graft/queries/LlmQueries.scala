@@ -320,23 +320,23 @@ object LlmQueries {
     * vocabulary-sized group-min on the sampled 1/8 subset), so at 100 TB
     * the shuffle moves ~total_chars/8 hashes, not total_chars grams. */
   def d12SubstringDedupe(s: SparkSession, d: String): DataFrame = {
-    // ONE pass over the gram stream with the mod-8 sampling applied INSIDE
-    // the array expression — only the ~1/8 surviving hashes ever become
-    // rows (exploding all grams first was measured 2× slower: per-row
-    // materialization, not md5, dominates). The sampled per-(hash, doc)
+    // ONE pass over the gram stream with the mod-8 sampling fused into a
+    // custom kernel ([[graft.plans.SampledGramHashes]]) — only the ~1/8
+    // surviving hashes ever become rows (exploding all grams first was
+    // measured 2× slower: per-row materialization, not md5, dominates).
+    // The kernel replaces the per-window substring/hex-string/conv churn
+    // of the composable SQL chain, which the ORACLE still runs — the hash
+    // match proves the kernel bit-equal. (Wall time at sf0.1 is unchanged
+    // — the query is job-floor-bound there — but the kernel cuts ~6
+    // short-lived allocations per corpus character, which is GC headroom
+    // at 100 TB.) The sampled per-(hash, doc)
     // fingerprint table is then collapsed and materialized
     // (localCheckpoint): both downstream consumers (owner-min and the
     // per-doc rollup) read it, never the corpus again — the artifact a
     // production pipeline would persist
     val g = documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN char_length(text) >= 16
-          |  THEN filter(
-          |    transform(sequence(1, char_length(text) - 15),
-          |      i -> CAST(conv(substring(md5(substring(text, i, 16)), 1, 8), 16, 10)
-          |           AS BIGINT)),
-          |    h -> h % 8 = 0)
-          |  ELSE array() END""".stripMargin)).as("h"))
+      .select(col("doc_id"),
+        explode(graft.plans.SampledGramHashes(col("text"), 16, 8)).as("h"))
       .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
       .localCheckpoint(true)
     val owners = g.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
