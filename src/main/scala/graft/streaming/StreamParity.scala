@@ -24,6 +24,25 @@ private[streaming] object TempDirs {
   }
   def deleteOnExit(dir: java.io.File): Unit = { hook; pending.add(dir); () }
   def dropNow(dir: java.io.File): Unit = graft.core.Fs.rmTree(dir)
+
+  /** Scratch dir for streaming checkpoints/sinks, on tmpfs when available.
+    * Checkpoint durability buys nothing for these run-to-completion parity
+    * queries — the result parquet is re-derivable — so RAM-backed scratch
+    * is the right trade; a production deployment with resume semantics
+    * points the checkpoint at reliable storage instead. MEASURED at sf0.1:
+    * tmpfs moved none of the ~2.5 s floor, and neither did the RocksDB
+    * state store — the floor is microbatch orchestration (per-batch
+    * planning + 32 state tasks × 2 batches × N stateful ops + query
+    * start/stop), not checkpoint I/O. Kept for principle (and for hosts
+    * where /tmp is slow), with the floor attribution corrected. */
+  private val tmpfsRoot = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some(shm.toPath) else None
+  }
+  def scratchDir(prefix: String): java.nio.file.Path = tmpfsRoot match {
+    case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+    case None => java.nio.file.Files.createTempDirectory(prefix)
+  }
 }
 
 /** Batch-parity streaming run: one `Trigger.AvailableNow` pass of the
@@ -53,7 +72,7 @@ object StreamParity {
     * oracle sides agree bit-for-bit (see q23). */
   def finalWindowCounts(spark: SparkSession, eventsPath: String,
       windowDur: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-streamparity")
+    val tmp = TempDirs.scratchDir("graft-streamparity")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     try {
@@ -107,7 +126,7 @@ object StreamParity {
   def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = {
     val gap = "30 minutes"; val lateness = "30 minutes" // fixed: the
     // duration projection below subtracts the gap as a literal
-    val tmp = Files.createTempDirectory("graft-streamsessions")
+    val tmp = TempDirs.scratchDir("graft-streamsessions")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     try {
@@ -157,7 +176,7 @@ object StreamParity {
     * against slowly-changing dimensions without stream-stream state; the
     * dim side broadcasts when small and the stream never buffers. */
   def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-streamstatic")
+    val tmp = TempDirs.scratchDir("graft-streamstatic")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     try {
@@ -209,7 +228,7 @@ object StreamParity {
     * is bounded by the 30-minute range + watermark, so neither side
     * buffers unboundedly. */
   def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-streamstream")
+    val tmp = TempDirs.scratchDir("graft-streamstream")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     try {
@@ -262,7 +281,7 @@ object StreamParity {
     * row_number over (hash ORDER BY id), which is what the oracle pins. */
   def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-streamdedupe")
+    val tmp = TempDirs.scratchDir("graft-streamdedupe")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
     try {
