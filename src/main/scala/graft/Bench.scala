@@ -118,7 +118,16 @@ object Bench {
     }
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,"queries":$detail}""")
+    val detailJson =
+      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,"sf":"$sfDir","queries":$detail}"""
+    println(s"BENCH_DETAIL $detailJson")
+    // Sidecar with FULL per-query precision: the stdout line keeps only the
+    // slowest queries (the 2000-char recording window), so the durable
+    // artifact for the whole suite is this file — committed per round as
+    // BENCH_DETAIL.json so `omitted` on the line never loses information.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
+    catch { case _: Throwable => () } // bench result must survive a bad cwd
 
     val maxLine = 1800 // 2000-char tail - sbt trailer - safety margin
     def jsonLine(keep: Seq[(String, Double)]): String = {
@@ -126,11 +135,11 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = results.size - keep.size
       val omitField = if (omit > 0) s""","omitted":$omit""" else ""
-      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)}$omitField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
     }
-    // drop fastest-first until it fits: the slow queries are the ones a
-    // bench reader actually needs
-    var keep = results.sortBy(-_._2)
+    // the line carries the slowest 20 (what a bench reader needs at a
+    // glance — per-query floors and outliers); the sidecar has everything
+    var keep = results.sortBy(-_._2).take(20)
     var line = jsonLine(keep)
     while (line.length > maxLine && keep.nonEmpty) {
       keep = keep.dropRight(1)
