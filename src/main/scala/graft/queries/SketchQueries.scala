@@ -155,6 +155,70 @@ object SketchQueries {
       .orderBy(col("segment"))
   }
 
+  /** D14 — GROUPED QUANTILE SKETCH (log-bucketed, DDSketch-flavored,
+    * integer-exact): per order-priority segment, approximate p50/p90/p99
+    * of the order price from a mergeable fixed-size bucket table, with the
+    * exact rank values riding along as the audit (the d09/d11 pattern:
+    * the sketch ships WITH its measured error).
+    *
+    * Completes the sketch family's third axis — d11/d13 answer "how
+    * many distinct", t16 "how often", d14 "how large at rank q". At
+    * 100 TB an exact grouped quantile needs a per-group sort of every
+    * value; this sketch shuffles ≤ ~4k bucket counts per segment
+    * regardless of row count, the buckets are MERGEABLE (counts add —
+    * partial aggregation map-side, roll segments up to any coarser
+    * grouping without touching data), and the relative error is bounded
+    * by construction: bucket = (bit_length, 6 sub-MSB bits), so every
+    * value in a bucket is within 2⁻⁶ ≈ 1.6 % of its lower bound (≤ 160
+    * basis points, pinned by spec; values < 128 are EXACT).
+    *
+    * Determinism discipline (d11): the one float step is floor(x·100) —
+    * identical IEEE ops in both engines — then everything is BIGINT
+    * shifts/masks/truncating division; no interpolation, no doubles, so
+    * the hash check is exact. The rank walk takes the FIRST bucket whose
+    * cumulative count reaches ceil(q·n/100) — precisely the bucket
+    * containing the rank-q element, so approx ≤ exact always. */
+  def d14QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qLits = array(lit(50L), lit(90L), lit(99L))
+    val o = orders(s, d).select(col("o_orderpriority").as("segment"),
+      greatest(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"), lit(1L)).as("v"))
+    val bucketed = o.selectExpr("segment", "v",
+      """CASE WHEN length(bin(v)) <= 7 THEN v
+        | ELSE CAST(length(bin(v)) AS BIGINT) * 64 +
+        |      (shiftright(v, length(bin(v)) - 7) & CAST(63 AS BIGINT)) END AS b"""
+        .stripMargin)
+    val sketch = bucketed.groupBy(col("segment"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("segment")).orderBy(col("b"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("segment"))))
+    val approx = cum
+      .select(col("segment"), col("b"), col("cum"), col("n"),
+        explode(qLits).as("q"))
+      .filter(col("cum") >= expr("(n * q + 99) div 100"))
+      .groupBy(col("segment"), col("q"), col("n"))
+      .agg(min(col("b")).as("b"))
+      .selectExpr("segment", "q", "n",
+        """CASE WHEN b < 128 THEN b
+          | ELSE shiftleft(CAST(1 AS BIGINT), CAST(b div 64 AS INT) - 1) +
+          |      shiftleft(b % 64, CAST(b div 64 AS INT) - 7) END AS approx_q"""
+          .stripMargin)
+    val exact = o
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("segment")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .select(col("segment"), col("v"), col("rn"), col("n"),
+        explode(qLits).as("q"))
+      .filter(col("rn") === expr("(n * q + 99) div 100"))
+      .select(col("segment"), col("q"), col("v").as("exact_q"))
+    approx.join(exact, Seq("segment", "q"))
+      .selectExpr("segment", "q", "n", "approx_q", "exact_q",
+        "(exact_q - approx_q) * 10000 div exact_q AS err_bp")
+      .orderBy(col("segment"), col("q"))
+  }
+
   /** T19 — log₂-bucketed document-length histogram: the corpus-shape
     * profile every dataset card reports (length distributions are
     * heavy-tailed, so linear bins like q24's are useless — power-of-two
@@ -177,6 +241,7 @@ object SketchQueries {
   val queries: Map[String, Q] = Map(
     "d11_hll_distinct" -> d11HllDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
+    "d14_quantile_sketch" -> d14QuantileSketch,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
 
@@ -252,6 +317,49 @@ object SketchQueries {
                       AS BIGINT) AS err_bp
           FROM est e JOIN ex x ON x.segment = e.segment
           ORDER BY e.segment""",
+    "d14_quantile_sketch" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS segment,
+                  greatest(CAST(floor(o_totalprice * 100) AS BIGINT), 1) AS v
+           FROM orders
+         ), bk AS (
+           SELECT segment, v,
+                  CASE WHEN length(bin(v)) <= 7 THEN v
+                       ELSE CAST(length(bin(v)) AS BIGINT) * 64 +
+                            ((v >> (length(bin(v)) - 7)) & 63) END AS b
+           FROM o
+         ), sketch AS (
+           SELECT segment, b, count(*) AS cnt FROM bk GROUP BY segment, b
+         ), cum AS (
+           SELECT segment, b, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY b) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+           FROM sketch
+         ), qv AS (
+           SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q
+         ), app AS (
+           SELECT segment, q, n, min(b) AS b
+           FROM cum, qv WHERE cum >= (n * q + 99) // 100
+           GROUP BY segment, q, n
+         ), appr AS (
+           SELECT segment, q, n,
+                  CASE WHEN b < 128 THEN b
+                       ELSE (CAST(1 AS BIGINT) << (CAST(b // 64 AS INTEGER) - 1)) +
+                            ((b % 64) << (CAST(b // 64 AS INTEGER) - 7)) END AS approx_q
+           FROM app
+         ), rn AS (
+           SELECT segment, v,
+                  row_number() OVER (PARTITION BY segment ORDER BY v) AS rn,
+                  CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+           FROM o
+         ), ex AS (
+           SELECT r.segment, qv.q, r.v AS exact_q
+           FROM rn r, qv WHERE r.rn = (r.n * qv.q + 99) // 100
+         )
+         SELECT a.segment, a.q, a.n, a.approx_q, e.exact_q,
+                CAST((e.exact_q - a.approx_q) * 10000 // e.exact_q AS BIGINT) AS err_bp
+         FROM appr a JOIN ex e ON e.segment = a.segment AND e.q = a.q
+         ORDER BY a.segment, a.q""",
     "t19_length_histogram" ->
       """WITH b AS (
            SELECT CASE WHEN n_chars <= 0 THEN 0

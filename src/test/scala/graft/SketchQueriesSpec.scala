@@ -116,4 +116,35 @@ class SketchQueriesSpec extends SparkSpec {
     val flags = df.select(col("is_dup")).distinct().collect().map(_.getInt(0)).toSet
     assert(flags.subsetOf(Set(0, 1)))
   }
+
+  test("d14: approx never exceeds exact and relative error stays under 2^-6") {
+    val rows = graft.queries.SketchQueries.d14QuantileSketch(spark, sf()).collect()
+    assert(rows.length == 15) // 5 segments x p50/p90/p99
+    rows.foreach { r =>
+      val (approx, exact, errBp) =
+        (r.getAs[Long]("approx_q"), r.getAs[Long]("exact_q"), r.getAs[Long]("err_bp"))
+      assert(approx <= exact, s"bucket lower bound above the exact value: $r")
+      // bucket width / bucket base = 2^-6 => at most ~156 bp + div truncation
+      assert(errBp >= 0 && errBp <= 160, s"error bound violated: $r")
+    }
+  }
+
+  test("d14 buckets are mergeable: sketch(whole) == sum of split sketches") {
+    import spark.implicits._
+    // the bucketing expression from d14, applied to a toy value column
+    def buckets(vals: Seq[Long]) = vals.toDF("v").selectExpr(
+      """CASE WHEN length(bin(v)) <= 7 THEN v
+        | ELSE CAST(length(bin(v)) AS BIGINT) * 64 +
+        |      (shiftright(v, length(bin(v)) - 7) & CAST(63 AS BIGINT)) END AS b"""
+        .stripMargin)
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    val rnd = new scala.util.Random(3)
+    val all = Seq.fill(2000)(rnd.nextInt(5000000).toLong + 1)
+    val (h1, h2) = all.splitAt(900)
+    val (b1, b2) = (buckets(h1), buckets(h2))
+    val merged = (b1.keySet ++ b2.keySet).map { b =>
+      b -> (b1.getOrElse(b, 0L) + b2.getOrElse(b, 0L))
+    }.toMap
+    assert(buckets(all) == merged)
+  }
 }
