@@ -166,6 +166,21 @@ object LlmQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Graph-ANN k-NN ([[Similarity.graphSearchTopK]] — the HNSW-family
+    * niche in a deterministic shape): seeded LSH-bounded k-NN graph build,
+    * symmetrized edges, bucket-seeded 3-hop beam search, exact rerank of
+    * the visited set. The oracle replays the identical build + walk in
+    * SQL; SimilaritySpec pins recall@k against the exact scan (s01) —
+    * the d09 audit pattern for the graph family. */
+  def s06AnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.graphSearchTopK(emb, col("vec_id"), col("embedding"), qs,
+        k = 5, dim = 64, nPlanes = 5, nTables = 6, m = 8, beamWidth = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** SQ8 scalar-quantized approximate k-NN: 8-bit per-dimension codes
     * drive the candidate scan (integer dot, exact in doubles), exact
     * cosine reranks the top-20 candidates ([[Similarity.sq8TopKByCosine]]
@@ -469,6 +484,7 @@ object LlmQueries {
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_ann_sq8" -> s04AnnSq8,
+    "s06_ann_graph" -> s06AnnGraph,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
@@ -595,6 +611,102 @@ object LlmQueries {
           FROM cand
         )
         SELECT qid, id, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** s06 oracle: replay the deterministic graph-ANN build and 2-hop beam
+    * walk in SQL — same seeded planes (embedded literals), same (score
+    * desc, id) tie-breaks, same dedup/merge per hop, exact rerank. */
+  private def s06Sql: String = {
+    val (dim, nPlanes, nTables, m, beam, k) = (64, 5, 6, 8, 10, 5)
+    def bucketCase(v: String) = (0 until nTables).map { t =>
+      s"WHEN t.tbl = $t THEN ${lshBucketSql(v, dim, nPlanes, 42L + t)}"
+    }.mkString("CASE ", " ", " END")
+    val tblList = (0 until nTables).mkString("[", ", ", "]")
+    // 64-bit sign fingerprint (seed 41) — the same planes the engine embeds
+    val fpSql = Similarity.lshPlanes(dim, 64, 41L).zipWithIndex.map {
+      case (p, j) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_reduce(list_transform(list_zip(v, $lst), " +
+          s"pp -> CAST(pp[1] AS DOUBLE) * pp[2]), (x, y) -> x + y) >= 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE 0::BIGINT END)" // literal: DuckDB rejects 1<<63
+    }.mkString("(", " + ", ")")
+    s"""WITH base AS (
+          SELECT vec_id AS id, embedding AS v FROM embeddings
+        ), fps AS (
+          SELECT id, $fpSql AS fp FROM base
+        ), bk AS (
+          SELECT t.tbl, ${bucketCase("v")} AS bucket, id, v
+          FROM base, LATERAL (SELECT unnest($tblList) AS tbl) t
+        ), pairs AS (
+          SELECT DISTINCT a.id AS src, b.id AS dst,
+                 CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS w
+          FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id
+          JOIN fps fa ON fa.id = a.id JOIN fps fb ON fb.id = b.id
+        ), knn AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY w, dst) AS rn
+            FROM pairs) t
+          WHERE rn <= $m
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM knn
+            UNION ALL SELECT dst AS src, src AS dst FROM knn) u
+        ), qs AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+        ), qb0 AS (
+          SELECT qid, t.tbl, ${bucketCase("qv")} AS bucket
+          FROM qs, LATERAL (SELECT unnest($tblList) AS tbl) t
+        ), qb AS (
+          SELECT DISTINCT qid, tbl, bucket FROM (
+            SELECT qid, tbl, bucket FROM qb0
+            ${(1 to nPlanes).map(f =>
+              s"UNION ALL SELECT qid, tbl, substr(bucket, 1, ${f - 1}) || " +
+                s"(CASE WHEN substr(bucket, $f, 1) = '1' THEN '0' ELSE '1' END) || " +
+                s"substr(bucket, ${f + 1}, ${nPlanes - f}) FROM qb0").mkString("\n            ")}
+          ) u
+        ), entries AS (
+          SELECT DISTINCT q.qid, a.id AS cid
+          FROM qb q JOIN bk a ON a.tbl = q.tbl AND a.bucket = q.bucket
+        ), c0 AS (
+          SELECT e.qid, e.cid, ${cosSql("b.v", "q.qv")} AS score
+          FROM entries e JOIN base b ON b.id = e.cid JOIN qs q ON q.qid = e.qid
+        ), b0 AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+            FROM c0) t
+          WHERE rn <= $beam
+        ), h1 AS (
+          SELECT DISTINCT mm.qid, e.dst AS cid FROM b0 mm JOIN edges e ON e.src = mm.cid
+        ), s1 AS (
+          SELECT h.qid, h.cid, ${cosSql("b.v", "q.qv")} AS score
+          FROM h1 h JOIN base b ON b.id = h.cid JOIN qs q ON q.qid = h.qid
+        ), c1 AS (
+          SELECT qid, cid, max(score) AS score FROM (
+            SELECT * FROM c0 UNION ALL SELECT * FROM s1) u
+          GROUP BY qid, cid
+        ), b1 AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+            FROM c1) t
+          WHERE rn <= $beam
+        ), h2 AS (
+          SELECT DISTINCT mm.qid, e.dst AS cid FROM b1 mm JOIN edges e ON e.src = mm.cid
+        ), s2 AS (
+          SELECT h.qid, h.cid, ${cosSql("b.v", "q.qv")} AS score
+          FROM h2 h JOIN base b ON b.id = h.cid JOIN qs q ON q.qid = h.qid
+        ), c2 AS (
+          SELECT qid, cid, max(score) AS score FROM (
+            SELECT * FROM c1 UNION ALL SELECT * FROM s2) u
+          GROUP BY qid, cid
+        )
+        SELECT qid, cid AS id, score, rank FROM (
+          SELECT qid, cid, score,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INT) AS rank
+          FROM c2 WHERE cid <> qid) r
+        WHERE rank <= $k ORDER BY qid, rank"""
   }
 
   /** s03 oracle: recompute the seeded-centroid IVF index in SQL (centroids =
@@ -829,6 +941,7 @@ object LlmQueries {
           WHERE $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) >= 0.15
           ORDER BY id_a, id_b""",
     "s02_ann_lsh" -> s02Sql,
+    "s06_ann_graph" -> s06Sql,
     "s03_ann_ivf" -> s03Sql,
     "s04_ann_sq8" ->
       s"""WITH base AS (

@@ -146,4 +146,25 @@ class SimilaritySpec extends SparkSpec {
     val out = Elbow.cut(ranked, col("dist"), col("vec_id")).collect()
     assert(out.length == 6)
   }
+
+  test("graph ANN (s06) recall@5 vs the exact scan — the d09-style audit") {
+    // the contract a graph-index user cares about: how much of the TRUE
+    // top-k the walk finds. Measured 1.0 at sf0.001 / 0.93 at sf0.01 and
+    // sf0.1 on these near-random embeddings (the hardest ANN case);
+    // pinned with margin so plane/param changes that damage recall fail.
+    val exact = graft.queries.LlmQueries.s01AnnBruteForce(spark, sf())
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+    val graph = graft.queries.LlmQueries.s06AnnGraph(spark, sf())
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+    assert(exact.keySet == graph.keySet)
+    val recalls = exact.map { case (q, t) =>
+      val r = (t & graph(q)).size.toDouble / t.size
+      assert(r >= 0.6, s"recall@5 for query $q collapsed to $r")
+      r
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 $mean below the pinned floor")
+  }
 }
