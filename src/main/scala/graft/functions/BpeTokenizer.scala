@@ -32,6 +32,31 @@ import org.apache.spark.sql.functions.udf
   * applications of the SAME merge inside one word (e.g. "aaaaaa" with an
   * (a,a) merge) — accepted for cross-engine bit-for-bit determinism.
   *
+  * TIER BOUNDARY vs the reference's cl100k_base — stated precisely so a
+  * reader knows exactly what this table does and does not reproduce
+  * (pinned by BpeTokenizerSpec's divergence-corpus test):
+  *
+  *  - TIER 1 — exact parity: the reference's own pinned determinism case
+  *    ("Hello, world!" == 4) and the high-frequency English function words
+  *    covered by the 84 ranks (the/that/with/for/and/...) tokenize to ONE
+  *    token, as cl100k does.
+  *  - TIER 2 — the embedded table's reach, stopping at RANK 84: common
+  *    bigram/suffix merges (th, in, er, ing, ion, tion, and, with...).
+  *    Mid-frequency vocabulary splits into those learned fragments
+  *    ("information" → in|for|m|at|ion), where cl100k's 100k-entry vocab
+  *    would emit 1–3 tokens. Divergence is a deterministic OVERCOUNT —
+  *    fewer merges can only split more — so tier-2 counts are a stable
+  *    upper bound usable for budget/length gating.
+  *  - BEYOND THE TABLE — never merged, by construction: pairs absent from
+  *    the 84 ranks (rare letters q/j/z never merge: "jazz" → j|a|z|z),
+  *    punctuation (no punctuation merges exist; ", " costs its codepoints,
+  *    which is precisely what makes "Hello, world!" == 4 with the
+  *    Hello/world ranks), uppercase beyond the table's few capitalized
+  *    entries ("HELLO" → one token per letter), anything non-ASCII (one
+  *    token per codepoint), and cross-word merges (the double separator
+  *    at word boundaries is unbridgeable). There is no byte-level
+  *    pre-tokenization: the unit is the codepoint, not the UTF-8 byte.
+  *
   * Scale: a narrow per-row kernel (no shuffle, no state). A UDF rather
   * than a Column expression because the merge chain is genuinely
   * imperative — same rationale as the recursive chunker.
