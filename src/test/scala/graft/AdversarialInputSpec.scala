@@ -74,7 +74,7 @@ class AdversarialInputSpec extends SparkSpec {
     spark.read.parquet(sf() + "/documents.parquet")
       .write.mode("overwrite").parquet(s"$vdir/documents.parquet")
     for (name <- Seq("s01_ann_brute_force", "q13_topk_cosine", "q13_topk_l2",
-      "d04_embedding_near_dup", "s02_ann_lsh")) {
+      "d04_embedding_near_dup", "s02_ann_lsh", "s06_ann_graph")) {
       val rows = SparkEntry.queries(name)(spark, vdir).collect()
       val nan = rows.exists(r => (0 until r.length).exists(i =>
         !r.isNullAt(i) && r.get(i).isInstanceOf[Double] &&
