@@ -282,6 +282,69 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q57 — grouped MAD outlier gate (median absolute deviation): per
+    * priority class, the robust dispersion statistic and how many orders
+    * sit beyond 3·MAD — the data-quality screen that survives heavy
+    * tails where stddev-based z-scores do not. Both medians use q47's
+    * middle-row/pair windows (never percentile()'s whole-group buffer);
+    * every comparison is a single IEEE expression evaluated identically
+    * in both engines, so the count is hash-stable. Two key shuffles
+    * (price sort, deviation sort) + broadcast-sized per-segment stats. */
+  def q57MadOutliers(s: SparkSession, d: String): DataFrame = {
+    def groupedMedian(df: DataFrame, valueCol: String, tieCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col(valueCol), col(tieCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy(col("o_orderpriority"))))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("o_orderpriority"))
+        .agg(avg(col(valueCol)).as(out))
+    }
+    val o = orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val med = groupedMedian(o, "o_totalprice", "o_orderkey", "median_price")
+    val dev = o.join(med, Seq("o_orderpriority"))
+      .withColumn("dev", abs(col("o_totalprice") - col("median_price")))
+    val mad = groupedMedian(dev, "dev", "o_orderkey", "mad")
+    dev.join(mad, Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("median_price"), col("mad"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("o_orderpriority"), col("n_orders"), col("median_price"),
+        col("mad"), col("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q58 — incremental aggregate-state maintenance (materialized-view
+    * merge): per-user event rollups computed as PER-DAY-BUCKET partial
+    * states, then merged — proven hash-identical to the direct full
+    * recompute (the oracle). That equality IS the contract that lets a
+    * 100 TB pipeline fold each day's delta into persisted state without
+    * reprocessing history: every statistic here is decomposable
+    * (count/min/max/integral sum — value dollars scaled to cents by
+    * floor, the one float step, identical IEEE in both engines) and the
+    * merge is the same map-side-combinable agg Spark already runs
+    * within a day. */
+  def q58IncrementalMerge(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("user_id"),
+      expr("ts DIV 1000").as("t_us"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val partials = base
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("cnt"), min(col("t_us")).as("first_us"),
+        max(col("t_us")).as("last_us"), sum(col("cents")).as("sum_cents"))
+    partials
+      .groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"), min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q48 — per-user EWMA (α=0.25) of daily event counts: the smoothing
     * fold every monitoring/trending pipeline runs. EWMA is inherently
     * recursive, so it CANNOT be a commutative aggregate — the engine-safe
@@ -429,6 +492,8 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q47_grouped_median" -> q47GroupedMedian,
     "q48_ewma" -> q48Ewma,
+    "q57_mad_outliers" -> q57MadOutliers,
+    "q58_incremental_merge" -> q58IncrementalMerge,
     "q49_skyline" -> q49Skyline,
     "q51_gap_fill" -> q51GapFill,
     "q52_stream_stream_join" -> q52StreamStreamJoin,
@@ -468,6 +533,49 @@ object AnalyticsQueries {
          FROM r
          WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q57_mad_outliers" ->
+      // the identical two-median formulation, spelled out (the q47
+      // discipline: explicit middle-pair (a+b)/2, never builtin median)
+      """WITH o AS (
+           SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+         ), m1 AS (
+           SELECT o_orderpriority, avg(o_totalprice) AS median_price FROM (
+             SELECT o_orderpriority, o_totalprice,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+             FROM o) t
+           WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+           GROUP BY o_orderpriority
+         ), dv AS (
+           SELECT o.o_orderpriority, o.o_orderkey, m.median_price,
+                  abs(o.o_totalprice - m.median_price) AS dev
+           FROM o JOIN m1 m ON m.o_orderpriority = o.o_orderpriority
+         ), m2 AS (
+           SELECT o_orderpriority, avg(dev) AS mad FROM (
+             SELECT o_orderpriority, dev,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY dev, o_orderkey) AS rn,
+                    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+             FROM dv) t
+           WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+           GROUP BY o_orderpriority
+         )
+         SELECT d.o_orderpriority, count(*) AS n_orders, d.median_price,
+                m2.mad,
+                CAST(sum(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dv d JOIN m2 ON m2.o_orderpriority = d.o_orderpriority
+         GROUP BY d.o_orderpriority, d.median_price, m2.mad
+         ORDER BY d.o_orderpriority""",
+    "q58_incremental_merge" ->
+      // deliberately the DIRECT full recompute — equality with the
+      // engine's partial-state merge IS the incremental-maintenance proof
+      """SELECT user_id, count(*) AS n_events,
+                min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q48_ewma" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt

@@ -428,6 +428,53 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T20 — BM25 ranking: the retrieval scorer a search stack runs above
+    * t11's TF-IDF and t17's phrase index. Query = the 3 globally most
+    * frequent words (data-derived, ties lexicographic — meaningful at
+    * every scale factor); k1 = 1.25 and b = 0.75 are DYADIC so every
+    * constant is exact in IEEE doubles. Two deviations from textbook
+    * BM25, both for cross-engine bit-stability: idf is the LINEAR ratio
+    * (N - df + 0.5)/(df + 0.5) (ln() is not bit-safe across engines —
+    * the t11 linear-idf discipline), and the per-doc sum over query
+    * terms folds a term-sorted array with the first element as seed
+    * (q48's list_reduce contract) — a groupBy sum of doubles would fold
+    * in engine order and never hash-match. Corpus-sized work is two
+    * hash-aggs (dl, tf); the 3-term postings join probes term-frequency-
+    * sized inputs, never the corpus (the t17 shape). */
+  def t20Bm25(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_words")) // 1 row
+    val qterms = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("w")).limit(3).select(col("w"))
+    val tf = toks.join(broadcast(qterms), Seq("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_words").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score", col("idf") *
+        ((col("tf").cast("double") * lit(2.25)) /
+          (col("tf").cast("double") + lit(1.25) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    scored
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(struct(col("w"), col("score")))).as("xs"))
+      .select(col("doc_id"), col("dl"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1),
+               |  CAST(xs[0].score AS DOUBLE),
+               |  (acc, x) -> acc + x.score)""".stripMargin).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing with REAL image decode: each document is
@@ -442,7 +489,9 @@ object LlmQueries {
     * not stub arithmetic. The mapPartitions decode shape (narrow, batched,
     * shuffle-free) is additionally pinned by MultimodalSpec.
     */
-  def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic real-image-stream synthesis from doc metadata (format
+    * cycles by doc_id, dims from n_chars) — shared by m01/m03. */
+  private def imagePayloads(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ImageCodec
     val makePayload = udf { (docId: Long, nChars: Long) =>
       val w = (nChars % 640 + 1).toInt
@@ -455,9 +504,12 @@ object LlmQueries {
         case _ => ImageCodec.bmpBytes(w, h)
       }
     }
-    val withPayload = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), makePayload(col("doc_id"), col("n_chars")).as("payload"))
-    Multimodal.withDecodedMeta(withPayload, "payload")
+  }
+
+  def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    Multimodal.withDecodedMeta(imagePayloads(s, d), "payload")
       .select(col("doc_id"),
         col("meta.format").as("format"),
         col("meta.n_bytes").as("n_bytes"),
@@ -466,6 +518,28 @@ object LlmQueries {
         col("meta.n_frames").as("n_frames"))
       .orderBy(col("doc_id"))
   }
+
+  /** M03 — corpus image statistics THROUGH the real decode path: per
+    * sniffed container format, counts, width extremes/sum and the
+    * landscape share — the "what's in this multimodal corpus" profile
+    * that gates resize/filter decisions. All-integer aggregates of
+    * PARSED dimensions (the oracle recomputes them from the synthesis
+    * arithmetic, so the hash proves decode → aggregate end-to-end).
+    * One mapPartitions decode (narrow) + one map-side-combinable
+    * hash agg — the metadata pass never touches pixel data, the shape
+    * that keeps a 100 TB image corpus profile I/O-bound. */
+  def m03ImageStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.withDecodedMeta(imagePayloads(s, d), "payload")
+      .select(col("meta.format").as("format"),
+        col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("w")).as("min_width"),
+        max(col("w")).as("max_width"),
+        sum(col("w")).as("sum_width"),
+        sum(when(col("w") > col("h"), 1L).otherwise(0L)).as("n_landscape"))
+      .orderBy(col("format"))
 
   val queries: Map[String, Q] = Map(
     "d01_minhash_lsh" -> d01MinhashLsh,
@@ -479,6 +553,7 @@ object LlmQueries {
     "d12_substring_dedupe" -> d12SubstringDedupe,
     "t17_phrase_search" -> t17PhraseSearch,
     "t18_familiarity" -> t18Familiarity,
+    "t20_bm25" -> t20Bm25,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -497,7 +572,8 @@ object LlmQueries {
     "t10_pii_count" -> t10PiiCount,
     "t11_tfidf" -> t11Tfidf,
     "t12_stratified_sample" -> t12StratifiedSample,
-    "m01_multimodal_meta" -> m01MultimodalMeta)
+    "m01_multimodal_meta" -> m01MultimodalMeta,
+    "m03_image_stats" -> m03ImageStats)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -1156,5 +1232,57 @@ object LlmQueries {
                 CAST(n_chars % 640 + 1 AS INTEGER) AS width,
                 CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
                 CAST(1 AS INTEGER) AS n_frames
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "t20_bm25" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents
+          ), tok2 AS (
+            SELECT doc_id, w FROM tok WHERE length(w) > 0
+          ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id
+          ), stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_words
+            FROM dl
+          ), qt AS (
+            SELECT w FROM (
+              SELECT w, count(*) AS cf FROM tok2 GROUP BY w
+              ORDER BY cf DESC, w LIMIT 3) t
+          ), tf AS (
+            SELECT t.w, t.doc_id, count(*) AS tf
+            FROM tok2 t JOIN qt ON qt.w = t.w GROUP BY t.w, t.doc_id
+          ), dft AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+          ), scored AS (
+            SELECT tf.doc_id, tf.w, dl.dl,
+                   ((CAST(s.n_docs - dft.df AS DOUBLE) + 0.5) /
+                    (CAST(dft.df AS DOUBLE) + 0.5)) *
+                   ((CAST(tf.tf AS DOUBLE) * 2.25) /
+                    (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) /
+                      (CAST(s.total_words AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+                     AS score
+            FROM tf JOIN dft ON dft.w = tf.w
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+          ), per AS (
+            SELECT doc_id, dl, list(score ORDER BY w) AS xs
+            FROM scored GROUP BY doc_id, dl
+          )
+          SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                 list_reduce(xs, (a, b) -> a + b) AS bm25
+          FROM per ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "m03_image_stats" ->
+      // the widths/heights the engine must recover by PARSING the streams
+      """WITH m AS (
+           SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+                  CAST(n_chars % 640 + 1 AS BIGINT) AS w,
+                  CAST((n_chars * 7) % 480 + 1 AS BIGINT) AS h
+           FROM documents
+         )
+         SELECT format, count(*) AS n_images,
+                min(w) AS min_width, max(w) AS max_width,
+                CAST(sum(w) AS BIGINT) AS sum_width,
+                CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT) AS n_landscape
+         FROM m GROUP BY format ORDER BY format""")
 }

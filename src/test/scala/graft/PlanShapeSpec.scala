@@ -99,6 +99,19 @@ class PlanShapeSpec extends SparkSpec {
       s"aggregation after the interval join reshuffled:\n${p.take(3000)}")
   }
 
+  test("d14: sketch build is ONE map-side-combinable hash agg, no product joins") {
+    val p = plan("d14_quantile_sketch")
+    assert(p.contains("partial_count"), "bucket counts lost map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quantile sketch degraded to a product join:\n${p.take(2000)}")
+  }
+
+  test("s06: graph build and walk stay equi-joins — never a product join") {
+    val p = plan("s06_ann_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"graph ANN degraded to a product join:\n${p.take(3000)}")
+  }
+
   test("q39: both funnel stages plan the custom interval exec") {
     val p = plan("q39_funnel")
     // qc's subtree appears twice (feeds both qp and the s2 branch) + qp's
