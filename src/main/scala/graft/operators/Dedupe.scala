@@ -271,6 +271,39 @@ object Dedupe {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) — the asymmetric
+    * twin of [[ngramJaccardPairs]]. Symmetric Jaccard MISSES subset-style
+    * duplication (a doc pasted inside a much larger one scores
+    * |A|/|B| ≈ small even at 100 % containment); containment of the
+    * smaller token set catches exactly that, which is why suffix-array
+    * dedupe pipelines (Lee et al. 2021) track it separately. Same blocked
+    * token equi-join as the Jaccard path — one tokenization pass, no new
+    * corpus scan shape; the threshold gates on a single division of exact
+    * integer counts. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, minContainment: Double): DataFrame = {
+    val tok = df.select(id.as("id"), block.as("blk"),
+      explode(array_distinct(words(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint(false) // feeds sizes + both sides of the pair join
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val aTok = tok.select(col("id").as("id_a"), col("blk"), col("w"))
+    val bTok = tok.select(col("id").as("id_b"), col("blk"), col("w"))
+    val inter = aTok.join(bTok, Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("sz_min", least(col("sz_a"), col("sz_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_min").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_min"),
+        col("containment"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. an LSH
     * bucket or cluster label). Cosine via the deterministic sequential fold
     * in [[graft.functions.VectorFunctions]].

@@ -36,6 +36,17 @@ object LlmQueries {
       col("source"), minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D16 — containment near-dup pairs ([[Dedupe.containmentPairs]]):
+    * subset-style duplication (a doc embedded inside a larger one) that
+    * symmetric Jaccard structurally misses — |A∩B|/min(|A|,|B|) ≥ 0.9
+    * within the d03 source blocks. The 0.8-Jaccard and 0.9-containment
+    * pair sets overlap but neither contains the other; a dedupe pass at
+    * 100 TB runs both off ONE tokenization. */
+  def d16Containment(s: SparkSession, d: String): DataFrame =
+    Dedupe.containmentPairs(documents(s, d), col("doc_id"), col("text"),
+      col("source"), minContainment = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Transitive duplicate clusters: the d03 Jaccard pairs form an edge
     * graph; connected components assign every document a cluster (min
     * doc_id of its component — own id when it has no near-dups), plus the
@@ -545,6 +556,7 @@ object LlmQueries {
     "d01_minhash_lsh" -> d01MinhashLsh,
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
+    "d16_containment" -> d16Containment,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
     "d10_dup_clusters_star" -> d10DupClustersStar,
@@ -937,6 +949,29 @@ object LlmQueries {
                 CAST(coalesce(p.is_dup, 0) AS INTEGER) AS is_dup
          FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "d16_containment" ->
+      s"""WITH tok AS (
+            SELECT doc_id, source, unnest(list_distinct($wordsSql)) AS w
+            FROM documents
+          ), tok2 AS (
+            SELECT doc_id, source, w FROM tok WHERE length(w) > 0
+          ), jsizes AS (
+            SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM tok2 a JOIN tok2 b
+              ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          )
+          SELECT id_a, id_b, inter,
+                 least(sa.sz, sb.sz) AS sz_min,
+                 CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+                   AS containment
+          FROM inter
+          JOIN jsizes sa ON sa.doc_id = id_a
+          JOIN jsizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.9
+          ORDER BY id_a, id_b""",
     "d03_ngram_jaccard" ->
       s"""WITH $jaccardPairCtes
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs

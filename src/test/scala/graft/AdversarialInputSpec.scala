@@ -46,7 +46,7 @@ class AdversarialInputSpec extends SparkSpec {
     "t12_stratified_sample", "t13_contamination", "t14_char_stats",
     "t15_weighted_sample", "t16_cms_heavy_hitters", "t17_phrase_search",
     "t18_familiarity", "t19_length_histogram",
-    "d01_minhash_lsh", "d02_simhash", "d03_ngram_jaccard",
+    "d01_minhash_lsh", "d02_simhash", "d03_ngram_jaccard", "d16_containment",
     "d06_line_dedupe", "d07_line_rebuild", "d12_substring_dedupe",
     "r01_anonymize", "r03_conversation_explode", "m01_multimodal_meta",
     "m02_frame_sample", "m03_image_stats", "t20_bm25", "p01_pipeline")

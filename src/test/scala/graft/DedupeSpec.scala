@@ -112,4 +112,22 @@ class DedupeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("containmentPairs catches a subset-style dup that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 is fully contained in doc 2, but doc 2 is 4x larger:
+    // Jaccard = 4/16 = 0.25 (missed at 0.8); containment = 4/4 = 1.0
+    val small = "alpha beta gamma delta"
+    val big = small + " " + (1 to 12).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, small, "s"), (2L, big, "s"), (3L, "unrelated words here", "s"))
+      .toDF("doc_id", "text", "source")
+    val jac = Dedupe.ngramJaccardPairs(df, col("doc_id"), col("text"),
+      col("source"), 0.8).count()
+    assert(jac == 0, "Jaccard should miss the subset pair at 0.8")
+    val out = Dedupe.containmentPairs(df, col("doc_id"), col("text"),
+      col("source"), 0.9).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getAs[Double]("containment") == 1.0)
+    assert(out.head.getAs[Long]("sz_min") == 4L)
+  }
 }

@@ -173,4 +173,55 @@ class RandomizedCrossCheckSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
     assert(got == expect)
   }
+
+  test("MAD outlier gate == brute-force reference on random groups (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val rows = (1 to 150).map(i =>
+        (i.toLong, s"P${rnd.nextInt(3)}", (rnd.nextInt(500) + 1).toDouble))
+      val dir = tmp()
+      rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      def median(xs0: Seq[Double]): Double = {
+        val xs = xs0.sorted
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+      }
+      val expect = rows.groupBy(_._2).map { case (k, rs) =>
+        val med = median(rs.map(_._3))
+        val devs = rs.map(r => math.abs(r._3 - med))
+        val mad = median(devs)
+        k -> ((rs.size.toLong, med, mad, devs.count(_ > 3.0 * mad).toLong))
+      }
+      val got = AnalyticsQueries.q57MadOutliers(spark, dir).collect().map(r =>
+        r.getString(0) -> ((r.getAs[Long]("n_orders"), r.getAs[Double]("median_price"),
+          r.getAs[Double]("mad"), r.getAs[Long]("n_outliers")))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("incremental merge == direct recompute on random event logs (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(300 + seed)
+      val rows = (1 to 400).map { _ =>
+        val user = rnd.nextInt(10).toLong
+        // nanos spanning several day buckets
+        val ts = (rnd.nextInt(5) * 86400L * 1000000000L) +
+          rnd.nextInt(1000000) * 1000L
+        (user, ts, rnd.nextDouble() * 100.0)
+      }
+      val dir = tmp()
+      rows.toDF("user_id", "ts", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expect = rows.groupBy(_._1).map { case (u, rs) =>
+        val us = rs.map(_._2 / 1000)
+        u -> ((rs.size.toLong, us.min, us.max,
+          rs.map(r => math.floor(r._3 * 100).toLong).sum))
+      }
+      val got = AnalyticsQueries.q58IncrementalMerge(spark, dir).collect().map(r =>
+        r.getLong(0) -> ((r.getAs[Long]("n_events"), r.getAs[Long]("first_us"),
+          r.getAs[Long]("last_us"), r.getAs[Long]("sum_cents")))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
 }
