@@ -282,6 +282,28 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q59 — frequent co-purchase pairs (market-basket): the top part
+    * pairs appearing together in an order — the itemset-mining workload
+    * class (association rules, "bought together" recommenders). The
+    * within-order self-join is bounded by ORDER SIZE (TPC-H ~4 lines),
+    * exactly the d03 blocking argument: candidate pairs scale with
+    * Σ(order_size²), not corpus², and the pair counts partial-aggregate
+    * map-side before the one shuffle. DISTINCT parts per order first —
+    * a part ordered twice in one order must count once (the multiset
+    * trap every naive basket query hits). All-integer output. */
+  def q59Copurchase(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Q57 — grouped MAD outlier gate (median absolute deviation): per
     * priority class, the robust dispersion statistic and how many orders
     * sit beyond 3·MAD — the data-quality screen that survives heavy
@@ -494,6 +516,7 @@ object AnalyticsQueries {
     "q48_ewma" -> q48Ewma,
     "q57_mad_outliers" -> q57MadOutliers,
     "q58_incremental_merge" -> q58IncrementalMerge,
+    "q59_copurchase" -> q59Copurchase,
     "q49_skyline" -> q49Skyline,
     "q51_gap_fill" -> q51GapFill,
     "q52_stream_stream_join" -> q52StreamStreamJoin,
@@ -568,6 +591,16 @@ object AnalyticsQueries {
          FROM dv d JOIN m2 ON m2.o_orderpriority = d.o_orderpriority
          GROUP BY d.o_orderpriority, d.median_price, m2.mad
          ORDER BY d.o_orderpriority""",
+    "q59_copurchase" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         )
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS n_orders
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY a.l_partkey, b.l_partkey
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
     "q58_incremental_merge" ->
       // deliberately the DIRECT full recompute — equality with the
       // engine's partial-state merge IS the incremental-maintenance proof

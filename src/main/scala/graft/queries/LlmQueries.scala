@@ -486,6 +486,40 @@ object LlmQueries {
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
   }
 
+  /** T23 — bigram novelty: per doc, how many of its DISTINCT bigrams sit
+    * outside the corpus's top-1000 bigrams — high novelty flags unusual
+    * text (fresh content or gibberish — triage either way), low novelty
+    * flags boilerplate; the complement of t13's contamination overlap,
+    * aimed at the corpus itself. Fully integral (counts and a membership
+    * anti-join — no floats anywhere), so hash-exact. The top-set is a
+    * vocabulary-sized aggregate (deterministic (count desc, bigram)
+    * cut); the per-doc pass is one explode + distinct + one broadcast-
+    * sized membership join — the t13 broadcast-eval-set shape. */
+  def t23BigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bigrams = documents(s, d)
+      .select(col("doc_id"), Dedupe.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .filter(length(col("bg")) > 1)
+      .distinct()
+    val top = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bg")).limit(1000)
+      .select(col("bg"), lit(1).as("in_top"))
+    val flagged = bigrams.join(broadcast(top), Seq("bg"), "left")
+    val per = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_top").isNull, 1L).otherwise(0L)).as("n_novel"))
+    documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing with REAL image decode: each document is
@@ -566,6 +600,7 @@ object LlmQueries {
     "t17_phrase_search" -> t17PhraseSearch,
     "t18_familiarity" -> t18Familiarity,
     "t20_bm25" -> t20Bm25,
+    "t23_bigram_novelty" -> t23BigramNovelty,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1268,6 +1303,33 @@ object LlmQueries {
                 CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
                 CAST(1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "t23_bigram_novelty" ->
+      s"""WITH w0 AS (
+            SELECT doc_id, $wordsSql AS w FROM documents
+          ), bg0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])
+                          ELSE []::VARCHAR[] END) AS bg
+            FROM w0
+          ), bg1 AS (
+            SELECT DISTINCT doc_id, bg FROM bg0 WHERE length(bg) > 1
+          ), top AS (
+            SELECT bg FROM (
+              SELECT bg, count(*) AS df FROM bg1 GROUP BY bg
+              ORDER BY df DESC, bg LIMIT 1000) t
+          ), per AS (
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_novel
+            FROM bg1 b LEFT JOIN top t ON t.bg = b.bg
+            GROUP BY b.doc_id
+          )
+          SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel
+          FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
     "t20_bm25" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($wordsSql) AS w FROM documents

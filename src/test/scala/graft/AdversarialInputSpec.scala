@@ -49,7 +49,8 @@ class AdversarialInputSpec extends SparkSpec {
     "d01_minhash_lsh", "d02_simhash", "d03_ngram_jaccard", "d16_containment",
     "d06_line_dedupe", "d07_line_rebuild", "d12_substring_dedupe",
     "r01_anonymize", "r03_conversation_explode", "m01_multimodal_meta",
-    "m02_frame_sample", "m03_image_stats", "t20_bm25", "p01_pipeline")
+    "m02_frame_sample", "m03_image_stats", "t20_bm25", "t23_bigram_novelty",
+    "p01_pipeline")
 
   docQueries.foreach { name =>
     test(s"$name survives the adversarial corpus") {
