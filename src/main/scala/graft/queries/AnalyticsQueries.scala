@@ -288,21 +288,24 @@ object AnalyticsQueries {
     * within-order self-join is bounded by ORDER SIZE (TPC-H ~4 lines),
     * exactly the d03 blocking argument: candidate pairs scale with
     * Σ(order_size²), not corpus², and the pair counts partial-aggregate
-    * map-side before the one shuffle. DISTINCT parts per order first —
-    * a part ordered twice in one order must count once (the multiset
-    * trap every naive basket query hits). All-integer output. */
-  def q59Copurchase(s: SparkSession, d: String): DataFrame = {
-    val items = lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    * map-side before the one shuffle. collect_set per order handles the
+    * multiset trap (a part ordered twice counts once) AND keeps the
+    * whole pipeline at TWO exchanges: pairs are generated narrowly from
+    * each order's sorted part array (a self-join formulation pays two
+    * more reshuffles for the same pair multiset). */
+  def q59Copurchase(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
-  }
 
   /** Q57 — grouped MAD outlier gate (median absolute deviation): per
     * priority class, the robust dispersion statistic and how many orders

@@ -352,24 +352,21 @@ object LlmQueries {
     // measured 2× slower: per-row materialization, not md5, dominates).
     // The kernel replaces the per-window substring/hex-string/conv churn
     // of the composable SQL chain, which the ORACLE still runs — the hash
-    // match proves the kernel bit-equal. (Wall time at sf0.1 is unchanged
-    // — the query is job-floor-bound there — but the kernel cuts ~6
-    // short-lived allocations per corpus character, which is GC headroom
-    // at 100 TB.) The sampled per-(hash, doc)
-    // fingerprint table is then collapsed and materialized
-    // (localCheckpoint): both downstream consumers (owner-min and the
-    // per-doc rollup) read it, never the corpus again — the artifact a
-    // production pipeline would persist
+    // match proves the kernel bit-equal. The owner-min rides a WINDOW over
+    // the hash partition instead of a separate groupBy + join-back: one
+    // plan, two shuffles (h, then doc), no materialization barrier — the
+    // earlier checkpoint-and-rejoin formulation paid an extra job and a
+    // broadcast for the same answer. Shuffle volume at 100 TB is still
+    // ~total_chars/8 sampled hashes, never total_chars grams.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val g = documents(s, d)
       .select(col("doc_id"),
         explode(graft.plans.SampledGramHashes(col("text"), 16, 8)).as("h"))
-      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("occ"))
-      .localCheckpoint(true)
-    val owners = g.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-    val per = g.join(owners, Seq("h"))
+      .withColumn("first_id", min(col("doc_id")).over(w))
+    val per = g
       .groupBy(col("doc_id"))
-      .agg(sum(col("occ")).as("n_grams"),
-        sum(when(col("first_id") < col("doc_id"), col("occ")).otherwise(0L)).as("n_shared"),
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"),
         max(when(col("first_id") < col("doc_id"), 1).otherwise(0)).as("is_dup"))
     documents(s, d).select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
