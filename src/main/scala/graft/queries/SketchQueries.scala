@@ -155,6 +155,19 @@ object SketchQueries {
       .orderBy(col("segment"))
   }
 
+  /** D17 — the SAME HLL as d11 through the custom TypedImperativeAggregate
+    * ([[graft.plans.HllSketchAgg]]): one 256-byte register buffer per
+    * partial state, elementwise-max merge — the shuffle ships 256 bytes
+    * per partition instead of ≤ m rows, and per-group state at 100 TB is
+    * constant regardless of key count. The oracle recomputes the estimate
+    * relationally (d11's SQL), so the hash gate proves the imperative
+    * buffer path bit-equal to the relational formulation — the agg-tier
+    * counterpart of the q35/g01 algorithm-swap-invariance discipline. */
+  def d17HllAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey").cast("string").as("w"))
+      .agg(graft.plans.HllSketchAgg.hllDistinct(col("w")).as("est_distinct"))
+
   /** D14 — GROUPED QUANTILE SKETCH (log-bucketed, DDSketch-flavored,
     * integer-exact): per order-priority segment, approximate p50/p90/p99
     * of the order price from a mergeable fixed-size bucket table, with the
@@ -242,6 +255,7 @@ object SketchQueries {
     "d11_hll_distinct" -> d11HllDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
+    "d17_hll_agg" -> d17HllAgg,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
 
@@ -317,6 +331,28 @@ object SketchQueries {
                       AS BIGINT) AS err_bp
           FROM est e JOIN ex x ON x.segment = e.segment
           ORDER BY e.segment""",
+    "d17_hll_agg" ->
+      // d11's relational estimate, est_distinct only — the imperative
+      // buffer path must land on the identical BIGINT
+      s"""WITH occ AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS w FROM orders
+          ), h AS (
+            SELECT CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                   CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+            FROM occ
+          ), regs AS (
+            SELECT bucket,
+                   max(CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END) AS r
+            FROM h GROUP BY bucket
+          ), agg AS (
+            SELECT CAST(sum(1::BIGINT << (32 - r)) AS BIGINT) AS sp,
+                   count(*) AS nb
+            FROM regs
+          )
+          SELECT CAST((718273 * (281474976710656::BIGINT
+                        // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
+                      AS BIGINT) AS est_distinct
+          FROM agg""",
     "d14_quantile_sketch" ->
       """WITH o AS (
            SELECT o_orderpriority AS segment,

@@ -129,6 +129,26 @@ class SketchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d17 imperative HLL == d11 relational estimate, invariant to partitioning") {
+    import spark.implicits._
+    val relational = graft.queries.SketchQueries.d11HllDistinct(spark, sf())
+      .select("est_distinct").head.getLong(0)
+    val imperative = graft.queries.SketchQueries.d17HllAgg(spark, sf())
+      .head.getLong(0)
+    assert(imperative == relational,
+      s"buffer path $imperative != relational $relational")
+    // merge is elementwise max — any partitioning must land on the same
+    // registers and therefore the identical estimate
+    val keys = spark.read.parquet(sf() + "/orders.parquet")
+      .select(col("o_orderkey").cast("string").as("w"))
+    for (parts <- Seq(1, 7)) {
+      val est = keys.repartition(parts)
+        .agg(graft.plans.HllSketchAgg.hllDistinct(col("w")))
+        .head.getLong(0)
+      assert(est == imperative, s"estimate drifted at $parts partitions")
+    }
+  }
+
   test("d14 buckets are mergeable: sketch(whole) == sum of split sketches") {
     import spark.implicits._
     // the bucketing expression from d14, applied to a toy value column
