@@ -147,6 +147,17 @@ class SketchQueriesSpec extends SparkSpec {
         .head.getLong(0)
       assert(est == imperative, s"estimate drifted at $parts partitions")
     }
+    // grouped: the same buffer per GROUP must reproduce d13's relational
+    // per-segment estimates
+    val d13 = graft.queries.SketchQueries.d13HllGrouped(spark, sf())
+      .select("segment", "est_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grouped = spark.read.parquet(sf() + "/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.HllSketchAgg.hllDistinct(
+        col("o_custkey").cast("string")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == d13, s"grouped buffer path diverges from d13")
   }
 
   test("d14 buckets are mergeable: sketch(whole) == sum of split sketches") {
