@@ -514,7 +514,99 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Q60 — Z-ORDER (Morton) LAYOUT CLUSTERING + data-skipping audit: the
+    * multi-dimensional file-layout technique behind Delta/Iceberg OPTIMIZE
+    * ZORDER. Interleaving the bits of (p_size, floor(p_retailprice)) gives
+    * a 1-D key whose prefixes are quadtree tiles: rows sharing a z-prefix
+    * are close in BOTH dimensions, so per-file min/max stats prune 2-D
+    * range predicates — a lexicographic (x, y) sort layout can only ever
+    * prune on x.
+    *
+    * Scale design: the z-value is a row-local codegen expression (a
+    * 16-term shift/mask fold — no UDF), and the tile id is a z-prefix
+    * (`z >> 12`), so clustering needs NO global sort: one map-side-
+    * combinable aggregate builds the per-tile stats. A layout writer
+    * would `repartitionByRange($"z")` and write; the audit half answers
+    * "for the query rectangle x∈[10,20], y∈[100,300], which tiles does a
+    * min/max-pruning reader skip?" — the fraction every layout decision
+    * at 100 TB is judged by. All-BIGINT bit math, cross-engine exact. */
+  def q60Zorder(s: SparkSession, d: String): DataFrame = {
+    // x = size (6 significant bits), y = price rescaled onto [0, 1000) so
+    // its 10 bits genuinely vary (raw retailprice lives in [900, 1000) —
+    // high bits constant); one IEEE-identical float step (d14 discipline).
+    val p = part(s, d).select(
+      col("p_size").cast("long").as("x"),
+      expr("CAST(floor((p_retailprice - 900) * 10) AS BIGINT)").as("y"))
+    p.withColumn("z", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + shiftleft(shiftright(x, i) & 1, 2 * i)
+          |      + shiftleft(shiftright(y, i) & 1, 2 * i + 1))""".stripMargin))
+      // z >> 8 = the quadtree level whose tiles span 16 size-units × 16
+      // price-units: both dimensions contribute bits to the tile id
+      .groupBy(expr("z >> 8").as("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("pruned", expr(
+        "CAST(CASE WHEN max_x < 10 OR min_x > 20 OR max_y < 50 OR min_y > 150 " +
+          "THEN 1 ELSE 0 END AS INT)"))
+      .orderBy(col("tile"))
+  }
+
+  /** Q61 — INTERVAL COVERAGE: per user, merge the [start, end) intervals
+    * spanned by their events (start = event time, duration = floor(60·value)
+    * seconds) into maximal overlapping islands, and report islands, total
+    * covered time, and peak concurrency. The interval-union / max-overlap
+    * pair is the utilization primitive (machine busy-time, session
+    * coverage, ad occupancy) that naive per-second explosion makes
+    * unrunnable at scale — this formulation never materializes a timeline.
+    *
+    * Scale design: three window passes, ALL partitioned by user_id (no
+    * global order): island detection is the classic running `max(end)
+    * OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)` — an island
+    * starts where start exceeds every previous end; peak concurrency is
+    * the +1/−1 sweep with deltas grouped per timestamp BEFORE the running
+    * sum, so tie order can't matter. Integer microseconds end-to-end
+    * (events ts is TIMESTAMP(NANOS) read as LONG nanos; `ts DIV 1000` and
+    * DuckDB's epoch_us truncate identically; floor(value·60) is one
+    * IEEE-identical float step — the d14 discipline). */
+  def q61IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val iv = events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("start_us"),
+        expr("ts DIV 1000 + CAST(floor(value * 60) AS BIGINT) * 1000000").as("end_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    val islands = iv
+      .withColumn("prev_max_end", max(col("end_us"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("start_us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("end_us")) - min(col("start_us"))).as("covered_us"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("covered_us")).as("covered_us"),
+        sum(col("n_iv")).as("n_events"))
+    val sweep = iv.select(col("user_id"), col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("user_id"), col("end_us").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("user_id"), col("t")).agg(sum(col("delta")).as("delta"))
+      .withColumn("running", sum(col("delta"))
+        .over(Window.partitionBy(col("user_id")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id")).agg(max(col("running")).as("max_concurrent"))
+    islands.join(sweep, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_islands"),
+        col("covered_us"), col("max_concurrent"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_zorder" -> q60Zorder,
+    "q61_interval_coverage" -> q61IntervalCoverage,
     "q47_grouped_median" -> q47GroupedMedian,
     "q48_ewma" -> q48Ewma,
     "q57_mad_outliers" -> q57MadOutliers,
@@ -542,6 +634,73 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q60_zorder" ->
+      """WITH p AS (
+           SELECT CAST(p_size AS BIGINT) AS x,
+                  CAST(floor((p_retailprice - 900) * 10) AS BIGINT) AS y
+           FROM part
+         ), zv AS (
+           SELECT x, y,
+                  CAST(list_sum(list_transform(range(0, 16), i ->
+                         (((x >> i) & 1) << (2 * i))
+                       + (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+           FROM p
+         )
+         SELECT z >> 8 AS tile, count(*) AS n_rows,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y,
+                CAST(CASE WHEN max(x) < 10 OR min(x) > 20
+                            OR max(y) < 50 OR min(y) > 150
+                     THEN 1 ELSE 0 END AS INTEGER) AS pruned
+         FROM zv GROUP BY tile ORDER BY tile""",
+    "q61_interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                  epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS end_us
+           FROM events
+         ), isl AS (
+           SELECT user_id, event_id, start_us, end_us,
+                  max(end_us) OVER (PARTITION BY user_id
+                                    ORDER BY start_us, end_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_end
+           FROM iv
+         ), isl2 AS (
+           SELECT user_id, start_us, end_us,
+                  sum(CASE WHEN prev_max_end IS NULL OR start_us > prev_max_end
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY start_us, end_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl
+         ), per_island AS (
+           SELECT user_id, island,
+                  max(end_us) - min(start_us) AS covered_us, count(*) AS n_iv
+           FROM isl2 GROUP BY user_id, island
+         ), per_user AS (
+           SELECT user_id, count(*) AS n_islands,
+                  CAST(sum(covered_us) AS BIGINT) AS covered_us,
+                  CAST(sum(n_iv) AS BIGINT) AS n_events
+           FROM per_island GROUP BY user_id
+         ), ev AS (
+           SELECT user_id, start_us AS t, 1 AS delta FROM iv
+           UNION ALL
+           SELECT user_id, end_us AS t, -1 AS delta FROM iv
+         ), dt AS (
+           SELECT user_id, t, CAST(sum(delta) AS BIGINT) AS delta
+           FROM ev GROUP BY user_id, t
+         ), run AS (
+           SELECT user_id,
+                  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS running
+           FROM dt
+         ), mc AS (
+           SELECT user_id, max(running) AS max_concurrent FROM run GROUP BY user_id
+         )
+         SELECT u.user_id, u.n_events, u.n_islands, u.covered_us, m.max_concurrent
+         FROM per_user u JOIN mc m USING (user_id)
+         ORDER BY u.user_id""",
     "q47_grouped_median" ->
       // Deliberately NOT builtin median(): DuckDB interpolates lower +
       // 0.5*(upper-lower), which can differ from the engine's (a+b)/2 by

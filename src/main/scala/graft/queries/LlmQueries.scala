@@ -583,7 +583,76 @@ object LlmQueries {
         sum(when(col("w") > col("h"), 1L).otherwise(0L)).as("n_landscape"))
       .orderBy(col("format"))
 
+  /** T21 — TOKEN-BUDGET SHARD MANIFESTS: the step between "filtered
+    * corpus" and "training run" — documents are packed, in a deterministic
+    * order, into contiguous shards of ≈ 512 tokens each (a fixture-scaled stand-in for the 2k-8k context budget), and the manifest
+    * reports how full each shard came out. Greedy next-fit semantics: docs
+    * are laid end-to-end per source in md5(doc_id) order (the t07 trick —
+    * a stable, content-independent shuffle that decorrelates length from
+    * position) and a doc belongs to the shard its FIRST token lands in, so
+    * shard boundaries never split the manifest even when a doc straddles
+    * the budget line.
+    *
+    * Scale design: one token-count projection (t03's codegen regex), one
+    * running sum windowed BY SOURCE (sources partition the corpus — no
+    * global-order window; a global manifest would use GlobalRank's
+    * two-phase offsets instead), one group-count. Integer end-to-end. */
+  def t21TokenShards(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("shard", expr(s"(cum - tok) div $budget"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"))
+      .withColumn("fill_bp", expr(s"shard_tokens * 10000 div $budget"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  /** T22 — DOMAIN-MIX ALLOCATION by largest remainder: given a training
+    * budget of ⌊T/3⌋ tokens over a corpus of T, split it across sources
+    * proportionally to their token mass with the largest-remainder
+    * (Hamilton) method — the standard way to turn real-valued mixing
+    * weights into an integer token plan that sums EXACTLY to the budget.
+    * Each source gets ⌊B·Tₛ/T⌋, and the leftover R = B − Σ floors goes to
+    * the R largest fractional remainders (B·Tₛ mod T, source as the
+    * deterministic tiebreak).
+    *
+    * Scale design: the heavy pass is one map-side-combinable per-source
+    * token sum; everything after operates on one row per source — a
+    * bounded domain (like d13's segments), so the rank window over that
+    * tiny frame is not a data-scale window. Integer throughout; at
+    * petascale token counts B·Tₛ would need DECIMAL(38) headroom, noted
+    * here because the BIGINT product caps at T ≈ 3·10⁹ × corpus tokens. */
+  def t22DomainMix(s: SparkSession, d: String): DataFrame = {
+    val perSource = documents(s, d)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
+    val totals = perSource.agg(sum(col("tokens")).as("t_total"))
+      .selectExpr("t_total", "t_total div 3 AS budget")
+    val based = perSource.crossJoin(broadcast(totals))
+      .selectExpr("source", "tokens", "budget",
+        "(budget * tokens) div t_total AS base",
+        "(budget * tokens) % t_total AS rem")
+    val leftover = based.agg((max(col("budget")) - sum(col("base"))).as("r_extra"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .selectExpr("source", "tokens",
+        "base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS alloc_tokens",
+        "CASE WHEN budget = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END) * 10000 div budget " +
+          "END AS share_bp")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_token_shards" -> t21TokenShards,
+    "t22_domain_mix" -> t22DomainMix,
     "d01_minhash_lsh" -> d01MinhashLsh,
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
@@ -917,7 +986,58 @@ object LlmQueries {
         FROM assigned a JOIN csizes s ON a.cluster = s.cluster
         ORDER BY a.doc_id"""
 
+  /** DuckDB mirror of t03's token count, shared by t21/t22. */
+  private val tokSql =
+    """CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+      |     ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |     END AS BIGINT)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t21_token_shards" ->
+      s"""WITH toks AS (
+            SELECT source, doc_id, $tokSql AS tok FROM documents
+          ), cum AS (
+            SELECT source, tok,
+                   CAST(sum(tok) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR))
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM toks
+          )
+          SELECT source, (cum - tok) // 512 AS shard, count(*) AS n_docs,
+                 CAST(sum(tok) AS BIGINT) AS shard_tokens,
+                 CAST(sum(tok) AS BIGINT) * 10000 // 512 AS fill_bp
+          FROM cum GROUP BY source, shard ORDER BY source, shard""",
+    "t22_domain_mix" ->
+      s"""WITH toks AS (
+            SELECT source, $tokSql AS tok FROM documents
+          ), per_source AS (
+            SELECT source, CAST(sum(tok) AS BIGINT) AS tokens
+            FROM toks GROUP BY source
+          ), tot AS (
+            SELECT CAST(sum(tokens) AS BIGINT) AS t_total,
+                   CAST(sum(tokens) AS BIGINT) // 3 AS budget
+            FROM per_source
+          ), based AS (
+            SELECT source, tokens, budget, t_total,
+                   (budget * tokens) // t_total AS base,
+                   (budget * tokens) % t_total AS rem
+            FROM per_source, tot
+          ), lo AS (
+            SELECT max(budget) - CAST(sum(base) AS BIGINT) AS r_extra FROM based
+          ), rk AS (
+            SELECT source, tokens, budget, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk
+            FROM based
+          )
+          SELECT source, tokens,
+                 CAST(base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc_tokens,
+                 CAST(CASE WHEN budget = 0 THEN 0
+                           ELSE (base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END)
+                                * 10000 // budget END
+                      AS BIGINT) AS share_bp
+          FROM rk, lo ORDER BY source""",
     "d01_minhash_lsh" -> minhashSql,
     "d02_simhash" -> simhashSql,
     "t18_familiarity" ->

@@ -232,6 +232,76 @@ object SketchQueries {
       .orderBy(col("segment"), col("q"))
   }
 
+  /** D15 — HLL SET ALGEBRA over two key streams: the register tables are
+    * MERGEABLE, so |A∪B| comes from an elementwise max of A's and B's
+    * registers — no second pass over the data — and |A∩B| / Jaccard fall
+    * out by inclusion–exclusion. This is the property that makes HLL the
+    * cross-corpus overlap tool at 100 TB: each corpus ships a 256-register
+    * summary (built independently, map-side-combined), and ANY pairwise or
+    * n-way overlap question is answered from summaries alone. An exact
+    * overlap needs a full-key shuffle of both corpora per question.
+    *
+    * Known property (why the exact columns ride along): inclusion–
+    * exclusion SUBTRACTS three ~1/√m-noisy estimates, so the intersection
+    * estimate's relative error blows up when |A∩B| ≪ |A∪B| — the audit
+    * columns make that visible per run instead of hiding it (for tight
+    * small-intersection bounds the right tool is a MinHash Jaccard, d09).
+    *
+    * Key stream: distinct (part, supplier) pairs from lineitem, split into
+    * side A/B by line-number parity — pairs recur across lines, so the
+    * sides genuinely overlap. Same scaled-BIGINT estimator as d11 (one md5,
+    * bucket from word 1, rank from word 2, truncating div) — bit-stable
+    * across engines. Exact counts + inclusion–exclusion exacts ride along
+    * (the d09 audit pattern); err guards follow d11's ANSI zero rule.
+    * Reference behavior class: corpus-stats distinct counts
+    * (assets/processing/assets.py:300-317) extended to the cross-corpus
+    * overlap audit a dedupe pipeline runs before merging sources. */
+  def d15HllSetops(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val keyed = lineitem(s, d).select(
+      when(col("l_linenumber") % 2 === 1, lit("A")).otherwise(lit("B")).as("side"),
+      concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"))
+    val rhoed = keyed.select(col("side"),
+      (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
+      md5Word2(col("w")).as("wd"))
+      .select(col("side"), col("bucket"),
+        when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+    val sideRegs = rhoed.groupBy(col("side"), col("bucket")).agg(max(col("rho")).as("r"))
+    // scaled-BIGINT d11 estimator from a (grouped) register table
+    def estimate(regs: DataFrame, key: Seq[String]): DataFrame = {
+      val g = if (key.isEmpty) regs.groupBy() else regs.groupBy(key.map(col): _*)
+      g.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
+          count(lit(1)).as("nb"))
+        .selectExpr(key :+
+          ("(718273 * (CAST(281474976710656 AS BIGINT) div " +
+            "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est"): _*)
+    }
+    val estSides = estimate(sideRegs, Seq("side"))
+      .groupBy().agg(
+        max(when(col("side") === "A", col("est"))).as("est_a"),
+        max(when(col("side") === "B", col("est"))).as("est_b"))
+    // the union estimate reads ONLY the register tables — the merge is the op
+    val estUnion = estimate(sideRegs.groupBy(col("bucket")).agg(max(col("r")).as("r")), Nil)
+      .withColumnRenamed("est", "est_union")
+    val exactSides = keyed.groupBy(col("side")).agg(count_distinct(col("w")).as("x"))
+      .groupBy().agg(
+        max(when(col("side") === "A", col("x"))).as("exact_a"),
+        max(when(col("side") === "B", col("x"))).as("exact_b"))
+    val exactUnion = keyed.agg(count_distinct(col("w")).as("exact_union"))
+    estSides.crossJoin(estUnion).crossJoin(exactSides).crossJoin(exactUnion)
+      .selectExpr("est_a", "est_b", "est_union",
+        "est_a + est_b - est_union AS est_intersect",
+        "exact_a", "exact_b", "exact_union",
+        "exact_a + exact_b - exact_union AS exact_intersect",
+        // d11's ANSI zero guard: an empty lineitem gives est_union = 0
+        "CASE WHEN est_union = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (est_a + est_b - est_union) * 10000 div est_union END AS jaccard_bp_est",
+        "CASE WHEN exact_union = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (exact_a + exact_b - exact_union) * 10000 div exact_union END AS jaccard_bp_exact")
+  }
+
   /** T19 — log₂-bucketed document-length histogram: the corpus-shape
     * profile every dataset card reports (length distributions are
     * heavy-tailed, so linear bins like q24's are useless — power-of-two
@@ -255,6 +325,7 @@ object SketchQueries {
     "d11_hll_distinct" -> d11HllDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
+    "d15_hll_setops" -> d15HllSetops,
     "d17_hll_agg" -> d17HllAgg,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
@@ -353,6 +424,61 @@ object SketchQueries {
                         // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
                       AS BIGINT) AS est_distinct
           FROM agg""",
+    "d15_hll_setops" ->
+      s"""WITH keyed AS (
+            SELECT CASE WHEN l_linenumber % 2 = 1 THEN 'A' ELSE 'B' END AS side,
+                   concat(CAST(l_partkey AS VARCHAR), '#',
+                          CAST(l_suppkey AS VARCHAR)) AS w
+            FROM lineitem
+          ), h AS (
+            SELECT side,
+                   CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                   CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+            FROM keyed
+          ), rho AS (
+            SELECT side, bucket,
+                   CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END AS rho
+            FROM h
+          ), side_regs AS (
+            SELECT side, bucket, max(rho) AS r FROM rho GROUP BY side, bucket
+          ), side_est AS (
+            SELECT side,
+                   CAST((718273 * (281474976710656::BIGINT
+                          // (CAST(sum(1::BIGINT << (32 - r)) AS BIGINT)
+                             + (256 - count(*)) * 4294967296::BIGINT))) // 1000000
+                        AS BIGINT) AS est
+            FROM side_regs GROUP BY side
+          ), union_regs AS (
+            SELECT bucket, max(r) AS r FROM side_regs GROUP BY bucket
+          ), union_est AS (
+            SELECT CAST((718273 * (281474976710656::BIGINT
+                          // (CAST(sum(1::BIGINT << (32 - r)) AS BIGINT)
+                             + (256 - count(*)) * 4294967296::BIGINT))) // 1000000
+                        AS BIGINT) AS est_union
+            FROM union_regs
+          ), ests AS (
+            SELECT max(CASE WHEN side = 'A' THEN est END) AS est_a,
+                   max(CASE WHEN side = 'B' THEN est END) AS est_b
+            FROM side_est
+          ), exact_sides AS (
+            SELECT max(CASE WHEN side = 'A' THEN x END) AS exact_a,
+                   max(CASE WHEN side = 'B' THEN x END) AS exact_b
+            FROM (SELECT side, CAST(count(DISTINCT w) AS BIGINT) AS x
+                  FROM keyed GROUP BY side) t
+          ), exact_union AS (
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_union FROM keyed
+          )
+          SELECT est_a, est_b, est_union,
+                 est_a + est_b - est_union AS est_intersect,
+                 exact_a, exact_b, exact_union,
+                 exact_a + exact_b - exact_union AS exact_intersect,
+                 CAST(CASE WHEN est_union = 0 THEN 0
+                           ELSE (est_a + est_b - est_union) * 10000 // est_union END
+                      AS BIGINT) AS jaccard_bp_est,
+                 CAST(CASE WHEN exact_union = 0 THEN 0
+                           ELSE (exact_a + exact_b - exact_union) * 10000 // exact_union END
+                      AS BIGINT) AS jaccard_bp_exact
+          FROM ests, union_est, exact_sides, exact_union""",
     "d14_quantile_sketch" ->
       """WITH o AS (
            SELECT o_orderpriority AS segment,

@@ -243,4 +243,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("partial_count"),
       "map-side partial aggregation lost")
   }
+
+  test("q60: z-value is row-local — one shuffle to the tile aggregate (+ result sort)") {
+    val p = plan("q60_zorder")
+    // the bit-interleave fold must stay a projection; clustering must not
+    // need a global sort — tile stats are one map-side-combinable aggregate
+    assert(!p.contains("Join"), s"z-order clustering must not join:\n${p.take(2000)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"z-order clustering over-shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("t21: shard window is partitioned by source — never a single-partition window") {
+    val p = plan("t21_token_shards")
+    assert(!p.contains("SinglePartition"),
+      s"shard manifest degraded to a global window:\n${p.take(2000)}")
+    assert(p.contains("Window"), "running-sum window missing")
+  }
 }

@@ -39,6 +39,45 @@ class RandomizedCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("interval coverage == brute-force island merge + sweep on random intervals (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(400 + seed)
+      // (event_id, ts_nanos, user_id, value-minutes) — includes zero-length
+      // intervals (value = 0) and duplicate timestamps
+      val evs = (1 to 150).map { i =>
+        (i.toLong, rnd.nextInt(600).toLong * 1000000000L, rnd.nextInt(5).toLong,
+          rnd.nextInt(6).toDouble / 2.0)
+      }
+      val dir = tmp()
+      evs.toDF("event_id", "ts", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // brute force, mirroring the declared semantics exactly
+      val expect = evs.groupBy(_._3).map { case (user, rows) =>
+        val iv = rows.map { case (id, ns, _, v) =>
+          val s = ns / 1000; (s, s + math.floor(v * 60).toLong * 1000000L, id)
+        }.sortBy(t => (t._1, t._2, t._3))
+        var prevMax = Long.MinValue
+        var islands = List.empty[(Long, Long)] // (minStart, maxEnd) per island
+        iv.foreach { case (s, e, _) =>
+          if (islands.isEmpty || s > prevMax) islands ::= (s, e)
+          else islands = (islands.head._1, math.max(islands.head._2, e)) :: islands.tail
+          prevMax = math.max(prevMax, e)
+        }
+        val covered = islands.map { case (s, e) => e - s }.sum
+        val deltas = iv.flatMap { case (s, e, _) => Seq(s -> 1L, e -> -1L) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        val maxConc = deltas.scanLeft(0L) { case (acc, (_, d)) => acc + d }.tail.max
+        user -> (iv.size.toLong, islands.size.toLong, covered, maxConc)
+      }
+      val got = AnalyticsQueries.q61IntervalCoverage(spark, dir).collect().map { r =>
+        r.getAs[Long]("user_id") -> (r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"),
+          r.getAs[Long]("max_concurrent"))
+      }.toMap
+      assert(got == expect, s"seed=$seed\n got=$got\n exp=$expect")
+    }
+  }
+
   test("skyline sweep == brute-force dominance on random points (3 seeded trials)") {
     for (seed <- 1 to 3) {
       val rnd = new Random(100 + seed)

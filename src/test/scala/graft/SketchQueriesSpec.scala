@@ -29,6 +29,63 @@ class SketchQueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("d15: merged-register union estimate == sketch built directly on the union stream") {
+    import graft.operators.Dedupe
+    val d = sf()
+    val r = SketchQueries.d15HllSetops(spark, d).head
+    // direct union sketch: one HLL over ALL (part, supplier) pairs, no sides
+    val keys = graft.core.Tables.lineitem(spark, d).select(
+      concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"))
+    val direct = keys
+      .select((Dedupe.md5Hash32(col("w")) % 256).as("bucket"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("wd"))
+      .select(col("bucket"), when(col("wd") === 0, lit(32))
+        .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .selectExpr("(718273 * (CAST(281474976710656 AS BIGINT) div " +
+        "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est")
+      .head.getAs[Long]("est")
+    assert(r.getAs[Long]("est_union") == direct,
+      s"register merge diverged from direct union sketch: ${r.getAs[Long]("est_union")} vs $direct")
+    // inclusion-exclusion exacts are internally consistent
+    assert(r.getAs[Long]("exact_intersect") >= 0)
+    assert(r.getAs[Long]("exact_intersect") <=
+      math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b")))
+  }
+
+  test("t22: largest-remainder allocation sums EXACTLY to the budget, each within +1 of its floor") {
+    val rows = LlmQueries.t22DomainMix(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    val budget = total / 3
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+      s"allocation must sum exactly to the budget ($budget)")
+    rows.foreach { r =>
+      val base = budget * r.getAs[Long]("tokens") / total
+      val a = r.getAs[Long]("alloc_tokens")
+      assert(a == base || a == base + 1,
+        s"${r.getString(0)}: alloc=$a outside [base, base+1] base=$base")
+    }
+  }
+
+  test("t21: shards are contiguous per source and conserve docs and tokens") {
+    val rows = LlmQueries.t21TokenShards(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val docCounts = graft.core.Tables.documents(spark, sf())
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val shards = rs.map(_.getAs[Long]("shard")).sorted
+      assert(shards.head == 0 && shards.last == shards.length - 1,
+        s"$src shard ids must be contiguous from 0: ${shards.toList}")
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == docCounts(src),
+        s"$src manifest lost documents")
+    }
+  }
+
   test("d13: every segment's grouped-HLL estimate within 4σ of exact") {
     val rows = SketchQueries.d13HllGrouped(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty)
