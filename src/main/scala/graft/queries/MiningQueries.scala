@@ -131,6 +131,41 @@ object MiningQueries {
     p.orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
   }
 
+  /** G05 — bounded-round k-CORE PEEL (k = 3) of the co-purchase graph:
+    * repeatedly drop vertices with degree < k and the edges touching
+    * them. The k-core is the standard dense-subgraph screen (spam/bot
+    * rings, backbone extraction, community seeding); three peel rounds
+    * make the iterative algorithm a fixed declarative query — g04's
+    * fixed-iteration discipline — so the result is hash-checkable
+    * against an oracle that unrolls the identical rounds as chained
+    * CTEs. The bounded peel is a guaranteed OVER-approximation of the
+    * true fixpoint core (peeling never removes a core vertex —
+    * spec-pinned against a driver-side fixpoint), converging monotonely
+    * from above as rounds are added.
+    *
+    * Shape per round: one map-side-combinable degree aggregate + two
+    * hash semi-joins on the vertex key — everything partitions by vertex
+    * id, nothing driver-side; edge frames localCheckpoint per round (the
+    * L15/G3 lineage discipline: without it round r re-executes every
+    * prior round per downstream branch). */
+  def g05Kcore(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val und = coPurchaseEdges(s, d)
+    var e = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      e = e.join(surv, Seq("u"))
+        .join(surv.withColumnRenamed("u", "v"), Seq("v"))
+        .select(col("u"), col("v")).localCheckpoint(true)
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
+      .select(col("u").as("vertex"), col("deg_in_core"))
+      .orderBy(col("vertex"))
+  }
+
   /** The g01/g02 input graph — ONE definition so the two queries can
     * never silently analyze different graphs: parts are linked when they
     * appear in the same order. */
@@ -392,6 +427,7 @@ object MiningQueries {
     "g01_triangles" -> g01Triangles,
     "g03_bfs_hops" -> g03BfsHops,
     "g04_pagerank" -> g04PageRank,
+    "g05_kcore" -> g05Kcore,
     "t13_contamination" -> t13Contamination,
     "t14_char_stats" -> t14CharStats,
     "d08_semdedup" -> d08SemDedup)
@@ -470,6 +506,32 @@ object MiningQueries {
     s"sqrt(list_reduce(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "g05_kcore" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         ), und AS (
+           SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         ), e0 AS (
+           SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+         ), s1 AS (
+           SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3
+         ), e1 AS (
+           SELECT e.u, e.v FROM e0 e
+           JOIN s1 a ON a.u = e.u JOIN s1 b ON b.u = e.v
+         ), s2 AS (
+           SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3
+         ), e2 AS (
+           SELECT e.u, e.v FROM e1 e
+           JOIN s2 a ON a.u = e.u JOIN s2 b ON b.u = e.v
+         ), s3 AS (
+           SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3
+         ), e3 AS (
+           SELECT e.u, e.v FROM e2 e
+           JOIN s3 a ON a.u = e.u JOIN s3 b ON b.u = e.v
+         )
+         SELECT u AS vertex, count(*) AS deg_in_core
+         FROM e3 GROUP BY u ORDER BY vertex""",
     "q44_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT

@@ -302,6 +302,61 @@ object SketchQueries {
           "ELSE (exact_a + exact_b - exact_union) * 10000 div exact_union END AS jaccard_bp_exact")
   }
 
+  /** D18 — BLOOM-FILTER MEMBERSHIP with a measured false-positive audit:
+    * completes the sketch family's fifth axis (d11/d13 "how many
+    * distinct", t16 "how often", d14 "how large at rank q", d15 "how much
+    * overlap", d18 "have I seen this key"). The production use is the
+    * shuffle-avoiding pre-filter: ship the bit table of corpus A's keys
+    * and drop corpus B's non-members BEFORE the join shuffle (Spark's own
+    * runtime bloom pruning, here as an auditable first-class op).
+    *
+    * Build: k = 4 bit positions per key from independent md5 lanes
+    * (d01's salted-lane discipline), m = 2²⁰; the filter is the DISTINCT
+    * bit-position table — ≤ min(k·n, m) rows through one map-side-
+    * combinable aggregate regardless of corpus size. Probes: the 100
+    * present keys with smallest md5 (deterministic sample) MUST all hit
+    * (Bloom guarantees no false negatives — spec-pinned), and 1000
+    * synthetic absent keys measure the FP rate, reported in basis points
+    * against the n and bits_set that determine it. All integer — the
+    * md5/modulo/count math is bit-identical in both engines. */
+  def d18BloomMembership(s: SparkSession, d: String): DataFrame = {
+    val m = 1 << 20
+    val keys = orders(s, d).select(col("o_orderkey").cast("string").as("w")).distinct()
+    val bits = keys
+      .select(col("w"), explode(expr("sequence(0, 3)")).as("lane"))
+      .select((Dedupe.md5Hash32(concat(col("w"), lit("#"),
+        col("lane").cast("string"))) % m).as("bit"))
+      .distinct()
+    val present = keys.orderBy(md5(col("w"))).limit(100)
+      .select(col("w"), lit(1L).as("truly_present"))
+    val absent = s.range(1000)
+      .select(concat(lit("absent#"), col("id").cast("string")).as("w"),
+        lit(0L).as("truly_present"))
+    val probeHits = present.unionAll(absent)
+      .select(col("w"), col("truly_present"), explode(expr("sequence(0, 3)")).as("lane"))
+      .select(col("w"), col("truly_present"),
+        (Dedupe.md5Hash32(concat(col("w"), lit("#"),
+          col("lane").cast("string"))) % m).as("bit"))
+      .join(bits, Seq("bit"))
+      .groupBy(col("w"), col("truly_present")).agg(count(lit(1)).as("lanes_hit"))
+      .filter(col("lanes_hit") === 4)
+    val summary = present.unionAll(absent)
+      .join(probeHits.select(col("w"), lit(1L).as("bloom_hit")), Seq("w"), "left")
+      .groupBy(col("truly_present"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(coalesce(col("bloom_hit"), lit(0L))).as("n_hits"))
+    val stats = keys.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+    summary.crossJoin(stats)
+      .selectExpr("truly_present", "n_probes", "n_hits",
+        // absent-probe hit rate in bp = the measured FPR; present rows
+        // must show n_hits = n_probes (no false negatives)
+        "CASE WHEN n_probes = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_hits * 10000 div n_probes END AS hit_bp",
+        "n_keys", "bits_set")
+      .orderBy(col("truly_present"))
+  }
+
   /** T19 — log₂-bucketed document-length histogram: the corpus-shape
     * profile every dataset card reports (length distributions are
     * heavy-tailed, so linear bins like q24's are useless — power-of-two
@@ -327,6 +382,7 @@ object SketchQueries {
     "d14_quantile_sketch" -> d14QuantileSketch,
     "d15_hll_setops" -> d15HllSetops,
     "d17_hll_agg" -> d17HllAgg,
+    "d18_bloom_membership" -> d18BloomMembership,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
 
@@ -424,6 +480,47 @@ object SketchQueries {
                         // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
                       AS BIGINT) AS est_distinct
           FROM agg""",
+    "d18_bloom_membership" ->
+      """WITH keys AS (
+           SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w FROM orders
+         ), bits AS (
+           SELECT DISTINCT
+                  CAST(concat('0x', substr(md5(w || '#' || CAST(lane AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1048576 AS bit
+           FROM keys, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
+         ), present AS (
+           SELECT w, CAST(1 AS BIGINT) AS truly_present
+           FROM keys ORDER BY md5(w) LIMIT 100
+         ), absent AS (
+           SELECT 'absent#' || CAST(i AS VARCHAR) AS w, CAST(0 AS BIGINT) AS truly_present
+           FROM range(1000) t(i)
+         ), probes AS (
+           SELECT * FROM present UNION ALL SELECT * FROM absent
+         ), lanes AS (
+           SELECT p.w, p.truly_present,
+                  CAST(concat('0x', substr(md5(p.w || '#' || CAST(l.lane AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1048576 AS bit
+           FROM probes p, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
+         ), hits AS (
+           SELECT w, truly_present FROM lanes JOIN bits USING (bit)
+           GROUP BY w, truly_present HAVING count(*) = 4
+         ), summary AS (
+           SELECT p.truly_present, count(*) AS n_probes,
+                  CAST(sum(CASE WHEN h.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hits
+           FROM probes p LEFT JOIN hits h
+             ON h.w = p.w AND h.truly_present = p.truly_present
+           GROUP BY p.truly_present
+         ), stats AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+                  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set
+         )
+         SELECT truly_present, n_probes, n_hits,
+                CAST(CASE WHEN n_probes = 0 THEN 0
+                          ELSE n_hits * 10000 // n_probes END AS BIGINT) AS hit_bp,
+                n_keys, bits_set
+         FROM summary, stats
+         ORDER BY truly_present""",
     "d15_hll_setops" ->
       s"""WITH keyed AS (
             SELECT CASE WHEN l_linenumber % 2 = 1 THEN 'A' ELSE 'B' END AS side,

@@ -78,6 +78,37 @@ class RandomizedCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("bounded k-core peel over-approximates the TRUE fixpoint 3-core (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(500 + seed)
+      val rows = for {
+        ok <- 1 to 30; _ <- 1 to (2 + rnd.nextInt(4))
+      } yield (ok.toLong, (1 + rnd.nextInt(25)).toLong)
+      val dir = tmp()
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // driver-side fixpoint peel = the true 3-core
+      val byOrder = rows.groupBy(_._1).values.map(_.map(_._2).toSet)
+      val edges = byOrder.flatMap(ps => for (u <- ps; v <- ps if u < v) yield (u, v)).toSet
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set())
+      edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+      var changed = true
+      while (changed) {
+        val drop = adj.keys.filter(v => adj(v).size < 3).toList
+        changed = drop.nonEmpty
+        drop.foreach { v => adj(v).foreach(w => adj(w) -= v); adj.remove(v) }
+      }
+      val core = adj.keySet
+      val got = graft.queries.MiningQueries.g05Kcore(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // peeling can never remove a core vertex, and core edges all survive
+      core.foreach { v =>
+        assert(got.contains(v), s"seed=$seed: core vertex $v peeled away")
+        assert(got(v) >= 3, s"seed=$seed: core vertex $v lost core degree: ${got(v)}")
+      }
+    }
+  }
+
   test("skyline sweep == brute-force dominance on random points (3 seeded trials)") {
     for (seed <- 1 to 3) {
       val rnd = new Random(100 + seed)

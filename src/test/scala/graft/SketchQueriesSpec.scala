@@ -56,6 +56,19 @@ class SketchQueriesSpec extends SparkSpec {
       math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b")))
   }
 
+  test("d18: Bloom has NO false negatives; absent-probe FPR within the fill-rate bound") {
+    val rows = SketchQueries.d18BloomMembership(spark, sf()).collect()
+    val present = rows.find(_.getAs[Long]("truly_present") == 1L).get
+    assert(present.getAs[Long]("n_hits") == present.getAs[Long]("n_probes"),
+      "a Bloom filter must never miss a present key")
+    val absent = rows.find(_.getAs[Long]("truly_present") == 0L).get
+    // expected FPR ≈ fill^k with k=4 at this bit density; generous headroom
+    val fill = absent.getAs[Long]("bits_set").toDouble / (1 << 20)
+    val bound = math.max(3.0, 5 * math.pow(fill, 4) * absent.getAs[Long]("n_probes"))
+    assert(absent.getAs[Long]("n_hits") <= bound,
+      s"absent hits ${absent.getAs[Long]("n_hits")} above bound $bound (fill=$fill)")
+  }
+
   test("t22: largest-remainder allocation sums EXACTLY to the budget, each within +1 of its floor") {
     val rows = LlmQueries.t22DomainMix(spark, sf()).collect()
     assert(rows.nonEmpty)
