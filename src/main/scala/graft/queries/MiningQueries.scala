@@ -177,6 +177,62 @@ object MiningQueries {
       .select(col("u"), col("v")).distinct()
   }
 
+  /** T24 — BLOOM-TIERED DECONTAMINATION: t13's eval-overlap screen
+    * restructured the way a 100 TB corpus actually runs it — phase 1
+    * probes every corpus shingle against a Bloom BIT TABLE of the eval
+    * set (d18's filter; ≤ min(4·|eval shingles|, m = 2²⁰) rows BY
+    * CONSTRUCTION, so the broadcast is bounded no matter how big the
+    * benchmark suite grows — a raw shingle-set broadcast has no such
+    * bound), phase 2 exact-confirms ONLY the candidates. The per-doc
+    * output carries the tier accounting — candidates, exact hits, and
+    * bloom false positives — so the filter's precision is measured in
+    * the result itself (the d18/d09 audit discipline), and a doc is
+    * `contaminated` ONLY on an exact hit: the Bloom tier can never
+    * change the answer, only the work.
+    *
+    * Same tokenizer/shingles as t13 (proven cross-engine pair), same
+    * md5-lane bit positions as d18. */
+  def t24BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val m = 1 << 20
+    val toks = documents(s, d).select(col("doc_id"),
+      expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+    val sh = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(0, size(ws) - 3),
+          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    def laneBits(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+ explode(expr("sequence(0, 3)")).as("lane"): _*)
+      .select(keep.map(col) :+ (Dedupe.md5Hash32(concat(col("g"), lit("#"),
+        col("lane").cast("string"))) % m).as("bit"): _*)
+    val bits = laneBits(evalSh, Seq("g")).select(col("bit")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val cand = laneBits(corpus, Seq("doc_id", "g"))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("lanes"))
+      .filter(col("lanes") === 4)
+      .select(col("doc_id"), col("g"))
+      .localCheckpoint(true) // feeds both the exact tier and the count
+    val exact = cand.join(broadcast(evalSh), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    val candCnt = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+    val shCnt = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    documents(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(shCnt, Seq("doc_id"), "left")
+      .join(candCnt, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles",
+        "coalesce(n_cand, CAST(0 AS BIGINT)) AS n_bloom_candidates",
+        "coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact_hits",
+        "coalesce(n_cand, CAST(0 AS BIGINT)) - coalesce(n_exact, CAST(0 AS BIGINT))" +
+          " AS n_bloom_fp",
+        "CAST(coalesce(n_exact, CAST(0 AS BIGINT)) > 0 AS INT) AS contaminated")
+      .orderBy(col("doc_id"))
+  }
+
   /** T13 — benchmark decontamination: flag training documents sharing any
     * word-trigram shingle with the held-out eval slice (doc_id % 97 = 0 —
     * the stand-in for a benchmark suite). The eval shingle set is small by
@@ -429,6 +485,7 @@ object MiningQueries {
     "g04_pagerank" -> g04PageRank,
     "g05_kcore" -> g05Kcore,
     "t13_contamination" -> t13Contamination,
+    "t24_bloom_decontaminate" -> t24BloomDecontaminate,
     "t14_char_stats" -> t14CharStats,
     "d08_semdedup" -> d08SemDedup)
 
@@ -731,6 +788,52 @@ object MiningQueries {
          )
          SELECT node, CAST(min(hop) AS INTEGER) AS hops
          FROM walk GROUP BY node ORDER BY node""",
+    "t24_bloom_decontaminate" ->
+      """WITH tokd AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> length(w) > 0) AS ws
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, ws[i.i] || ' ' || ws[i.i+1] || ' ' || ws[i.i+2] AS g
+           FROM tokd, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) i
+         ), ev AS (
+           SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+         ), bits AS (
+           SELECT DISTINCT
+                  CAST(concat('0x', substr(md5(g || '#' || CAST(lane AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1048576 AS bit
+           FROM ev, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
+         ), corpus AS (
+           SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0
+         ), lanes AS (
+           SELECT doc_id, g,
+                  CAST(concat('0x', substr(md5(g || '#' || CAST(lane AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1048576 AS bit
+           FROM corpus, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
+         ), cand AS (
+           SELECT doc_id, g FROM lanes JOIN bits USING (bit)
+           GROUP BY doc_id, g HAVING count(*) = 4
+         ), ex AS (
+           SELECT c.doc_id, count(*) AS n_exact
+           FROM cand c JOIN ev e ON e.g = c.g GROUP BY c.doc_id
+         ), cc AS (
+           SELECT doc_id, count(*) AS n_cand FROM cand GROUP BY doc_id
+         ), sc AS (
+           SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CAST(coalesce(sc.n_shingles, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_bloom_candidates,
+                CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact_hits,
+                CAST(coalesce(cc.n_cand, 0) - coalesce(ex.n_exact, 0) AS BIGINT)
+                  AS n_bloom_fp,
+                CAST(coalesce(ex.n_exact, 0) > 0 AS INT) AS contaminated
+         FROM documents d
+         LEFT JOIN sc ON sc.doc_id = d.doc_id
+         LEFT JOIN cc ON cc.doc_id = d.doc_id
+         LEFT JOIN ex ON ex.doc_id = d.doc_id
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "t13_contamination" ->
       """WITH tokd AS (
            SELECT doc_id,

@@ -69,6 +69,21 @@ class SketchQueriesSpec extends SparkSpec {
       s"absent hits ${absent.getAs[Long]("n_hits")} above bound $bound (fill=$fill)")
   }
 
+  test("t24: the Bloom tier never changes the answer — contaminated set == t13's exact screen") {
+    val viaBloom = graft.queries.MiningQueries.t24BloomDecontaminate(spark, sf())
+      .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.queries.MiningQueries.t13Contamination(spark, sf())
+      .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact,
+      s"bloom-tiered screen diverged: only-bloom=${viaBloom -- exact} only-exact=${exact -- viaBloom}")
+    // and candidates always cover the exact hits (no false negatives)
+    val r = graft.queries.MiningQueries.t24BloomDecontaminate(spark, sf()).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_bloom_candidates") >= row.getAs[Long]("n_exact_hits"))
+      assert(row.getAs[Long]("n_bloom_fp") >= 0)
+    }
+  }
+
   test("t22: largest-remainder allocation sums EXACTLY to the budget, each within +1 of its floor") {
     val rows = LlmQueries.t22DomainMix(spark, sf()).collect()
     assert(rows.nonEmpty)
