@@ -50,6 +50,7 @@ class AdversarialInputSpec extends SparkSpec {
     "d06_line_dedupe", "d07_line_rebuild", "d12_substring_dedupe",
     "r01_anonymize", "r03_conversation_explode", "m01_multimodal_meta",
     "m02_frame_sample", "m03_image_stats", "t20_bm25", "t23_bigram_novelty",
+    "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
     "p01_pipeline")
 
   docQueries.foreach { name =>
