@@ -650,8 +650,41 @@ object LlmQueries {
       .orderBy(col("source"))
   }
 
+  /** T25 — MIX-PLAN EXECUTION: materialize t22's largest-remainder token
+    * allocation into an actual document selection — per source, take docs
+    * in the same deterministic md5 order as t21 until the source's
+    * allocation is filled (a doc is taken iff its FIRST token lands
+    * inside the allocation — t21's next-fit straddle semantic, so the
+    * take can overshoot by at most one doc). The report carries
+    * tokens_taken against alloc_tokens with the fill in basis points —
+    * the audit a mixing run ships with.
+    *
+    * Scale design: the allocation table is one row per source
+    * (broadcast); the take is t21's source-partitioned running sum plus
+    * one filter — no new shuffle shape. Plan → execution → audit is the
+    * t22 → t25 pair, the same composition discipline as d18 → t24. */
+  def t25MixExecute(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val alloc = t22DomainMix(s, d).select(col("source"), col("alloc_tokens"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("cum") - col("tok") < col("alloc_tokens"))
+      .groupBy(col("source"), col("alloc_tokens"))
+      .agg(count(lit(1)).as("n_docs_taken"), sum(col("tok")).as("tokens_taken"))
+      .selectExpr("source", "n_docs_taken", "tokens_taken", "alloc_tokens",
+        "CASE WHEN alloc_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE tokens_taken * 10000 div alloc_tokens END AS fill_bp")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t21_token_shards" -> t21TokenShards,
+    "t25_mix_execute" -> t25MixExecute,
     "t22_domain_mix" -> t22DomainMix,
     "d01_minhash_lsh" -> d01MinhashLsh,
     "d02_simhash" -> d02Simhash,
@@ -993,6 +1026,50 @@ object LlmQueries {
       |     END AS BIGINT)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t25_mix_execute" ->
+      s"""WITH toks AS (
+            SELECT source, doc_id, $tokSql AS tok FROM documents
+          ), per_source AS (
+            SELECT source, CAST(sum(tok) AS BIGINT) AS tokens
+            FROM toks GROUP BY source
+          ), tot AS (
+            SELECT CAST(sum(tokens) AS BIGINT) AS t_total,
+                   CAST(sum(tokens) AS BIGINT) // 3 AS budget
+            FROM per_source
+          ), based AS (
+            SELECT source, tokens, budget, t_total,
+                   (budget * tokens) // t_total AS base,
+                   (budget * tokens) % t_total AS rem
+            FROM per_source, tot
+          ), lo AS (
+            SELECT max(budget) - CAST(sum(base) AS BIGINT) AS r_extra FROM based
+          ), rk AS (
+            SELECT source, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk
+            FROM based
+          ), alloc AS (
+            SELECT source,
+                   CAST(base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS BIGINT)
+                     AS alloc_tokens
+            FROM rk, lo
+          ), cum AS (
+            SELECT source, tok,
+                   CAST(sum(tok) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR))
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM toks
+          ), take AS (
+            SELECT c.source, c.tok, a.alloc_tokens
+            FROM cum c JOIN alloc a ON a.source = c.source
+            WHERE c.cum - c.tok < a.alloc_tokens
+          )
+          SELECT source, count(*) AS n_docs_taken,
+                 CAST(sum(tok) AS BIGINT) AS tokens_taken, alloc_tokens,
+                 CAST(CASE WHEN alloc_tokens = 0 THEN 0
+                           ELSE CAST(sum(tok) AS BIGINT) * 10000 // alloc_tokens END
+                      AS BIGINT) AS fill_bp
+          FROM take GROUP BY source, alloc_tokens ORDER BY source""",
     "t21_token_shards" ->
       s"""WITH toks AS (
             SELECT source, doc_id, $tokSql AS tok FROM documents

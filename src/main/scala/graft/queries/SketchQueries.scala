@@ -357,6 +357,59 @@ object SketchQueries {
       .orderBy(col("truly_present"))
   }
 
+  /** Q62 — SKETCH-DRIVEN EQUI-DEPTH HISTOGRAM: quartile boundaries come
+    * from d14's log-bucket quantile walk (global, ungrouped), then one
+    * pass bins every order against the three broadcast boundary literals
+    * — the two-pass ANALYZE shape every cost-based optimizer uses to
+    * build equi-depth column statistics, where a single-pass exact
+    * version would need a full sort. share_bp audits how close each bin
+    * lands to the ideal 2500 (the sketch's equi-depth quality measured
+    * in the result — d9/d11 discipline). Integer cents end-to-end; the
+    * one float step is d14's floor(x·100). */
+  def q62EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders(s, d).select(
+      greatest(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"), lit(1L)).as("v"))
+    val bucketed = o.selectExpr("v",
+      """CASE WHEN length(bin(v)) <= 7 THEN v
+        | ELSE CAST(length(bin(v)) AS BIGINT) * 64 +
+        |      (shiftright(v, length(bin(v)) - 7) & CAST(63 AS BIGINT)) END AS b"""
+        .stripMargin)
+    val cum = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // boundaries: lower bound of the bucket containing ranks p25/p50/p75
+    // (the cum/window frames run over ≤ ~4k bucket rows — sketch-sized,
+    // never data-sized, which is why the global window is safe here)
+    val bounds = cum
+      .select(col("b"), col("cum"), col("n"), explode(array(lit(25L), lit(50L), lit(75L))).as("q"))
+      .filter(col("cum") >= expr("(n * q + 99) div 100"))
+      .groupBy(col("q")).agg(min(col("b")).as("b"))
+      .selectExpr("q",
+        """CASE WHEN b < 128 THEN b
+          | ELSE shiftleft(CAST(1 AS BIGINT), CAST(b div 64 AS INT) - 1) +
+          |      shiftleft(b % 64, CAST(b div 64 AS INT) - 7) END AS bound"""
+          .stripMargin)
+      .groupBy().agg(
+        max(when(col("q") === 25, col("bound"))).as("b25"),
+        max(when(col("q") === 50, col("bound"))).as("b50"),
+        max(when(col("q") === 75, col("bound"))).as("b75"))
+    o.crossJoin(broadcast(bounds))
+      .selectExpr(
+        "CASE WHEN v < b25 THEN 0 WHEN v < b50 THEN 1 WHEN v < b75 THEN 2 ELSE 3 END AS bin",
+        "v")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"), min(col("v")).as("min_cents"),
+        max(col("v")).as("max_cents"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
+      .selectExpr("bin", "n_orders", "min_cents", "max_cents",
+        "CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_orders * 10000 div n_total END AS share_bp")
+      .orderBy(col("bin"))
+  }
+
   /** T19 — log₂-bucketed document-length histogram: the corpus-shape
     * profile every dataset card reports (length distributions are
     * heavy-tailed, so linear bins like q24's are useless — power-of-two
@@ -383,6 +436,7 @@ object SketchQueries {
     "d15_hll_setops" -> d15HllSetops,
     "d17_hll_agg" -> d17HllAgg,
     "d18_bloom_membership" -> d18BloomMembership,
+    "q62_equidepth_hist" -> q62EquidepthHist,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
 
@@ -480,6 +534,51 @@ object SketchQueries {
                         // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
                       AS BIGINT) AS est_distinct
           FROM agg""",
+    "q62_equidepth_hist" ->
+      """WITH o AS (
+           SELECT greatest(CAST(floor(o_totalprice * 100) AS BIGINT), 1) AS v
+           FROM orders
+         ), bk AS (
+           SELECT v,
+                  CASE WHEN length(bin(v)) <= 7 THEN v
+                       ELSE CAST(length(bin(v)) AS BIGINT) * 64 +
+                            ((v >> (length(bin(v)) - 7)) & 63) END AS b
+           FROM o
+         ), cum AS (
+           SELECT b, cnt,
+                  CAST(sum(cnt) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT b, count(*) AS cnt FROM bk GROUP BY b) s
+         ), qv AS (
+           SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q
+         ), app AS (
+           SELECT q, min(b) AS b
+           FROM cum, qv WHERE cum >= (n * q + 99) // 100
+           GROUP BY q
+         ), bounds AS (
+           SELECT max(CASE WHEN q = 25 THEN bound END) AS b25,
+                  max(CASE WHEN q = 50 THEN bound END) AS b50,
+                  max(CASE WHEN q = 75 THEN bound END) AS b75
+           FROM (SELECT q,
+                        CASE WHEN b < 128 THEN b
+                             ELSE (CAST(1 AS BIGINT) << (CAST(b // 64 AS INTEGER) - 1)) +
+                                  ((b % 64) << (CAST(b // 64 AS INTEGER) - 7)) END AS bound
+                 FROM app) t
+         ), binned AS (
+           SELECT CASE WHEN v < b25 THEN 0 WHEN v < b50 THEN 1
+                       WHEN v < b75 THEN 2 ELSE 3 END AS bin, v
+           FROM o, bounds
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total FROM o
+         )
+         SELECT bin, count(*) AS n_orders,
+                min(v) AS min_cents, max(v) AS max_cents,
+                CAST(CASE WHEN n_total = 0 THEN 0
+                          ELSE count(*) * 10000 // n_total END AS BIGINT) AS share_bp
+         FROM binned, tot
+         GROUP BY bin, n_total ORDER BY bin""",
     "d18_bloom_membership" ->
       """WITH keys AS (
            SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w FROM orders

@@ -99,6 +99,20 @@ class SketchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t25: greedy take fills every allocation, overshooting by at most the straddling doc") {
+    val rows = LlmQueries.t25MixExecute(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val srcTokens = LlmQueries.t22DomainMix(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("tokens")).toMap
+    rows.foreach { r =>
+      val (src, taken, alloc) =
+        (r.getString(0), r.getAs[Long]("tokens_taken"), r.getAs[Long]("alloc_tokens"))
+      if (srcTokens(src) >= alloc)
+        assert(taken >= alloc, s"$src under-filled: $taken < $alloc")
+      assert(r.getAs[Long]("n_docs_taken") > 0 || alloc == 0)
+    }
+  }
+
   test("t21: shards are contiguous per source and conserve docs and tokens") {
     val rows = LlmQueries.t21TokenShards(spark, sf()).collect()
     assert(rows.nonEmpty)
