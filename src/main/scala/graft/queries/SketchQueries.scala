@@ -357,6 +357,66 @@ object SketchQueries {
       .orderBy(col("truly_present"))
   }
 
+  /** D19 — CUMULATIVE HLL TIME SERIES (sketch state roll-forward): the
+    * "distinct keys seen through month M, for every M" dashboard — the
+    * production daily/monthly-distinct-users query — answered for ALL
+    * months in one pass over a per-month register table. Because HLL
+    * registers merge by max, the cumulative sketch at month M is a
+    * running elementwise max over the month axis: compute per-(month,
+    * bucket) registers once (one hash agg, ≤ m rows per month at any
+    * corpus size), densify onto the months × observed-buckets grid
+    * (≤ m·|months| rows — SKETCH-sized, never data-sized), and a
+    * bucket-partitioned running-max window rolls every month's
+    * cumulative state forward. An exact recompute needs a full key
+    * shuffle PER MONTH (or an expensive distinct-through-M per M);
+    * the exact audit here instead uses the first-seen trick (min month
+    * per key = one hash agg) — itself the scalable exact formulation.
+    *
+    * Estimates are monotone non-decreasing BY CONSTRUCTION (register
+    * merge is monotone — spec-pinned alongside the exact series).
+    * Keys: (part, supplier) pairs by ship month (d15's high-cardinality
+    * stream, per the d11 raw-regime lesson). Same scaled-BIGINT
+    * estimator as d11. */
+  def d19HllTimeseries(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 256
+    val li = lineitem(s, d).select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+      concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"))
+    val regs = li
+      .select(col("ym"), (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
+        md5Word2(col("w")).as("wd"))
+      .select(col("ym"), col("bucket"),
+        when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+      .groupBy(col("ym"), col("bucket")).agg(max(col("rho")).as("r"))
+    val months = li.select(col("ym")).distinct()
+    val grid = months.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
+    val cum = grid.join(regs, Seq("ym", "bucket"), "left")
+      .withColumn("rc", max(col("r")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("ym"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rc").isNotNull) // bucket not yet seen by month M = still empty
+    val est = cum.groupBy(col("ym"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - rc)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .selectExpr("ym",
+        "(718273 * (CAST(281474976710656 AS BIGINT) div " +
+          "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_cum")
+    val newPerMonth = li.groupBy(col("w")).agg(min(col("ym")).as("fym"))
+      .groupBy(col("fym")).agg(count(lit(1)).as("nw"))
+    val exact = months.join(newPerMonth.withColumnRenamed("fym", "ym"), Seq("ym"), "left")
+      .withColumn("exact_cum", sum(coalesce(col("nw"), lit(0L))).over(
+        Window.orderBy(col("ym")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("ym"), col("exact_cum"))
+    est.join(exact, Seq("ym"))
+      .selectExpr("ym", "est_cum", "exact_cum",
+        "CASE WHEN exact_cum = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE abs(est_cum - exact_cum) * 10000 div exact_cum END AS err_bp")
+      .orderBy(col("ym"))
+  }
+
   /** Q62 — SKETCH-DRIVEN EQUI-DEPTH HISTOGRAM: quartile boundaries come
     * from d14's log-bucket quantile walk (global, ungrouped), then one
     * pass bins every order against the three broadcast boundary literals
@@ -436,6 +496,7 @@ object SketchQueries {
     "d15_hll_setops" -> d15HllSetops,
     "d17_hll_agg" -> d17HllAgg,
     "d18_bloom_membership" -> d18BloomMembership,
+    "d19_hll_timeseries" -> d19HllTimeseries,
     "q62_equidepth_hist" -> q62EquidepthHist,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
@@ -534,6 +595,53 @@ object SketchQueries {
                         // (sp + (256 - nb) * 4294967296::BIGINT))) // 1000000
                       AS BIGINT) AS est_distinct
           FROM agg""",
+    "d19_hll_timeseries" ->
+      """WITH li AS (
+           SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+                  concat(CAST(l_partkey AS VARCHAR), '#',
+                         CAST(l_suppkey AS VARCHAR)) AS w
+           FROM lineitem
+         ), h AS (
+           SELECT ym,
+                  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                  CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+           FROM li
+         ), regs AS (
+           SELECT ym, bucket,
+                  max(CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END) AS r
+           FROM h GROUP BY ym, bucket
+         ), grid AS (
+           SELECT m.ym, b.bucket
+           FROM (SELECT DISTINCT ym FROM li) m
+           CROSS JOIN (SELECT DISTINCT bucket FROM regs) b
+         ), cum AS (
+           SELECT g.ym,
+                  max(r.r) OVER (PARTITION BY g.bucket ORDER BY g.ym
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+           FROM grid g LEFT JOIN regs r ON r.ym = g.ym AND r.bucket = g.bucket
+         ), est AS (
+           SELECT ym,
+                  CAST((718273 * (281474976710656::BIGINT
+                         // (CAST(sum(1::BIGINT << (32 - rc)) AS BIGINT)
+                            + (256 - count(*)) * 4294967296::BIGINT))) // 1000000
+                       AS BIGINT) AS est_cum
+           FROM cum WHERE rc IS NOT NULL GROUP BY ym
+         ), fs AS (
+           SELECT w, min(ym) AS fym FROM li GROUP BY w
+         ), npm AS (
+           SELECT fym AS ym, CAST(count(*) AS BIGINT) AS nw FROM fs GROUP BY fym
+         ), ex AS (
+           SELECT m.ym,
+                  CAST(sum(coalesce(n.nw, 0)) OVER (ORDER BY m.ym
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS exact_cum
+           FROM (SELECT DISTINCT ym FROM li) m LEFT JOIN npm n ON n.ym = m.ym
+         )
+         SELECT e.ym, e.est_cum, x.exact_cum,
+                CAST(CASE WHEN x.exact_cum = 0 THEN 0
+                          ELSE abs(e.est_cum - x.exact_cum) * 10000 // x.exact_cum END
+                     AS BIGINT) AS err_bp
+         FROM est e JOIN ex x ON x.ym = e.ym ORDER BY e.ym""",
     "q62_equidepth_hist" ->
       """WITH o AS (
            SELECT greatest(CAST(floor(o_totalprice * 100) AS BIGINT), 1) AS v

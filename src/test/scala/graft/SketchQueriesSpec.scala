@@ -69,6 +69,21 @@ class SketchQueriesSpec extends SparkSpec {
       s"absent hits ${absent.getAs[Long]("n_hits")} above bound $bound (fill=$fill)")
   }
 
+  test("d19: cumulative estimates are monotone and the final month equals d15's union sketch") {
+    val rows = SketchQueries.d19HllTimeseries(spark, sf()).collect().sortBy(_.getAs[Long]("ym"))
+    assert(rows.length > 1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("est_cum") <= b.getAs[Long]("est_cum"),
+        s"register merge must be monotone: ${a.getAs[Long]("ym")} -> ${b.getAs[Long]("ym")}")
+      assert(a.getAs[Long]("exact_cum") <= b.getAs[Long]("exact_cum"))
+    }
+    // the last cumulative sketch covers the whole (part, supplier) stream —
+    // exactly what d15's union registers cover, so the estimates must agree
+    val d15union = SketchQueries.d15HllSetops(spark, sf()).head.getAs[Long]("est_union")
+    assert(rows.last.getAs[Long]("est_cum") == d15union,
+      s"final cumulative ${rows.last.getAs[Long]("est_cum")} != d15 union $d15union")
+  }
+
   test("t24: the Bloom tier never changes the answer — contaminated set == t13's exact screen") {
     val viaBloom = graft.queries.MiningQueries.t24BloomDecontaminate(spark, sf())
       .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
