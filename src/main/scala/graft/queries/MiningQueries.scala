@@ -202,6 +202,9 @@ object MiningQueries {
           |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
           |  ELSE array() END""".stripMargin)).as("g"))
       .distinct()
+      // feeds the eval side, the probe side AND the per-doc counts —
+      // checkpoint so the tokenize+explode+distinct shuffle runs once
+      .localCheckpoint(true)
     val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     def laneBits(df: DataFrame, keep: Seq[String]): DataFrame = df
       .select(keep.map(col) :+ explode(expr("sequence(0, 3)")).as("lane"): _*)

@@ -268,7 +268,10 @@ object SketchQueries {
       .select(col("side"), col("bucket"),
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+    // ≤ 2·m rows; checkpointed because BOTH the per-side estimates and the
+    // union merge read it — without this the full md5 pass runs twice
     val sideRegs = rhoed.groupBy(col("side"), col("bucket")).agg(max(col("rho")).as("r"))
+      .localCheckpoint(true)
     // scaled-BIGINT d11 estimator from a (grouped) register table
     def estimate(regs: DataFrame, key: Seq[String]): DataFrame = {
       val g = if (key.isEmpty) regs.groupBy() else regs.groupBy(key.map(col): _*)
@@ -285,12 +288,15 @@ object SketchQueries {
     // the union estimate reads ONLY the register tables — the merge is the op
     val estUnion = estimate(sideRegs.groupBy(col("bucket")).agg(max(col("r")).as("r")), Nil)
       .withColumnRenamed("est", "est_union")
-    val exactSides = keyed.groupBy(col("side")).agg(count_distinct(col("w")).as("x"))
-      .groupBy().agg(
-        max(when(col("side") === "A", col("x"))).as("exact_a"),
-        max(when(col("side") === "B", col("x"))).as("exact_b"))
-    val exactUnion = keyed.agg(count_distinct(col("w")).as("exact_union"))
-    estSides.crossJoin(estUnion).crossJoin(exactSides).crossJoin(exactUnion)
+    // ONE key shuffle answers all three exact counts: per-key side flags,
+    // then sum/count — two separate count_distinct passes would shuffle
+    // the full key universe twice
+    val exacts = keyed.groupBy(col("w")).agg(
+        max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
+        max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
+      .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
+        count(lit(1)).as("exact_union"))
+    estSides.crossJoin(estUnion).crossJoin(exacts)
       .selectExpr("est_a", "est_b", "est_union",
         "est_a + est_b - est_union AS est_intersect",
         "exact_a", "exact_b", "exact_union",
@@ -321,22 +327,29 @@ object SketchQueries {
     * md5/modulo/count math is bit-identical in both engines. */
   def d18BloomMembership(s: SparkSession, d: String): DataFrame = {
     val m = 1 << 20
+    // keys feed the bit build, the present-probe sample AND the n_keys
+    // stat; bits feed the probe join AND the bits_set stat — checkpoint
+    // both so the scan+distinct runs once, not per consumer
     val keys = orders(s, d).select(col("o_orderkey").cast("string").as("w")).distinct()
+      .localCheckpoint(true)
     val bits = keys
       .select(col("w"), explode(expr("sequence(0, 3)")).as("lane"))
       .select((Dedupe.md5Hash32(concat(col("w"), lit("#"),
         col("lane").cast("string"))) % m).as("bit"))
       .distinct()
+      .localCheckpoint(true)
     val present = keys.orderBy(md5(col("w"))).limit(100)
       .select(col("w"), lit(1L).as("truly_present"))
     val absent = s.range(1000)
       .select(concat(lit("absent#"), col("id").cast("string")).as("w"),
         lit(0L).as("truly_present"))
-    val probeHits = present.unionAll(absent)
+    val probeHits = broadcast(present.unionAll(absent)
       .select(col("w"), col("truly_present"), explode(expr("sequence(0, 3)")).as("lane"))
       .select(col("w"), col("truly_present"),
         (Dedupe.md5Hash32(concat(col("w"), lit("#"),
-          col("lane").cast("string"))) % m).as("bit"))
+          col("lane").cast("string"))) % m).as("bit")))
+      // probe side is ~4k rows — broadcast it so the (large) bit table
+      // never shuffles for the join
       .join(bits, Seq("bit"))
       .groupBy(col("w"), col("truly_present")).agg(count(lit(1)).as("lanes_hit"))
       .filter(col("lanes_hit") === 4)
@@ -380,10 +393,13 @@ object SketchQueries {
   def d19HllTimeseries(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = 256
+    // the keyed stream feeds registers AND the first-seen exact audit —
+    // checkpoint so the scan+projection runs once
     val li = lineitem(s, d).select(
       (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
       concat(col("l_partkey").cast("string"), lit("#"),
         col("l_suppkey").cast("string")).as("w"))
+      .localCheckpoint(true)
     val regs = li
       .select(col("ym"), (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
         md5Word2(col("w")).as("wd"))
@@ -391,7 +407,10 @@ object SketchQueries {
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
       .groupBy(col("ym"), col("bucket")).agg(max(col("rho")).as("r"))
-    val months = li.select(col("ym")).distinct()
+      .localCheckpoint(true) // ≤ m·|months| rows, read by grid AND the merge
+    // any month with data has register rows, so months come from the
+    // (tiny) register table, not another corpus scan
+    val months = regs.select(col("ym")).distinct()
     val grid = months.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
     val cum = grid.join(regs, Seq("ym", "bucket"), "left")
       .withColumn("rc", max(col("r")).over(
@@ -463,10 +482,11 @@ object SketchQueries {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"), min(col("v")).as("min_cents"),
         max(col("v")).as("max_cents"))
-      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
+      // total = sum over the ≤ 4 bin rows (every order lands in exactly
+      // one bin) — a third scan of orders for count(*) would be wasted
       .selectExpr("bin", "n_orders", "min_cents", "max_cents",
-        "CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE n_orders * 10000 div n_total END AS share_bp")
+        "CASE WHEN sum(n_orders) OVER () = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_orders * 10000 div sum(n_orders) OVER () END AS share_bp")
       .orderBy(col("bin"))
   }
 
