@@ -85,6 +85,31 @@ object AnalyticsQueries {
         coalesce(col("O_cnt"), lit(0L)).as("cnt_o"), col("O_qty").as("qty_o"))
       .orderBy(col("l_returnflag"))
 
+  /** Q63 — UNPIVOT (melt): q30's inverse — the four lineitem measures
+    * rotate into (measure, value) rows, then one per-measure profile
+    * (count / exact decimal sum / min / max). Spark plans `unpivot` as an
+    * Expand projection — rows×measures emitted map-side with NO shuffle
+    * until the aggregate, the same one-pass shape as q27's CUBE, where a
+    * UNION-of-4-scans formulation reads the table four times. Sums stay
+    * in DecimalType until the final cast (the q27/q30 money discipline —
+    * an unordered double sum can never hash-match; per-returnflag decimal
+    * quantities ~1.5e6 at sf0.1 sit far inside Decimal(12,2)). */
+  def q63Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("l_quantity"),
+        dec(col("l_extendedprice")).as("l_extendedprice"),
+        dec(col("l_discount")).as("l_discount"), dec(col("l_tax")).as("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("total"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** Q31 — tolerance-banded backward as-of join: each error event picks
     * the latest preceding click by the same user ONLY if it happened
     * within the last 10 minutes ([[graft.operators.AsofJoin]] with a
@@ -622,6 +647,7 @@ object AnalyticsQueries {
     "q28_range_join" -> q28RangeJoin,
     "q29_group_topk" -> q29GroupTopK,
     "q30_pivot" -> q30Pivot,
+    "q63_unpivot" -> q63Unpivot,
     "q31_asof_tolerance" -> q31AsofTolerance,
     "q32_asof_forward" -> q32AsofForward,
     "q33_session_window" -> q33SessionWindow,
@@ -634,6 +660,29 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q63_unpivot" ->
+      // UNION-ALL melt (the portable unpivot); WHERE v IS NOT NULL mirrors
+      // Spark unpivot's null-dropping contract
+      """WITH d AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(9,2)) AS q,
+                  CAST(l_extendedprice AS DECIMAL(9,2)) AS ep,
+                  CAST(l_discount AS DECIMAL(9,2)) AS di,
+                  CAST(l_tax AS DECIMAL(9,2)) AS tx
+           FROM lineitem
+         ), u AS (
+           SELECT l_returnflag, 'l_quantity' AS measure, q AS v FROM d
+           UNION ALL SELECT l_returnflag, 'l_extendedprice', ep FROM d
+           UNION ALL SELECT l_returnflag, 'l_discount', di FROM d
+           UNION ALL SELECT l_returnflag, 'l_tax', tx FROM d
+         )
+         SELECT l_returnflag, measure, count(*) AS n,
+                CAST(sum(v) AS DOUBLE) AS total,
+                CAST(min(v) AS DOUBLE) AS min_v,
+                CAST(max(v) AS DOUBLE) AS max_v
+         FROM u WHERE v IS NOT NULL
+         GROUP BY l_returnflag, measure
+         ORDER BY l_returnflag, measure""",
     "q60_zorder" ->
       """WITH p AS (
            SELECT CAST(p_size AS BIGINT) AS x,

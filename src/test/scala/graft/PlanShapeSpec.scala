@@ -244,6 +244,13 @@ class PlanShapeSpec extends SparkSpec {
       "map-side partial aggregation lost")
   }
 
+  test("q63: unpivot is a single-scan Expand — never a union of per-measure scans") {
+    val p = plan("q63_unpivot")
+    assert(p.contains("Expand"), s"unpivot lost the Expand shape:\n${p.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"unpivot degraded to $scans scans:\n${p.take(2000)}")
+  }
+
   test("q60: z-value is row-local — one shuffle to the tile aggregate (+ result sort)") {
     val p = plan("q60_zorder")
     // the bit-interleave fold must stay a projection; clustering must not
