@@ -436,6 +436,65 @@ object SketchQueries {
       .orderBy(col("ym"))
   }
 
+  /** D20 — SLIDING-WINDOW HLL (trailing 3 months): d19's register table
+    * answers the OTHER dashboard shape — "distinct keys in the trailing
+    * window ending at month M, for every M" — by swapping the running
+    * max for a BOUNDED window max (ROWS 2 PRECEDING). Same one-pass
+    * economics: per-month registers once, then every window's merged
+    * sketch falls out of one bucket-partitioned window op; an exact
+    * recompute touches each key once per window it spans (the explode-
+    * to-targets trick below — still one hash agg, ×window-width data).
+    *
+    * The month axis is a LINEAR index (year·12 + month) — yyyymm + 1
+    * breaks at every December (199512 + 1 ≠ 199601), the classic
+    * sliding-calendar bug. Window estimate == direct sketch of the
+    * window's months by construction (spec-pinned, d15's discipline). */
+  def d20HllSliding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 256
+    val li = lineitem(s, d).select(
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"),
+      concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"))
+      .localCheckpoint(true)
+    val regs = li
+      .select(col("mi"), (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
+        md5Word2(col("w")).as("wd"))
+      .select(col("mi"), col("bucket"),
+        when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+      .groupBy(col("mi"), col("bucket")).agg(max(col("rho")).as("r"))
+      .localCheckpoint(true)
+    // CALENDAR-dense month spine (min..max), not just observed months —
+    // on a gappy calendar "trailing 3 grid rows" would silently span
+    // more than 3 real months (the q51 day-spine lesson, month tier)
+    val months = regs.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("mi"))
+    val grid = months.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
+    val win = grid.join(regs, Seq("mi", "bucket"), "left")
+      .withColumn("rw", max(col("r")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("mi")).rowsBetween(-2, 0)))
+      .filter(col("rw").isNotNull)
+    val est = win.groupBy(col("mi"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - rw)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .selectExpr("mi",
+        "(718273 * (CAST(281474976710656 AS BIGINT) div " +
+          "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_win")
+    // exact: each (key, month) occurrence covers target months mi..mi+2;
+    // distinct (key, target) then count per target — one hash agg
+    val exact = li.select(col("w"), explode(expr("array(mi, mi + 1, mi + 2)")).as("tmi"))
+      .distinct()
+      .join(months.withColumnRenamed("mi", "tmi"), Seq("tmi"))
+      .groupBy(col("tmi")).agg(count(lit(1)).as("exact_win"))
+      .withColumnRenamed("tmi", "mi")
+    est.join(exact, Seq("mi"))
+      .selectExpr("mi", "est_win", "exact_win",
+        "CASE WHEN exact_win = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE abs(est_win - exact_win) * 10000 div exact_win END AS err_bp")
+      .orderBy(col("mi"))
+  }
+
   /** Q62 — SKETCH-DRIVEN EQUI-DEPTH HISTOGRAM: quartile boundaries come
     * from d14's log-bucket quantile walk (global, ungrouped), then one
     * pass bins every order against the three broadcast boundary literals
@@ -517,6 +576,7 @@ object SketchQueries {
     "d17_hll_agg" -> d17HllAgg,
     "d18_bloom_membership" -> d18BloomMembership,
     "d19_hll_timeseries" -> d19HllTimeseries,
+    "d20_hll_sliding" -> d20HllSliding,
     "q62_equidepth_hist" -> q62EquidepthHist,
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
@@ -662,6 +722,51 @@ object SketchQueries {
                           ELSE abs(e.est_cum - x.exact_cum) * 10000 // x.exact_cum END
                      AS BIGINT) AS err_bp
          FROM est e JOIN ex x ON x.ym = e.ym ORDER BY e.ym""",
+    "d20_hll_sliding" ->
+      """WITH li AS (
+           SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+                  concat(CAST(l_partkey AS VARCHAR), '#',
+                         CAST(l_suppkey AS VARCHAR)) AS w
+           FROM lineitem
+         ), h AS (
+           SELECT mi,
+                  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+                  CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS wd
+           FROM li
+         ), regs AS (
+           SELECT mi, bucket,
+                  max(CASE WHEN wd = 0 THEN 32 ELSE 33 - length(bin(wd)) END) AS r
+           FROM h GROUP BY mi, bucket
+         ), sp AS (
+           SELECT unnest(generate_series((SELECT min(mi) FROM regs),
+                                         (SELECT max(mi) FROM regs))) AS mi
+         ), grid AS (
+           SELECT s.mi, b.bucket
+           FROM sp s CROSS JOIN (SELECT DISTINCT bucket FROM regs) b
+         ), win AS (
+           SELECT g.mi,
+                  max(r.r) OVER (PARTITION BY g.bucket ORDER BY g.mi
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rw
+           FROM grid g LEFT JOIN regs r ON r.mi = g.mi AND r.bucket = g.bucket
+         ), est AS (
+           SELECT mi,
+                  CAST((718273 * (281474976710656::BIGINT
+                         // (CAST(sum(1::BIGINT << (32 - rw)) AS BIGINT)
+                            + (256 - count(*)) * 4294967296::BIGINT))) // 1000000
+                       AS BIGINT) AS est_win
+           FROM win WHERE rw IS NOT NULL GROUP BY mi
+         ), tg AS (
+           SELECT DISTINCT w, mi + t.t AS tmi
+           FROM li, LATERAL (SELECT unnest([0, 1, 2]) AS t) t
+         ), ex AS (
+           SELECT t.tmi AS mi, CAST(count(*) AS BIGINT) AS exact_win
+           FROM tg t JOIN sp s ON s.mi = t.tmi GROUP BY t.tmi
+         )
+         SELECT e.mi, e.est_win, x.exact_win,
+                CAST(CASE WHEN x.exact_win = 0 THEN 0
+                          ELSE abs(e.est_win - x.exact_win) * 10000 // x.exact_win END
+                     AS BIGINT) AS err_bp
+         FROM est e JOIN ex x ON x.mi = e.mi ORDER BY e.mi""",
     "q62_equidepth_hist" ->
       """WITH o AS (
            SELECT greatest(CAST(floor(o_totalprice * 100) AS BIGINT), 1) AS v

@@ -84,6 +84,33 @@ class SketchQueriesSpec extends SparkSpec {
       s"final cumulative ${rows.last.getAs[Long]("est_cum")} != d15 union $d15union")
   }
 
+  test("d20: each sliding-window estimate == a direct sketch over that window's months") {
+    import graft.operators.Dedupe
+    val rows = SketchQueries.d20HllSliding(spark, sf()).collect()
+    assert(rows.length > 3)
+    val li = graft.core.Tables.lineitem(spark, sf()).select(
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"),
+      concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"))
+    // spot-check first, middle, last windows against a from-scratch sketch
+    for (r <- Seq(rows.head, rows(rows.length / 2), rows.last)) {
+      val m = r.getAs[Long]("mi")
+      val direct = li.filter(col("mi") >= m - 2 && col("mi") <= m)
+        .select((Dedupe.md5Hash32(col("w")) % 256).as("bucket"),
+          conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("wd"))
+        .select(col("bucket"), when(col("wd") === 0, lit(32))
+          .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
+          count(lit(1)).as("nb"))
+        .selectExpr("(718273 * (CAST(281474976710656 AS BIGINT) div " +
+          "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est")
+        .head.getAs[Long]("est")
+      assert(r.getAs[Long]("est_win") == direct,
+        s"window $m: rolled ${r.getAs[Long]("est_win")} != direct $direct")
+    }
+  }
+
   test("t24: the Bloom tier never changes the answer — contaminated set == t13's exact screen") {
     val viaBloom = graft.queries.MiningQueries.t24BloomDecontaminate(spark, sf())
       .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
