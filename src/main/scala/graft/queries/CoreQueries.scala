@@ -356,7 +356,58 @@ object CoreQueries {
       max(col("o_totalprice")).as("price_max"),
       sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("price_sum"))
 
+  /** DQ01 — DATA-QUALITY EXPECTATION GATE: the declarative contract check
+    * a pipeline runs before promoting a corpus — seven rules, each
+    * reported as (rule, n_checked, n_violations, violation_bp). The
+    * catalog mixes hard invariants that must hold (null text, length
+    * consistency, unknown language, key uniqueness, referential
+    * integrity — 0 on healthy data) with profiling gates that fire (min
+    * length, PII emails), so the gate's output is a real scorecard, not
+    * a wall of zeros.
+    *
+    * Scale design: the five row-local rules are ONE conditional-sum
+    * aggregate over one scan (never a scan per rule — the q56 ANALYZE
+    * discipline), melted to rows with `stack`; uniqueness is one
+    * count-vs-count_distinct agg; referential integrity is one left
+    * join + null count (AQE broadcasts the smaller side). Everything
+    * lands in integer counts — hash-exact. */
+  def dq01Expectations(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = documents(s, d)
+    val rowRules = docs.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("text").isNotNull && length(col("text")) =!= col("n_chars"), 1L)
+          .otherwise(0L)).as("v2"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("v3"),
+        sum(when(!col("lang").isin("en", "fr", "de", "es", "zh"), 1L)
+          .otherwise(0L)).as("v4"),
+        sum(when(col("text").isNotNull &&
+          lower(col("text")).rlike(TextAnalysis.EmailPattern), 1L)
+          .otherwise(0L)).as("v5"))
+      .selectExpr("n", "stack(5, " +
+        "'01_text_not_null', v1, '02_len_matches_n_chars', v2, " +
+        "'03_min_length_100', v3, '04_lang_known', v4, " +
+        "'05_no_email_pii', v5) AS (rule, n_violations)")
+      .select(col("rule"), col("n").as("n_checked"), col("n_violations"))
+    val uniq = docs.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).as("n_violations"))
+      .select(lit("06_doc_id_unique").as("rule"), col("n_checked"), col("n_violations"))
+    val ref = embeddings(s, d).select(col("vec_id"))
+      .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("07_vec_id_references_doc").as("rule"),
+        col("n_checked"), col("n_violations"))
+    rowRules.unionAll(uniq).unionAll(ref)
+      .selectExpr("rule", "n_checked", "n_violations",
+        "CASE WHEN n_checked = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_violations * 10000 div n_checked END AS violation_bp")
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq01_expectations" -> dq01Expectations,
     "q50_fuzzy_link" -> q50FuzzyLink,
     "q55_union_by_name" -> q55UnionByName,
     "q56_profile" -> q56Profile,
@@ -384,6 +435,40 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "dq01_expectations" ->
+      s"""WITH w AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND length(text) <> n_chars
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                   CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                   CAST(sum(CASE WHEN lang NOT IN ('en', 'fr', 'de', 'es', 'zh')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                             AND regexp_matches(lower(text),
+                                   '${graft.operators.TextAnalysis.EmailPattern}')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v5
+            FROM documents
+          ), rules AS (
+            SELECT '01_text_not_null' AS rule, n AS n_checked, v1 AS n_violations FROM w
+            UNION ALL SELECT '02_len_matches_n_chars', n, v2 FROM w
+            UNION ALL SELECT '03_min_length_100', n, v3 FROM w
+            UNION ALL SELECT '04_lang_known', n, v4 FROM w
+            UNION ALL SELECT '05_no_email_pii', n, v5 FROM w
+            UNION ALL
+            SELECT '06_doc_id_unique', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '07_vec_id_references_doc', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
+          )
+          SELECT rule, n_checked, n_violations,
+                 CAST(CASE WHEN n_checked = 0 THEN 0
+                           ELSE n_violations * 10000 // n_checked END
+                      AS BIGINT) AS violation_bp
+          FROM rules ORDER BY rule""",
     "q56_profile" ->
       """SELECT count(*) AS n_rows,
                 count(DISTINCT o_custkey) AS custkey_distinct,
