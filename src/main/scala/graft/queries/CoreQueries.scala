@@ -406,8 +406,44 @@ object CoreQueries {
       .orderBy(col("rule"))
   }
 
+  /** DQ02 — DISTRIBUTION-DRIFT MONITOR: the statistical sibling of dq01's
+    * rule gate — compare a reference window (orders through 1997) against
+    * the current window (1998+) over fixed price bins and report, per bin,
+    * both shares plus two drift statistics: the L1 share gap and a
+    * chi-square-style contribution ((Δ)²/(sum)). A corpus pipeline runs
+    * exactly this before promoting a new crawl: "did the length/quality
+    * distribution move?". Everything is scaled-integer basis points — no
+    * logarithms (a PSI would need ln, which is transcendental and not
+    * cross-engine hash-stable; the chi-square form ranks the same signal
+    * in exact arithmetic — the t11 linear-IDF discipline).
+    *
+    * Scale design: ONE scan — both periods aggregate in the same
+    * conditional-sum pass (never a scan per period), and the totals come
+    * from `sum() OVER ()` on the ≤10-row bin frame (the q62 discipline),
+    * so nothing global touches data-sized frames. */
+  def dq02Drift(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        expr("CAST(floor(o_totalprice / 50000.0D) AS BIGINT)").as("bin"),
+        when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+      .selectExpr("bin", "n_ref", "n_cur",
+        "CASE WHEN sum(n_ref) OVER () = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_ref * 10000 div sum(n_ref) OVER () END AS ref_bp",
+        "CASE WHEN sum(n_cur) OVER () = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_cur * 10000 div sum(n_cur) OVER () END AS cur_bp")
+      .selectExpr("bin", "n_ref", "n_cur", "ref_bp", "cur_bp",
+        "abs(ref_bp - cur_bp) AS l1_bp",
+        "CASE WHEN ref_bp + cur_bp = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (ref_bp - cur_bp) * (ref_bp - cur_bp) * 10000 div (ref_bp + cur_bp) " +
+          "END AS chi2_bp")
+      .orderBy(col("bin"))
+
   val queries: Map[String, Q] = Map(
     "dq01_expectations" -> dq01Expectations,
+    "dq02_drift" -> dq02Drift,
     "q50_fuzzy_link" -> q50FuzzyLink,
     "q55_union_by_name" -> q55UnionByName,
     "q56_profile" -> q56Profile,
@@ -435,6 +471,29 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "dq02_drift" ->
+      """WITH b AS (
+           SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+                  CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_ref
+           FROM orders
+         ), g AS (
+           SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                  CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+           FROM b GROUP BY bin
+         ), sh AS (
+           SELECT bin, n_ref, n_cur,
+                  CAST(CASE WHEN sum(n_ref) OVER () = 0 THEN 0
+                       ELSE n_ref * 10000 // sum(n_ref) OVER () END AS BIGINT) AS ref_bp,
+                  CAST(CASE WHEN sum(n_cur) OVER () = 0 THEN 0
+                       ELSE n_cur * 10000 // sum(n_cur) OVER () END AS BIGINT) AS cur_bp
+           FROM g
+         )
+         SELECT bin, n_ref, n_cur, ref_bp, cur_bp,
+                abs(ref_bp - cur_bp) AS l1_bp,
+                CAST(CASE WHEN ref_bp + cur_bp = 0 THEN 0
+                     ELSE (ref_bp - cur_bp) * (ref_bp - cur_bp) * 10000
+                          // (ref_bp + cur_bp) END AS BIGINT) AS chi2_bp
+         FROM sh ORDER BY bin""",
     "dq01_expectations" ->
       s"""WITH w AS (
             SELECT CAST(count(*) AS BIGINT) AS n,

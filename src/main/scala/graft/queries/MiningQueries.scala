@@ -52,6 +52,34 @@ object MiningQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Q65 — MARKOV TRANSITION MATRIX over the event stream: for each
+    * ordered pair of consecutive events by the same user, count the
+    * (from_type → to_type) transition and report the per-source-state
+    * transition share in basis points — the product-analytics /
+    * session-modeling counterpart of q39's fixed funnel (here the WHOLE
+    * 5×5 behavior graph, not one path). Consecutiveness is a `lead`
+    * window per user ordered by (time, event_id) — the event_id tie-break
+    * makes same-timestamp bursts deterministic (the q61 sweep rule).
+    *
+    * Scale design: the lead window partitions by user_id — a spillable
+    * per-user sort, never a global one; the transition frame is then
+    * |types|² ≤ 25 rows, so the share window (PARTITION BY from_type)
+    * runs on an aggregate-sized frame (the q62/dq02 discipline). */
+  def q65MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("t"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("from_type", "to_type", "n",
+        "n * 10000 div sum(n) OVER (PARTITION BY from_type) AS p_bp")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Q40 — exact decile profile of order values via [[GlobalRank]]: global
     * NTILE(10) computed from a distributed range-shuffle rank, NOT a
     * SinglePartition window (the plan a bare `ntile() OVER (ORDER BY ...)`
@@ -482,6 +510,7 @@ object MiningQueries {
     "g02_clustering_coeff" -> g02ClusteringCoeff,
     "s05_ann_pq" -> s05AnnPq,
     "q39_funnel" -> q39Funnel,
+    "q65_markov_transitions" -> q65MarkovTransitions,
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
     "g03_bfs_hops" -> g03BfsHops,
@@ -662,6 +691,22 @@ object MiningQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
             FROM rescored) r
           WHERE rank <= 5 ORDER BY qid, rank""",
+    "q65_markov_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+         ), p AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id) AS to_type
+           FROM e
+         ), g AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL
+           GROUP BY from_type, to_type
+         )
+         SELECT from_type, to_type, n,
+                CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+         FROM g ORDER BY from_type, to_type""",
     "q39_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(ts) AS t FROM events

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.{CoreQueries, MiningQueries}
+import org.apache.spark.sql.functions._
+
+/** Behavior contracts for the dq02 drift monitor and the q65 Markov
+  * transition matrix — distribution invariants the DuckDB hash check
+  * doesn't state explicitly.
+  */
+class DriftMarkovSpec extends SparkSpec {
+
+  test("dq02: per-period shares each sum to ~10000 bp and counts partition the table") {
+    val rows = CoreQueries.dq02Drift(spark, sf()).collect()
+    val nTotal = spark.read.parquet(sf() + "/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_ref")).sum +
+      rows.map(_.getAs[Long]("n_cur")).sum == nTotal,
+      "every order must land in exactly one (bin, period) cell")
+    // integer floor division loses < 1 bp per bin
+    val refBp = rows.map(_.getAs[Long]("ref_bp")).sum
+    val curBp = rows.map(_.getAs[Long]("cur_bp")).sum
+    assert(refBp > 10000 - rows.length && refBp <= 10000, s"ref share sum $refBp")
+    assert(curBp > 10000 - rows.length && curBp <= 10000, s"cur share sum $curBp")
+    // drift columns are consistent with the shares they summarize
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l1_bp") ==
+        math.abs(r.getAs[Long]("ref_bp") - r.getAs[Long]("cur_bp")))
+      assert(r.getAs[Long]("chi2_bp") >= 0)
+    }
+  }
+
+  test("q65: per-source transition shares sum to ~10000 bp and pairs conserve events") {
+    val rows = MiningQueries.q65MarkovTransitions(spark, sf()).collect()
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // each user's k events yield k-1 transitions
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, grp) =>
+      val bp = grp.map(_.getAs[Long]("p_bp")).sum
+      assert(bp > 10000 - grp.length && bp <= 10000, s"$ft share sum $bp")
+    }
+  }
+
+  test("q65: transition counts are invariant to input partitioning") {
+    val a = MiningQueries.q65MarkovTransitions(spark, sf()).collect()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val b = MiningQueries.q65MarkovTransitions(spark, sf()).collect()
+      assert(a.sameElements(b), "partitioning changed the transition matrix")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
