@@ -517,6 +517,47 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T26 — BIGRAM-LM SURPRISAL SCORING: the perplexity-style quality
+    * signal every pretraining pipeline computes — score each document by
+    * how "surprising" its token sequence is under a language model built
+    * from the corpus itself — in EXACT INTEGER arithmetic. The model is
+    * the corpus bigram conditional C(w1 w2)/C(w1·); per-bigram surprisal
+    * is the INTEGER floor-log₂ of the inverse probability,
+    * `length(bin(c_w1 div c_bg)) - 1` (d11's bit-length primitive — a
+    * real log would be transcendental and never cross-engine
+    * hash-stable), and a doc's score is the mean surprisal in millis.
+    * High score = improbable word sequences (noise, boilerplate soup);
+    * low = formulaic repetition. Same adjacency extraction as t23.
+    *
+    * Scale design: ONE explode produces the (doc, bigram) stream; the
+    * model is a hash-agg of that stream (c_w1 derived from the DISTINCT-
+    * bigram frame by a w1-partitioned window sum — model-sized, never a
+    * second corpus scan); scoring is an equi-join on the bigram key, NOT
+    * broadcast (the model scales with the corpus — t11's rule). */
+  def t26BigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = documents(s, d)
+      .select(col("doc_id"), Dedupe.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .filter(length(col("bg")) > 1)
+    val model = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", element_at(split(col("bg"), " ", 2), 1))
+      .withColumn("c_w1", sum(col("c_bg")).over(Window.partitionBy(col("w1"))))
+      .selectExpr("bg",
+        "CAST(length(bin(c_w1 div c_bg)) - 1 AS BIGINT) AS surprisal")
+    pairs.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surprisal")).as("sum_surprisal"))
+      .selectExpr("doc_id", "n_bigrams", "sum_surprisal",
+        "sum_surprisal * 1000 div n_bigrams AS mean_milli")
+      .orderBy(col("mean_milli").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing with REAL image decode: each document is
@@ -700,6 +741,7 @@ object LlmQueries {
     "t18_familiarity" -> t18Familiarity,
     "t20_bm25" -> t20Bm25,
     "t23_bigram_novelty" -> t23BigramNovelty,
+    "t26_bigram_surprisal" -> t26BigramSurprisal,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1497,6 +1539,36 @@ object LlmQueries {
                 CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
                 CAST(1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "t26_bigram_surprisal" ->
+      s"""WITH w0 AS (
+            SELECT doc_id, $wordsSql AS w FROM documents
+          ), bg0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])
+                          ELSE []::VARCHAR[] END) AS bg
+            FROM w0
+          ), p AS (
+            SELECT doc_id, bg FROM bg0 WHERE length(bg) > 1
+          ), m0 AS (
+            SELECT bg, split_part(bg, ' ', 1) AS w1,
+                   CAST(count(*) AS BIGINT) AS c_bg
+            FROM p GROUP BY bg
+          ), m AS (
+            SELECT bg,
+                   CAST(length(bin(CAST(sum(c_bg) OVER (PARTITION BY w1) AS BIGINT)
+                                   // c_bg)) - 1 AS BIGINT) AS surprisal
+            FROM m0
+          ), per AS (
+            SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(m.surprisal) AS BIGINT) AS sum_surprisal
+            FROM p JOIN m ON m.bg = p.bg
+            GROUP BY p.doc_id
+          )
+          SELECT doc_id, n_bigrams, sum_surprisal,
+                 CAST(sum_surprisal * 1000 // n_bigrams AS BIGINT) AS mean_milli
+          FROM per ORDER BY mean_milli DESC, doc_id LIMIT 20""",
     "t23_bigram_novelty" ->
       s"""WITH w0 AS (
             SELECT doc_id, $wordsSql AS w FROM documents

@@ -51,7 +51,7 @@ class AdversarialInputSpec extends SparkSpec {
     "r01_anonymize", "r03_conversation_explode", "m01_multimodal_meta",
     "m02_frame_sample", "m03_image_stats", "t20_bm25", "t23_bigram_novelty",
     "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
-    "t25_mix_execute", "dq01_expectations",
+    "t25_mix_execute", "dq01_expectations", "t26_bigram_surprisal",
     "p01_pipeline")
 
   docQueries.foreach { name =>

@@ -41,6 +41,22 @@ class DriftMarkovSpec extends SparkSpec {
     }
   }
 
+  test("t26: hand-computed surprisal on a tiny corpus (repetition scores 0)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("t26spec").toString
+    Seq(
+      (1L, "a a a a a", "en", "s", 9L),
+      (2L, "x y", "en", "s", 3L),
+      (3L, "a a x y a a", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // model: c("a ·")=7, c("a a")=6 → ratio 1 → 0 bits; c("a x")=1 → ratio 7
+    // → 2 bits; "x y" and "y a" are their prefix's only continuations → 0.
+    val rows = graft.queries.LlmQueries.t26BigramSurprisal(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((3L, 5L, 2L, 400L), (1L, 4L, 0L, 0L), (2L, 1L, 0L, 0L)))
+  }
+
   test("q65: transition counts are invariant to input partitioning") {
     val a = MiningQueries.q65MarkovTransitions(spark, sf()).collect()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
