@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables._
-import graft.operators.{Dedupe, GlobalRank, RangeJoin, Sampling, ShortestPaths, Similarity, Triangles}
+import graft.operators.{Dedupe, GlobalRank, Hierarchy, RangeJoin, Sampling, ShortestPaths, Similarity, Triangles}
 
 /** Round-6 mining surface: event-funnel analysis, exact global deciles via
   * distributed ranking, triangle counting, benchmark decontamination,
@@ -95,6 +95,59 @@ object MiningQueries {
         max(col("o_totalprice")).as("max_price"),
         sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("sum_price"))
       .orderBy(col("decile"))
+  }
+
+  /** G06 — DETERMINISTIC LABEL-PROPAGATION COMMUNITIES over the
+    * co-purchase graph: every vertex starts in its own community; for a
+    * fixed 3 rounds each vertex adopts the most frequent label among its
+    * neighbors, ties broken by smallest label — the (count DESC, label
+    * ASC) row_number makes classic LPA (normally run with random tie
+    * flips) fully deterministic, so the assignment itself is
+    * hash-checkable cross-engine. Complements the CC family (d05/d10
+    * find connectivity; LPA finds DENSITY structure inside one component).
+    *
+    * Scale design: a round is one equi-join on the neighbor key (labels
+    * scale with vertices — never broadcast), one hash-agg, one
+    * per-vertex window (keyed partition, spillable); lineage cut per
+    * round with localCheckpoint (the g05/CC discipline). Fixed round
+    * count = fixed plan depth — no data-dependent driver loop. */
+  def g06LabelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = coPurchaseEdges(s, d)
+    val e = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var lab = e.select(col("u").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("label"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to 3) {
+      lab = e.join(lab, e("v") === lab("vertex"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("u").as("vertex"), col("label"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("vertex"), col("label").as("community"))
+      .orderBy(col("vertex"))
+  }
+
+  /** Q64 — HIERARCHY ROLLUP via [[Hierarchy]] pointer doubling: the part
+    * catalog forms a decimal forest (parent = partkey div 10, keys < 10
+    * are roots, depth ≤ 4 at sf0.1); resolve every part's root and depth
+    * in 3 doubling joins (covers depth ≤ 8), then roll up per root —
+    * subtree size, height, total depth. The oracle walks the same forest
+    * with a RECURSIVE CTE — a completely different evaluation strategy
+    * arriving at the same fixpoint, like d05 vs d10. */
+  def q64HierarchyRollup(s: SparkSession, d: String): DataFrame = {
+    val nodes = part(s, d).select(col("p_partkey").as("id"),
+      when(col("p_partkey") < 10, lit(null).cast("long"))
+        .otherwise(expr("p_partkey div 10")).as("parent"))
+    Hierarchy.resolveRoots(nodes, "id", "parent", rounds = 3)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("depth")).as("max_depth"),
+        sum(col("depth")).as("sum_depth"))
+      .orderBy(col("root"))
   }
 
   /** G01 — triangle census of the co-purchase graph (parts linked when
@@ -511,6 +564,8 @@ object MiningQueries {
     "s05_ann_pq" -> s05AnnPq,
     "q39_funnel" -> q39Funnel,
     "q65_markov_transitions" -> q65MarkovTransitions,
+    "q64_hierarchy_rollup" -> q64HierarchyRollup,
+    "g06_label_prop" -> g06LabelProp,
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
     "g03_bfs_hops" -> g03BfsHops,
@@ -691,6 +746,53 @@ object MiningQueries {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
             FROM rescored) r
           WHERE rank <= 5 ORDER BY qid, rank""",
+    "q64_hierarchy_rollup" ->
+      """WITH RECURSIVE walk AS (
+           SELECT p_partkey AS v, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+           FROM part
+           UNION ALL
+           SELECT v, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+         )
+         SELECT cur AS root, CAST(count(*) AS BIGINT) AS n_nodes,
+                max(depth) AS max_depth, CAST(sum(depth) AS BIGINT) AS sum_depth
+         FROM walk WHERE cur < 10
+         GROUP BY cur ORDER BY root""",
+    "g06_label_prop" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         ), und AS (
+           SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         ), e AS (
+           SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+         ), l0 AS (
+           SELECT DISTINCT u AS vertex, u AS label FROM e
+         ), c1 AS (
+           SELECT e.u, l.label, count(*) AS c
+           FROM e JOIN l0 l ON l.vertex = e.v GROUP BY e.u, l.label
+         ), l1 AS (
+           SELECT u AS vertex, label FROM (
+             SELECT u, label,
+                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+             FROM c1) t WHERE rn = 1
+         ), c2 AS (
+           SELECT e.u, l.label, count(*) AS c
+           FROM e JOIN l1 l ON l.vertex = e.v GROUP BY e.u, l.label
+         ), l2 AS (
+           SELECT u AS vertex, label FROM (
+             SELECT u, label,
+                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+             FROM c2) t WHERE rn = 1
+         ), c3 AS (
+           SELECT e.u, l.label, count(*) AS c
+           FROM e JOIN l2 l ON l.vertex = e.v GROUP BY e.u, l.label
+         ), l3 AS (
+           SELECT u AS vertex, label FROM (
+             SELECT u, label,
+                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+             FROM c3) t WHERE rn = 1
+         )
+         SELECT vertex, label AS community FROM l3 ORDER BY vertex""",
     "q65_markov_transitions" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
