@@ -130,6 +130,34 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q66 — LAST-TOUCH REVENUE ATTRIBUTION: every purchase is credited to
+    * the most recent view/click/signup by the same user within 6 hours —
+    * the canonical marketing-attribution query, composed from
+    * [[graft.operators.AsofJoin.backward]] with a tolerance band (one
+    * union-shuffle-window pass; touches never multiply per purchase —
+    * q39's funnel counts paths, this routes MONEY, so the single-match
+    * as-of contract is the point). Purchases with no in-band touch land
+    * in 'unattributed'. Revenue sums in DECIMAL (order-invariant), tie
+    * on equal timestamps broken by largest touch id (the documented
+    * backward contract), mirrored exactly in the oracle's row_number. */
+  def q66Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("event_id").as("touch_id"), col("user_id"), col("ts"),
+        col("event_type").as("channel"))
+    graft.operators.AsofJoin.backward(purchases, touches, "user_id", "ts",
+        Seq("channel"), rightTieBreak = "touch_id",
+        tolerance = Some(6L * 3600 * 1000 * 1000 * 1000)) // 6 h in nanos
+      .select(coalesce(col("asof_channel"), lit("unattributed")).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   /** Q32 — forward as-of join: each error event picks the EARLIEST click
     * by the same user at-or-after it (next-action attribution; the mirror
     * of q22's backward direction — `first(ignoreNulls)` over the following
@@ -649,6 +677,7 @@ object AnalyticsQueries {
     "q30_pivot" -> q30Pivot,
     "q63_unpivot" -> q63Unpivot,
     "q31_asof_tolerance" -> q31AsofTolerance,
+    "q66_attribution" -> q66Attribution,
     "q32_asof_forward" -> q32AsofForward,
     "q33_session_window" -> q33SessionWindow,
     "q34_stream_dedupe" -> q34StreamDedupe,
@@ -949,6 +978,25 @@ object AnalyticsQueries {
                 count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q66_attribution" ->
+      """WITH t AS (
+           SELECT event_id AS touch_id, user_id, ts, event_type AS channel
+           FROM events WHERE event_type IN ('view', 'click', 'signup')
+         ), p AS (
+           SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase'
+         ), m AS (
+           SELECT p.event_id, p.value, t.channel,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY t.ts DESC, t.touch_id DESC) AS rn
+           FROM p LEFT JOIN t ON t.user_id = p.user_id
+                AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 6 HOUR
+         )
+         SELECT coalesce(channel, 'unattributed') AS channel,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM m WHERE rn = 1
+         GROUP BY 1 ORDER BY channel""",
     "q31_asof_tolerance" ->
       """SELECT l.event_id,
                 CASE WHEN r.event_id IS NOT NULL AND l.ts - r.ts <= INTERVAL 10 MINUTE

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.operators.{ConnectedComponents, Dedupe, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedupe, GlobalRank, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators beyond the reference's own surface
   * (BASELINE.json north star): near-dup dedupe family, ANN similarity
@@ -517,6 +517,29 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T27 — ZIPF RANK-FREQUENCY PROFILE: the corpus-health fingerprint —
+    * frequency of the rank-1, 2, 4, … 4096 vocabulary words (log-spaced
+    * ranks), with the rank×count product whose flatness IS Zipf's law.
+    * A corpus whose profile bows away from constant is boilerplate-heavy
+    * (top-rank inflation) or shredded text (tail inflation) — checked
+    * before training, alongside t08/t19.
+    *
+    * Scale design: the vocabulary is corpus-scaled, so the rank CANNOT
+    * be a bare `row_number() OVER (ORDER BY cnt)` — that plans a
+    * SinglePartition window sorting the whole vocabulary in one task.
+    * [[GlobalRank]] ranks it with a range shuffle (q40's TeraSort
+    * shape); the power-of-two filter then keeps ≤ 13 rows. */
+  def t27ZipfProfile(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(Dedupe.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    GlobalRank.withGlobalRank(vocab, Seq(col("cnt").desc, col("word")), "rank")
+      .filter(expr("(rank & (rank - 1)) = 0 AND rank <= 4096"))
+      .selectExpr("rank", "word", "cnt", "rank * cnt AS rank_cnt")
+      .orderBy(col("rank"))
+  }
+
   /** T26 — BIGRAM-LM SURPRISAL SCORING: the perplexity-style quality
     * signal every pretraining pipeline computes — score each document by
     * how "surprising" its token sequence is under a language model built
@@ -742,6 +765,7 @@ object LlmQueries {
     "t20_bm25" -> t20Bm25,
     "t23_bigram_novelty" -> t23BigramNovelty,
     "t26_bigram_surprisal" -> t26BigramSurprisal,
+    "t27_zipf_profile" -> t27ZipfProfile,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1539,6 +1563,19 @@ object LlmQueries {
                 CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
                 CAST(1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "t27_zipf_profile" ->
+      s"""WITH v AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest($wordsSql) AS word FROM documents) t
+            WHERE length(word) > 0 GROUP BY word
+          ), r AS (
+            SELECT word, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+            FROM v
+          )
+          SELECT rank, word, cnt, rank * cnt AS rank_cnt
+          FROM r WHERE (rank & (rank - 1)) = 0 AND rank <= 4096
+          ORDER BY rank""",
     "t26_bigram_surprisal" ->
       s"""WITH w0 AS (
             SELECT doc_id, $wordsSql AS w FROM documents

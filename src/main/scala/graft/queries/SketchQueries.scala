@@ -51,6 +51,32 @@ object SketchQueries {
     * accuracy. Reference behavior class: corpus-stats distinct counts
     * (reference summarizes vocab/file cardinalities driver-side;
     * assets/processing/assets.py:300-317 profiles corpus stats). */
+  /** D21 — EXACT DISTINCT VIA BITMAP OR-AGGREGATION: the roaring-bitmap
+    * idea in pure relational form — the membership axis's EXACT sibling
+    * (d18 Bloom = approximate membership; this = exact distinct when the
+    * id space is dense integers). Each (group, id) sets one bit of a
+    * 32-bit word keyed by id div 32; `bit_or` is associative and
+    * commutative, so the per-word partial aggregates map-side-combine to
+    * ≤ |id-space|/32 rows per group no matter how many raw events there
+    * are — the shuffle carries BITMAP WORDS, not ids (a count_distinct
+    * shuffles every distinct id). popcount over the words is the exact
+    * count. 32-bit words because DuckDB raises on `1::BIGINT << 63`
+    * (overflow-checked shift) — bit ≤ 31 keeps both engines in-range.
+    *
+    * Output carries the bitmap accounting (words, densest word) so the
+    * compression ratio is visible in the result — d18's audit discipline. */
+  def d21BitmapDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), expr("user_id div 32").as("word_idx"),
+        expr("CAST(user_id % 32 AS INT)").as("bit"))
+      .groupBy(col("event_type"), col("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("n_users"),
+        max(expr("bit_count(bits)")).cast("long").as("densest_word"))
+      .orderBy(col("event_type"))
+
   def d11HllDistinct(s: SparkSession, d: String): DataFrame = {
     val m = 256
     val keys = orders(s, d).select(col("o_orderkey").cast("string").as("w"))
@@ -570,6 +596,7 @@ object SketchQueries {
 
   val queries: Map[String, Q] = Map(
     "d11_hll_distinct" -> d11HllDistinct,
+    "d21_bitmap_distinct" -> d21BitmapDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
     "d15_hll_setops" -> d15HllSetops,
@@ -586,6 +613,16 @@ object SketchQueries {
   private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracle: Map[String, String] = Map(
+    "d21_bitmap_distinct" ->
+      """WITH w AS (
+           SELECT event_type, user_id // 32 AS word_idx,
+                  CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS BIGINT) AS bits
+           FROM events GROUP BY event_type, user_id // 32
+         )
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(bit_count(bits)) AS BIGINT) AS n_users,
+                CAST(max(bit_count(bits)) AS BIGINT) AS densest_word
+         FROM w GROUP BY event_type ORDER BY event_type""",
     "d11_hll_distinct" ->
       s"""WITH occ AS (
             SELECT CAST(o_orderkey AS VARCHAR) AS w FROM orders

@@ -52,6 +52,7 @@ class AdversarialInputSpec extends SparkSpec {
     "m02_frame_sample", "m03_image_stats", "t20_bm25", "t23_bigram_novelty",
     "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
     "t25_mix_execute", "dq01_expectations", "t26_bigram_surprisal",
+    "t27_zipf_profile",
     "p01_pipeline")
 
   docQueries.foreach { name =>
