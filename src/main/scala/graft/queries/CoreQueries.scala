@@ -441,9 +441,59 @@ object CoreQueries {
           "END AS chi2_bp")
       .orderBy(col("bin"))
 
+  /** DQ03 — SNAPSHOT RECONCILIATION: the diff gate a pipeline runs
+    * between yesterday's and today's table version before publishing —
+    * row-level inserted/deleted/changed/unchanged counts plus per-column
+    * change drill-down. Yesterday's snapshot is SIMULATED
+    * deterministically from orders (every 97th key missing → inserted
+    * today, every 89th price bumped → changed, every 101st re-keyed past
+    * the key space → deleted), so the query is reproducible while
+    * exercising every branch of the reconciliation.
+    *
+    * Scale design: ONE full-outer hash join on the key, then ONE
+    * conditional-sum aggregate over the joined frame (never a pass per
+    * change class — dq01's discipline), melted with `stack`. All
+    * comparisons are null-safe (`<=>` / IS DISTINCT FROM) so NULL cells
+    * diff correctly. The +1.0 price bump is exact in IEEE doubles at
+    * this magnitude, keeping the changed-set cross-engine identical. */
+  def dq03SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val b = orders(s, d).select(col("o_orderkey").as("k"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val aBase = b.filter(col("k") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("k") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val aExtra = b.filter(col("k") % 101 === 0)
+      .withColumn("k", col("k") + 10000000L)
+    val a = aBase.unionAll(aExtra)
+      .select(col("k"), struct(col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")).as("pa"))
+    val bb = b.select(col("k"), struct(col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice")).as("pb"))
+    a.join(bb, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("pa").isNull, 1L).otherwise(0L)).as("v_ins"),
+        sum(when(col("pb").isNull, 1L).otherwise(0L)).as("v_del"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+          !(col("pa") <=> col("pb")), 1L).otherwise(0L)).as("v_chg"),
+        sum(when(col("pa") <=> col("pb"), 1L).otherwise(0L)).as("v_same"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+          !(col("pa.o_custkey") <=> col("pb.o_custkey")), 1L).otherwise(0L)).as("v_cust"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+          !(col("pa.o_orderstatus") <=> col("pb.o_orderstatus")), 1L).otherwise(0L)).as("v_stat"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull &&
+          !(col("pa.o_totalprice") <=> col("pb.o_totalprice")), 1L).otherwise(0L)).as("v_price"))
+      .selectExpr("stack(7, " +
+        "'1_inserted', v_ins, '2_deleted', v_del, '3_changed', v_chg, " +
+        "'4_unchanged', v_same, '5_col_custkey', v_cust, " +
+        "'6_col_status', v_stat, '7_col_price', v_price) AS (metric, n)")
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dq01_expectations" -> dq01Expectations,
     "dq02_drift" -> dq02Drift,
+    "dq03_snapshot_diff" -> dq03SnapshotDiff,
     "q50_fuzzy_link" -> q50FuzzyLink,
     "q55_union_by_name" -> q55UnionByName,
     "q56_profile" -> q56Profile,
@@ -471,6 +521,54 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "dq03_snapshot_diff" ->
+      """WITH b AS (
+           SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice
+           FROM orders
+         ), a AS (
+           SELECT k, o_custkey, o_orderstatus,
+                  CASE WHEN k % 89 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM b WHERE k % 97 <> 0
+           UNION ALL
+           SELECT k + 10000000, o_custkey, o_orderstatus, o_totalprice
+           FROM b WHERE k % 101 = 0
+         ), j AS (
+           SELECT a.k AS ak, b.k AS bk,
+                  a.o_custkey AS ac, b.o_custkey AS bc,
+                  a.o_orderstatus AS ast, b.o_orderstatus AS bst,
+                  a.o_totalprice AS ap, b.o_totalprice AS bp
+           FROM a FULL OUTER JOIN b ON a.k = b.k
+         ), agg AS (
+           SELECT
+             CAST(sum(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ins,
+             CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_del,
+             CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                           AND (ac IS DISTINCT FROM bc OR ast IS DISTINCT FROM bst
+                                OR ap IS DISTINCT FROM bp)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_chg,
+             CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                           AND ac IS NOT DISTINCT FROM bc
+                           AND ast IS NOT DISTINCT FROM bst
+                           AND ap IS NOT DISTINCT FROM bp
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_same,
+             CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                           AND ac IS DISTINCT FROM bc THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+             CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                           AND ast IS DISTINCT FROM bst THEN 1 ELSE 0 END) AS BIGINT) AS v_stat,
+             CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                           AND ap IS DISTINCT FROM bp THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+           FROM j
+         )
+         SELECT metric, n FROM (
+           SELECT '1_inserted' AS metric, v_ins AS n FROM agg
+           UNION ALL SELECT '2_deleted', v_del FROM agg
+           UNION ALL SELECT '3_changed', v_chg FROM agg
+           UNION ALL SELECT '4_unchanged', v_same FROM agg
+           UNION ALL SELECT '5_col_custkey', v_cust FROM agg
+           UNION ALL SELECT '6_col_status', v_stat FROM agg
+           UNION ALL SELECT '7_col_price', v_price FROM agg) t
+         ORDER BY metric""",
     "dq02_drift" ->
       """WITH b AS (
            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,

@@ -41,6 +41,23 @@ class DriftMarkovSpec extends SparkSpec {
     }
   }
 
+  test("dq03: diff classes reconcile against directly-counted key populations") {
+    val m = CoreQueries.dq03SnapshotDiff(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet(sf() + "/orders.parquet")
+    val n = o.count()
+    val nIns = o.filter(col("o_orderkey") % 97 === 0).count()
+    val nDel = o.filter(col("o_orderkey") % 101 === 0).count()
+    val nChg = o.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 89 === 0).count()
+    assert(m("1_inserted") == nIns)
+    assert(m("2_deleted") == nDel)
+    assert(m("3_changed") == nChg && m("7_col_price") == nChg)
+    assert(m("5_col_custkey") == 0L && m("6_col_status") == 0L)
+    assert(m("3_changed") + m("4_unchanged") == n - nIns,
+      "changed + unchanged must cover the key intersection")
+  }
+
   test("t26: hand-computed surprisal on a tiny corpus (repetition scores 0)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("t26spec").toString
