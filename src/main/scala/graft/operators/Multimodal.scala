@@ -77,6 +77,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** Metadata schema for decoded AUDIO payloads — the [[MetaSchema]]
+    * sibling for the WAV path ([[graft.functions.AudioCodec]]). `format`
+    * is "wav" or "raw" for unrecognized payloads. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Attach decoded audio metadata (REAL RIFF/WAVE chunk-walk parse —
+    * header bytes only, samples never inflated). Same narrow
+    * mapPartitions shape as [[withDecodedMeta]]; unrecognized payloads
+    * get zeroed fields with format "raw" instead of throwing. */
+  def withAudioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val outSchema = StructType(df.schema.fields :+ StructField("ameta", AudioMetaSchema))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](idx)
+        val n = if (p == null) 0 else p.length
+        val m = AudioCodec.parse(p) match {
+          case Some(a) =>
+            Row(n, a.sampleRate, a.channels, a.bitsPerSample, a.nSamples, a.durationMs, "wav")
+          case None => Row(n, 0, 0, 0, 0L, 0L, "raw")
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
   /** STUB resize — production body: vectorized image resize (e.g. libvips
     * via FFM). The contract: payload + target dims in, payload out; the fake
     * truncates/pads deterministically so batch-shape tests are stable. */

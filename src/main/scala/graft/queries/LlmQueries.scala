@@ -614,6 +614,44 @@ object LlmQueries {
       .select(col("doc_id"), makePayload(col("doc_id"), col("n_chars")).as("payload"))
   }
 
+  /** M04 — audio corpus profile THROUGH the real WAV decode path: each
+    * document is materialized as a minimal VALID RIFF/WAVE stream
+    * (sample rate cycles through the five standard rates by doc_id,
+    * channels/bit-depth/sample-count derived from doc metadata — real
+    * RIFF sizes incl. the odd-length pad byte), then
+    * [[Multimodal.withAudioMeta]] chunk-walks the headers back OUT OF THE
+    * BYTES and the per-rate aggregate profiles the corpus: clip counts,
+    * stereo/8-bit splits, total duration, byte volume. The oracle
+    * recomputes every field from the synthesis arithmetic, so a green
+    * hash proves the parse path recovered real values — the m01/m03
+    * de-stubbing pattern extended to audio. Narrow decode + one
+    * map-side-combinable hash agg; headers only, samples never read. */
+  def m04AudioMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val makeWav = udf { (docId: Long, nChars: Long) =>
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      AudioCodec.wavBytes(rates((docId % 5).toInt), 1 + (docId % 2).toInt,
+        if (docId % 3 == 0) 8 else 16, (nChars % 2000 + 1).toInt,
+        seed = (nChars % 100).toInt)
+    }
+    val payloads = documents(s, d)
+      .select(col("doc_id"), makeWav(col("doc_id"), col("n_chars")).as("payload"))
+    Multimodal.withAudioMeta(payloads, "payload")
+      .select(col("ameta.sample_rate").as("sample_rate"),
+        col("ameta.channels").as("channels"), col("ameta.bits").as("bits"),
+        col("ameta.n_samples").as("n_samples"),
+        col("ameta.duration_ms").as("duration_ms"),
+        col("ameta.n_bytes").cast("long").as("n_bytes"))
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(when(col("channels") === 2, 1L).otherwise(0L)).as("n_stereo"),
+        sum(when(col("bits") === 8, 1L).otherwise(0L)).as("n_8bit"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("sample_rate"))
+  }
+
   def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     Multimodal.withDecodedMeta(imagePayloads(s, d), "payload")
       .select(col("doc_id"),
@@ -785,7 +823,8 @@ object LlmQueries {
     "t11_tfidf" -> t11Tfidf,
     "t12_stratified_sample" -> t12StratifiedSample,
     "m01_multimodal_meta" -> m01MultimodalMeta,
-    "m03_image_stats" -> m03ImageStats)
+    "m03_image_stats" -> m03ImageStats,
+    "m04_audio_meta" -> m04AudioMeta)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -1563,6 +1602,27 @@ object LlmQueries {
                 CAST((n_chars * 7) % 480 + 1 AS INTEGER) AS height,
                 CAST(1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "m04_audio_meta" ->
+      """WITH a AS (
+           SELECT CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000
+                  END AS sample_rate,
+                  CAST(1 + doc_id % 2 AS INT) AS channels,
+                  CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+                  n_chars % 2000 + 1 AS n_samples
+           FROM documents
+         ), b AS (
+           SELECT sample_rate, channels, bits, n_samples,
+                  n_samples * channels * (bits // 8) AS data_len
+           FROM a
+         )
+         SELECT sample_rate, CAST(count(*) AS BIGINT) AS n_clips,
+                CAST(sum(CASE WHEN channels = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stereo,
+                CAST(sum(CASE WHEN bits = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_8bit,
+                CAST(sum(n_samples) AS BIGINT) AS sum_samples,
+                CAST(sum(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_duration_ms,
+                CAST(sum(44 + data_len + data_len % 2) AS BIGINT) AS sum_bytes
+         FROM b GROUP BY sample_rate ORDER BY sample_rate""",
     "t27_zipf_profile" ->
       s"""WITH v AS (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -49,7 +49,8 @@ class AdversarialInputSpec extends SparkSpec {
     "d01_minhash_lsh", "d02_simhash", "d03_ngram_jaccard", "d16_containment",
     "d06_line_dedupe", "d07_line_rebuild", "d12_substring_dedupe",
     "r01_anonymize", "r03_conversation_explode", "m01_multimodal_meta",
-    "m02_frame_sample", "m03_image_stats", "t20_bm25", "t23_bigram_novelty",
+    "m02_frame_sample", "m03_image_stats", "m04_audio_meta",
+    "t20_bm25", "t23_bigram_novelty",
     "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
     "t25_mix_execute", "dq01_expectations", "t26_bigram_surprisal",
     "t27_zipf_profile",
