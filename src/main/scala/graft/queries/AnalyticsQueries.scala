@@ -545,6 +545,24 @@ object AnalyticsQueries {
         col("m.event_type").as("last_op"), col("m.value").as("last_value"))
       .orderBy(col("user_id"))
 
+  /** Q67 — STREAMING CDC UPSERT PARITY: q53's last-write-wins merge run
+    * as a foreachBatch incremental-upsert stream
+    * ([[graft.streaming.StreamParity.cdcMergeUpserts]] — the changelog
+    * split into 4 range files, one file per trigger, each microbatch
+    * MERGEd into the target with (+, greatest) partials). The oracle is
+    * IDENTICAL to q53's: associative-commutative merge algebra means any
+    * batch split must reach the same fixpoint as the one-pass batch
+    * aggregate — the sixth streaming class (incremental sink merge)
+    * next to windowed agg / custom state / session / stream-static /
+    * stream-stream. */
+  def q67StreamCdcMerge(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamParity.cdcMergeUpserts(s, s"$d/events.parquet")
+      .filter(col("m.event_type") =!= "error")
+      .select(col("user_id"), col("n_ops"),
+        expr("m.ts DIV 1000").as("last_us"),
+        col("m.event_type").as("last_op"), col("m.value").as("last_value"))
+      .orderBy(col("user_id"))
+
   /** Q54 — SCD2 validity-interval build: turn the per-user changelog into
     * type-2 dimension history — each op opens an interval that the NEXT op
     * closes (`lead` over the user's time-ordered ops; the final interval
@@ -669,6 +687,7 @@ object AnalyticsQueries {
     "q51_gap_fill" -> q51GapFill,
     "q52_stream_stream_join" -> q52StreamStreamJoin,
     "q53_cdc_merge" -> q53CdcMerge,
+    "q67_stream_cdc_merge" -> q67StreamCdcMerge,
     "q54_scd2" -> q54Scd2,
     "q26_stream_window" -> q26StreamWindow,
     "q27_cube" -> q27Cube,
@@ -877,6 +896,18 @@ object AnalyticsQueries {
            AND epoch_us(c.ts) >= epoch_us(v.ts)
            AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
          ORDER BY view_id, click_id""",
+    "q67_stream_cdc_merge" ->
+      """WITH ranked AS (
+           SELECT user_id, ts, event_id, event_type, value, count(*) OVER w AS n_ops,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id)
+         )
+         SELECT user_id, n_ops, epoch_us(ts) AS last_us,
+                event_type AS last_op, value AS last_value
+         FROM ranked WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
     "q53_cdc_merge" ->
       """WITH ranked AS (
            SELECT user_id, ts, event_id, event_type, value, count(*) OVER w AS n_ops,

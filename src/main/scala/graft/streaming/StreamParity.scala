@@ -309,4 +309,74 @@ object StreamParity {
       TempDirs.deleteOnExit(tmp.toFile)
     }
   }
+
+  /** foreachBatch INCREMENTAL UPSERT — the sixth streaming class: the
+    * production CDC-sink pattern where each microbatch MERGEs its partial
+    * state into a persistent target (Delta/Iceberg `MERGE INTO` in a real
+    * deployment; here the merge itself, against a driver-held target
+    * frame). The event log is pre-split into `nFiles` range files and
+    * streamed ONE FILE PER TRIGGER, so the merge genuinely runs multiple
+    * times — and the final target must equal the single-pass batch LWW
+    * aggregate (q53) BY ALGEBRA, not by luck: per-batch partials are
+    * (count, max-struct) and the merge combines them with (+, greatest) —
+    * both associative and commutative, so ANY batch split or order gives
+    * the same fixpoint. That associativity argument is exactly why the
+    * same merge is safe on an out-of-order 100 TB changelog.
+    *
+    * Scale notes: each microbatch aggregates itself first (map-side
+    * partials), so the merge joins target-keys × batch-keys, never raw
+    * rows; the target re-keys on user_id every merge — in production the
+    * target table is bucketed on the merge key so this join is
+    * co-located and exchange-free (q43's layout argument). */
+  def cdcMergeUpserts(spark: SparkSession, eventsPath: String,
+      nFiles: Int = 4): DataFrame = {
+    val tmp = TempDirs.scratchDir("graft-streamcdc")
+    val src = tmp.resolve("src").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    try {
+      // deterministic range split of the changelog into nFiles files
+      spark.read.parquet(eventsPath)
+        .repartitionByRange(nFiles, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(eventsPath).schema
+      var target: Option[DataFrame] = None
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val upd = batch
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value"))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_ops"),
+              max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("m"))
+          val merged = target match {
+            case None => upd
+            case Some(t) =>
+              t.select(col("user_id"), col("n_ops").as("t_n"), col("m").as("t_m"))
+                .join(upd.select(col("user_id"), col("n_ops").as("u_n"),
+                  col("m").as("u_m")), Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("t_n"), lit(0L)) + coalesce(col("u_n"), lit(0L)))
+                    .as("n_ops"),
+                  when(col("u_m").isNull, col("t_m"))
+                    .when(col("t_m").isNull, col("u_m"))
+                    .otherwise(greatest(col("t_m"), col("u_m"))).as("m"))
+          }
+          // materialize the new target version before the old one is dropped
+          target = Some(merged.localCheckpoint(true))
+          ()
+        }
+        .start()
+        .awaitTermination()
+      target.getOrElse(sys.error("cdcMergeUpserts: no microbatch ran"))
+    } finally {
+      TempDirs.dropNow(new java.io.File(ckpt))
+      TempDirs.deleteOnExit(tmp.toFile)
+    }
+  }
 }
