@@ -675,7 +675,46 @@ object AnalyticsQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Q68 — per-group OLS trend line in EXACT integer arithmetic: the
+    * daily-revenue slope per part brand that a monitoring pipeline fits to
+    * detect growth/decline, made hash-checkable by keeping every term a
+    * BIGINT. Least squares needs only (n, Σx, Σy, Σxy, Σx²) — all
+    * order-independent integer sums once x = days since a fixed epoch and
+    * y = daily revenue in hundreds of dollars (cents summed exactly, then
+    * one truncating div; floor(price·100) is IEEE-identical both engines).
+    * slope_bp = 10⁴·(nΣxy−ΣxΣy) div (nΣx²−(Σx)²) — numerator magnitude is
+    * bounded by days² · Σy (~10¹⁵ at sf0.1; the y unit is the documented
+    * scale knob if revenue grows 10⁶×), and `div` truncates toward zero in
+    * both engines for either sign of the trend.
+    *
+    * Scale: two hash aggregations and one fact-to-dimension equi-join —
+    * the daily pre-aggregation shrinks the fact table to |brands|·|days|
+    * rows before the regression sums, so the second agg is tiny. `part` is
+    * NOT broadcast-hinted: it scales with the corpus (q06's rule — only
+    * fixed-cardinality dims get the hint); AQE may still choose broadcast
+    * at small SF. */
+  def q68Trend(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("brand"), col("x"))
+      .agg(expr("sum(cents) div 10000").as("y"))
+    daily.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .selectExpr("brand", "n AS n_days", "sy AS sum_y",
+        "CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx) " +
+          "END AS slope_bp")
+      .orderBy(col("brand"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_trend" -> q68Trend,
     "q60_zorder" -> q60Zorder,
     "q61_interval_coverage" -> q61IntervalCoverage,
     "q47_grouped_median" -> q47GroupedMedian,
@@ -708,6 +747,29 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q68_trend" ->
+      // identical integer least-squares; DuckDB's HUGEINT sums CAST back
+      // to BIGINT, `//` truncates toward zero like Spark `div`
+      """WITH daily AS (
+           SELECT p.p_brand AS brand,
+                  datediff('day', DATE '1995-01-01',
+                           CAST(l.l_shipdate AS DATE)) AS x,
+                  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                       // 10000 AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY 1, 2
+         ), sums AS (
+           SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*y) AS BIGINT) AS sxy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1
+         )
+         SELECT brand, n AS n_days, sy AS sum_y,
+                CASE WHEN n*sxx - sx*sx = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(((n*sxy - sx*sy) * 10000) // (n*sxx - sx*sx)
+                          AS BIGINT) END AS slope_bp
+         FROM sums ORDER BY brand""",
     "q63_unpivot" ->
       // UNION-ALL melt (the portable unpivot); WHERE v IS NOT NULL mirrors
       // Spark unpivot's null-dropping contract

@@ -490,10 +490,72 @@ object CoreQueries {
       .orderBy(col("metric"))
   }
 
+  /** DQ04 — BENFORD FIRST-DIGIT AUDIT: the classic fabricated-data screen —
+    * compare the distribution of leading significant digits of a money
+    * column against Benford's law. Expected shares are PRECOMPUTED integer
+    * constants (⌊10⁴·log₁₀(1+1/d)⌋) so no transcendental function runs in
+    * either engine; observed shares are integer basis points via truncating
+    * div. Synthetic TPC-H prices are deliberately NOT Benford-distributed —
+    * large dev_bp is the gate firing, which is the point of the audit.
+    *
+    * Scale: one hash aggregation over 9 keys + a broadcast of the 1-row
+    * grand total — no window, no second scan. */
+  def dq04Benford(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)" +
+        " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .selectExpr("digit", "n", "n * 10000 div total AS obs_bp",
+        "CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249" +
+          " WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579" +
+          " WHEN 8 THEN 511 ELSE 457 END AS BIGINT) AS exp_bp")
+      .selectExpr("digit", "n", "obs_bp", "exp_bp",
+        "abs(obs_bp - exp_bp) AS dev_bp")
+      .orderBy(col("digit"))
+  }
+
+  /** DQ05 — FRESHNESS/COMPLETENESS GATE: densify the event stream onto the
+    * full calendar-day spine between its min and max day, then report
+    * missing days and days whose volume falls below half the median daily
+    * count (4·cnt < middle-pair-sum keeps the threshold exact-integer; the
+    * q47/q57 middle-pair discipline, never builtin median). The single
+    * unpartitioned ranking window is bounded by CALENDAR DAYS, not data
+    * volume — ~36,500 rows a century — so it is not a scale hazard; the
+    * per-day counts behind it are one map-side-combinable hash agg over
+    * the events. */
+  def dq05Completeness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val perDay = ev.groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val daily = perDay.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .selectExpr("explode(sequence(lo, hi)) AS day")
+      .join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("cnt"))
+    val w = Window.orderBy(col("cnt"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") === expr("(nd + 1) div 2") ||
+        col("rn") === expr("(nd + 2) div 2"))
+      .agg(sum(col("cnt")).as("median2"))
+    daily.crossJoin(broadcast(med))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_present"),
+        sum(when(col("cnt") === 0, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("cnt") > 0 && col("cnt") * 4 < col("median2"), 1L)
+          .otherwise(0L)).as("n_low"),
+        max(col("median2")).as("median2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dq01_expectations" -> dq01Expectations,
     "dq02_drift" -> dq02Drift,
     "dq03_snapshot_diff" -> dq03SnapshotDiff,
+    "dq04_benford" -> dq04Benford,
+    "dq05_completeness" -> dq05Completeness,
     "q50_fuzzy_link" -> q50FuzzyLink,
     "q55_union_by_name" -> q55UnionByName,
     "q56_profile" -> q56Profile,
@@ -521,6 +583,51 @@ object CoreQueries {
     "q37_full_outer" -> q37FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "dq04_benford" ->
+      """WITH counts AS (
+           SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1
+         ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+         SELECT c.digit, c.n,
+                CAST(c.n * 10000 // t.total AS BIGINT) AS obs_bp,
+                CAST(CASE c.digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+                     WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+                     WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+                     ELSE 457 END AS BIGINT) AS exp_bp,
+                abs(CAST(c.n * 10000 // t.total AS BIGINT) -
+                    CAST(CASE c.digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+                         WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+                         WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+                         ELSE 457 END AS BIGINT)) AS dev_bp
+         FROM counts c, tot t ORDER BY c.digit""",
+    "dq05_completeness" ->
+      """WITH ev AS (
+           SELECT epoch_us(ts) // 86400000000 AS day FROM events
+         ), perday AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1
+         ), spine AS (
+           SELECT unnest(range(min(day), max(day) + 1)) AS day FROM perday
+         ), daily AS (
+           SELECT s.day, coalesce(p.c, 0) AS cnt
+           FROM spine s LEFT JOIN perday p ON p.day = s.day
+         ), med AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS median2 FROM (
+             SELECT cnt, row_number() OVER (ORDER BY cnt, day) AS rn,
+                    count(*) OVER () AS nd
+             FROM daily) t
+           WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_present,
+                CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_missing,
+                CAST(sum(CASE WHEN cnt > 0 AND cnt * 4 < median2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                max(median2) AS median2
+         FROM daily, med""",
     "dq03_snapshot_diff" ->
       """WITH b AS (
            SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice

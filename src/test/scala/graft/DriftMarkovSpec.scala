@@ -83,4 +83,63 @@ class DriftMarkovSpec extends SparkSpec {
       assert(a.sameElements(b), "partitioning changed the transition matrix")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("dq04: digit counts partition orders and Benford constants sum to 9995 bp") {
+    val rows = CoreQueries.dq04Benford(spark, sf()).collect()
+    val nOrders = spark.read.parquet(sf() + "/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders,
+      "every order has exactly one leading digit")
+    val obsBp = rows.map(_.getAs[Long]("obs_bp")).sum
+    assert(obsBp > 10000 - rows.length && obsBp <= 10000, s"obs share sum $obsBp")
+    // ⌊10⁴·log₁₀(1+1/d)⌋ for d=1..9 — floor loss leaves 9995
+    assert(rows.map(_.getAs[Long]("exp_bp")).sum == 9995)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_bp") ==
+        math.abs(r.getAs[Long]("obs_bp") - r.getAs[Long]("exp_bp")))
+    }
+  }
+
+  test("dq05: spine accounting is exact and matches the raw event day range") {
+    val r = CoreQueries.dq05Completeness(spark, sf()).collect().head
+    val days = spark.read.parquet(sf() + "/events.parquet")
+      .selectExpr("(ts DIV 1000) DIV 86400000000 AS day")
+    val lo = days.agg(min("day")).collect().head.getLong(0)
+    val hi = days.agg(max("day")).collect().head.getLong(0)
+    assert(r.getAs[Long]("n_days") == hi - lo + 1, "spine must span min..max")
+    assert(r.getAs[Long]("n_present") + r.getAs[Long]("n_missing") ==
+      r.getAs[Long]("n_days"))
+    assert(r.getAs[Long]("n_present") ==
+      days.select("day").distinct().count())
+    assert(r.getAs[Long]("median2") > 0 && r.getAs[Long]("n_low") >= 0)
+  }
+
+  test("q68: integer least-squares sums reproduce under driver-side BigInt arithmetic") {
+    // proves no BIGINT overflow lurks in the engine's slope formula: redo
+    // the regression from the per-brand daily frame in arbitrary precision
+    val daily = spark.read.parquet(sf() + "/lineitem.parquet")
+      .join(spark.read.parquet(sf() + "/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand AS brand",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents")
+      .groupBy("brand", "x").agg(expr("sum(cents) div 10000").as("y"))
+      .collect().groupBy(_.getAs[String]("brand"))
+    val expected = daily.map { case (b, rs) =>
+      val xs = rs.map(r => BigInt(r.getAs[Long]("x")))
+      val ys = rs.map(r => BigInt(r.getAs[Long]("y")))
+      val n = BigInt(rs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, c) => a * c }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = n * sxx - sx * sx
+      b -> (if (den == 0) BigInt(0) else ((n * sxy - sx * sy) * 10000) / den)
+    }
+    val got = CoreQueriesTrend(spark).map(r =>
+      r.getAs[String]("brand") -> BigInt(r.getAs[Long]("slope_bp"))).toMap
+    assert(got == expected, "engine slope must equal exact BigInt slope")
+  }
+
+  private def CoreQueriesTrend(s: org.apache.spark.sql.SparkSession) =
+    graft.queries.AnalyticsQueries.q68Trend(s, sf()).collect()
 }
