@@ -581,6 +581,54 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** T28 — RAKE KEYWORD EXTRACTION (Rose et al. 2010): candidate phrases
+    * are maximal runs of content words between delimiter words, scored by
+    * summing each member word's degree/frequency ratio — the classic
+    * unsupervised corpus-keyword operator. Adapted deterministically:
+    * the delimiter set is this corpus's actual function words ('a','the');
+    * candidates are capped at 4 words (standard RAKE practice — and on
+    * this corpus the cap is what keeps near-whole-document runs from
+    * qualifying); word scores are integer basis points (deg·10⁴ div freq)
+    * so the phrase score — an integer SUM of member-word scores — is
+    * order-independent and cross-engine exact.
+    *
+    * Scale design: phrase generation is one NARROW pass — tokens are
+    * mapped to a delimiter marker and re-split per row (array ops, no
+    * window, no explode-then-islands shuffle); the only shuffles are the
+    * two hash-aggs (word stats, phrase counts) and a word-keyed equi-join
+    * that is NOT broadcast-hinted (the vocabulary scales with the corpus —
+    * t11's rule). Top-20 is TakeOrderedAndProject, never a global sort. */
+  def t28RakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val phrases = documents(s, d)
+      .select(split(concat_ws(" ",
+        transform(
+          filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+            w => length(w) > 0),
+          w => when(w.isin("a", "the"), lit("|")).otherwise(w))), "\\|")
+        .as("segs"))
+      .select(explode(col("segs")).as("seg"))
+      .select(filter(split(trim(col("seg")), " "), w => length(w) > 0).as("pw"))
+      .filter(size(col("pw")).between(1, 4))
+      .select(col("pw"), concat_ws(" ", col("pw")).as("phrase"),
+        size(col("pw")).cast("long").as("len"))
+    val wscore = phrases
+      .select(explode(col("pw")).as("word"), col("len"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .selectExpr("word", "deg * 10000 div freq AS word_bp")
+    phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("len")).as("n_words"))
+      .select(col("phrase"), col("n_occ"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wscore, Seq("word"))
+      .groupBy(col("phrase"), col("n_occ"), col("n_words"))
+      .agg(sum(col("word_bp")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col("n_occ").desc, col("phrase"))
+      .limit(20)
+      .select(col("phrase"), col("n_occ"), col("n_words"), col("score_bp"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary-payload plumbing with REAL image decode: each document is
@@ -804,6 +852,7 @@ object LlmQueries {
     "t23_bigram_novelty" -> t23BigramNovelty,
     "t26_bigram_surprisal" -> t26BigramSurprisal,
     "t27_zipf_profile" -> t27ZipfProfile,
+    "t28_rake_keywords" -> t28RakeKeywords,
     "p01_pipeline" -> p01Pipeline,
     "s01_ann_brute_force" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1636,6 +1685,45 @@ object LlmQueries {
           SELECT rank, word, cnt, rank * cnt AS rank_cnt
           FROM r WHERE (rank & (rank - 1)) = 0 AND rank <= 4096
           ORDER BY rank""",
+    "t28_rake_keywords" ->
+      """WITH words AS (
+           SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                    '[^a-z]+'), x -> length(x) > 0) AS w
+           FROM documents
+         ), segs AS (
+           SELECT string_split(array_to_string(list_transform(w,
+                    x -> CASE WHEN x IN ('a', 'the') THEN '|' ELSE x END),
+                    ' '), '|') AS segs
+           FROM words
+         ), cand AS (
+           SELECT pw, array_to_string(pw, ' ') AS phrase,
+                  CAST(len(pw) AS BIGINT) AS len
+           FROM (
+             SELECT list_filter(string_split(trim(seg), ' '),
+                      x -> length(x) > 0) AS pw
+             FROM (SELECT unnest(segs) AS seg FROM segs) t
+           ) u
+           WHERE len(pw) BETWEEN 1 AND 4
+         ), wscore AS (
+           SELECT word, CAST(deg * 10000 // freq AS BIGINT) AS word_bp FROM (
+             SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                    CAST(sum(len) AS BIGINT) AS deg
+             FROM (SELECT unnest(pw) AS word, len FROM cand) t GROUP BY word
+           ) v
+         ), pagg AS (
+           SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                  max(len) AS n_words
+           FROM cand GROUP BY phrase
+         )
+         SELECT p.phrase, p.n_occ, p.n_words,
+                CAST(sum(s.word_bp) AS BIGINT) AS score_bp
+         FROM (SELECT phrase, n_occ, n_words,
+                      unnest(string_split(phrase, ' ')) AS word
+               FROM pagg) p
+         JOIN wscore s ON s.word = p.word
+         GROUP BY p.phrase, p.n_occ, p.n_words
+         ORDER BY score_bp DESC, n_occ DESC, phrase
+         LIMIT 20""",
     "t26_bigram_surprisal" ->
       s"""WITH w0 AS (
             SELECT doc_id, $wordsSql AS w FROM documents

@@ -84,6 +84,25 @@ class DriftMarkovSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("t28: hand-computed RAKE scores on a tiny corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("rake").toString
+    Seq(
+      (1L, "deep learning is the deep model", "en", "s", 31L),
+      (2L, "the a the", "en", "s", 9L),      // delimiters only → no phrases
+      (3L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // phrases: "deep learning is" (len 3), "deep model" (len 2)
+    // deep: freq 2, deg 5 → 25000 bp; learning/is: freq 1, deg 3 → 30000;
+    // model: freq 1, deg 2 → 20000
+    val rows = graft.queries.LlmQueries.t28RakeKeywords(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("deep learning is", 1L, 3L, 85000L),
+      ("deep model", 1L, 2L, 45000L)))
+  }
+
   test("dq04: digit counts partition orders and Benford constants sum to 9995 bp") {
     val rows = CoreQueries.dq04Benford(spark, sf()).collect()
     val nOrders = spark.read.parquet(sf() + "/orders.parquet").count()
