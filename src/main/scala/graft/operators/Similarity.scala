@@ -459,4 +459,59 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): pick
+    * `k` results from the top-`poolSize` relevance pool, each step taking
+    * the candidate maximizing `λ·rel − (1−λ)·max_sim_to_selected` with
+    * λ = 1/2 (dyadic, so the arithmetic is two exact halvings) — the
+    * standard diversification pass a RAG stack runs after ANN retrieval.
+    * Step 1 defines the max-similarity of the empty set as 0.0.
+    *
+    * Scale design: the pool is produced DISTRIBUTED (one corpus scan +
+    * TakeOrderedAndProject — the s01 shape) and the pairwise similarities
+    * are computed by the codegen cosine expression over the poolSize²
+    * pool join; only then are ≤ poolSize + poolSize² scalar rows collected
+    * for the greedy walk, which is inherently sequential and bounded by
+    * the pool size, never the corpus (the same bounded-metadata rule as
+    * [[assignToCentroids]]). Ties break by ascending id at every step.
+    *
+    * Returns (step, id, rel, mmr) for the k selections, in pick order.
+    */
+  def mmrRerank(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, poolSize: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = corpus.crossJoin(broadcast(query))
+      .select(id.as("id"), vec.as("v"),
+        cosineSimilarity(vec, col("qv")).as("rel"))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .localCheckpoint() // reused thrice below; pool is ≤ poolSize rows
+    val a = pool.select(col("id").as("ia"), col("v").as("va"))
+    val b = pool.select(col("id").as("ib"), col("v").as("vb"))
+    val sims = a.join(broadcast(b), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        cosineSimilarity(col("va"), col("vb")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = pool.select(col("id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var remaining = cands.toVector
+    var step = 1L
+    while (step <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (cid, rel) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => sims((cid, p._2))).max
+        (cid, rel, 0.5 * rel - 0.5 * maxSim)
+      }
+      val best = scored.minBy { case (cid, _, mmr) => (-mmr, cid) }
+      picked += ((step, best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+      step += 1
+    }
+    picked.toSeq.toDF("step", "id", "rel", "mmr")
+  }
 }

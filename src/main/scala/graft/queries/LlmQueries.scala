@@ -183,6 +183,20 @@ object LlmQueries {
     * the visited set. The oracle replays the identical build + walk in
     * SQL; SimilaritySpec pins recall@k against the exact scan (s01) —
     * the d09 audit pattern for the graph family. */
+  /** S07 — MMR diversified rerank ([[Similarity.mmrRerank]]): after
+    * retrieval, re-order the top-10 pool so each pick balances relevance
+    * against redundancy with what's already picked (λ = 1/2). The greedy
+    * walk is bounded by the pool, never the corpus; the pool and the
+    * pairwise similarities are computed distributed with the codegen
+    * cosine kernel. Oracle: the same five picks unrolled as chained CTEs
+    * (argmax per step, ascending-id tie-break). */
+  def s07MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    Similarity.mmrRerank(embeddings(s, d).filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, k = 5, poolSize = 10)
+  }
+
   def s06AnnGraph(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val qs = emb.filter(col("vec_id") < 3)
@@ -859,6 +873,7 @@ object LlmQueries {
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_ann_sq8" -> s04AnnSq8,
     "s06_ann_graph" -> s06AnnGraph,
+    "s07_mmr_rerank" -> s07MmrRerank,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
@@ -992,6 +1007,45 @@ object LlmQueries {
   /** s06 oracle: replay the deterministic graph-ANN build and 2-hop beam
     * walk in SQL — same seeded planes (embedded literals), same (score
     * desc, id) tie-breaks, same dedup/merge per hop, exact rerank. */
+  /** s07 oracle: the MMR greedy walk unrolled as chained CTEs — pick_i is
+    * the argmax of 0.5·rel − 0.5·max(sim to sel_{i−1}) with ascending-id
+    * tie-break; sel_i accumulates the picks. Same λ, same empty-set-max=0
+    * convention, same index-ordered cosine folds as the engine. */
+  private def s07Sql: String = {
+    val (k, poolSize) = (5, 10)
+    val steps = (2 to k).map { i =>
+      s"""pick$i AS (
+         |  SELECT $i AS step, c.id, c.rel,
+         |         0.5 * c.rel - 0.5 * (
+         |           SELECT max(p.sim) FROM pair p
+         |           WHERE p.ia = c.id AND p.ib IN (SELECT id FROM sel${i - 1})
+         |         ) AS mmr
+         |  FROM pool c
+         |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+         |  ORDER BY mmr DESC, c.id LIMIT 1
+         |), sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), pool AS (
+       |  SELECT id, v, rel FROM (
+       |    SELECT a.vec_id AS id, a.embedding AS v,
+       |           ${cosSql("a.embedding", "q.qv")} AS rel
+       |    FROM embeddings a, q WHERE a.vec_id <> 0) t
+       |  WHERE rel IS NOT NULL
+       |  ORDER BY rel DESC, id LIMIT $poolSize
+       |), pair AS (
+       |  SELECT x.id AS ia, y.id AS ib, ${cosSql("x.v", "y.v")} AS sim
+       |  FROM pool x JOIN pool y ON x.id <> y.id
+       |), sel1 AS (
+       |  SELECT 1 AS step, id, rel, 0.5 * rel - 0.5 * 0.0 AS mmr
+       |  FROM pool ORDER BY rel DESC, id LIMIT 1
+       |),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, id, rel, mmr
+       |FROM sel$k ORDER BY step""".stripMargin
+  }
+
   private def s06Sql: String = {
     val (dim, nPlanes, nTables, m, beam, k) = (64, 5, 6, 8, 10, 5)
     def bucketCase(v: String) = (0 until nTables).map { t =>
@@ -1436,6 +1490,7 @@ object LlmQueries {
           ORDER BY id_a, id_b""",
     "s02_ann_lsh" -> s02Sql,
     "s06_ann_graph" -> s06Sql,
+    "s07_mmr_rerank" -> s07Sql,
     "s03_ann_ivf" -> s03Sql,
     "s04_ann_sq8" ->
       s"""WITH base AS (

@@ -167,4 +167,26 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5 $mean below the pinned floor")
   }
+
+  test("mmr: rerank demotes the near-duplicate of an already-picked result") {
+    import spark.implicits._
+    // relevance order is B > A > C, but B≈A (cos 0.994), so MMR picks
+    // B, then C (diverse), then A — pure relevance would give B, A, C
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // A
+      (2L, Seq(0.9f, 0.1f)),   // B — near-dup of A
+      (3L, Seq(0.6f, 0.8f))    // C — diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.3f))).toDF("qv")
+    val rows = Similarity.mmrRerank(corpus, col("vec_id"), col("embedding"),
+      q, k = 3, poolSize = 3).collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L, 1L))
+    // step-1 mmr is exactly half its relevance (empty-set max sim = 0)
+    assert(rows.head.getAs[Double]("mmr") == 0.5 * rows.head.getAs[Double]("rel"))
+    // every later mmr is penalized: strictly below half its relevance here
+    rows.tail.foreach { r =>
+      assert(r.getAs[Double]("mmr") < 0.5 * r.getAs[Double]("rel"))
+    }
+  }
 }
