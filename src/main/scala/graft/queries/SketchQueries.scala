@@ -597,6 +597,7 @@ object SketchQueries {
   val queries: Map[String, Q] = Map(
     "d11_hll_distinct" -> d11HllDistinct,
     "d21_bitmap_distinct" -> d21BitmapDistinct,
+    "d22_kmv_distinct" -> d22KmvDistinct,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
     "d15_hll_setops" -> d15HllSetops,
@@ -608,11 +609,98 @@ object SketchQueries {
     "t16_cms_heavy_hitters" -> t16CmsHeavyHitters,
     "t19_length_histogram" -> t19LengthHistogram)
 
+  /** D22 — K-MINIMUM-VALUES cardinality sketch (Bar-Yossef et al. 2002):
+    * the ORDER-STATISTICS member of the sketch family, next to HLL
+    * (register max, d11), CMS (frequency, t16), Bloom (membership, d18)
+    * and DDSketch (rank, d14). Keep the k smallest distinct 40-bit key
+    * hashes per group; the estimator is (k−1)·2⁴⁰ div h₍ₖ₎ — all BIGINT
+    * ((k−1)·2⁴⁰ ≈ 2.8·10¹⁴), with the <k linear regime exact by
+    * construction. The 'ALL' row is the MERGED sketch: k-min of the
+    * per-group k-min unions — KMV's closure under union is what makes it
+    * a distributed sketch (merging keeps exactly the information of
+    * sketching the union; the spec pins this equality). 40-bit hashes
+    * keep the estimator integer-exact; key-collision probability at the
+    * fixture scale is ≪1 and identical in both engines (same md5 lane).
+    *
+    * Scale: distinct-hash reduction is one map-side-combinable hash agg;
+    * the per-group rank window orders DISTINCT hashes only. At 100 TB the
+    * production form replaces the window with a d17-style bounded-heap
+    * TypedImperativeAggregate (k values per partition, merged k-min) —
+    * the relational formulation here is the oracle-checkable contract. */
+  def d22KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val kmConst = 255L * 1099511627776L // (k−1)·2^40 = 280375465082880
+    val keyed = orders(s, d).select(col("o_orderpriority").as("grp"),
+      col("o_custkey").cast("string").as("w"))
+    val hashes = keyed
+      .select(col("grp"),
+        conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long").as("h"))
+      .distinct()
+    val withUnion = hashes.unionAll(
+      hashes.select(lit("ALL").as("grp"), col("h")).distinct())
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sk = withUnion
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+    val exact = keyed.unionAll(keyed.select(lit("ALL").as("grp"), col("w")))
+      .groupBy(col("grp")).agg(count_distinct(col("w")).as("exact_distinct"))
+    sk.join(exact, Seq("grp"))
+      .selectExpr("grp", "n_kept",
+        s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE ${kmConst}L div hk END AS est_distinct",
+        "exact_distinct")
+      .selectExpr("grp", "n_kept", "est_distinct", "exact_distinct",
+        "CASE WHEN exact_distinct = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE abs(est_distinct - exact_distinct) * 10000 div exact_distinct" +
+          " END AS err_bp")
+      .orderBy(col("grp"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracle: Map[String, String] = Map(
+    "d22_kmv_distinct" ->
+      """WITH keyed AS (
+           SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS w
+           FROM orders
+         ), h0 AS (
+           SELECT DISTINCT grp,
+                  CAST(concat('0x', substr(md5(w), 1, 10)) AS BIGINT) AS h
+           FROM keyed
+         ), hu AS (
+           SELECT grp, h FROM h0
+           UNION ALL SELECT DISTINCT 'ALL' AS grp, h FROM h0
+         ), rk AS (
+           SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           FROM hu
+         ), sk AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(CASE WHEN rn = 256 THEN h END) AS hk
+           FROM rk WHERE rn <= 256 GROUP BY grp
+         ), ex AS (
+           SELECT grp, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+           FROM (SELECT grp, w FROM keyed
+                 UNION ALL SELECT 'ALL' AS grp, w FROM keyed) u
+           GROUP BY grp
+         ), est AS (
+           SELECT s.grp, s.n_kept,
+                  CAST(CASE WHEN s.n_kept < 256 THEN s.n_kept
+                       ELSE 280375465082880 // s.hk END AS BIGINT)
+                    AS est_distinct,
+                  e.exact_distinct
+           FROM sk s JOIN ex e ON e.grp = s.grp
+         )
+         SELECT grp, n_kept, est_distinct, exact_distinct,
+                CAST(CASE WHEN exact_distinct = 0 THEN 0
+                     ELSE abs(est_distinct - exact_distinct) * 10000
+                          // exact_distinct END AS BIGINT) AS err_bp
+         FROM est ORDER BY grp""",
     "d21_bitmap_distinct" ->
       """WITH w AS (
            SELECT event_type, user_id // 32 AS word_idx,

@@ -319,4 +319,37 @@ class SketchQueriesSpec extends SparkSpec {
     }.toMap
     assert(buckets(all) == merged)
   }
+
+  test("d22: linear regime is exact when distinct keys fit under k") {
+    // sf0.001 has only ~150 customers — every group sits below k=256
+    val rows = SketchQueries.d22KmvDistinct(spark, sf()).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") < 256)
+      assert(r.getAs[Long]("est_distinct") == r.getAs[Long]("exact_distinct"),
+        s"linear-regime KMV must be exact: ${r.mkString(",")}")
+    }
+  }
+
+  test("d22: sketch regime stays within 4σ and merged ALL equals sketch-of-union") {
+    val rows = SketchQueries.d22KmvDistinct(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == 256)
+      val (est, exact) =
+        (r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+      // k=256 → σ ≈ 1/√(k−2) ≈ 6.3%; 25% ≈ 4σ
+      assert(math.abs(est - exact).toDouble / exact < 0.25,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    // independent union sketch: hash every custkey from scratch, take the
+    // 256th smallest, apply the same integer estimator
+    val hk = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+      .selectExpr("conv(substring(md5(CAST(o_custkey AS STRING)), 1, 10)," +
+        " 16, 10) AS h")
+      .select(col("h").cast("long")).distinct()
+      .orderBy("h").limit(256).collect().map(_.getLong(0)).max
+    val fromScratch = 280375465082880L / hk
+    val allRow = rows.find(_.getString(0) == "ALL").get
+    assert(allRow.getAs[Long]("est_distinct") == fromScratch,
+      "merged sketch must equal the sketch of the union")
+  }
 }
