@@ -713,7 +713,35 @@ object AnalyticsQueries {
       .orderBy(col("brand"))
   }
 
+  /** Q69 — PERCENT_RANK / CUME_DIST as exact integer basis points, with
+    * REAL tie semantics: customers band by ⌊acctbal/100⌋ (one IEEE
+    * division + floor, identical both engines), so each (segment, band)
+    * is a tie group — rank() = 1 + count of rows in prior bands,
+    * cume_dist numerator = count through the current band. Computing both
+    * from the BAND-level frame (hash agg first, window over ≤ a few
+    * hundred band rows) instead of ranking raw rows is the scale shape:
+    * the window input is bounded by band cardinality, not customers.
+    * pr_bp = (rank−1)·10⁴ div (n−1), cd_bp = cum·10⁴ div n. */
+  def q69RankBands(s: SparkSession, d: String): DataFrame = {
+    val bands = customer(s, d)
+      .select(col("c_mktsegment").as("segment"),
+        expr("CAST(floor(c_acctbal / 100.0D) AS BIGINT)").as("band"))
+      .groupBy(col("segment"), col("band")).agg(count(lit(1)).as("n_at"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("band"))
+    bands
+      .withColumn("cum", sum(col("n_at"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("n_at")).over(Window.partitionBy(col("segment"))))
+      .selectExpr("segment", "band", "n_at",
+        "cum - n_at + 1 AS rnk",
+        "CASE WHEN n <= 1 THEN CAST(0 AS BIGINT) " +
+          "ELSE (cum - n_at) * 10000 div (n - 1) END AS pr_bp",
+        "cum * 10000 div n AS cd_bp")
+      .orderBy(col("segment"), col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_rank_bands" -> q69RankBands,
     "q68_trend" -> q68Trend,
     "q60_zorder" -> q60Zorder,
     "q61_interval_coverage" -> q61IntervalCoverage,
@@ -747,6 +775,28 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q69_rank_bands" ->
+      // identical band-level formulation; rank()/cume_dist spelled out as
+      // prior-band counts so tie semantics are explicit in both engines
+      """WITH bands AS (
+           SELECT c_mktsegment AS segment,
+                  CAST(floor(c_acctbal / 100.0) AS BIGINT) AS band,
+                  CAST(count(*) AS BIGINT) AS n_at
+           FROM customer GROUP BY 1, 2
+         ), win AS (
+           SELECT segment, band, n_at,
+                  CAST(sum(n_at) OVER (PARTITION BY segment ORDER BY band
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(sum(n_at) OVER (PARTITION BY segment) AS BIGINT) AS n
+           FROM bands
+         )
+         SELECT segment, band, n_at,
+                cum - n_at + 1 AS rnk,
+                CAST(CASE WHEN n <= 1 THEN 0
+                     ELSE (cum - n_at) * 10000 // (n - 1) END AS BIGINT)
+                  AS pr_bp,
+                CAST(cum * 10000 // n AS BIGINT) AS cd_bp
+         FROM win ORDER BY segment, band""",
     "q68_trend" ->
       // identical integer least-squares; DuckDB's HUGEINT sums CAST back
       // to BIGINT, `//` truncates toward zero like Spark `div`

@@ -550,7 +550,41 @@ object CoreQueries {
         max(col("median2")).as("median2"))
   }
 
+  /** DQ06 — QUARANTINE COMBINATION PROFILE: dq01 reports per-rule totals;
+    * the routing decision a pipeline actually makes is per ROW — which
+    * rule COMBINATION fired — because the fix differs (null text →
+    * re-extract; short+unknown-lang → drop; PII → redact). Encode the five
+    * row-local dq01 rules as a bitmask per document, then count documents
+    * per mask value: mask 0 is the clean partition, every other mask is a
+    * quarantine bucket with its reason set spelled out. One conditional
+    * projection + one hash agg over ≤ 2⁵ keys — same single-scan
+    * discipline as dq01, no pass per rule. */
+  def dq06QuarantineProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    documents(s, d)
+      .select((
+        when(col("text").isNull, 1L).otherwise(0L) +
+        when(col("text").isNotNull && length(col("text")) =!= col("n_chars"), 2L)
+          .otherwise(0L) +
+        when(col("n_chars") < 100, 4L).otherwise(0L) +
+        when(!col("lang").isin("en", "fr", "de", "es", "zh"), 8L).otherwise(0L) +
+        when(col("text").isNotNull &&
+          lower(col("text")).rlike(TextAnalysis.EmailPattern), 16L)
+          .otherwise(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_docs"))
+      .selectExpr("mask", "n_docs",
+        "concat_ws('+'," +
+          " CASE WHEN mask = 0 THEN 'clean' END," +
+          " CASE WHEN mask & 1 != 0 THEN 'null_text' END," +
+          " CASE WHEN mask & 2 != 0 THEN 'len_mismatch' END," +
+          " CASE WHEN mask & 4 != 0 THEN 'too_short' END," +
+          " CASE WHEN mask & 8 != 0 THEN 'unknown_lang' END," +
+          " CASE WHEN mask & 16 != 0 THEN 'pii_email' END) AS reasons")
+      .orderBy(col("mask"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq06_quarantine_profile" -> dq06QuarantineProfile,
     "dq01_expectations" -> dq01Expectations,
     "dq02_drift" -> dq02Drift,
     "dq03_snapshot_diff" -> dq03SnapshotDiff,
@@ -699,6 +733,33 @@ object CoreQueries {
                      ELSE (ref_bp - cur_bp) * (ref_bp - cur_bp) * 10000
                           // (ref_bp + cur_bp) END AS BIGINT) AS chi2_bp
          FROM sh ORDER BY bin""",
+    "dq06_quarantine_profile" ->
+      s"""WITH m AS (
+            SELECT (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN text IS NOT NULL AND length(text) <> n_chars
+                         THEN 2 ELSE 0 END)
+                 + (CASE WHEN n_chars < 100 THEN 4 ELSE 0 END)
+                 + (CASE WHEN lang NOT IN ('en', 'fr', 'de', 'es', 'zh')
+                         THEN 8 ELSE 0 END)
+                 + (CASE WHEN text IS NOT NULL
+                          AND regexp_matches(lower(text),
+                                '${graft.operators.TextAnalysis.EmailPattern}')
+                         THEN 16 ELSE 0 END) AS mask
+            FROM documents
+          ), g AS (
+            SELECT CAST(mask AS BIGINT) AS mask,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM m GROUP BY mask
+          )
+          SELECT mask, n_docs,
+                 concat_ws('+',
+                   CASE WHEN mask = 0 THEN 'clean' END,
+                   CASE WHEN mask & 1 != 0 THEN 'null_text' END,
+                   CASE WHEN mask & 2 != 0 THEN 'len_mismatch' END,
+                   CASE WHEN mask & 4 != 0 THEN 'too_short' END,
+                   CASE WHEN mask & 8 != 0 THEN 'unknown_lang' END,
+                   CASE WHEN mask & 16 != 0 THEN 'pii_email' END) AS reasons
+          FROM g ORDER BY mask""",
     "dq01_expectations" ->
       s"""WITH w AS (
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -53,7 +53,7 @@ class AdversarialInputSpec extends SparkSpec {
     "t20_bm25", "t23_bigram_novelty",
     "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
     "t25_mix_execute", "dq01_expectations", "t26_bigram_surprisal",
-    "t27_zipf_profile", "t28_rake_keywords",
+    "t27_zipf_profile", "t28_rake_keywords", "dq06_quarantine_profile",
     "p01_pipeline")
 
   docQueries.foreach { name =>

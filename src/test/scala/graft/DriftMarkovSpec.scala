@@ -133,6 +133,42 @@ class DriftMarkovSpec extends SparkSpec {
     assert(r.getAs[Long]("median2") > 0 && r.getAs[Long]("n_low") >= 0)
   }
 
+  test("dq06: masks partition the corpus and reasons decode the bits") {
+    val rows = CoreQueries.dq06QuarantineProfile(spark, sf()).collect()
+    val total = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document lands in exactly one mask bucket")
+    val names = Seq(1L -> "null_text", 2L -> "len_mismatch", 4L -> "too_short",
+      8L -> "unknown_lang", 16L -> "pii_email")
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("mask")
+      val want =
+        if (mask == 0) "clean"
+        else names.collect { case (b, n) if (mask & b) != 0 => n }.mkString("+")
+      assert(r.getAs[String]("reasons") == want, s"mask $mask decoded wrong")
+    }
+  }
+
+  test("q69: band ranks are consistent and the last band closes at 10000 bp") {
+    val rows = CoreQueries2.q69RankBands(spark, sf()).collect()
+      .groupBy(_.getAs[String]("segment"))
+    rows.foreach { case (seg, rs) =>
+      val n = rs.map(_.getAs[Long]("n_at")).sum
+      // rank of each band = 1 + rows in prior bands; cum of last = n
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("band")).foreach { r =>
+        assert(r.getAs[Long]("rnk") == cum + 1, s"$seg rank chain broken")
+        cum += r.getAs[Long]("n_at")
+        assert(r.getAs[Long]("cd_bp") == cum * 10000 / n)
+        assert(r.getAs[Long]("pr_bp") >= 0 && r.getAs[Long]("pr_bp") <= 10000)
+      }
+      assert(rs.maxBy(_.getAs[Long]("band")).getAs[Long]("cd_bp") == 10000,
+        s"$seg cumulative distribution must close at 10000 bp")
+    }
+  }
+
+  private val CoreQueries2 = graft.queries.AnalyticsQueries
+
   test("q68: integer least-squares sums reproduce under driver-side BigInt arithmetic") {
     // proves no BIGINT overflow lurks in the engine's slope formula: redo
     // the regression from the per-brand daily frame in arbitrary precision
