@@ -740,7 +740,72 @@ object AnalyticsQueries {
       .orderBy(col("segment"), col("band"))
   }
 
+  /** Q70 — COHORT RETENTION MATRIX: users cohort by first-activity day;
+    * each (cohort, day-offset ≤ 7) cell counts distinct users still
+    * active, with retention in integer basis points of the cohort size.
+    * The product-analytics staple, and at corpus scale the same shape
+    * tracks crawl-source persistence.
+    *
+    * Scale: cohort assignment is one user-keyed hash agg; the activity
+    * join is user-keyed (co-partitioned with the agg, no extra
+    * exchange); the offset-capped DISTINCT bounds the matrix at
+    * users × 8 before the final cell agg. No windows. */
+  def q70CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val coh = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val act = ev.join(coh, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        (col("day") - col("cohort")).as("offset"))
+      .filter(col("offset") <= 7)
+      .distinct()
+    val size = coh.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    act.groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(size, Seq("cohort"))
+      .selectExpr("cohort", "offset", "n_users", "n_active",
+        "n_active * 10000 div n_users AS retention_bp")
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  /** Q71 — ASSOCIATION RULES (confidence + lift) on the co-purchase
+    * pairs: q59 mines the pairs; this ranks the directed rules ant→con by
+    * confidence (pair support over antecedent support) and reports lift,
+    * both in exact scaled integers (lift·10³ = n_pair·n_orders·1000 div
+    * (n_ant·n_con); every factor bounded well under 2⁶³ at any plausible
+    * basket profile — magnitudes documented). Basket analysis's second
+    * half, and for corpora the same rule shape ranks tag/source
+    * co-occurrence.
+    *
+    * Scale: DISTINCT-before-self-join bounds pair generation at basket
+    * size² per order (the q59 lesson); supports are part-keyed hash aggs
+    * joined on the rule's own keys; the grand total is a broadcast 1-row
+    * aggregate. Top-30 is TakeOrderedAndProject. */
+  def q71AssocRules(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("ant"), col("b.l_partkey").as("con"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    val tot = items.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(sup.select(col("l_partkey").as("ant"), col("n").as("n_a")), Seq("ant"))
+      .join(sup.select(col("l_partkey").as("con"), col("n").as("n_c")), Seq("con"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("ant", "con", "n_pair",
+        "n_pair * 10000 div n_a AS conf_bp",
+        "n_pair * n_orders * 1000 div (n_a * n_c) AS lift_milli")
+      .orderBy(col("conf_bp").desc, col("ant"), col("con"))
+      .limit(30)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_cohort_retention" -> q70CohortRetention,
+    "q71_assoc_rules" -> q71AssocRules,
     "q69_rank_bands" -> q69RankBands,
     "q68_trend" -> q68Trend,
     "q60_zorder" -> q60Zorder,
@@ -775,6 +840,50 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q70_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+         ), coh AS (
+           SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1
+         ), act AS (
+           SELECT DISTINCT e.user_id, c.cohort, e.day - c.cohort AS offset
+           FROM ev e JOIN coh c ON c.user_id = e.user_id
+           WHERE e.day - c.cohort <= 7
+         ), sz AS (
+           SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM coh
+           GROUP BY 1
+         )
+         SELECT a.cohort, a.offset, s.n_users,
+                CAST(count(*) AS BIGINT) AS n_active,
+                CAST(count(*) * 10000 // s.n_users AS BIGINT) AS retention_bp
+         FROM act a JOIN sz s ON s.cohort = a.cohort
+         GROUP BY a.cohort, a.offset, s.n_users
+         ORDER BY a.cohort, a.offset""",
+    "q71_assoc_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         ), sup AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items
+           GROUP BY 1
+         ), pairs AS (
+           SELECT a.l_partkey AS ant, b.l_partkey AS con,
+                  CAST(count(*) AS BIGINT) AS n_pair
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2
+           HAVING count(*) >= 3
+         ), tot AS (
+           SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           FROM items
+         )
+         SELECT p.ant, p.con, p.n_pair,
+                CAST(p.n_pair * 10000 // sa.n AS BIGINT) AS conf_bp,
+                CAST(p.n_pair * t.n_orders * 1000 // (sa.n * sc.n) AS BIGINT)
+                  AS lift_milli
+         FROM pairs p
+         JOIN sup sa ON sa.l_partkey = p.ant
+         JOIN sup sc ON sc.l_partkey = p.con, tot t
+         ORDER BY conf_bp DESC, p.ant, p.con LIMIT 30""",
     "q69_rank_bands" ->
       // identical band-level formulation; rank()/cume_dist spelled out as
       // prior-band counts so tie semantics are explicit in both engines

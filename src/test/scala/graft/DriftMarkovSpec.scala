@@ -169,6 +169,42 @@ class DriftMarkovSpec extends SparkSpec {
 
   private val CoreQueries2 = graft.queries.AnalyticsQueries
 
+  test("q70: offset-0 retention is 10000 bp and cohorts partition the users") {
+    val rows = CoreQueries2.q70CohortRetention(spark, sf()).collect()
+    val nUsers = spark.read.parquet(sf() + "/events.parquet")
+      .select("user_id").distinct().count()
+    val zero = rows.filter(_.getAs[Long]("offset") == 0L)
+    zero.foreach { r =>
+      assert(r.getAs[Long]("retention_bp") == 10000L)
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_users"),
+        "every cohort member is active on day 0 by definition")
+    }
+    assert(zero.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "cohort sizes must partition the user base")
+    rows.foreach(r => assert(r.getAs[Long]("retention_bp") <= 10000L))
+  }
+
+  test("q71: rules match a driver-side brute-force over the raw baskets") {
+    val items = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sup = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = baskets.size.toLong
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { b =>
+      for (x <- b; y <- b if x != y)
+        pairCnt((x, y)) = pairCnt.getOrElse((x, y), 0L) + 1L
+    }
+    val expected = pairCnt.toSeq.collect { case ((a, c), np) if np >= 3 =>
+      (a, c, np, np * 10000 / sup(a), np * nOrders * 1000 / (sup(a) * sup(c)))
+    }.sortBy { case (a, c, _, conf, _) => (-conf, a, c) }.take(30)
+    val got = CoreQueries2.q71AssocRules(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, "engine rules must equal the brute-force rules")
+  }
+
   test("q68: integer least-squares sums reproduce under driver-side BigInt arithmetic") {
     // proves no BIGINT overflow lurks in the engine's slope formula: redo
     // the regression from the per-brand daily frame in arbitrary precision
