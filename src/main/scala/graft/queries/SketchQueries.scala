@@ -598,6 +598,7 @@ object SketchQueries {
     "d11_hll_distinct" -> d11HllDistinct,
     "d21_bitmap_distinct" -> d21BitmapDistinct,
     "d22_kmv_distinct" -> d22KmvDistinct,
+    "d23_kmv_agg" -> d23KmvAgg,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
     "d15_hll_setops" -> d15HllSetops,
@@ -659,11 +660,54 @@ object SketchQueries {
       .orderBy(col("grp"))
   }
 
+  /** D23 — native KMV aggregate ([[graft.plans.KmvSketchAgg]]): the
+    * bounded-heap TypedImperativeAggregate form of d22 — ≤ k longs of
+    * state per group, union-trim merge, ≤ k·8 bytes shuffled per partial
+    * state regardless of partition row count. The oracle recomputes the
+    * estimate RELATIONALLY (d22's ranked-window SQL), so the green hash
+    * proves the imperative path bit-equal to the relational one — the
+    * same imperative-vs-relational pin as d17. The spec additionally pins
+    * d23's rows equal to d22's estimate column in-engine. */
+  def d23KmvAgg(s: SparkSession, d: String): DataFrame = {
+    val keyed = orders(s, d).select(col("o_orderpriority").as("grp"),
+      col("o_custkey").cast("string").as("w"))
+    val per = keyed.groupBy(col("grp"))
+      .agg(graft.plans.KmvSketchAgg.kmvDistinct(col("w")).as("est_distinct"))
+    val all = keyed
+      .agg(graft.plans.KmvSketchAgg.kmvDistinct(col("w")).as("est_distinct"))
+      .select(lit("ALL").as("grp"), col("est_distinct"))
+    per.unionAll(all).orderBy(col("grp"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracle: Map[String, String] = Map(
+    "d23_kmv_agg" ->
+      """WITH keyed AS (
+           SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS w
+           FROM orders
+         ), h0 AS (
+           SELECT DISTINCT grp,
+                  CAST(concat('0x', substr(md5(w), 1, 10)) AS BIGINT) AS h
+           FROM keyed
+         ), hu AS (
+           SELECT grp, h FROM h0
+           UNION ALL SELECT DISTINCT 'ALL' AS grp, h FROM h0
+         ), rk AS (
+           SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           FROM hu
+         ), sk AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(CASE WHEN rn = 256 THEN h END) AS hk
+           FROM rk WHERE rn <= 256 GROUP BY grp
+         )
+         SELECT grp,
+                CAST(CASE WHEN n_kept < 256 THEN n_kept
+                     ELSE 280375465082880 // hk END AS BIGINT) AS est_distinct
+         FROM sk ORDER BY grp""",
     "d22_kmv_distinct" ->
       """WITH keyed AS (
            SELECT o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS w

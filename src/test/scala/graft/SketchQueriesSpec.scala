@@ -352,4 +352,24 @@ class SketchQueriesSpec extends SparkSpec {
     assert(allRow.getAs[Long]("est_distinct") == fromScratch,
       "merged sketch must equal the sketch of the union")
   }
+
+  test("d23: imperative KMV aggregate equals the relational formulation per group") {
+    for (dir <- Seq(sf(), sf("sf0.01"))) {
+      val rel = SketchQueries.d22KmvDistinct(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+      val imp = SketchQueries.d23KmvAgg(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+      assert(imp == rel, s"imperative vs relational KMV diverged at $dir")
+    }
+  }
+
+  test("d23: bounded-heap sketch is invariant to input partitioning") {
+    val a = SketchQueries.d23KmvAgg(spark, sf("sf0.01")).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val b = SketchQueries.d23KmvAgg(spark, sf("sf0.01")).collect().toSeq
+      assert(a == b, "partitioning changed the KMV sketch")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
