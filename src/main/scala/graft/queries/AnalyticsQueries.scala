@@ -803,7 +803,38 @@ object AnalyticsQueries {
       .limit(30)
   }
 
+  /** Q72 — CUSUM CHANGEPOINT DETECTION in exact integer arithmetic: the
+    * monitoring primitive that finds WHERE a daily series shifted level.
+    * The classic CUSUM needs the mean (a division); scaling by n removes
+    * it — dev_i = n·y_i − Σy is the deviation from the mean times n, an
+    * exact BIGINT, and its running sum peaks (in absolute value) exactly
+    * where the mean-based CUSUM does. The argmax |cusum| day (earliest on
+    * ties) is the estimated changepoint. Magnitudes: |cusum| ≤ n·Σy
+    * (~10¹³ at sf0.1 with y in hundreds of dollars — the y unit is the
+    * scale knob, q68's rule).
+    *
+    * Scale: one day-keyed hash agg collapses the fact table to calendar
+    * days; the running-sum window and the top-1 both operate on that
+    * day-level frame (≤ 36,500 rows a century — the dq05 bound), so the
+    * unpartitioned window is calendar-bounded, not data-bounded. */
+  def q72Changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(expr("sum(cents) div 10000").as("y"))
+    val stats = daily.agg(count(lit(1)).as("nd"), sum(col("y")).as("tot"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("cusum", sum(col("nd") * col("y") - col("tot"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .selectExpr("day AS change_day", "y AS y_at_change", "cusum",
+        "nd AS n_days")
+      .orderBy(abs(col("cusum")).desc, col("change_day"))
+      .limit(1)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_changepoint" -> q72Changepoint,
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_assoc_rules" -> q71AssocRules,
     "q69_rank_bands" -> q69RankBands,
@@ -840,6 +871,26 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q72_changepoint" ->
+      """WITH daily AS (
+           SELECT datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       // 10000 AS BIGINT) AS y
+           FROM orders GROUP BY 1
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(y) AS BIGINT) AS tot
+           FROM daily
+         )
+         SELECT d.day AS change_day, d.y AS y_at_change,
+                CAST(sum(s.nd * d.y - s.tot) OVER (ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum,
+                s.nd AS n_days
+         FROM daily d, stats s
+         ORDER BY abs(CAST(sum(s.nd * d.y - s.tot) OVER (ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)) DESC, change_day
+         LIMIT 1""",
     "q70_cohort_retention" ->
       """WITH ev AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events

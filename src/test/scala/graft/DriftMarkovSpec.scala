@@ -205,6 +205,26 @@ class DriftMarkovSpec extends SparkSpec {
     assert(got == expected, "engine rules must equal the brute-force rules")
   }
 
+  test("q72: CUSUM argmax lands on an injected level shift") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("cusum").toString
+    // one $1000 order per day for 50 days, then $2000 for 50 days:
+    // dev = n*y - tot is -500 then +500; |cusum| peaks on the last
+    // pre-shift day (day index 49)
+    (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i).atStartOfDay()),
+        if (i < 50) 1000.0 else 2000.0)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = CoreQueries2.q72Changepoint(spark, d).collect().head
+    val day49 = java.time.LocalDate.of(2020, 2, 19).toEpochDay
+    assert(r.getAs[Long]("change_day") == day49,
+      s"changepoint ${r.getAs[Long]("change_day")} != expected $day49")
+    assert(r.getAs[Long]("n_days") == 100L)
+    assert(math.abs(r.getAs[Long]("cusum")) == 500L * 50)
+  }
+
   test("q68: integer least-squares sums reproduce under driver-side BigInt arithmetic") {
     // proves no BIGINT overflow lurks in the engine's slope formula: redo
     // the regression from the per-brand daily frame in arbitrary precision
