@@ -754,6 +754,7 @@ object AnalyticsQueries {
     val ev = events(s, d).select(col("user_id"),
       expr("(ts DIV 1000) DIV 86400000000").as("day"))
     val coh = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      .localCheckpoint(true) // read by the activity join AND the size agg
     val act = ev.join(coh, Seq("user_id"))
       .select(col("user_id"), col("cohort"),
         (col("day") - col("cohort")).as("offset"))
@@ -784,6 +785,7 @@ object AnalyticsQueries {
   def q71AssocRules(s: SparkSession, d: String): DataFrame = {
     val items = lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(true) // read 4x: supports, both pair sides, total
     val sup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
     val pairs = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -822,6 +824,7 @@ object AnalyticsQueries {
       .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy(col("day")).agg(expr("sum(cents) div 10000").as("y"))
+      .localCheckpoint(true) // day-level; read by stats AND the window
     val stats = daily.agg(count(lit(1)).as("nd"), sum(col("y")).as("tot"))
     daily.crossJoin(broadcast(stats))
       .withColumn("cusum", sum(col("nd") * col("y") - col("tot"))

@@ -505,9 +505,10 @@ object CoreQueries {
       .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)" +
         " AS STRING), 1, 1) AS BIGINT)").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("total"))
-    counts.crossJoin(broadcast(total))
-      .selectExpr("digit", "n", "n * 10000 div total AS obs_bp",
+    // grand total from a window over the ≤9-row digit frame (dq02's
+    // discipline) — ONE orders scan, no second aggregate branch
+    counts
+      .selectExpr("digit", "n", "n * 10000 div sum(n) OVER () AS obs_bp",
         "CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249" +
           " WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579" +
           " WHEN 8 THEN 511 ELSE 457 END AS BIGINT) AS exp_bp")
@@ -528,7 +529,10 @@ object CoreQueries {
   def dq05Completeness(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = events(s, d).select(expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    // day-level frame read by the spine bounds AND the join probe —
+    // checkpoint caps the events scan at once (the d18 shared-frame rule)
     val perDay = ev.groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val daily = perDay.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .selectExpr("explode(sequence(lo, hi)) AS day")
       .join(perDay, Seq("day"), "left")

@@ -625,6 +625,7 @@ object LlmQueries {
       .filter(size(col("pw")).between(1, 4))
       .select(col("pw"), concat_ws(" ", col("pw")).as("phrase"),
         size(col("pw")).cast("long").as("len"))
+      .localCheckpoint(true) // read by word stats AND the phrase agg
     val wscore = phrases
       .select(explode(col("pw")).as("word"), col("len"))
       .groupBy(col("word"))

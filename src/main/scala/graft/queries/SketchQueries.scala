@@ -634,10 +634,12 @@ object SketchQueries {
     val kmConst = 255L * 1099511627776L // (k−1)·2^40 = 280375465082880
     val keyed = orders(s, d).select(col("o_orderpriority").as("grp"),
       col("o_custkey").cast("string").as("w"))
+      .localCheckpoint(true) // read by the sketch AND the exact audit
     val hashes = keyed
       .select(col("grp"),
         conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long").as("h"))
       .distinct()
+      .localCheckpoint(true) // read by both union branches
     val withUnion = hashes.unionAll(
       hashes.select(lit("ALL").as("grp"), col("h")).distinct())
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
@@ -671,6 +673,7 @@ object SketchQueries {
   def d23KmvAgg(s: SparkSession, d: String): DataFrame = {
     val keyed = orders(s, d).select(col("o_orderpriority").as("grp"),
       col("o_custkey").cast("string").as("w"))
+      .localCheckpoint(true) // read by the per-group agg AND the ALL agg
     val per = keyed.groupBy(col("grp"))
       .agg(graft.plans.KmvSketchAgg.kmvDistinct(col("w")).as("est_distinct"))
     val all = keyed
