@@ -1,0 +1,150 @@
+package graft.functions
+
+/** Pure-JVM ISO-BMFF (MP4) container parsing — REAL box-walk decode, zero
+  * external deps: the video sibling of [[ImageCodec]] (PNG/JPEG) and
+  * [[AudioCodec]] (RIFF/WAVE). `parse` walks the top-level box list
+  * (handling 32-bit sizes, the size==1 64-bit largesize escape, and the
+  * size==0 to-end-of-file form), reads `moov/mvhd` (version 0 AND 1
+  * layouts — real muxers emit both) for timescale/duration, counts
+  * `moov/trak` children, and sums `mdat` payload bytes. It never touches
+  * sample data: at 100 TB the video-profile pass reads a few hundred
+  * header bytes per object and stays I/O-bound, exactly like the image
+  * (m01/m03) and audio (m04) metadata passes.
+  *
+  * Reference behavior class: multimodal metadata extraction before heavy
+  * decode (the reference treats media as opaque payloads + typed
+  * metadata). Full frame decode (when a build needs it) drops into the
+  * same mapPartitions seam with a real codec binding; the container walk
+  * here is what routing/profiling needs and is fully verifiable.
+  *
+  * `mp4Bytes` emits a minimal VALID stream (real ftyp, spec-sized mvhd
+  * v0 and tkhd v0 boxes, ramp-filled mdat) — the fixture-synthesis side
+  * used by m07 to exercise the parser against byte streams the oracle can
+  * size exactly: total bytes = 140 + 100·nTracks + mdatLen.
+  */
+object VideoCodec {
+
+  final case class VideoMeta(timescale: Int, duration: Long, durationMs: Long,
+      nTracks: Int, mdatBytes: Long, brand: String)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourCC(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+
+  /** One box header: (type, payloadStart, payloadEnd) or None if the
+    * header is malformed / overruns `end`. */
+  private def boxAt(b: Array[Byte], i: Int, end: Int): Option[(String, Int, Int)] = {
+    if (i + 8 > end) return None
+    val size32 = be32(b, i)
+    val tpe = fourCC(b, i + 4)
+    val (payload, boxEnd) =
+      if (size32 == 1L) { // 64-bit largesize follows the type
+        if (i + 16 > end) return None
+        val size64 = be64(b, i + 8)
+        if (size64 < 16 || size64 > (end - i).toLong) return None
+        (i + 16, i + size64.toInt)
+      } else if (size32 == 0L) { // box extends to end of enclosing scope
+        (i + 8, end)
+      } else {
+        if (size32 < 8 || size32 > (end - i).toLong) return None
+        (i + 8, i + size32.toInt)
+      }
+    Some((tpe, payload, boxEnd))
+  }
+
+  /** Box-walking MP4 parse. Returns None on null/short/non-ftyp/missing
+    * moov/mvhd/structurally-broken input — never throws (the
+    * AdversarialInputSpec discipline). Unknown boxes are skipped, the
+    * real-file posture. */
+  def parse(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (fourCC(bytes, 4) != "ftyp") return None
+    val brand = fourCC(bytes, 8)
+    var i = 0
+    var timescale = 0; var duration = -1L; var nTracks = 0; var mdat = 0L
+    var sawMoov = false
+    while (i < bytes.length) {
+      boxAt(bytes, i, bytes.length) match {
+        case None => return None
+        case Some((tpe, p, e)) =>
+          if (tpe == "mdat") mdat += (e - p).toLong
+          else if (tpe == "moov") {
+            sawMoov = true
+            var j = p
+            while (j < e) {
+              boxAt(bytes, j, e) match {
+                case None => return None
+                case Some((ctpe, cp, ce)) =>
+                  if (ctpe == "trak") nTracks += 1
+                  else if (ctpe == "mvhd") {
+                    if (ce - cp < 4) return None
+                    val version = bytes(cp) & 0xFF
+                    if (version == 0) { // v0: 32-bit times
+                      if (ce - cp < 20) return None
+                      timescale = be32(bytes, cp + 12).toInt
+                      duration = be32(bytes, cp + 16)
+                    } else if (version == 1) { // v1: 64-bit create/modify/duration
+                      if (ce - cp < 32) return None
+                      timescale = be32(bytes, cp + 20).toInt
+                      duration = be64(bytes, cp + 24)
+                    } else return None
+                  }
+                  j = ce
+              }
+            }
+          }
+          i = e
+      }
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0) return None
+    Some(VideoMeta(timescale, duration, duration * 1000L / timescale,
+      nTracks, mdat, brand))
+  }
+
+  /** Minimal valid MP4: 16-byte ftyp, moov(108-byte mvhd v0 + nTracks ×
+    * 100-byte trak(tkhd v0)), mdat with a deterministic ramp payload.
+    * Total size = 140 + 100·nTracks + mdatLen — the formula m07's oracle
+    * recomputes. */
+  def mp4Bytes(timescale: Int, duration: Long, nTracks: Int, mdatLen: Int,
+      seed: Int = 0): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && nTracks >= 0 && mdatLen >= 0)
+    require(duration < 4294967296L, "mvhd v0 carries 32-bit durations; use v1 beyond")
+    val out = new java.io.ByteArrayOutputStream(140 + 100 * nTracks + mdatLen)
+    def w32(v: Long): Unit = { var s = 24; while (s >= 0) { out.write(((v >> s) & 0xFF).toInt); s -= 8 } }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    // ftyp
+    w32(16); tag("ftyp"); tag("isom"); w32(0)
+    // moov
+    w32(8L + 108 + 100L * nTracks); tag("moov")
+    // mvhd v0 (spec size 108): version+flags, ctime, mtime, timescale,
+    // duration, rate, volume+reserved, 2×reserved, 9×matrix, 6×predefined,
+    // next_track_id
+    w32(108); tag("mvhd"); w32(0); w32(0); w32(0)
+    w32(timescale.toLong); w32(duration)
+    w32(0x00010000L); w32(0x01000000L); w32(0); w32(0)
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    var t = 0
+    while (t < 6) { w32(0); t += 1 } // pre_defined
+    w32(nTracks + 1L) // next_track_id
+    // nTracks × trak(tkhd v0, spec size 92)
+    var k = 0
+    while (k < nTracks) {
+      w32(100); tag("trak")
+      w32(92); tag("tkhd"); w32(7) // version 0, flags enabled|in-movie|in-preview
+      w32(0); w32(0); w32(k + 1L); w32(0); w32(duration)
+      w32(0); w32(0); w32(0); w32(0)
+      w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+      w32(0); w32(0); w32(0x40000000L)
+      w32(0); w32(0) // width, height (16.16 fixed — 0 for non-visual)
+      k += 1
+    }
+    // mdat
+    w32(8L + mdatLen); tag("mdat")
+    var j = 0
+    while (j < mdatLen) { out.write((seed + j) & 0xFF); j += 1 }
+    out.toByteArray
+  }
+}

@@ -112,6 +112,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** Metadata schema for decoded VIDEO payloads — the [[MetaSchema]]
+    * sibling for the MP4 path ([[graft.functions.VideoCodec]]). `format`
+    * is "mp4" or "raw" for unrecognized payloads. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("mdat_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Attach decoded video metadata (REAL ISO-BMFF box-walk parse — header
+    * boxes only, sample data never inflated). Same narrow mapPartitions
+    * shape as [[withDecodedMeta]]; unrecognized payloads get zeroed fields
+    * with format "raw" instead of throwing. */
+  def withVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    import graft.functions.VideoCodec
+    val outSchema = StructType(df.schema.fields :+ StructField("vmeta", VideoMetaSchema))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](idx)
+        val n = if (p == null) 0 else p.length
+        val m = VideoCodec.parse(p) match {
+          case Some(v) =>
+            Row(n, v.timescale, v.duration, v.durationMs, v.nTracks, v.mdatBytes, "mp4")
+          case None => Row(n, 0, 0L, 0L, 0, 0L, "raw")
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
   /** STUB resize — production body: vectorized image resize (e.g. libvips
     * via FFM). The contract: payload + target dims in, payload out; the fake
     * truncates/pads deterministically so batch-shape tests are stable. */

@@ -53,4 +53,49 @@ object ShortestPaths {
     }
     visited
   }
+
+  /** Weighted single-source shortest distances, Bellman-Ford style: each
+    * round relaxes every edge once —
+    *   dist(r+1)(v) = min(dist(r)(v), min over (u,v,w) of dist(r)(u) + w)
+    * — one hash equi-join on the vertex key + one min-aggregate per round.
+    * Unlike [[hops]], there is NO frontier/anti-join shortcut: a weighted
+    * relaxation can IMPROVE a vertex it already reached (a longer-hop but
+    * lighter path), so every round re-relaxes the full distance table.
+    * That keeps each round at exactly two shuffles over distance-table
+    * size; `localCheckpoint` truncates lineage per round (the
+    * [[ConnectedComponents.run]] discipline).
+    *
+    * Depth is CAPPED at `rounds` by contract — this computes "shortest
+    * distance using ≤ rounds edges", the fixed-depth semantic that is
+    * deterministic and oracle-expressible as chained CTEs (full
+    * Bellman-Ford converges at rounds = |V|−1; callers pick the radius
+    * the workload needs, exactly like [[hops]]). Integer weights keep
+    * min() hash-exact across engines.
+    *
+    * @param edges undirected edge list with columns (u, v, w); w must be
+    *              non-negative integral for the ≤-rounds semantic to be
+    *              the usual one
+    * @param seeds source vertices, column (node)
+    * @return (node, dist) — min weighted distance from any seed over
+    *         paths of ≤ `rounds` edges; unreached vertices absent
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val dir = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      dist = dist.join(dir, dist("node") === dir("u"))
+        .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
+        .union(dist.select(col("node"), col("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

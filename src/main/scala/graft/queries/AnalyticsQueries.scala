@@ -836,7 +836,52 @@ object AnalyticsQueries {
       .limit(1)
   }
 
+  /** Q73 — CASCADE DELETION PROPAGATION AUDIT: the right-to-be-forgotten
+    * primitive — a deletion keyset on the root entity (every 50th
+    * customer) propagated down the foreign-key chain
+    * customer → orders → lineitem, reporting per table how many rows the
+    * cascade removes and how many survive. The audit IS the deliverable:
+    * a deletion job must publish exactly this accounting before the
+    * irreversible write.
+    *
+    * Shape: ONE scan per table. Each fact table takes one left join
+    * against the (small) deletion keyset of its parent — flag + two
+    * conditional sums, never a second scan for the "kept" side, never a
+    * row-level delete materialization. The orders pass is checkpointed
+    * because it feeds BOTH its own counts and the next level's keyset
+    * (deleted order keys). At 100 TB the keyset side broadcasts when it
+    * fits (here it's ~2% of customers) and co-partitions on the FK
+    * otherwise; the per-table accounting stays one map-side-combinable
+    * aggregate either way. */
+  def q73CascadeDelete(s: SparkSession, d: String): DataFrame = {
+    val delCust = customer(s, d).filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("k"), lit(1L).as("del"))
+    val custAgg = customer(s, d)
+      .join(broadcast(delCust), col("c_custkey") === col("k"), "left")
+      .agg(count(lit(1)).as("rows_before"),
+        sum(coalesce(col("del"), lit(0L))).cast("long").as("rows_deleted"))
+      .select(lit("customer").as("table_name"), col("rows_before"), col("rows_deleted"))
+    val ord = orders(s, d)
+      .join(broadcast(delCust), col("o_custkey") === col("k"), "left")
+      .select(col("o_orderkey"), coalesce(col("del"), lit(0L)).as("del"))
+      .localCheckpoint(true) // feeds its own counts AND the lineitem keyset
+    val ordAgg = ord
+      .agg(count(lit(1)).as("rows_before"), sum(col("del")).cast("long").as("rows_deleted"))
+      .select(lit("orders").as("table_name"), col("rows_before"), col("rows_deleted"))
+    val delOrd = ord.filter(col("del") === 1L).select(col("o_orderkey").as("ok"),
+      lit(1L).as("odel"))
+    val liAgg = lineitem(s, d)
+      .join(broadcast(delOrd), col("l_orderkey") === col("ok"), "left")
+      .agg(count(lit(1)).as("rows_before"),
+        sum(coalesce(col("odel"), lit(0L))).cast("long").as("rows_deleted"))
+      .select(lit("lineitem").as("table_name"), col("rows_before"), col("rows_deleted"))
+    custAgg.unionAll(ordAgg).unionAll(liAgg)
+      .withColumn("rows_after", col("rows_before") - col("rows_deleted"))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_cascade_delete" -> q73CascadeDelete,
     "q72_changepoint" -> q72Changepoint,
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_assoc_rules" -> q71AssocRules,
@@ -874,6 +919,34 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q73_cascade_delete" ->
+      """WITH delc AS (
+           SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
+         ), delo AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM delc)
+         ), acc AS (
+           SELECT 'customer' AS table_name,
+                  CAST(count(*) AS BIGINT) AS rows_before,
+                  CAST(sum(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS rows_deleted
+           FROM customer
+           UNION ALL
+           SELECT 'orders',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM delc)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delo)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         )
+         SELECT table_name, rows_before, rows_deleted,
+                rows_before - rows_deleted AS rows_after
+         FROM acc ORDER BY table_name""",
     "q72_changepoint" ->
       """WITH daily AS (
            SELECT datediff('day', DATE '1970-01-01',

@@ -715,6 +715,46 @@ object LlmQueries {
       .orderBy(col("sample_rate"))
   }
 
+  /** M07 — video corpus profile THROUGH the real MP4 decode path: each
+    * document is materialized as a minimal VALID ISO-BMFF stream
+    * (timescale cycles through four standard movie timescales by doc_id;
+    * duration/track-count/mdat-size derived from doc metadata — real box
+    * sizes, spec-shaped mvhd/tkhd), then [[Multimodal.withVideoMeta]]
+    * box-walks the headers back OUT OF THE BYTES and the per-timescale
+    * aggregate profiles the corpus: video counts, multi-track share,
+    * total duration (ticks and integer ms), mdat payload volume, byte
+    * volume. The oracle recomputes every field from the synthesis
+    * arithmetic, so a green hash proves the parse path recovered real
+    * values — the m01/m03/m04 de-stubbing pattern extended to video.
+    * Narrow decode + one map-side-combinable hash agg; header boxes
+    * only, sample data never read. */
+  def m07VideoMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VideoCodec
+    val makeMp4 = udf { (docId: Long, nChars: Long) =>
+      val scales = Array(600, 1000, 24000, 90000)
+      VideoCodec.mp4Bytes(scales((docId % 4).toInt), nChars % 5000 + 1,
+        1 + (docId % 3).toInt, (nChars % 3000).toInt,
+        seed = (docId % 100).toInt)
+    }
+    val payloads = documents(s, d)
+      .select(col("doc_id"), makeMp4(col("doc_id"), col("n_chars")).as("payload"))
+    Multimodal.withVideoMeta(payloads, "payload")
+      .select(col("vmeta.timescale").as("timescale"),
+        col("vmeta.duration").as("duration"),
+        col("vmeta.duration_ms").as("duration_ms"),
+        col("vmeta.n_tracks").as("n_tracks"),
+        col("vmeta.mdat_bytes").as("mdat_bytes"),
+        col("vmeta.n_bytes").cast("long").as("n_bytes"))
+      .groupBy(col("timescale"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(when(col("n_tracks") > 1, 1L).otherwise(0L)).as("n_multitrack"),
+        sum(col("duration")).as("sum_duration"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        sum(col("mdat_bytes")).as("sum_mdat_bytes"),
+        sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("timescale"))
+  }
+
   def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     Multimodal.withDecodedMeta(imagePayloads(s, d), "payload")
       .select(col("doc_id"),
@@ -889,7 +929,8 @@ object LlmQueries {
     "t12_stratified_sample" -> t12StratifiedSample,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m03_image_stats" -> m03ImageStats,
-    "m04_audio_meta" -> m04AudioMeta)
+    "m04_audio_meta" -> m04AudioMeta,
+    "m07_video_meta" -> m07VideoMeta)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -1728,6 +1769,22 @@ object LlmQueries {
                 CAST(sum(n_samples * 1000 // sample_rate) AS BIGINT) AS sum_duration_ms,
                 CAST(sum(44 + data_len + data_len % 2) AS BIGINT) AS sum_bytes
          FROM b GROUP BY sample_rate ORDER BY sample_rate""",
+    "m07_video_meta" ->
+      """WITH a AS (
+           SELECT CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                       WHEN 2 THEN 24000 ELSE 90000 END AS timescale,
+                  n_chars % 5000 + 1 AS duration,
+                  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+                  n_chars % 3000 AS mdat_len
+           FROM documents
+         )
+         SELECT timescale, CAST(count(*) AS BIGINT) AS n_videos,
+                CAST(sum(CASE WHEN n_tracks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multitrack,
+                CAST(sum(duration) AS BIGINT) AS sum_duration,
+                CAST(sum(duration * 1000 // timescale) AS BIGINT) AS sum_duration_ms,
+                CAST(sum(mdat_len) AS BIGINT) AS sum_mdat_bytes,
+                CAST(sum(140 + 100 * n_tracks + mdat_len) AS BIGINT) AS sum_bytes
+         FROM a GROUP BY timescale ORDER BY timescale""",
     "t27_zipf_profile" ->
       s"""WITH v AS (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -173,6 +173,26 @@ object MiningQueries {
       .orderBy(col("node"))
   }
 
+  /** G07 — WEIGHTED shortest distances (Bellman-Ford, 3 relaxation
+    * rounds) from the same seeds over the co-purchase graph with a
+    * deterministic integer edge weight (1 + (u+v) mod 5 — symmetric, so
+    * the undirected mirror carries the same cost both ways):
+    * [[ShortestPaths.weightedDistances]] — one vertex-key equi-join + one
+    * min-aggregate per round, lineage checkpointed. The weighted
+    * complement of g03's hop counts: BFS radius answers "how far in
+    * links", this answers "how far in cost", the routing/ETL-lineage-cost
+    * semantic. Integer dist keeps min() hash-exact; the oracle is the
+    * same relaxation unrolled as chained CTEs (d0→d3). */
+  def g07WeightedPaths(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+      .select(col("u"), col("v"),
+        ((col("u") + col("v")) % 5 + 1).cast("long").as("w"))
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("node"))
+    ShortestPaths.weightedDistances(edges, seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+
   /** G04 — PageRank (3 rounds, damping 0.85) over the co-purchase graph,
     * in SCALED-BIGINT arithmetic: ranks carried as p·10¹², every division
     * a truncating integer `div`. Floating-point PageRank cannot be
@@ -569,6 +589,7 @@ object MiningQueries {
     "q40_decile" -> q40Decile,
     "g01_triangles" -> g01Triangles,
     "g03_bfs_hops" -> g03BfsHops,
+    "g07_weighted_paths" -> g07WeightedPaths,
     "g04_pagerank" -> g04PageRank,
     "g05_kcore" -> g05Kcore,
     "t13_contamination" -> t13Contamination,
@@ -938,6 +959,38 @@ object MiningQueries {
          )
          SELECT node, CAST(min(hop) AS INTEGER) AS hops
          FROM walk GROUP BY node ORDER BY node""",
+    "g07_weighted_paths" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         ), und AS (
+           SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         ), e AS (
+           SELECT u, v, CAST(1 + (u + v) % 5 AS BIGINT) AS w FROM (
+             SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und) t
+         ), d0 AS (
+           SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey % 500 = 0
+         ), d1 AS (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.v AS node, d0.dist + e.w AS dist
+             FROM d0 JOIN e ON e.u = d0.node) t GROUP BY node
+         ), d2 AS (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.v AS node, d1.dist + e.w AS dist
+             FROM d1 JOIN e ON e.u = d1.node) t GROUP BY node
+         ), d3 AS (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.v AS node, d2.dist + e.w AS dist
+             FROM d2 JOIN e ON e.u = d2.node) t GROUP BY node
+         )
+         SELECT node, dist FROM d3 ORDER BY node""",
     "t24_bloom_decontaminate" ->
       """WITH tokd AS (
            SELECT doc_id,

@@ -598,6 +598,7 @@ object SketchQueries {
     "d11_hll_distinct" -> d11HllDistinct,
     "d21_bitmap_distinct" -> d21BitmapDistinct,
     "d22_kmv_distinct" -> d22KmvDistinct,
+    "d24_kmv_jaccard" -> d24KmvJaccard,
     "d23_kmv_agg" -> d23KmvAgg,
     "d13_hll_grouped" -> d13HllGrouped,
     "d14_quantile_sketch" -> d14QuantileSketch,
@@ -660,6 +661,85 @@ object SketchQueries {
           "ELSE abs(est_distinct - exact_distinct) * 10000 div exact_distinct" +
           " END AS err_bp")
       .orderBy(col("grp"))
+  }
+
+  /** D24 — KMV SET-RESEMBLANCE: Jaccard similarity and intersection size
+    * of two key sets estimated from their KMV sketches alone (Beyer et
+    * al. 2007; Broder's minwise resemblance on order statistics) — the
+    * "how much do these two corpora overlap" question answered WITHOUT
+    * shuffling either key universe. Sets: customers placing URGENT vs
+    * HIGH-priority orders.
+    *
+    * Estimator: trim each side's distinct 40-bit hashes to its k smallest
+    * (the per-side KMV sketch), merge and re-trim to the union's k
+    * smallest K. Any h ∈ K that belongs to set X is necessarily in X's
+    * own k-min sketch (it is ≤ the union's k-th minimum, hence ≤ X's),
+    * so membership flags come from the TRIMMED sketches only — the whole
+    * estimate reads ≤ 2k sketch rows after the per-side distinct+trim:
+    *   Ĵ = |K ∩ sk_A ∩ sk_B| / |K|,   |A∪B|^ = d22's (k−1)·2⁴⁰/h₍ₖ₎,
+    *   |A∩B|^ = Ĵ·|A∪B|^ — all BIGINT basis points, no doubles.
+    * Exact union/intersection/Jaccard ride along as the audit with the
+    * d09 err_bp discipline.
+    *
+    * Scale: per-side hash dedup is map-side combinable; the rank windows
+    * order DISTINCT hashes per side, and the merge window is SKETCH-sized
+    * (≤ 2k rows), never data-sized — same boundedness argument as q62's
+    * quantile walk. At 100 TB each side's trim becomes the d23
+    * bounded-heap aggregate; the relational form here is the
+    * oracle-checkable contract. */
+  def d24KmvJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val kmConst = 255L * 1099511627776L // (k−1)·2^40
+    val keyed = orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(when(col("o_orderpriority") === "1-URGENT", lit("A"))
+        .otherwise(lit("B")).as("side"),
+        col("o_custkey").cast("string").as("w"))
+      .localCheckpoint(true) // read by the sketch AND the exact audit
+    val trimmed = keyed
+      .select(col("side"),
+        conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long").as("h"))
+      .distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("side")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("side"), col("h"))
+      .localCheckpoint(true) // read by the merge AND both membership flags
+    val merged = trimmed.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val sk = merged
+      .join(trimmed.filter(col("side") === "A")
+        .select(col("h"), lit(1L).as("in_a")), Seq("h"), "left")
+      .join(trimmed.filter(col("side") === "B")
+        .select(col("h"), lit(1L).as("in_b")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+          .cast("long").as("matches"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+    val exact = keyed
+      .groupBy(col("w"))
+      .agg(max(when(col("side") === "A", 1L).otherwise(0L)).as("a"),
+        max(when(col("side") === "B", 1L).otherwise(0L)).as("b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("a") * col("b")).cast("long").as("exact_intersection"))
+    sk.crossJoin(exact)
+      .selectExpr("n_kept", "matches",
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE ${kmConst}L div hk END AS est_union",
+        "CASE WHEN n_kept = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE matches * 10000 div n_kept END AS est_jaccard_bp",
+        "exact_union", "exact_intersection")
+      .selectExpr("n_kept", "matches", "est_union", "est_jaccard_bp",
+        "CASE WHEN n_kept = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE matches * est_union div n_kept END AS est_intersection",
+        "exact_union", "exact_intersection",
+        "CASE WHEN exact_union = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE exact_intersection * 10000 div exact_union END AS exact_jaccard_bp")
+      .selectExpr("n_kept", "matches", "est_union", "est_jaccard_bp",
+        "est_intersection", "exact_union", "exact_intersection",
+        "exact_jaccard_bp",
+        "abs(est_jaccard_bp - exact_jaccard_bp) AS err_bp")
   }
 
   /** D23 — native KMV aggregate ([[graft.plans.KmvSketchAgg]]): the
@@ -748,6 +828,63 @@ object SketchQueries {
                      ELSE abs(est_distinct - exact_distinct) * 10000
                           // exact_distinct END AS BIGINT) AS err_bp
          FROM est ORDER BY grp""",
+    "d24_kmv_jaccard" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END AS side,
+                  CAST(o_custkey AS VARCHAR) AS w
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         ), h0 AS (
+           SELECT DISTINCT side,
+                  CAST(concat('0x', substr(md5(w), 1, 10)) AS BIGINT) AS h
+           FROM keyed
+         ), trimmed AS (
+           SELECT side, h FROM (
+             SELECT side, h,
+                    row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+             FROM h0) t
+           WHERE rn <= 256
+         ), merged AS (
+           SELECT h, rn FROM (
+             SELECT h, row_number() OVER (ORDER BY h) AS rn
+             FROM (SELECT DISTINCT h FROM trimmed) u) t
+           WHERE rn <= 256
+         ), sk AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                  CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                  max(CASE WHEN m.rn = 256 THEN m.h END) AS hk
+           FROM merged m
+           LEFT JOIN (SELECT h FROM trimmed WHERE side = 'A') a ON a.h = m.h
+           LEFT JOIN (SELECT h FROM trimmed WHERE side = 'B') b ON b.h = m.h
+         ), ex AS (
+           SELECT CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(a * b) AS BIGINT) AS exact_intersection
+           FROM (SELECT w, max(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS a,
+                        max(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS b
+                 FROM keyed GROUP BY w) t
+         ), est AS (
+           SELECT n_kept, matches,
+                  CAST(CASE WHEN n_kept < 256 THEN n_kept
+                       ELSE 280375465082880 // hk END AS BIGINT) AS est_union,
+                  CAST(CASE WHEN n_kept = 0 THEN 0
+                       ELSE matches * 10000 // n_kept END AS BIGINT) AS est_jaccard_bp,
+                  exact_union, exact_intersection
+           FROM sk, ex
+         ), fin AS (
+           SELECT n_kept, matches, est_union, est_jaccard_bp,
+                  CAST(CASE WHEN n_kept = 0 THEN 0
+                       ELSE matches * est_union // n_kept END AS BIGINT)
+                    AS est_intersection,
+                  exact_union, exact_intersection,
+                  CAST(CASE WHEN exact_union = 0 THEN 0
+                       ELSE exact_intersection * 10000 // exact_union END AS BIGINT)
+                    AS exact_jaccard_bp
+           FROM est
+         )
+         SELECT n_kept, matches, est_union, est_jaccard_bp, est_intersection,
+                exact_union, exact_intersection, exact_jaccard_bp,
+                CAST(abs(est_jaccard_bp - exact_jaccard_bp) AS BIGINT) AS err_bp
+         FROM fin""",
     "d21_bitmap_distinct" ->
       """WITH w AS (
            SELECT event_type, user_id // 32 AS word_idx,
