@@ -460,6 +460,75 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ composed ANN (the FAISS IndexIVFPQ production shape): IVF
+    * bounds WHICH rows are scanned (only `nProbe` probed partitions per
+    * query), PQ bounds the BYTES per scanned row (m codes instead of d
+    * floats) — the two orthogonal cost levers a 100 TB vector corpus
+    * needs TOGETHER: IVF alone still reads full vectors in probed
+    * partitions, PQ alone still scans every row. Both artifacts
+    * (centroids, codebook) are caller-supplied persisted index metadata —
+    * nothing trains at query time (the build/search split s03/s05 pin).
+    *
+    * Shape: centroid assignment is the shuffle-free literal-inlined map
+    * ([[assignToCentroids]]); the ADC candidate scan is an equi-join of
+    * the decoded-codes table against the broadcast probe list on the
+    * partition id; exact cosine reranks only candidateK rows per query.
+    *
+    * @param centroids (part, cvec) IVF metadata — tiny, collected+inlined
+    * @param codebook  (cid, cv) PQ centroids — must be small (broadcast)
+    * @param m         PQ subspaces; must divide the vector dim */
+  def ivfPqTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, k: Int, nProbe: Int = 3, candidateK: Int = 20): DataFrame = {
+    val dim = codebook.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the vector dimension $dim")
+    val base = corpus.select(id.as("id"), vec.as("v"))
+    val assigned = assignToCentroids(corpus, id, vec, centroids)
+      .select(col("id"), col("part"))
+    // PQ encode → decode (the s05 kernel): nearest codebook centroid per
+    // (vector, subspace) as a partial-aggregable struct-max, stitched back
+    // in subspace order
+    val cb = codebook
+      .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("cs", expr(s"slice(cv, j * (size(cv) DIV $m) + 1, size(cv) DIV $m)"))
+      .select(col("j"), col("cid"), col("cs"))
+    val sub = base
+      .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("vs", expr(s"slice(v, j * (size(v) DIV $m) + 1, size(v) DIV $m)"))
+      .select(col("id"), col("j"), col("vs"))
+    val codes = sub.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2Distance(col("vs"), col("cs")))
+      .groupBy(col("id"), col("j"))
+      .agg(max(struct((-col("dist")).as("nd"), (-col("cid")).as("nc"), col("cs"))).as("mx"))
+      .select(col("id"), col("j"), col("mx.cs").as("cs"))
+    val decoded = codes.groupBy(col("id"))
+      .agg(collect_list(struct(col("j"), col("cs"))).as("parts"))
+      .select(col("id"), expr("flatten(transform(array_sort(parts), x -> x.cs))").as("dv"))
+    // probe list (the searchIvf kernel): top-nProbe partitions per query
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("part"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("part"),
+        cosineSimilarity(col("qv"), col("cvec")).as("cscore"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qv"), col("part"))
+    // ADC scan restricted to probed partitions, exact rerank of candidateK
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    assigned.join(decoded, Seq("id"))
+      .join(broadcast(probes), Seq("part"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), col("qv"),
+        cosineSimilarity(col("dv"), col("qv")).as("qscore"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidateK)
+      .join(base, Seq("id"))
+      .select(col("qid"), col("id"),
+        cosineSimilarity(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): pick
     * `k` results from the top-`poolSize` relevance pool, each step taking
     * the candidate maximizing `λ·rel − (1−λ)·max_sim_to_selected` with

@@ -880,7 +880,34 @@ object AnalyticsQueries {
       .orderBy(col("table_name"))
   }
 
+  /** Q74 — EXACT GROUPED QUANTILE VECTOR (p25/p50/p75): the discrete
+    * (type-1) quantile — the value at rank ⌈q·n⌉ — per priority class,
+    * from ONE sort window per group. Completes the quantile family: q47
+    * exact median (interpolating pair), d14 mergeable sketch, q62
+    * sketch-driven bins; this is the exact multi-quantile profile a
+    * column-stats pass publishes. Type-1 picks ACTUAL STORED VALUES
+    * (never interpolates), so double columns stay bit-exact across
+    * engines — no ULP hazard (the q47 ADVICE lesson baked into the
+    * design). All three quantiles read the same (rn, cnt) windows —
+    * adding quantiles costs conditional aggregates, not passes. Same
+    * spillable partition-by-group sort argument as q47; skewed single
+    * groups compose with GlobalRank (q40). */
+  def q74QuantileVector(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("cnt")).as("n_orders"),
+        max(when(col("rn") === expr("(cnt + 3) div 4"), col("o_totalprice"))).as("p25"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("o_totalprice"))).as("p75"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_quantile_vector" -> q74QuantileVector,
     "q73_cascade_delete" -> q73CascadeDelete,
     "q72_changepoint" -> q72Changepoint,
     "q70_cohort_retention" -> q70CohortRetention,
@@ -919,6 +946,20 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q74_quantile_vector" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+           FROM orders
+         )
+         SELECT o_orderpriority,
+                CAST(max(cnt) AS BIGINT) AS n_orders,
+                max(CASE WHEN rn = (cnt + 3) // 4 THEN o_totalprice END) AS p25,
+                max(CASE WHEN rn = (cnt + 1) // 2 THEN o_totalprice END) AS p50,
+                max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN o_totalprice END) AS p75
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q73_cascade_delete" ->
       """WITH delc AS (
            SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0

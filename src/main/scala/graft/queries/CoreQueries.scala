@@ -587,7 +587,39 @@ object CoreQueries {
       .orderBy(col("mask"))
   }
 
+  /** DQ07 — FUNCTIONAL-DEPENDENCY AUDIT: candidate X→Y dependencies
+    * validated by counting determinant groups where Y is not unique —
+    * the constraint-discovery/validation pass (schema inference, key
+    * detection, normalization screening) a profiling stage runs before
+    * trusting a column as a join key or dimension attribute. Three
+    * candidates spanning hold (c_custkey→c_nationkey: c_custkey is the
+    * key), mostly-hold and clearly-violated cases, so the output
+    * exercises every verdict. Per FD: one map-side-combinable two-level
+    * aggregate (group by X, count distinct Y, then fold) — violation
+    * share in exact basis points. Candidates with DIFFERENT determinants
+    * need their own shuffle each (no shared partitioning exists); at
+    * 100 TB you batch candidates per determinant, which is what the
+    * per-FD helper expresses. */
+  def dq07FdAudit(s: SparkSession, d: String): DataFrame = {
+    def fd(df: DataFrame, lhs: String, rhs: String, label: String): DataFrame =
+      df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_violating"))
+        .select(lit(label).as("fd"), col("n_groups"), col("n_violating"))
+    fd(customer(s, d), "c_custkey", "c_nationkey", "customer.c_custkey->c_nationkey")
+      .unionAll(fd(orders(s, d), "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"))
+      .unionAll(fd(lineitem(s, d), "l_partkey", "l_suppkey",
+        "lineitem.l_partkey->l_suppkey"))
+      .selectExpr("fd", "n_groups", "n_violating",
+        "CASE WHEN n_groups = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_violating * 10000 div n_groups END AS violation_bp",
+        "CAST(n_violating = 0 AS BOOLEAN) AS holds")
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq07_fd_audit" -> dq07FdAudit,
     "dq06_quarantine_profile" -> dq06QuarantineProfile,
     "dq01_expectations" -> dq01Expectations,
     "dq02_drift" -> dq02Drift,
@@ -764,6 +796,33 @@ object CoreQueries {
                    CASE WHEN mask & 8 != 0 THEN 'unknown_lang' END,
                    CASE WHEN mask & 16 != 0 THEN 'pii_email' END) AS reasons
           FROM g ORDER BY mask""",
+    "dq07_fd_audit" ->
+      """WITH f1 AS (
+           SELECT 'customer.c_custkey->c_nationkey' AS fd,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+           FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nd
+                 FROM customer GROUP BY c_custkey) t
+         ), f2 AS (
+           SELECT 'orders.o_custkey->o_orderpriority' AS fd,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+           FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                 FROM orders GROUP BY o_custkey) t
+         ), f3 AS (
+           SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+                  CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+           FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+                 FROM lineitem GROUP BY l_partkey) t
+         ), u AS (
+           SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+         )
+         SELECT fd, n_groups, n_violating,
+                CAST(CASE WHEN n_groups = 0 THEN 0
+                     ELSE n_violating * 10000 // n_groups END AS BIGINT) AS violation_bp,
+                n_violating = 0 AS holds
+         FROM u ORDER BY fd""",
     "dq01_expectations" ->
       s"""WITH w AS (
             SELECT CAST(count(*) AS BIGINT) AS n,

@@ -755,6 +755,51 @@ object LlmQueries {
       .orderBy(col("timescale"))
   }
 
+  /** M08 — MEDIA ROUTER over a MIXED corpus: payloads cycle through all
+    * four container families (PNG, JPEG, WAV, MP4) plus raw blobs by
+    * doc_id, and [[Multimodal.routeMedia]] sniff-dispatches every one in
+    * a single narrow pass — the "profile whatever we crawled" query that
+    * precedes any modality-specific pipeline. Per (kind, format): counts,
+    * byte volume, total pixels (images), total duration (timed media).
+    * The oracle recomputes all of it from the synthesis arithmetic
+    * (including each container's exact on-disk size formula), so the
+    * green hash proves sniff → parse → unify → aggregate end-to-end
+    * across every parser at once. */
+  def m08MediaRouter(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
+    val make = udf { (docId: Long, nChars: Long) =>
+      val w = (nChars % 640 + 1).toInt
+      val h = (nChars * 7 % 480 + 1).toInt
+      val k = (nChars % 100).toInt
+      (docId % 5) match {
+        case 0 => ImageCodec.pngBytes(w, h, k)
+        case 1 => ImageCodec.jpegBytes(w, h, k)
+        case 2 =>
+          val rates = Array(8000, 16000, 22050, 44100, 48000)
+          AudioCodec.wavBytes(rates((nChars % 5).toInt), 1 + (nChars % 2).toInt,
+            if (nChars % 3 == 0) 8 else 16, (nChars % 2000 + 1).toInt, seed = k)
+        case 3 =>
+          val scales = Array(600, 1000, 24000, 90000)
+          VideoCodec.mp4Bytes(scales((nChars % 4).toInt), nChars % 5000 + 1,
+            1 + (nChars % 3).toInt, (nChars % 3000).toInt, seed = k)
+        case _ =>
+          Array.tabulate((nChars % 1000).toInt)(i => ((i * 13 + 5) & 0xFF).toByte)
+      }
+    }
+    val payloads = documents(s, d)
+      .select(col("doc_id"), make(col("doc_id"), col("n_chars")).as("payload"))
+    Multimodal.routeMedia(payloads, "payload")
+      .select(col("rmeta.kind").as("kind"), col("rmeta.format").as("format"),
+        col("rmeta.n_bytes").cast("long").as("n_bytes"),
+        col("rmeta.px").as("px"), col("rmeta.duration_ms").as("duration_ms"))
+      .groupBy(col("kind"), col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("px")).as("sum_px"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
+      .orderBy(col("kind"), col("format"))
+  }
+
   def m01MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     Multimodal.withDecodedMeta(imagePayloads(s, d), "payload")
       .select(col("doc_id"),
@@ -930,7 +975,8 @@ object LlmQueries {
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m03_image_stats" -> m03ImageStats,
     "m04_audio_meta" -> m04AudioMeta,
-    "m07_video_meta" -> m07VideoMeta)
+    "m07_video_meta" -> m07VideoMeta,
+    "m08_media_router" -> m08MediaRouter)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -1785,6 +1831,48 @@ object LlmQueries {
                 CAST(sum(mdat_len) AS BIGINT) AS sum_mdat_bytes,
                 CAST(sum(140 + 100 * n_tracks + mdat_len) AS BIGINT) AS sum_bytes
          FROM a GROUP BY timescale ORDER BY timescale""",
+    "m08_media_router" ->
+      // per-family synthesis arithmetic incl. each container's exact
+      // on-disk size: png 57+k, jpeg 45+k, wav 44+data(+pad), mp4
+      // 140+100·tracks+mdat, raw n_chars%1000
+      """WITH p AS (
+           SELECT doc_id % 5 AS r, n_chars,
+                  n_chars % 640 + 1 AS iw, (n_chars * 7) % 480 + 1 AS ih,
+                  n_chars % 100 AS k,
+                  CASE n_chars % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+                  1 + n_chars % 2 AS ch,
+                  CASE WHEN n_chars % 3 = 0 THEN 8 ELSE 16 END AS bits,
+                  n_chars % 2000 + 1 AS ns,
+                  CASE n_chars % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                       WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+                  n_chars % 5000 + 1 AS vdur,
+                  1 + n_chars % 3 AS trk,
+                  n_chars % 3000 AS mdat
+           FROM documents
+         ), q AS (
+           SELECT r, iw, ih, rate, ns, ts, vdur,
+                  ns * ch * (bits // 8) AS dlen, k, trk, mdat, n_chars
+           FROM p
+         ), m AS (
+           SELECT CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                       WHEN 2 THEN 'audio' WHEN 3 THEN 'video' ELSE 'raw' END AS kind,
+                  CASE r WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'raw' END AS format,
+                  CASE r WHEN 0 THEN 57 + k WHEN 1 THEN 45 + k
+                       WHEN 2 THEN 44 + dlen + dlen % 2
+                       WHEN 3 THEN 140 + 100 * trk + mdat
+                       ELSE n_chars % 1000 END AS n_bytes,
+                  CASE WHEN r <= 1 THEN iw * ih ELSE 0 END AS px,
+                  CASE r WHEN 2 THEN ns * 1000 // rate
+                       WHEN 3 THEN vdur * 1000 // ts ELSE 0 END AS dur
+           FROM q
+         )
+         SELECT kind, format, CAST(count(*) AS BIGINT) AS n_media,
+                CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+                CAST(sum(px) AS BIGINT) AS sum_px,
+                CAST(sum(dur) AS BIGINT) AS sum_duration_ms
+         FROM m GROUP BY kind, format ORDER BY kind, format""",
     "t27_zipf_profile" ->
       s"""WITH v AS (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (

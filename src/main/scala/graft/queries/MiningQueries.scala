@@ -456,6 +456,26 @@ object MiningQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** S08 — IVF-PQ composed ANN ([[Similarity.ivfPqTopKByCosine]] — the
+    * FAISS IndexIVFPQ production shape): the same seeded 8-centroid IVF
+    * index as s03 gates WHICH partitions each query scans (nProbe = 3),
+    * the same 16-centroid × 8-subspace PQ codebook as s05 compresses WHAT
+    * the scan reads (ADC over reconstructed vectors), exact cosine
+    * reranks the top 20 — the two cost levers composed, which is what a
+    * 100 TB deployment actually runs. Both index artifacts are the
+    * persisted-metadata lifecycle; nothing trains at query time. */
+  def s08AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfPqTopKByCosine(emb, col("vec_id"), col("embedding"),
+        cent, codebook, qs, m = 8, k = 5, nProbe = 3, candidateK = 20)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Q43 — bucketed co-located join: both sides written through the
     * catalog bucketed (and sorted) on the join key
     * ([[graft.sources.Sinks.writeBucketed]], 8 buckets), then sort-merge
@@ -582,6 +602,7 @@ object MiningQueries {
     "d09_sketch_accuracy" -> d09SketchAccuracy,
     "g02_clustering_coeff" -> g02ClusteringCoeff,
     "s05_ann_pq" -> s05AnnPq,
+    "s08_ann_ivfpq" -> s08AnnIvfPq,
     "q39_funnel" -> q39Funnel,
     "q65_markov_transitions" -> q65MarkovTransitions,
     "q64_hierarchy_rollup" -> q64HierarchyRollup,
@@ -753,6 +774,65 @@ object MiningQueries {
           ), cand AS (
             SELECT b.qid, a.id, ${cosSql("a.dv", "b.qv")} AS qscore
             FROM dec a CROSS JOIN qs b WHERE a.id <> b.qid
+          ), top AS (
+            SELECT qid, id FROM (
+              SELECT qid, id,
+                     row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS crank
+              FROM cand) t WHERE crank <= 20
+          ), rescored AS (
+            SELECT t.qid, t.id, ${cosSql("e.embedding", "q.qv")} AS score
+            FROM top t JOIN embeddings e ON e.vec_id = t.id JOIN qs q ON q.qid = t.qid
+          )
+          SELECT qid, id, score, rank FROM (
+            SELECT qid, id, score,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS INT) AS rank
+            FROM rescored) r
+          WHERE rank <= 5 ORDER BY qid, rank""",
+    "s08_ann_ivfpq" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t
+          ), assigned AS (
+            SELECT id, part FROM (
+              SELECT a.vec_id AS id, c.part,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "c.cvec")} DESC, c.part) AS rn
+              FROM embeddings a CROSS JOIN cent c) s
+            WHERE rn = 1
+          ), qs AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+          ), probes AS (
+            SELECT qid, qv, part FROM (
+              SELECT q.qid, q.qv, c.part,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.part) AS pr
+              FROM qs q CROSS JOIN cent c) s
+            WHERE pr <= 3
+          ), cbv AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+          ), subidx AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS j
+          ), cb AS (
+            SELECT s.j, cid, list_slice(cv, s.j * 8 + 1, s.j * 8 + 8) AS cs
+            FROM cbv, subidx s
+          ), sub AS (
+            SELECT vec_id AS id, s.j, list_slice(embedding, s.j * 8 + 1, s.j * 8 + 8) AS vs
+            FROM embeddings, subidx s
+          ), pqscored AS (
+            SELECT s.id, s.j, c.cid, c.cs, ${l2Sql("s.vs", "c.cs")} AS dist
+            FROM sub s JOIN cb c ON c.j = s.j
+          ), codes AS (
+            SELECT id, j, cs FROM (
+              SELECT id, j, cs,
+                     row_number() OVER (PARTITION BY id, j ORDER BY dist, cid) AS rn
+              FROM pqscored) t WHERE rn = 1
+          ), dec AS (
+            SELECT id, flatten(list(cs ORDER BY j)) AS dv FROM codes GROUP BY id
+          ), cand AS (
+            SELECT p.qid, a.id, ${cosSql("d.dv", "p.qv")} AS qscore
+            FROM assigned a JOIN dec d ON d.id = a.id
+            JOIN probes p ON p.part = a.part
+            WHERE a.id <> p.qid
           ), top AS (
             SELECT qid, id FROM (
               SELECT qid, id,

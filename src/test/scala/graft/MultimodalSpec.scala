@@ -101,6 +101,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("routeMedia dispatches every container family and defaults to raw") {
+    import spark.implicits._
+    import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
+    val df = Seq(
+      (1L, ImageCodec.pngBytes(12, 8, 5)),
+      (2L, ImageCodec.jpegBytes(100, 50, 9)),
+      (3L, AudioCodec.wavBytes(16000, 2, 16, 8000)),
+      (4L, VideoCodec.mp4Bytes(1000, 2500L, 2, 64)),
+      (5L, Array[Byte](1, 2, 3)),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = Multimodal.routeMedia(df, "payload")
+      .select(col("id"), col("rmeta.kind"), col("rmeta.format"),
+        col("rmeta.px"), col("rmeta.duration_ms"), col("rmeta.n_bytes"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "image" && out(0).getString(2) == "png" &&
+      out(0).getLong(3) == 96L)
+    assert(out(1).getString(1) == "image" && out(1).getString(2) == "jpeg" &&
+      out(1).getLong(3) == 5000L)
+    assert(out(2).getString(1) == "audio" && out(2).getLong(4) == 500L)
+    assert(out(3).getString(1) == "video" && out(3).getLong(4) == 2500L)
+    assert(out(4).getString(1) == "raw" && out(4).getInt(5) == 3)
+    assert(out(5).getString(1) == "raw" && out(5).getInt(5) == 0)
+    // routing is narrow: no shuffle
+    assert(!Multimodal.routeMedia(df, "payload")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("explodeSampledFrames: one row per sampled frame, stride respected") {
     import spark.implicits._
     // payload of 25 bytes -> n_frames = 25 % 30 = 25; stride 10 -> frames 0,10,20

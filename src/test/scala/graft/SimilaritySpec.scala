@@ -118,6 +118,37 @@ class SimilaritySpec extends SparkSpec {
       "search must scan the persisted index")
   }
 
+  test("IVF-PQ: candidates come only from probed partitions; recall >= 0.4") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"), col("embedding"), qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopKByCosine(emb, col("vec_id"), col("embedding"),
+      cent, codebook, qs, m = 8, k = 5, nProbe = 3, candidateK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // coarse 8-part IVF over 16-centroid PQ — the compounded approximation;
+    // the generous exact rerank restores the survivors' ordering
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // structural gate: every returned id lives in a partition its query probed
+    val assigned = Similarity.assignToCentroids(emb, col("vec_id"),
+      col("embedding"), cent).select(col("id"), col("part"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val probeRows = qs.crossJoin(broadcast(probed))
+      .select(col("qid"), col("part"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("qv"), col("cvec")).as("c"))
+      .collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getDouble(2), r.getInt(1))).take(3).map(_.getInt(1)).toSet
+      }
+    for ((q, id) <- got) assert(probeRows(q).contains(assigned(id)),
+      s"result $id for query $q outside probed partitions")
+  }
+
   test("seededCentroids + assignToCentroids: deterministic parts, every vector assigned") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
