@@ -37,6 +37,23 @@ object Tables {
     parallelize(spark, df, new java.io.File(path).length)
   }
 
+  /** Normalize an events-shaped `ts` column to BIGINT epoch NANOSECONDS.
+    *
+    * Driver data generations have shipped `ts` as INT64 TIMESTAMP(NANOS)
+    * (readable only as long nanos via `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Every engine operator is
+    * written against the BIGINT-nanos contract (`ts DIV 1000` → micros),
+    * so this single projection at the scan absorbs the physical-type
+    * difference — a narrow per-row cast that leaves column pruning and
+    * predicate pushdown on the remaining columns intact. The NTZ→LTZ cast
+    * is exact because every engine session pins UTC. */
+  def tsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case _ => df.withColumn("ts",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -44,7 +61,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = tsNanos(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -67,9 +67,10 @@ private[streaming] object TempDirs {
 object StreamParity {
 
   /** Hour-windowed per-type counts + min/max over `eventsPath`, 30-minute
-    * watermark, only FINAL windows. `ts` is TIMESTAMP(NANOS) read as long
-    * nanos (nanosAsLong); converted via integral micros so the Spark and
-    * oracle sides agree bit-for-bit (see q23). */
+    * watermark, only FINAL windows. `ts` is normalized to BIGINT nanos at
+    * the source ([[graft.core.Tables.tsNanos]] — the physical type has
+    * varied across data generations); converted via integral micros so the
+    * Spark and oracle sides agree bit-for-bit (see q23). */
   def finalWindowCounts(spark: SparkSession, eventsPath: String,
       windowDur: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
     val tmp = TempDirs.scratchDir("graft-streamparity")
@@ -86,7 +87,7 @@ object StreamParity {
       val source =
         if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
         else reader.parquet(eventsPath)
-      source
+      graft.core.Tables.tsNanos(source)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .withWatermark("event_time", lateness)
         .groupBy(window(col("event_time"), windowDur), col("event_type"))
@@ -136,7 +137,7 @@ object StreamParity {
       val source =
         if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
         else reader.parquet(eventsPath)
-      source
+      graft.core.Tables.tsNanos(source)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .withWatermark("event_time", lateness)
         .groupBy(col("user_id"), session_window(col("event_time"), gap))
@@ -186,9 +187,9 @@ object StreamParity {
       val source =
         if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
         else reader.parquet(eventsPath)
-      val dim = spark.read.parquet(eventsPath)
+      val dim = graft.core.Tables.tsNanos(spark.read.parquet(eventsPath))
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
-      source
+      graft.core.Tables.tsNanos(source)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .withWatermark("event_time", "30 minutes")
         .join(dim, Seq("user_id"))
@@ -234,7 +235,7 @@ object StreamParity {
     try {
       val schema = spark.read.parquet(eventsPath).schema
       val f = new java.io.File(eventsPath)
-      def source() = {
+      def source() = graft.core.Tables.tsNanos {
         val reader = spark.readStream.schema(schema)
         if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
         else reader.parquet(eventsPath)
@@ -335,10 +336,10 @@ object StreamParity {
     val ckpt = tmp.resolve("ckpt").toString
     try {
       // deterministic range split of the changelog into nFiles files
-      spark.read.parquet(eventsPath)
+      graft.core.Tables.tsNanos(spark.read.parquet(eventsPath))
         .repartitionByRange(nFiles, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(src)
-      val schema = spark.read.parquet(eventsPath).schema
+      val schema = spark.read.parquet(src).schema
       var target: Option[DataFrame] = None
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(src)

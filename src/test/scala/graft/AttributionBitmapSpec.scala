@@ -8,7 +8,7 @@ class AttributionBitmapSpec extends SparkSpec {
 
   test("q66: attribution conserves purchases and revenue exactly") {
     val rows = AnalyticsQueries.q66Attribution(spark, sf()).collect()
-    val p = spark.read.parquet(sf() + "/events.parquet")
+    val p = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .filter(col("event_type") === "purchase")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("rev")).head
@@ -25,7 +25,7 @@ class AttributionBitmapSpec extends SparkSpec {
   test("d21: bitmap popcount equals count_distinct — the sketch is exact") {
     val got = SketchQueries.d21BitmapDistinct(spark, sf()).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
-    val want = spark.read.parquet(sf() + "/events.parquet")
+    val want = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .groupBy(col("event_type")).agg(count_distinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want, s"bitmap distinct $got != exact $want")

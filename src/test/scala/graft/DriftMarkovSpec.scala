@@ -30,7 +30,7 @@ class DriftMarkovSpec extends SparkSpec {
 
   test("q65: per-source transition shares sum to ~10000 bp and pairs conserve events") {
     val rows = MiningQueries.q65MarkovTransitions(spark, sf()).collect()
-    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val ev = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
     val nEvents = ev.count()
     val nUsers = ev.select(col("user_id")).distinct().count()
     // each user's k events yield k-1 transitions
@@ -121,7 +121,7 @@ class DriftMarkovSpec extends SparkSpec {
 
   test("dq05: spine accounting is exact and matches the raw event day range") {
     val r = CoreQueries.dq05Completeness(spark, sf()).collect().head
-    val days = spark.read.parquet(sf() + "/events.parquet")
+    val days = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .selectExpr("(ts DIV 1000) DIV 86400000000 AS day")
     val lo = days.agg(min("day")).collect().head.getLong(0)
     val hi = days.agg(max("day")).collect().head.getLong(0)
@@ -171,7 +171,7 @@ class DriftMarkovSpec extends SparkSpec {
 
   test("q70: offset-0 retention is 10000 bp and cohorts partition the users") {
     val rows = CoreQueries2.q70CohortRetention(spark, sf()).collect()
-    val nUsers = spark.read.parquet(sf() + "/events.parquet")
+    val nUsers = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .select("user_id").distinct().count()
     val zero = rows.filter(_.getAs[Long]("offset") == 0L)
     zero.foreach { r =>

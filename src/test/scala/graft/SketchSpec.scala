@@ -27,7 +27,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("approx_percentile brackets the exact percentile (quantile sketch)") {
-    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val ev = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
     val exact = ev.select(percentile(col("value"), lit(0.5))).head.getDouble(0)
     val approx = ev.select(percentile_approx(col("value"), lit(0.5), lit(1000)))
       .head.getDouble(0)

@@ -8,7 +8,7 @@ class SkylineEwmaSpec extends SparkSpec {
   test("q48: EWMA fold matches a driver-side recurrence for every user") {
     val got = AnalyticsQueries.q48Ewma(spark, sf()).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_days"), r.getAs[Double]("ewma"))).toMap
-    val daily = spark.read.parquet(sf() + "/events.parquet")
+    val daily = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .select(col("user_id"), to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
       .groupBy("user_id", "day").count().collect()
       .groupBy(_.getLong(0))

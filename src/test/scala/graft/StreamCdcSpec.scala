@@ -22,7 +22,7 @@ class StreamCdcSpec extends SparkSpec {
 
   test("cdc upsert target equals the one-pass batch LWW aggregate") {
     val streamed = result(3)
-    val batch = spark.read.parquet(sf() + "/events.parquet")
+    val batch = graft.core.Tables.tsNanos(spark.read.parquet(sf() + "/events.parquet"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ops"),
         max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))

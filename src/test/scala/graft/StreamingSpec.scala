@@ -71,7 +71,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = StreamParity.finalWindowCounts(spark, path)
       .collect().map(_.toSeq).toSet
 
-    val ev = spark.read.parquet(path)
+    val ev = graft.core.Tables.tsNanos(spark.read.parquet(path))
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
     val wm = ev.agg(max(col("event_time"))).head.getTimestamp(0).toInstant
       .minusSeconds(30 * 60)
