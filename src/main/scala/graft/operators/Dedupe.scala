@@ -316,6 +316,65 @@ object Dedupe {
     * [[graft.operators.Similarity.approxTopKByCosine]]'s banded path
     * instead. AQE's skew-join split also caps a runaway block's task size.
     */
+  /** PPJoin/AllPairs-style PREFIX-FILTERED exact Jaccard join: the same
+    * (id_a, id_b, inter, uni, jaccard ≥ τ) contract as
+    * [[ngramJaccardPairs]], but candidate generation joins each document's
+    * PREFIX tokens only, not its whole token set.
+    *
+    * Canonical order: tokens sorted by (global document frequency ASC,
+    * token ASC) — rarest first, total order. Prefix length for Jaccard τ
+    * is p = sz − ⌈τ·sz⌉ + 1: if two sets' prefixes are disjoint, their
+    * first shared token sits past position p in both, so
+    * |x∩y| ≤ ⌈τ·|x|⌉ − 1 < τ·|x| ≤ τ·max(|x|,|y|) ≤ |x∩y| — contradiction.
+    * Prefix disjoint ⇒ Jaccard < τ, so the filter is LOSSLESS (the
+    * unfiltered d03 oracle pins it). A length filter rides along:
+    * Jaccard ≥ τ ⇒ min(sz) ≥ ⌈τ·max(sz)⌉.
+    *
+    * Scale: the whole-token inverted-index join (d03's shape) pays
+    * Σ posting² over EVERY token including stopwords; here only the
+    * ~(1−τ) rarest tokens of each document enter the index, and
+    * rarest-first ordering makes those posting lists the SHORT ones —
+    * candidate volume drops superlinearly with τ. Verification ships the
+    * sorted token arrays of candidate pairs only (array_intersect, no
+    * re-shuffle of the corpus). The frequency table is an equi-join, not
+    * a broadcast — vocabulary scales with the corpus (t08's discipline).
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, minJaccard: Double): DataFrame = {
+    val tok = df.select(id.as("id"), block.as("blk"),
+      explode(array_distinct(words(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint(false) // feeds the frequency agg and the doc regroup
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df_w"))
+    // per-doc token array in canonical (df ASC, w ASC) order
+    val docs = tok.join(freq, "w")
+      .groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("df_w"), col("w")))).as("ts"))
+      .select(col("id"), col("blk"),
+        expr("transform(ts, t -> t.w)").as("toks"), size(col("ts")).as("sz"))
+      .localCheckpoint(false) // feeds prefix explode + both verify sides
+    val prefLen = (col("sz") - ceil(col("sz") * lit(minJaccard)).cast("int") + 1)
+    val pref = docs.select(col("id"), col("blk"), col("sz"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("w"))
+    val cand = pref.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"), col("w"))
+      .join(pref.select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"), col("w")),
+        Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        ceil(greatest(col("sz_a"), col("sz_b")) * lit(minJaccard)).cast("int"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       block: Column, minCosine: Double): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity

@@ -36,6 +36,17 @@ object LlmQueries {
       col("source"), minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D24 — the SAME pair set as d03, found by PPJoin-style prefix
+    * filtering ([[Dedupe.prefixFilterJaccardPairs]]): only each doc's
+    * (1−τ)·sz+1 globally-rarest tokens enter the candidate index instead
+    * of the whole token set. The oracle is d03's unfiltered formulation —
+    * the hash match is the losslessness proof (q50's blocking discipline),
+    * and PrefixFilterSpec pins engine-side d24 == d03. */
+  def d24PrefixFilter(s: SparkSession, d: String): DataFrame =
+    Dedupe.prefixFilterJaccardPairs(documents(s, d), col("doc_id"),
+      col("text"), col("source"), minJaccard = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D16 — containment near-dup pairs ([[Dedupe.containmentPairs]]):
     * subset-style duplication (a doc embedded inside a larger one) that
     * symmetric Jaccard structurally misses — |A∩B|/min(|A|,|B|) ≥ 0.9
@@ -939,6 +950,7 @@ object LlmQueries {
     "d01_minhash_lsh" -> d01MinhashLsh,
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
+    "d24_prefix_filter" -> d24PrefixFilter,
     "d16_containment" -> d16Containment,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
@@ -1498,6 +1510,12 @@ object LlmQueries {
           WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.9
           ORDER BY id_a, id_b""",
     "d03_ngram_jaccard" ->
+      s"""WITH $jaccardPairCtes
+          SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
+          ORDER BY id_a, id_b""",
+    // d24's oracle is d03's UNFILTERED inverted-index formulation on
+    // purpose: a hash match proves the prefix filter dropped no pair.
+    "d24_prefix_filter" ->
       s"""WITH $jaccardPairCtes
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",
