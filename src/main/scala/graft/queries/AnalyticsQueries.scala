@@ -906,7 +906,83 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q75 — SEASONAL DECOMPOSITION in exact integer arithmetic: the
+    * classical ratio-to-period-mean adjustment. Monthly revenue (exact
+    * cents) → month-of-year profile idx_bp = 12·S_m·10⁴ div S_total
+    * (10000 = a flat month) → each (year, month) deseasonalized as
+    * rev·10⁴ div idx_bp. Completes the time-series family's
+    * decomposition axis next to trend (q68), changepoint (q72) and
+    * smoothing (q48).
+    *
+    * Scale shape: ONE hash agg over orders to the (year, month) frame
+    * (~tens of rows per 7-year corpus — bounded by calendar, not data),
+    * then a 12-row profile joined back; the `sum() OVER ()` grand total
+    * runs on the 12-row profile frame (dq02's trick), never the fact
+    * table. Integer div is truncation-consistent in both engines; cents
+    * keep every sum exact. */
+  def q75SeasonalAdjust(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d).select(
+        year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+      .localCheckpoint(false) // feeds the 12-row profile AND the series join
+    val prof = monthly.groupBy(col("mo"))
+      .agg(sum(col("rev_cents")).as("mo_cents"))
+      .withColumn("idx_bp",
+        expr("(mo_cents * 120000) div sum(mo_cents) OVER ()"))
+      .select(col("mo"), col("idx_bp"))
+    monthly.join(prof, "mo")
+      .selectExpr("yr", "mo", "n_orders", "rev_cents", "idx_bp",
+        "CASE WHEN idx_bp = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (rev_cents * 10000) div idx_bp END AS deseason_cents")
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** Q76 — AUTOCORRELATION FUNCTION at lags 1..12 over the monthly
+    * revenue series, hash-exact: with S = Σx and n months, every
+    * mean-centered term scales by n (q68's mean-division killer):
+    * num_k = Σ_{t}(n·x_t − S)(n·x_{t+k} − S), den = Σ(n·x_t − S)², and
+    * acf_bp = num·10⁴ div den — BIGINT throughout. Unit = $100k per
+    * month (cents div 10⁷) bounds every product: |dev| ≤ n·max|x| ≈
+    * 84·2·10³ → dev² sums ≈ 10¹² and the 10⁴ scale stays well under
+    * 2⁶³ (the spec re-does the math in BigInt to prove no wrap). Lags
+    * are CALENDAR lags on the linear year·12+month axis (d20's rule —
+    * yyyymm+1 breaks at Decembers); a missing month drops its pairs
+    * rather than silently sliding the window.
+    *
+    * Scale shape: the series frame is calendar-bounded (≤ n_months
+    * rows), so the lag self-join and the 1-row stats broadcast are
+    * driver-free and tiny no matter the fact-table size — aggregate
+    * first, correlate after. */
+  def q76Autocorr(s: SparkSession, d: String): DataFrame = {
+    val ser = orders(s, d).select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("t"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("t"))
+      .agg(expr("sum(cents) div 10000000").as("x"))
+      .localCheckpoint(false) // feeds stats + both sides of the lag join
+    val stats = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = ser.crossJoin(broadcast(stats))
+      .select(col("t"), (col("n") * col("x") - col("s")).as("dev"))
+      .localCheckpoint(false) // both sides of the lag join + denominator
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = ser.sparkSession.range(1, 13).select(col("id").as("k"))
+    val num = dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("t").as("tk"), col("dev").as("dev_k")),
+        col("t") + col("k") === col("tk"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev") * col("dev_k")).as("num"))
+    num.crossJoin(broadcast(den))
+      .selectExpr("k AS lag", "n_pairs",
+        "CASE WHEN den = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (num * 10000) div den END AS acf_bp")
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_seasonal_adjust" -> q75SeasonalAdjust,
+    "q76_autocorr" -> q76Autocorr,
     "q74_quantile_vector" -> q74QuantileVector,
     "q73_cascade_delete" -> q73CascadeDelete,
     "q72_changepoint" -> q72Changepoint,
@@ -946,6 +1022,54 @@ object AnalyticsQueries {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q75_seasonal_adjust" ->
+      """WITH monthly AS (
+           SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_cents,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1, 2
+         ), prof AS (
+           SELECT mo,
+                  CAST((CAST(sum(rev_cents) AS BIGINT) * 120000)
+                       // CAST(sum(sum(rev_cents)) OVER () AS BIGINT)
+                       AS BIGINT) AS idx_bp
+           FROM monthly GROUP BY mo
+         )
+         SELECT CAST(m.yr AS INTEGER) AS yr, CAST(m.mo AS INTEGER) AS mo,
+                m.n_orders, m.rev_cents, p.idx_bp,
+                CASE WHEN p.idx_bp = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((m.rev_cents * 10000) // p.idx_bp AS BIGINT)
+                END AS deseason_cents
+         FROM monthly m JOIN prof p ON p.mo = m.mo
+         ORDER BY m.yr, m.mo""",
+    "q76_autocorr" ->
+      """WITH ser AS (
+           SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS t,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       // 10000000 AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+           FROM ser
+         ), dev AS (
+           SELECT t, (st.n * ser.x - st.s) AS dev FROM ser, stats st
+         ), den AS (
+           SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dev
+         ), ks AS (
+           SELECT unnest(generate_series(1, 12)) AS k
+         ), num AS (
+           SELECT ks.k, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+           FROM dev a CROSS JOIN ks
+           JOIN dev b ON b.t = a.t + ks.k
+           GROUP BY ks.k
+         )
+         SELECT CAST(num.k AS BIGINT) AS lag, num.n_pairs,
+                CASE WHEN den.den = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((num.num * 10000) // den.den AS BIGINT)
+                END AS acf_bp
+         FROM num, den ORDER BY lag""",
     "q74_quantile_vector" ->
       """WITH r AS (
            SELECT o_orderpriority, o_totalprice,
