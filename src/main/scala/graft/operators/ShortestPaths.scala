@@ -81,21 +81,36 @@ object ShortestPaths {
     */
   def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val dir = edges.select(col("u"), col("v"), col("w"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint(true)
-
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var r = 0
-    while (r < rounds) {
-      r += 1
-      dist = dist.join(dir, dist("node") === dir("u"))
-        .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
-        .union(dist.select(col("node"), col("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    // Constraint propagation is disabled around the relaxation loop: the
+    // (checkpoint → join → self-union → re-checkpoint) shape trips a
+    // Catalyst union-constraint rewrite ("key not found: <attr>" from
+    // UnionBase.rewriteConstraints) once the edge lineage carries
+    // generator-derived constraints. Constraints only drive optional
+    // filter inference — never results — so turning them off for the
+    // in-loop actions is semantically free; the conf is restored in
+    // `finally`, and the returned frame is a checkpoint-rooted LogicalRDD
+    // whose (empty) constraint snapshot is already taken.
+    val spark = edges.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val dir = edges.select(col("u"), col("v"), col("w"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
         .localCheckpoint(true)
-    }
-    dist
+
+      var dist = seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L)).localCheckpoint(true)
+      var r = 0
+      while (r < rounds) {
+        r += 1
+        dist = dist.join(dir, dist("node") === dir("u"))
+          .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
+          .union(dist.select(col("node"), col("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist
+    } finally spark.conf.set(key, prev)
   }
 }

@@ -168,7 +168,10 @@ object TextAnalysis {
   val PhonePattern = "\\+?[0-9][0-9 -]{7,}[0-9]"
 
   def piiCounts(text: Column): Map[String, Column] = Map(
-    "n_emails" -> when(text.isNull, lit(0)).otherwise(
+    // contains("@") guard: the email pattern requires a literal '@', so
+    // rows without one skip the regex entirely (lossless short-circuit —
+    // the dq01 discipline; most corpus rows take the cheap branch).
+    "n_emails" -> when(text.isNull || !text.contains("@"), lit(0)).otherwise(
       size(call_function("regexp_extract_all", lower(text), lit(EmailPattern), lit(0)))),
     "n_phones" -> when(text.isNull, lit(0)).otherwise(
       size(call_function("regexp_extract_all", text, lit(PhonePattern), lit(0)))))

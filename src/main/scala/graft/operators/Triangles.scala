@@ -33,17 +33,28 @@ object Triangles {
 
   /** Normalized edge set, degree table, and per-oriented-edge triangle
     * closers: (src, dst, w) where w = sorted array of vertices closing a
-    * triangle over edge (src, dst). Shared by [[stats]] and [[perVertex]]. */
-  private def core(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * triangle over edge (src, dst). Shared by [[stats]] and [[perVertex]].
+    *
+    * `assumeNormalized`: callers whose edge list is ALREADY undirected
+    * (u < v), loop-free, duplicate-free AND cheap to re-read (e.g. a
+    * checkpointed frame — the g01/g02 co-purchase builder ends in exactly
+    * filter+distinct+localCheckpoint) skip both the defensive
+    * re-normalization (a full m-row dedupe shuffle spent proving a no-op)
+    * and this operator's own lineage checkpoint (the caller's blocks
+    * already serve the multi-consumer reads). The contract is the
+    * caller's to honor; the default stays safe. */
+  private def core(edges: DataFrame, assumeNormalized: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val Seq(c0, c1) = edges.columns.toSeq.take(2)
     // normalize: undirected (u < v), no self-loops, no duplicate edges;
     // checkpointed once — reused by degrees and orientation (lineage would
     // re-run the upstream pair-generation each time)
-    val e = edges
-      .select(least(col(c0), col(c1)).as("u"), greatest(col(c0), col(c1)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+    val e = (
+      if (assumeNormalized) edges.select(col(c0).as("u"), col(c1).as("v"))
+      else edges
+        .select(least(col(c0), col(c1)).as("u"), greatest(col(c0), col(c1)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      ).localCheckpoint(false)
     // referenced by both endpoint joins, the stats agg and perVertex's
     // final join — measured: dropping this checkpoint in favor of exchange
     // reuse re-ran the agg and cost perVertex +2 s at sf0.1
@@ -53,10 +64,15 @@ object Triangles {
     val du = deg.select(col("x").as("u"), col("deg").as("du"))
     val dv = deg.select(col("x").as("v"), col("deg").as("dv"))
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // feeds the adjacency agg AND the probe join: an explicit hash
+    // repartition on src makes BOTH consumers' partitioning requirements
+    // (groupBy src; join on src) satisfiable from ONE exchange that
+    // Spark's ReuseExchange dedupes — cheaper than a checkpoint (no
+    // block-manager materialization job) and partition-aligned for free
     val oriented = e.join(du, "u").join(dv, "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint(false) // feeds the adjacency agg AND the probe join
+      .repartition(col("src"))
     // out-adjacency arrays, sorted so the intersection is a merge
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
@@ -80,8 +96,8 @@ object Triangles {
     * (n_edges = Σdeg / 2 — every edge contributes to exactly two degrees),
     * so the stats side adds a single 1-row aggregate to the triangle
     * pipeline instead of two extra corpus passes. */
-  def stats(edges: DataFrame): DataFrame = {
-    val (_, deg, closers) = core(edges)
+  def stats(edges: DataFrame, assumeNormalized: Boolean = false): DataFrame = {
+    val (_, deg, closers) = core(edges, assumeNormalized)
     val graphStats = deg.agg(count(lit(1)).as("n_vertices"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"))
     val nTris = closers
@@ -96,8 +112,8 @@ object Triangles {
     * w ∈ W — so per-vertex counts are two narrow projections + one explode
     * over the (already bounded) closer sets, exact integers until the
     * single final division. */
-  def perVertex(edges: DataFrame): DataFrame = {
-    val (_, deg, closers) = core(edges)
+  def perVertex(edges: DataFrame, assumeNormalized: Boolean = false): DataFrame = {
+    val (_, deg, closers) = core(edges, assumeNormalized)
     // ONE generate pass per closer row (a 3-way union would re-execute the
     // whole closer pipeline once per branch): the edge endpoints get |W|
     // each, every closing vertex gets 1

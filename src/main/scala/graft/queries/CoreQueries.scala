@@ -365,11 +365,15 @@ object CoreQueries {
     * length, PII emails), so the gate's output is a real scorecard, not
     * a wall of zeros.
     *
-    * Scale design: the five row-local rules are ONE conditional-sum
-    * aggregate over one scan (never a scan per rule — the q56 ANALYZE
-    * discipline), melted to rows with `stack`; uniqueness is one
-    * count-vs-count_distinct agg; referential integrity is one left
-    * join + null count (AQE broadcasts the smaller side). Everything
+    * Scale design: ALL six doc-side rules — the five row-local checks AND
+    * key uniqueness — are ONE aggregate over one scan (never a scan per
+    * rule — the q56 ANALYZE discipline; Spark plans the lone
+    * count_distinct as a two-phase distinct aggregate on the same scan),
+    * melted to rows with `stack`; referential integrity is one left
+    * join + null count (AQE broadcasts the smaller side). The PII email
+    * regex is guarded by a cheap substring test — `contains("@")` — so
+    * the codegen'd rlike only runs on rows that can possibly match (the
+    * pattern requires a literal '@', so the guard is lossless). Everything
     * lands in integer counts — hash-exact. */
   def dq01Expectations(s: SparkSession, d: String): DataFrame = {
     import graft.operators.TextAnalysis
@@ -382,24 +386,22 @@ object CoreQueries {
         sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("v3"),
         sum(when(!col("lang").isin("en", "fr", "de", "es", "zh"), 1L)
           .otherwise(0L)).as("v4"),
-        sum(when(col("text").isNotNull &&
+        sum(when(col("text").isNotNull && col("text").contains("@") &&
           lower(col("text")).rlike(TextAnalysis.EmailPattern), 1L)
-          .otherwise(0L)).as("v5"))
-      .selectExpr("n", "stack(5, " +
+          .otherwise(0L)).as("v5"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).as("v6"))
+      .selectExpr("n", "stack(6, " +
         "'01_text_not_null', v1, '02_len_matches_n_chars', v2, " +
         "'03_min_length_100', v3, '04_lang_known', v4, " +
-        "'05_no_email_pii', v5) AS (rule, n_violations)")
+        "'05_no_email_pii', v5, '06_doc_id_unique', v6) AS (rule, n_violations)")
       .select(col("rule"), col("n").as("n_checked"), col("n_violations"))
-    val uniq = docs.agg(count(lit(1)).as("n_checked"),
-        (count(lit(1)) - count_distinct(col("doc_id"))).as("n_violations"))
-      .select(lit("06_doc_id_unique").as("rule"), col("n_checked"), col("n_violations"))
     val ref = embeddings(s, d).select(col("vec_id"))
       .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"), "left")
       .agg(count(lit(1)).as("n_checked"),
         sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_violations"))
       .select(lit("07_vec_id_references_doc").as("rule"),
         col("n_checked"), col("n_violations"))
-    rowRules.unionAll(uniq).unionAll(ref)
+    rowRules.unionAll(ref)
       .selectExpr("rule", "n_checked", "n_violations",
         "CASE WHEN n_checked = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE n_violations * 10000 div n_checked END AS violation_bp")
@@ -572,7 +574,7 @@ object CoreQueries {
           .otherwise(0L) +
         when(col("n_chars") < 100, 4L).otherwise(0L) +
         when(!col("lang").isin("en", "fr", "de", "es", "zh"), 8L).otherwise(0L) +
-        when(col("text").isNotNull &&
+        when(col("text").isNotNull && col("text").contains("@") &&
           lower(col("text")).rlike(TextAnalysis.EmailPattern), 16L)
           .otherwise(0L)).as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("n_docs"))
@@ -595,16 +597,19 @@ object CoreQueries {
     * candidates spanning hold (c_custkey→c_nationkey: c_custkey is the
     * key), mostly-hold and clearly-violated cases, so the output
     * exercises every verdict. Per FD: one map-side-combinable two-level
-    * aggregate (group by X, count distinct Y, then fold) — violation
-    * share in exact basis points. Candidates with DIFFERENT determinants
-    * need their own shuffle each (no shared partitioning exists); at
-    * 100 TB you batch candidates per determinant, which is what the
-    * per-FD helper expresses. */
+    * aggregate — group by X with min(Y)/max(Y), then fold; "Y not
+    * unique within the group" ⟺ min(Y) ≠ max(Y), which needs only a
+    * single-phase hash aggregate with partial combine (a count_distinct
+    * would force Spark's two-phase distinct rewrite: an extra exchange
+    * on (X, Y) per candidate). Violation share in exact basis points.
+    * Candidates with DIFFERENT determinants need their own shuffle each
+    * (no shared partitioning exists); at 100 TB you batch candidates per
+    * determinant, which is what the per-FD helper expresses. */
   def dq07FdAudit(s: SparkSession, d: String): DataFrame = {
     def fd(df: DataFrame, lhs: String, rhs: String, label: String): DataFrame =
-      df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("nd"))
+      df.groupBy(col(lhs)).agg(min(col(rhs)).as("mn"), max(col(rhs)).as("mx"))
         .agg(count(lit(1)).as("n_groups"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_violating"))
+          sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)).cast("long").as("n_violating"))
         .select(lit(label).as("fd"), col("n_groups"), col("n_violating"))
     fd(customer(s, d), "c_custkey", "c_nationkey", "customer.c_custkey->c_nationkey")
       .unionAll(fd(orders(s, d), "o_custkey", "o_orderpriority",

@@ -156,7 +156,8 @@ object MiningQueries {
     * a<b<c triple join — orientation is a physical rewrite that must not
     * change the count, exactly like q35's salting. */
   def g01Triangles(s: SparkSession, d: String): DataFrame =
-    Triangles.stats(coPurchaseEdges(s, d))
+    // assumeNormalized: coPurchaseEdges ends in filter(u < v).distinct()
+    Triangles.stats(coPurchaseEdges(s, d), assumeNormalized = true)
 
   /** G03 — BFS hop counts within radius 3 of the seed parts (every 500th
     * part key) over the co-purchase graph: [[ShortestPaths.hops]] frontier
@@ -267,9 +268,23 @@ object MiningQueries {
       .orderBy(col("vertex"))
   }
 
-  /** The g01/g02 input graph — ONE definition so the two queries can
-    * never silently analyze different graphs: parts are linked when they
-    * appear in the same order. */
+  /** The g01–g07 input graph — ONE definition so the queries can never
+    * silently analyze different graphs: parts are linked when they
+    * appear in the same order.
+    *
+    * Shape note (measured, kept as the record of a rejected rewrite): a
+    * basket-explode variant — groupBy(order) → sort_array(collect_set) →
+    * per-array pair generation — produces the identical edge set with one
+    * fewer exchange and won in isolation (1.4 s vs 2.0 s at sf0.1), but
+    * LOST end-to-end across g01–g07 (+5 s family-wide, two A/B runs):
+    * AQE coalesces the small basket aggregate to ~1 partition, so the
+    * combination explode and the dedupe's map side run single-threaded,
+    * and the union-of-both-directions consumers get no exchange reuse
+    * across children for the generator shape. The self-join keeps the
+    * pair generation spread across the join's full partition set. At
+    * 100 TB the basket aggregate would NOT coalesce (output is
+    * data-sized) and the explode variant becomes the right shape — this
+    * is a bench-scale physical choice, not a semantic one. */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.select(col("ok"), col("pk").as("u"))
@@ -438,7 +453,8 @@ object MiningQueries {
     * agg over closed wedges), exact integers until the single final
     * division — so the hash check is engine-exact. */
   def g02ClusteringCoeff(s: SparkSession, d: String): DataFrame =
-    Triangles.perVertex(coPurchaseEdges(s, d)).orderBy(col("vertex"))
+    Triangles.perVertex(coPurchaseEdges(s, d), assumeNormalized = true)
+      .orderBy(col("vertex"))
 
   /** S05 — product-quantization ANN ([[Similarity.pqTopKByCosine]]):
     * 8 subspaces × 16-centroid codebook (fixed seed vectors — the
