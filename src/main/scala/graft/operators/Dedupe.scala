@@ -353,15 +353,44 @@ object Dedupe {
       .select(col("id"), col("blk"),
         expr("transform(ts, t -> t.w)").as("toks"), size(col("ts")).as("sz"))
       .localCheckpoint(false) // feeds prefix explode + both verify sides
-    val prefLen = (col("sz") - ceil(col("sz") * lit(minJaccard)).cast("int") + 1)
+    // ⌈τ·sz⌉ computed as ceil(τ·sz − ε): double rounding can push τ·sz a
+    // hair ABOVE the true rational product (e.g. τ=0.55, sz=100 →
+    // 55.00000000000001, ceil 56), which would shorten the prefix and
+    // over-tighten the length filter — both silently LOSSY. Subtracting
+    // ε=1e-9 errs the other way only (a one-longer prefix / one-looser
+    // bound keeps the filter lossless; ε is far below the 1-unit integer
+    // grid for any realistic sz, so exact products are unaffected).
+    def ceilTau(sz: Column): Column =
+      ceil(sz * lit(minJaccard) - lit(1e-9)).cast("int")
+    val prefLen = (col("sz") - ceilTau(col("sz")) + 1)
+    // posexplode keeps each prefix token's 1-based GLOBAL rank in the
+    // canonical order (the prefix is the head of the same sorted list) —
+    // fuel for PPJoin's positional filter below
     val pref = docs.select(col("id"), col("blk"), col("sz"),
-      explode(slice(col("toks"), lit(1), prefLen)).as("w"))
-    val cand = pref.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"), col("w"))
-      .join(pref.select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"), col("w")),
+      posexplode(slice(col("toks"), lit(1), prefLen)))
+      .select(col("id"), col("blk"), col("sz"),
+        (col("pos") + 1).as("i"), col("col").as("w"))
+    // PPJoin positional filter (Xiao et al., WWW'08 §3.2): Jaccard ≥ τ ⟺
+    // |x∩y| ≥ α where α = ⌈τ/(1+τ)·(|x|+|y|)⌉. A shared prefix token at
+    // ranks (i_a, i_b) bounds the overlap by 1 + min(sz_a−i_a, sz_b−i_b)
+    // (everything before the match in either list is potentially shared,
+    // nothing, after only min-remaining can be) — an occurrence that
+    // cannot reach α cannot WITNESS the pair. The pair's FIRST shared
+    // token has the smallest ranks and hence the loosest bound, so
+    // filtering per-occurrence then distinct-ing keeps every pair whose
+    // true overlap reaches α: lossless, and it prunes candidates the
+    // plain prefix filter admits (the d03-oracle hash match pins it).
+    val alphaNum = minJaccard / (1.0 + minJaccard)
+    val cand = pref.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
+        col("i").as("i_a"), col("w"))
+      .join(pref.select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"),
+        col("i").as("i_b"), col("w")),
         Seq("blk", "w"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
-        ceil(greatest(col("sz_a"), col("sz_b")) * lit(minJaccard)).cast("int"))
+        ceilTau(greatest(col("sz_a"), col("sz_b"))))
+      .filter(lit(1) + least(col("sz_a") - col("i_a"), col("sz_b") - col("i_b")) >=
+        ceil((col("sz_a") + col("sz_b")) * lit(alphaNum) - lit(1e-9)).cast("int"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a"),

@@ -30,10 +30,17 @@ object LlmQueries {
     Dedupe.simhashPairs(documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Exact word-set Jaccard pairs, blocked by source. */
+  /** Exact word-set Jaccard pairs, blocked by source.
+    *
+    * localCheckpoint before the global sort (here and in d24): orderBy
+    * range-partitions via a SAMPLING pass that re-executes everything
+    * after the last exchange — for pair-verify pipelines that tail is the
+    * expensive array_intersect scan, so an unmaterialized sort pays it
+    * twice (measured 5.6 s vs 3.0 s unsorted at sf0.1). */
   def d03NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedupe.ngramJaccardPairs(documents(s, d), col("doc_id"), col("text"),
       col("source"), minJaccard = 0.8)
+      .localCheckpoint(false)
       .orderBy(col("id_a"), col("id_b"))
 
   /** D24 — the SAME pair set as d03, found by PPJoin-style prefix
@@ -45,6 +52,7 @@ object LlmQueries {
   def d24PrefixFilter(s: SparkSession, d: String): DataFrame =
     Dedupe.prefixFilterJaccardPairs(documents(s, d), col("doc_id"),
       col("text"), col("source"), minJaccard = 0.8)
+      .localCheckpoint(false) // see d03: sort sampling re-runs the verify tail
       .orderBy(col("id_a"), col("id_b"))
 
   /** D16 — containment near-dup pairs ([[Dedupe.containmentPairs]]):

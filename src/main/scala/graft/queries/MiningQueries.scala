@@ -434,6 +434,9 @@ object MiningQueries {
       .groupBy(col("id"), col("v"))
       .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
       .select(col("id"), col("v"), (-col("m.nc")).as("cluster"))
+      // three consumers (both sides of the intra-cluster pair join + the
+      // final label join) — checkpoint or the assignment cross join runs 3×
+      .localCheckpoint(false)
     val a = asg.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
     val b = asg.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
     val dups = a.join(b, Seq("cluster"))

@@ -52,6 +52,29 @@ class PrefixFilterSpec extends SparkSpec {
     }
   }
 
+  test("lossless at τ whose double product rounds UP (ceil(0.55·100) regression)") {
+    import spark.implicits._
+    // 0.55 * 100 = 55.00000000000001 in IEEE doubles: a plain
+    // ceil(sz·τ) computes 56, shortening the prefix and tightening the
+    // length filter — both silently drop the exact-boundary pair below
+    // (a 55-token doc fully contained in a 100-token doc has Jaccard
+    // exactly 0.55). ceilTau's ε guard keeps the filter lossless.
+    val big = (0 until 100).map(i => f"tok$i%03d")
+    val small = big.take(55)
+    val docs = Seq(
+      (1L, big.mkString(" "), "s"),
+      (2L, small.mkString(" "), "s")).toDF("doc_id", "text", "source")
+    for (tau <- Seq(0.55, 0.54999999, 0.1, 0.33)) {
+      val f = pairsOf(Dedupe.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), minJaccard = tau))
+      val p = pairsOf(Dedupe.prefixFilterJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), minJaccard = tau))
+      assert(f == p, s"tau=$tau missing=${(f diff p).take(3)} extra=${(p diff f).take(3)}")
+      if (tau <= 0.55) assert(f.exists(t => t._1 == 1L && t._2 == 2L),
+        s"tau=$tau expected the contained pair to qualify")
+    }
+  }
+
   test("prefix index is strictly smaller than the full inverted index") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     // the efficiency claim behind the operator: tokens entering the
