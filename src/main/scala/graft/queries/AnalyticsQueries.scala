@@ -919,7 +919,11 @@ object AnalyticsQueries {
     * then a 12-row profile joined back; the `sum() OVER ()` grand total
     * runs on the 12-row profile frame (dq02's trick), never the fact
     * table. Integer div is truncation-consistent in both engines; cents
-    * keep every sum exact. */
+    * keep every sum exact. Headroom scope: mo_cents·120000 needs
+    * mo_cents < 2⁶³/1.2·10⁵ ≈ $7.7·10¹¹ per calendar month — ~10⁶×
+    * this bench; beyond that the profile arithmetic must widen to
+    * DECIMAL or coarsen cents to dollars (the shape itself is
+    * size-independent, the constants are not). */
   def q75SeasonalAdjust(s: SparkSession, d: String): DataFrame = {
     val monthly = orders(s, d).select(
         year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
@@ -946,10 +950,15 @@ object AnalyticsQueries {
     * acf_bp = num·10⁴ div den — BIGINT throughout. Unit = $100k per
     * month (cents div 10⁷) bounds every product: |dev| ≤ n·max|x| ≈
     * 84·2·10³ → dev² sums ≈ 10¹² and the 10⁴ scale stays well under
-    * 2⁶³ (the spec re-does the math in BigInt to prove no wrap). Lags
-    * are CALENDAR lags on the linear year·12+month axis (d20's rule —
-    * yyyymm+1 breaks at Decembers); a missing month drops its pairs
-    * rather than silently sliding the window.
+    * 2⁶³ (DriftMarkovSpec's q76 test re-does the math in driver-side
+    * BigInt to prove no wrap AT THE TESTED SFs). Headroom scope: the
+    * $100k unit holds to ~10³–10⁴× this bench's monthly revenue; past
+    * that, num·10⁴ approaches 2⁶³ and the UNIT must coarsen (div 10⁸+)
+    * or the final scaled division widen to DECIMAL — the shape is
+    * size-independent, the chosen constants are not. Lags are CALENDAR
+    * lags on the linear year·12+month axis (d20's rule — yyyymm+1
+    * breaks at Decembers); a missing month drops its pairs rather than
+    * silently sliding the window.
     *
     * Scale shape: the series frame is calendar-bounded (≤ n_months
     * rows), so the lag self-join and the 1-row stats broadcast are

@@ -32,7 +32,7 @@ object LlmQueries {
 
   /** Exact word-set Jaccard pairs, blocked by source.
     *
-    * localCheckpoint before the global sort (here and in d24): orderBy
+    * localCheckpoint before the global sort (here and in d25): orderBy
     * range-partitions via a SAMPLING pass that re-executes everything
     * after the last exchange — for pair-verify pipelines that tail is the
     * expensive array_intersect scan, so an unmaterialized sort pays it
@@ -43,13 +43,13 @@ object LlmQueries {
       .localCheckpoint(false)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** D24 — the SAME pair set as d03, found by PPJoin-style prefix
+  /** D25 — the SAME pair set as d03, found by PPJoin-style prefix
     * filtering ([[Dedupe.prefixFilterJaccardPairs]]): only each doc's
     * (1−τ)·sz+1 globally-rarest tokens enter the candidate index instead
     * of the whole token set. The oracle is d03's unfiltered formulation —
     * the hash match is the losslessness proof (q50's blocking discipline),
-    * and PrefixFilterSpec pins engine-side d24 == d03. */
-  def d24PrefixFilter(s: SparkSession, d: String): DataFrame =
+    * and PrefixFilterSpec pins engine-side d25 == d03. */
+  def d25PrefixFilter(s: SparkSession, d: String): DataFrame =
     Dedupe.prefixFilterJaccardPairs(documents(s, d), col("doc_id"),
       col("text"), col("source"), minJaccard = 0.8)
       .localCheckpoint(false) // see d03: sort sampling re-runs the verify tail
@@ -958,7 +958,7 @@ object LlmQueries {
     "d01_minhash_lsh" -> d01MinhashLsh,
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
-    "d24_prefix_filter" -> d24PrefixFilter,
+    "d25_prefix_filter" -> d25PrefixFilter,
     "d16_containment" -> d16Containment,
     "d04_embedding_near_dup" -> d04EmbeddingNearDup,
     "d05_dup_clusters" -> d05DupClusters,
@@ -1521,9 +1521,9 @@ object LlmQueries {
       s"""WITH $jaccardPairCtes
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",
-    // d24's oracle is d03's UNFILTERED inverted-index formulation on
+    // d25's oracle is d03's UNFILTERED inverted-index formulation on
     // purpose: a hash match proves the prefix filter dropped no pair.
-    "d24_prefix_filter" ->
+    "d25_prefix_filter" ->
       s"""WITH $jaccardPairCtes
           SELECT id_a, id_b, inter, uni, jaccard FROM jpairs
           ORDER BY id_a, id_b""",

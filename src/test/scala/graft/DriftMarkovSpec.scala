@@ -253,4 +253,27 @@ class DriftMarkovSpec extends SparkSpec {
 
   private def CoreQueriesTrend(s: org.apache.spark.sql.SparkSession) =
     graft.queries.AnalyticsQueries.q68Trend(s, sf()).collect()
+
+  test("q76: lag-k ACF reproduces under driver-side BigInt arithmetic") {
+    // q68's no-overflow proof, for the autocorrelation sums: recompute
+    // acf_bp per lag from the monthly series in arbitrary precision and
+    // require bit-equality with the engine's BIGINT pipeline
+    val ser = spark.read.parquet(sf() + "/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS t",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("t").agg(expr("sum(cents) div 10000000").as("x"))
+      .collect().map(r => r.getAs[Long]("t") -> BigInt(r.getAs[Long]("x"))).toMap
+    val n = BigInt(ser.size)
+    val s0 = ser.values.sum
+    val dev = ser.map { case (t, x) => t -> (n * x - s0) }
+    val den = dev.values.map(d => d * d).sum
+    val expected = (1L to 12L).flatMap { k =>
+      val pairs = dev.toSeq.flatMap { case (t, d1) => dev.get(t + k).map(d1 * _) }
+      if (pairs.isEmpty) None
+      else Some(k -> (if (den == 0) BigInt(0) else (pairs.sum * 10000) / den))
+    }.toMap
+    val got = graft.queries.AnalyticsQueries.q76Autocorr(spark, sf()).collect()
+      .map(r => r.getAs[Long]("lag") -> BigInt(r.getAs[Long]("acf_bp"))).toMap
+    assert(got == expected, s"engine ACF must equal exact BigInt ACF; got=$got expected=$expected")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.operators.Dedupe
 import org.apache.spark.sql.functions._
 
-/** d24 — PPJoin-style prefix-filtered Jaccard join. The CORRECTNESS claim
+/** d25 — PPJoin-style prefix-filtered Jaccard join. The CORRECTNESS claim
   * is losslessness: the prefix-filtered pair set must EQUAL the full
   * inverted-index pair set (d03's formulation) for the same threshold.
   * The DuckDB oracle pins that at sf0.01/0.1; here we pin it in-engine on
@@ -16,7 +16,7 @@ class PrefixFilterSpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getDouble(4))).toSet
 
-  test("d24 equals d03 on the fixture corpus (losslessness at τ=0.8)") {
+  test("d25 equals d03 on the fixture corpus (losslessness at τ=0.8)") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val full = Dedupe.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       col("source"), minJaccard = 0.8)
