@@ -66,13 +66,37 @@ private[streaming] object TempDirs {
   */
 object StreamParity {
 
+  /** Run `body` with run-to-completion streaming conf: these parity
+    * queries start, drain one AvailableNow pass and stop, so checkpoint
+    * RETENTION work is pure overhead — keep one batch of metadata
+    * (minBatchesToRetain=1) and push the state-store maintenance thread
+    * past the query's lifetime. MEASURED at sf0.1: −0.2–0.3 s on the
+    * windowed-agg/session queries, nothing on the stream-stream join
+    * (its floor is 2-sides × 32 state tasks × 2 batches of microbatch
+    * orchestration, not retention I/O — see TempDirs doc). Session confs
+    * are restored afterwards: a caller running a RESUMABLE production
+    * stream on the same session keeps its own retention settings. */
+  private def withRunToCompletionConf[T](spark: SparkSession)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.streaming.minBatchesToRetain" -> "1",
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Hour-windowed per-type counts + min/max over `eventsPath`, 30-minute
     * watermark, only FINAL windows. `ts` is normalized to BIGINT nanos at
     * the source ([[graft.core.Tables.tsNanos]] — the physical type has
     * varied across data generations); converted via integral micros so the
     * Spark and oracle sides agree bit-for-bit (see q23). */
   def finalWindowCounts(spark: SparkSession, eventsPath: String,
-      windowDur: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
+      windowDur: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame = withRunToCompletionConf(spark) {
     val tmp = TempDirs.scratchDir("graft-streamparity")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -124,7 +148,7 @@ object StreamParity {
     * 1000` — the oracle must truncate the same way or boundary sessions
     * flip. Sessions still open at the final watermark stay in (discarded)
     * state, exactly as a live pipeline would hold them. */
-  def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = {
+  def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
     val gap = "30 minutes"; val lateness = "30 minutes" // fixed: the
     // duration projection below subtracts the gap as a literal
     val tmp = TempDirs.scratchDir("graft-streamsessions")
@@ -176,7 +200,7 @@ object StreamParity {
     * Scale: stream-static joins are how a 100 TB/day event stream enriches
     * against slowly-changing dimensions without stream-stream state; the
     * dim side broadcasts when small and the stream never buffers. */
-  def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+  def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
     val tmp = TempDirs.scratchDir("graft-streamstatic")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -228,7 +252,7 @@ object StreamParity {
     * production scale the identical plan runs with a real trigger: state
     * is bounded by the 30-minute range + watermark, so neither side
     * buffers unboundedly. */
-  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
     val tmp = TempDirs.scratchDir("graft-streamstream")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -280,7 +304,7 @@ object StreamParity {
     * invocation, which sorts arrivals by id — the emitted
     * (first_seen, dups_so_far) sequence is then exactly the batch
     * row_number over (hash ORDER BY id), which is what the oracle pins. */
-  def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = {
+  def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = withRunToCompletionConf(spark) {
     import spark.implicits._
     val tmp = TempDirs.scratchDir("graft-streamdedupe")
     val out = tmp.resolve("out").toString
@@ -330,7 +354,7 @@ object StreamParity {
     * target table is bucketed on the merge key so this join is
     * co-located and exchange-free (q43's layout argument). */
   def cdcMergeUpserts(spark: SparkSession, eventsPath: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 4): DataFrame = withRunToCompletionConf(spark) {
     val tmp = TempDirs.scratchDir("graft-streamcdc")
     val src = tmp.resolve("src").toString
     val ckpt = tmp.resolve("ckpt").toString
