@@ -424,16 +424,24 @@ object MiningQueries {
     * one broadcast cross join + a map-side-partial hash agg (max over
     * (cos, -centroid) structs = argmax with min-id tiebreak), NOT a
     * window sort. */
-  def d08SemDedup(s: SparkSession, d: String): DataFrame = {
+  /** d08's centroid-assignment stage, pre-checkpoint — split out so
+    * PlanShapeSpec can pin its physical shape (the checkpoint below
+    * truncates the visible plan to a LogicalRDD scan). */
+  private[graft] def d08Assignment(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
     val emb = embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("v"))
     val cents = emb.filter(col("id") < 8).select(col("id").as("cid"), col("v").as("cv"))
-    val asg = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("cid"),
         cosineSimilarity(col("v"), col("cv")).as("cos"))
       .groupBy(col("id"), col("v"))
       .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
       .select(col("id"), col("v"), (-col("m.nc")).as("cluster"))
+  }
+
+  def d08SemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val asg = d08Assignment(s, d)
       // three consumers (both sides of the intra-cluster pair join + the
       // final label join) — checkpoint or the assignment cross join runs 3×
       .localCheckpoint(false)
