@@ -83,4 +83,22 @@ class CsvTypeInferenceSpec extends SparkSpec {
     val df = Seq("NA", "", "-").toDF("v")
     assert(CsvTypeInference.convert(df).schema("v").dataType == StringType)
   }
+
+  test("reference numeric-handler unit vectors (test_csv_to_parquet.py:131-154)") {
+    // the exact three Series from the reference's TestNumericHandler
+    val ints = Seq("1", "2", "", "NA", "3").toDF("v") // → nullable Int64
+    val intOut = CsvTypeInference.convert(ints)
+    assert(intOut.schema("v").dataType == LongType)
+    val iv = intOut.select("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(iv(0) == Some(1L) && iv(2).isEmpty && iv(3).isEmpty && iv(4) == Some(3L))
+
+    val floats = Seq("1.5", "2", "4,000", "NA", "3.25").toDF("v") // → Float64
+    val fOut = CsvTypeInference.convert(floats)
+    assert(fOut.schema("v").dataType == DoubleType)
+    val fv = fOut.select("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(fv(0) == Some(1.5) && fv(2) == Some(4000.0) && fv(4) == Some(3.25))
+
+    val nonNum = Seq("a", "b", "NA", "").toDF("v") // → None (stays string)
+    assert(CsvTypeInference.convert(nonNum).schema("v").dataType == StringType)
+  }
 }
