@@ -400,6 +400,10 @@ object Similarity {
         .cast("int"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid").as("id"), col("score"), col("rank"))
+      // ≤ queries×k rows, but a caller's orderBy would range-sample by
+      // RE-EXECUTING the whole multi-hop walk above (the d25 sort lesson);
+      // one materialization of the tiny result severs that
+      .localCheckpoint(false)
   }
 
   // -------------------------------------------------------------------- PQ
