@@ -29,13 +29,15 @@ object SpreadsheetConverter {
 
   final case class Sheet(name: String, header: Seq[String], rows: Seq[Seq[String]])
 
-  /** Workbook decoder. ZIP containers are decoded for real by the pure-JVM
-    * decoders — XLSX via [[XlsxDecoder]] (shared strings, inline strings,
-    * A1 refs, styles-driven date/datetime/time rendering), ODS via
-    * [[OdsDecoder]] (content.xml value-types, repeat expansion, the same
-    * date/time rendering contract). Legacy binary XLS would need POI (not
-    * in this container), so non-ZIP payloads fall back to a clearly-marked
-    * deterministic fake that keeps the plumbing tests stable. */
+  /** Workbook decoder — all three container families decoded for real by
+    * pure-JVM decoders: XLSX via [[XlsxDecoder]] (ZIP + SpreadsheetML:
+    * shared strings, inline strings, A1 refs, styles-driven
+    * date/datetime/time rendering), ODS via [[OdsDecoder]] (content.xml
+    * value-types, repeat expansion, same rendering contract), and legacy
+    * binary XLS via [[XlsDecoder]] (CFB container + BIFF8 records, same
+    * styles contract through the shared classifier). Payloads that are
+    * none of the three fall back to a clearly-marked deterministic fake
+    * that keeps the plumbing tests stable. */
   def decodeWorkbook(payload: Array[Byte]): Seq[Sheet] = {
     if (payload == null || payload.isEmpty) return Seq.empty
     if (XlsxDecoder.looksLikeZip(payload)) {
@@ -45,7 +47,9 @@ object SpreadsheetConverter {
         else XlsxDecoder.decode(payload)
       } catch { case _: Exception => Seq.empty }
     }
-    // STUB for legacy binary xls: derives a single sheet from the bytes.
+    if (XlsDecoder.looksLikeCfb(payload)) return XlsDecoder.decode(payload)
+    // STUB fallback for unrecognized containers: derives a single sheet
+    // from the bytes so corpus plumbing stays exercised on junk inputs.
     val n = payload.length
     Seq(Sheet(s"sheet_$n", Seq("col_a", "col_b"),
       (0 until math.min(3, n)).map(i => Seq(i.toString, (payload(i) & 0xFF).toString))))
