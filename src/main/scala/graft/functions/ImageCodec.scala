@@ -161,4 +161,152 @@ object ImageCodec {
     Array[Byte]('B', 'M') ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
       le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
       Array.fill(24)(0.toByte)
+
+  // ----------------------------------------------- real PNG pixel codec
+  //
+  // Full decode/encode for the 8-bit-RGB non-interlaced PNG subset — the
+  // shape every synthetic-fixture and most real-world ML-corpus PNGs take.
+  // Everything is JDK-only (zlib via java.util.zip); the spec cross-checks
+  // both directions against javax.imageio, so the scanline filter math is
+  // proven against an independent implementation, not itself.
+
+  /** Encode packed RGB pixels (3 bytes/px, row-major) as a REAL decodable
+    * PNG: filter-0 scanlines, one deflated IDAT, correct CRCs. */
+  def pngEncodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      // filter byte 0 (None) then the row
+      System.arraycopy(rgb, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idatData = out.toByteArray
+    val ihdrData = be32b(w) ++ be32b(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val ihdrType = "IHDR".getBytes("US-ASCII")
+    val idatType = "IDAT".getBytes("US-ASCII")
+    val iendType = "IEND".getBytes("US-ASCII")
+    PngSig ++
+      be32b(13) ++ ihdrType ++ ihdrData ++ crcOf(ihdrType, ihdrData) ++
+      be32b(idatData.length) ++ idatType ++ idatData ++ crcOf(idatType, idatData) ++
+      be32b(0) ++ iendType ++ crcOf(iendType)
+  }
+
+  /** Decode an 8-bit-RGB non-interlaced PNG to packed RGB pixels. Walks
+    * the chunk stream (multiple IDATs concatenate), inflates, and undoes
+    * all five scanline filters (None/Sub/Up/Average/Paeth). Returns None
+    * for other color types/depths/interlacing or malformed data — never
+    * throws. */
+  def pngDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 45 ||
+      !PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
+    var p = 8
+    var w = 0; var h = 0; var ok = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end && p + 8 <= bytes.length) {
+      val len = be32(bytes, p)
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > bytes.length) return None
+      typ match {
+        case "IHDR" =>
+          w = be32(bytes, p + 8); h = be32(bytes, p + 12)
+          val bitDepth = u8(bytes, p + 16); val colorType = u8(bytes, p + 17)
+          val interlace = u8(bytes, p + 20)
+          ok = bitDepth == 8 && colorType == 2 && interlace == 0 && w > 0 && h > 0
+          if (!ok) return None
+        case "IDAT" => idat.write(bytes, p + 8, len)
+        case "IEND" => end = true
+        case _ =>
+      }
+      p += 12 + len
+    }
+    if (!ok || idat.size() == 0) return None
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      if (n == 0 && inflater.needsInput()) return None // truncated stream
+      got += n
+    }
+    inflater.end()
+    if (got < raw.length) return None
+    val px = new Array[Byte](h * stride)
+    @inline def paeth(a: Int, b: Int, c: Int): Int = {
+      val pp = a + b - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xFF
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val left = if (x >= 3) px(rowOut + x - 3) & 0xFF else 0
+        val up = if (y > 0) px(rowOut - stride + x) & 0xFF else 0
+        val upLeft = if (y > 0 && x >= 3) px(rowOut - stride + x - 3) & 0xFF else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, upLeft)
+          case _ => return None
+        }
+        px(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  } catch { case _: Exception => None }
+
+  /** Bilinear resize of packed RGB pixels — the standard sample-weighted
+    * interpolation, edge-clamped, half-pixel-centered (the mapping both
+    * OpenCV and PIL use), deterministic integer rounding. */
+  def resizeRgbBilinear(src: Array[Byte], w: Int, h: Int,
+      newW: Int, newH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && newW > 0 && newH > 0)
+    val out = new Array[Byte](newW * newH * 3)
+    val xScale = w.toDouble / newW
+    val yScale = h.toDouble / newH
+    var oy = 0
+    while (oy < newH) {
+      val sy = math.min(math.max((oy + 0.5) * yScale - 0.5, 0.0), h - 1.0)
+      val y0 = sy.toInt; val y1 = math.min(y0 + 1, h - 1)
+      val fy = sy - y0
+      var ox = 0
+      while (ox < newW) {
+        val sx = math.min(math.max((ox + 0.5) * xScale - 0.5, 0.0), w - 1.0)
+        val x0 = sx.toInt; val x1 = math.min(x0 + 1, w - 1)
+        val fx = sx - x0
+        var c = 0
+        while (c < 3) {
+          val p00 = src((y0 * w + x0) * 3 + c) & 0xFF
+          val p01 = src((y0 * w + x1) * 3 + c) & 0xFF
+          val p10 = src((y1 * w + x0) * 3 + c) & 0xFF
+          val p11 = src((y1 * w + x1) * 3 + c) & 0xFF
+          val v = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy) +
+            p10 * (1 - fx) * fy + p11 * fx * fy)
+          out((oy * newW + ox) * 3 + c) = math.round(v).toInt.min(255).max(0).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
 }

@@ -185,12 +185,23 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize — production body: vectorized image resize (e.g. libvips
-    * via FFM). The contract: payload + target dims in, payload out; the fake
-    * truncates/pads deterministically so batch-shape tests are stable. */
+  /** Pixel resize. REAL for the 8-bit-RGB PNG subset: decode
+    * ([[graft.functions.ImageCodec.pngDecodeRgb]] — zlib inflate + all
+    * five scanline filters), bilinear interpolation (half-pixel-centered,
+    * the OpenCV/PIL mapping), re-encode as a valid PNG — all JDK-only,
+    * ImageIO-cross-checked in ImageCodecSpec. Non-PNG / non-RGB payloads
+    * fall back to the deterministic truncate/pad fake (production swaps
+    * that branch for a vectorized decoder, e.g. libvips via FFM — JPEG
+    * entropy decode is out of pure-JVM scope). */
   def resizeBytes(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, (w * h) / 256)
-    java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
+    import graft.functions.ImageCodec
+    ImageCodec.pngDecodeRgb(payload) match {
+      case Some((sw, sh, px)) if w > 0 && h > 0 =>
+        ImageCodec.pngEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))
+      case _ =>
+        val target = math.max(1, (w * h) / 256)
+        java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
+    }
   }
 
   /** Batched resize over partitions: rows are processed in fixed-size

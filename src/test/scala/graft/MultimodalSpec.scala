@@ -129,6 +129,63 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("png pixel codec round-trips and agrees with JDK ImageIO both ways") {
+    import graft.functions.ImageCodec
+    // deterministic gradient-ish RGB image
+    val (w, h) = (13, 9)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) & 0xFF).toByte)
+    val png = ImageCodec.pngEncodeRgb(w, h, rgb)
+    // 1) our decode of our encode is the identity
+    val Some((dw, dh, dpx)) = ImageCodec.pngDecodeRgb(png)
+    assert((dw, dh) == ((w, h)) && dpx.sameElements(rgb))
+    // 2) ImageIO decodes our PNG to the same pixels (proves the stream is
+    // genuinely valid, not self-consistently wrong)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((p >> 16) & 0xFF) == (rgb(o) & 0xFF) &&
+        ((p >> 8) & 0xFF) == (rgb(o + 1) & 0xFF) && (p & 0xFF) == (rgb(o + 2) & 0xFF),
+        s"pixel ($x,$y) mismatch vs ImageIO")
+    }
+    // 3) we decode an ImageIO-WRITTEN png (independent encoder, real
+    // filters chosen by the JDK) back to identical pixels
+    val jdkImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      jdkImg.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jdkImg, "png", bos))
+    val Some((jw, jh, jpx)) = ImageCodec.pngDecodeRgb(bos.toByteArray)
+    assert((jw, jh) == ((w, h)) && jpx.sameElements(rgb),
+      "decode of JDK-encoded png diverged — scanline filter math wrong")
+  }
+
+  test("real resize: bilinear PNG path downsamples correctly") {
+    import graft.functions.ImageCodec
+    // solid-color image resizes to the same solid color at any size
+    val solid = Array.tabulate(16 * 16 * 3)(i => (i % 3 match {
+      case 0 => 200; case 1 => 100; case _ => 50
+    }).toByte)
+    val out = Multimodal.resizeBytes(ImageCodec.pngEncodeRgb(16, 16, solid), 4, 4)
+    val Some((rw, rh, rpx)) = ImageCodec.pngDecodeRgb(out)
+    assert((rw, rh) == ((4, 4)))
+    assert(rpx.grouped(3).forall(p =>
+      (p(0) & 0xFF) == 200 && (p(1) & 0xFF) == 100 && (p(2) & 0xFF) == 50))
+    // 2x2 checkerboard downsampled to 1x1 = the average of the corners
+    val quad = Array[Byte](
+      0, 0, 0, 100.toByte, 100.toByte, 100.toByte,
+      (200 & 0xFF).toByte, (200 & 0xFF).toByte, (200 & 0xFF).toByte, 40, 40, 40)
+    val one = Multimodal.resizeBytes(ImageCodec.pngEncodeRgb(2, 2, quad), 1, 1)
+    val Some((_, _, opx)) = ImageCodec.pngDecodeRgb(one)
+    assert((opx(0) & 0xFF) == 85, s"expected (0+100+200+40)/4=85, got ${opx(0) & 0xFF}")
+    // non-PNG payloads keep the documented deterministic fallback
+    assert(Multimodal.resizeBytes(Array[Byte](1, 2, 3), 64, 64).length == 16)
+  }
+
   test("explodeSampledFrames: one row per sampled frame, stride respected") {
     import spark.implicits._
     // payload of 25 bytes -> n_frames = 25 % 30 = 25; stride 10 -> frames 0,10,20
