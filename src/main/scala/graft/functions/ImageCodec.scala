@@ -219,7 +219,13 @@ object ImageCodec {
           w = be32(bytes, p + 8); h = be32(bytes, p + 12)
           val bitDepth = u8(bytes, p + 16); val colorType = u8(bytes, p + 17)
           val interlace = u8(bytes, p + 20)
-          ok = bitDepth == 8 && colorType == 2 && interlace == 0 && w > 0 && h > 0
+          // pixel cap: header-declared dims drive the allocation below, so
+          // a malformed header could demand gigabytes (OutOfMemoryError is
+          // an Error — the catch-all would NOT contain it). 64 MPix covers
+          // any sane corpus image; bigger payloads route to a production
+          // decoder, not this subset codec.
+          ok = bitDepth == 8 && colorType == 2 && interlace == 0 &&
+            w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024
           if (!ok) return None
         case "IDAT" => idat.write(bytes, p + 8, len)
         case "IEND" => end = true

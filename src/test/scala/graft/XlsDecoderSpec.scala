@@ -244,6 +244,22 @@ class XlsDecoderSpec extends SparkSpec {
     assert(XlsDecoder.decode(junk).isEmpty)
   }
 
+  test("seeded mutation fuzz: corrupted containers never throw") {
+    val base = cfb("Workbook", workbookStream(), forceMini = true)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(8)) {
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = rnd.nextInt(256).toByte
+      }
+      val truncated = mutated.take(rnd.nextInt(mutated.length + 1))
+      // any result is fine — sheets or empty — as long as it returns
+      XlsDecoder.decode(mutated)
+      XlsDecoder.decode(truncated)
+    }
+  }
+
   test("rk decoding covers all four encodings") {
     assert(XlsDecoder.decodeRk((123 << 2) | 2) == 123.0)
     assert(XlsDecoder.decodeRk(((12345 << 2) | 2) | 1) == 123.45)
