@@ -202,6 +202,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!full.contains("row_number"), "pair stage degraded to a window sort")
   }
 
+  test("dq01: all six doc-side rules fuse into ONE wide documents scan") {
+    val p = plan("dq01_expectations")
+    // exactly 3 scans: the fused six-rule documents scan (wide), the
+    // embeddings scan, and the referential join's documents scan — which
+    // must stay pruned to doc_id alone (reusing the wide frame there
+    // would read text twice; a 4th scan means a rule family fell out of
+    // the fused aggregate)
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(scans.size == 3, s"expected 3 scans:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("text:string")) == 1,
+      s"text must be read exactly once:\n${scans.mkString("\n")}")
+    assert(scans.count(_ == "ReadSchema: struct<doc_id:bigint>") == 1,
+      s"referential check must prune to doc_id alone:\n${scans.mkString("\n")}")
+  }
+
+  test("dq07: FD audit is single-phase — no distinct-aggregate Expand") {
+    val p = plan("dq07_fd_audit")
+    assert(!p.contains("Expand"),
+      s"count_distinct rewrite crept back (extra exchange per candidate):\n${p.take(3000)}")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"min/max lost map-side combine:\n${p.take(2000)}")
+  }
+
   test("q43: bucketed join reads co-located buckets — no exchange below the join") {
     val p = plan("q43_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(2000)}")
