@@ -279,6 +279,219 @@ object ImageCodec {
     Some((w, h, px))
   } catch { case _: Exception => None }
 
+  /** Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, the shape
+    * [[bmpBytes]] and most real-world tool exports use) to packed RGB.
+    * Handles bottom-up AND top-down row order, 4-byte row padding, and
+    * BGR→RGB channel order. Returns None for other depths/compressions —
+    * never throws. */
+  def bmpDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = le32(bytes, 10)
+    val dib = le32(bytes, 14)
+    if (dib < 40) return None
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val planes = le16(bytes, 26); val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (planes != 1 || bpp != 24 || compression != 0 ||
+      w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val rowSize = (w * 3 + 3) & ~3 // each row padded to a 4-byte boundary
+    if (dataOff.toLong + rowSize.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        out(o) = bytes(srcRow + x * 3 + 2)     // R (stored BGR)
+        out(o + 1) = bytes(srcRow + x * 3 + 1) // G
+        out(o + 2) = bytes(srcRow + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  } catch { case _: Exception => None }
+
+  /** Encode packed RGB pixels as an uncompressed 24-bit bottom-up BMP —
+    * the exact inverse of [[bmpDecodeRgb]] (and readable by ImageIO). */
+  def bmpEncodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val rowSize = (w * 3 + 3) & ~3
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    val header = Array[Byte]('B', 'M') ++ le32b(54 + dataSize) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+      le32b(0) ++ le32b(dataSize) ++ le32b(2835) ++ le32b(2835) ++ le32b(0) ++ le32b(0)
+    System.arraycopy(header, 0, out, 0, 54)
+    var y = 0
+    while (y < h) {
+      val dstRow = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        out(dstRow + x * 3) = rgb(o + 2)     // B
+        out(dstRow + x * 3 + 1) = rgb(o + 1) // G
+        out(dstRow + x * 3 + 2) = rgb(o)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a GIF's FIRST image frame to packed RGB: LZW decompression
+    * (variable-width codes, clear/EOI semantics), global or local color
+    * table, interlace de-weaving (the 8/8-8/4-4/2-2/1 four-pass row
+    * order — ImageIO's own writer emits interlaced frames), frame offset
+    * composited onto the logical screen. Missing color tables return
+    * None — never throws. */
+  def gifDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val sw = le16(bytes, 6); val sh = le16(bytes, 8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > 64L * 1024 * 1024) return None
+    val packed = u8(bytes, 10)
+    val hasGct = (packed & 0x80) != 0
+    val gctSize = 2 << (packed & 7)
+    var p = 13
+    val gct = if (hasGct) { val t = bytes.slice(p, p + gctSize * 3); p += gctSize * 3; t }
+      else Array.emptyByteArray
+    val bg = u8(bytes, 11)
+    // screen initialized to the background color (or black without a GCT)
+    val out = new Array[Byte](sw * sh * 3)
+    if (hasGct && bg < gctSize) {
+      var i = 0
+      while (i < sw * sh) {
+        out(i * 3) = gct(bg * 3); out(i * 3 + 1) = gct(bg * 3 + 1)
+        out(i * 3 + 2) = gct(bg * 3 + 2); i += 1
+      }
+    }
+    while (p < bytes.length) {
+      u8(bytes, p) match {
+        case 0x3B => return None // trailer before any image frame
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < bytes.length && u8(bytes, p) != 0) p += 1 + u8(bytes, p)
+          p += 1
+        case 0x2C => // image descriptor
+          val fx = le16(bytes, p + 1); val fy = le16(bytes, p + 3)
+          val fw = le16(bytes, p + 5); val fh = le16(bytes, p + 7)
+          val fPacked = u8(bytes, p + 9)
+          p += 10
+          val interlaced = (fPacked & 0x40) != 0
+          val lct = if ((fPacked & 0x80) != 0) {
+            val n = 2 << (fPacked & 7)
+            val t = bytes.slice(p, p + n * 3); p += n * 3; t
+          } else gct
+          if (lct.isEmpty) return None
+          val minCode = u8(bytes, p); p += 1
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (p < bytes.length && u8(bytes, p) != 0) {
+            val n = u8(bytes, p)
+            data.write(bytes, p + 1, n); p += 1 + n
+          }
+          p += 1
+          val indices = gifLzwDecode(data.toByteArray, minCode, fw * fh)
+            .getOrElse(return None)
+          // interlaced frames store rows in four passes (start/step
+          // 0/8, 4/8, 2/4, 1/2) — build the decoded-row → display-row map
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(fh)(identity)
+            else {
+              val order = new Array[Int](fh)
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until fh by step) { order(r) = y; r += 1 }
+              order
+            }
+          // composite the frame onto the screen
+          var i = 0
+          while (i < indices.length && i < fw * fh) {
+            val px = indices(i)
+            val x = fx + i % fw; val y = fy + rowOrder(i / fw)
+            if (x < sw && y < sh && px * 3 + 2 < lct.length) {
+              val o = (y * sw + x) * 3
+              out(o) = lct(px * 3); out(o + 1) = lct(px * 3 + 1); out(o + 2) = lct(px * 3 + 2)
+            }
+            i += 1
+          }
+          return Some((sw, sh, out)) // first frame only
+        case _ => return None
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  /** GIF LZW: variable-width codes starting at minCode+1 bits, dictionary
+    * grows to 12 bits, CLEAR resets, EOI terminates. Little-endian bit
+    * packing within the concatenated sub-block bytes. */
+  private def gifLzwDecode(data: Array[Byte], minCode: Int, maxPixels: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var codeSize = minCode + 1
+    var dictSize = eoi + 1
+    // dictionary as (prefixCode, appendedByte); roots are single colors
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(code: Int, buf: Array[Int]): Int = { // writes code's string, returns first byte
+      var n = 0; var c = code
+      while (c >= clear) { buf(n) = append(c); n += 1; c = prefix(c) } // composed codes
+      buf(n) = c; n += 1
+      var i = n - 1
+      while (i >= 0) { out.write(buf(i)); i -= 1 }
+      buf(n - 1)
+    }
+    val buf = new Array[Int](4096)
+    var bitPos = 0
+    def next(): Int = {
+      if ((bitPos + codeSize + 7) / 8 > data.length) return -1
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val bit = bitPos + i
+        if ((u8(data, bit / 8) & (1 << (bit % 8))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    var prev = -1
+    var guard = 0
+    while (out.size() < maxPixels && guard < maxPixels * 2 + 16) {
+      guard += 1
+      val code = next()
+      if (code < 0 || code == eoi) return Some(out.toByteArray.map(_ & 0xFF))
+      if (code == clear) {
+        codeSize = minCode + 1; dictSize = eoi + 1; prev = -1
+      } else if (prev < 0) {
+        if (code >= dictSize) return None
+        emit(code, buf)
+        prev = code
+      } else {
+        val first =
+          if (code < dictSize) emit(code, buf)
+          else { // KwKwK case: code == dictSize
+            if (code != dictSize) return None
+            val f = emit(prev, buf); out.write(f); f
+          }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; append(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out.toByteArray.map(_ & 0xFF))
+  }
+
   /** Bilinear resize of packed RGB pixels — the standard sample-weighted
     * interpolation, edge-clamped, half-pixel-centered (the mapping both
     * OpenCV and PIL use), deterministic integer rounding. */

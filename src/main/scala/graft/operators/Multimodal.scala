@@ -195,13 +195,24 @@ object Multimodal {
     * entropy decode is out of pure-JVM scope). */
   def resizeBytes(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     import graft.functions.ImageCodec
-    ImageCodec.pngDecodeRgb(payload) match {
-      case Some((sw, sh, px)) if w > 0 && h > 0 =>
-        ImageCodec.pngEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))
-      case _ =>
-        val target = math.max(1, (w * h) / 256)
-        java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
+    if (w > 0 && h > 0) {
+      // 24-bit BMP keeps its container; PNG and GIF re-encode as PNG (GIF
+      // out would need an LZW encoder — canonicalizing decoded frames to
+      // PNG is what a training-data resize stage does anyway)
+      ImageCodec.bmpDecodeRgb(payload) match {
+        case Some((sw, sh, px)) =>
+          return ImageCodec.bmpEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))
+        case None =>
+      }
+      val decoded = ImageCodec.pngDecodeRgb(payload).orElse(ImageCodec.gifDecodeRgb(payload))
+      decoded match {
+        case Some((sw, sh, px)) =>
+          return ImageCodec.pngEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))
+        case None =>
+      }
     }
+    val target = math.max(1, (w * h) / 256)
+    java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
   }
 
   /** Batched resize over partitions: rows are processed in fixed-size

@@ -186,6 +186,84 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeBytes(Array[Byte](1, 2, 3), 64, 64).length == 16)
   }
 
+  test("bmp pixel codec round-trips and agrees with JDK ImageIO both ways") {
+    import graft.functions.ImageCodec
+    val (w, h) = (7, 5)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 19) & 0xFF).toByte)
+    val bmp = ImageCodec.bmpEncodeRgb(w, h, rgb)
+    val Some((dw, dh, dpx)) = ImageCodec.bmpDecodeRgb(bmp)
+    assert((dw, dh) == ((w, h)) && dpx.sameElements(rgb))
+    // ImageIO reads our BMP pixel-exact
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y); val o = (y * w + x) * 3
+      assert(((p >> 16) & 0xFF) == (rgb(o) & 0xFF) &&
+        ((p >> 8) & 0xFF) == (rgb(o + 1) & 0xFF) && (p & 0xFF) == (rgb(o + 2) & 0xFF))
+    }
+    // we read an ImageIO-WRITTEN BMP pixel-exact (independent encoder)
+    val jdkImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      jdkImg.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jdkImg, "bmp", bos))
+    val Some((jw, jh, jpx)) = ImageCodec.bmpDecodeRgb(bos.toByteArray)
+    assert((jw, jh) == ((w, h)) && jpx.sameElements(rgb),
+      "decode of JDK-encoded bmp diverged")
+  }
+
+  test("gif decode: LZW + color table agree with JDK ImageIO's encoder") {
+    import graft.functions.ImageCodec
+    // a small palette image: ImageIO's GIF writer quantizes, so use few
+    // distinct colors (exactly representable in a color table)
+    val (w, h) = (11, 6)
+    val palette = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val jdkImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      jdkImg.setRGB(x, y, palette((x + y * 3) % palette.length))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jdkImg, "gif", bos))
+    val Some((gw, gh, gpx)) = ImageCodec.gifDecodeRgb(bos.toByteArray)
+    assert((gw, gh) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = palette((x + y * 3) % palette.length)
+      val o = (y * w + x) * 3
+      val got = ((gpx(o) & 0xFF) << 16) | ((gpx(o + 1) & 0xFF) << 8) | (gpx(o + 2) & 0xFF)
+      assert(got == want, f"gif pixel ($x,$y): got $got%06x want $want%06x")
+    }
+    // malformed gifs return None, never throw
+    assert(ImageCodec.gifDecodeRgb("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(ImageCodec.gifDecodeRgb(null).isEmpty)
+  }
+
+  test("resize routes bmp and gif through the real pixel path") {
+    import graft.functions.ImageCodec
+    val solid = Array.tabulate(8 * 8 * 3)(i => (i % 3 match {
+      case 0 => 10; case 1 => 150; case _ => 250
+    }).toByte)
+    // BMP in -> BMP out, same solid color
+    val bout = Multimodal.resizeBytes(ImageCodec.bmpEncodeRgb(8, 8, solid), 3, 3)
+    val Some((bw, bh, bpx)) = ImageCodec.bmpDecodeRgb(bout)
+    assert((bw, bh) == ((3, 3)))
+    assert(bpx.grouped(3).forall(p =>
+      (p(0) & 0xFF) == 10 && (p(1) & 0xFF) == 150 && (p(2) & 0xFF) == 250))
+    // GIF in -> PNG out (canonicalized)
+    val jdkImg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) jdkImg.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jdkImg, "gif", bos)
+    val gout = Multimodal.resizeBytes(bos.toByteArray, 2, 2)
+    val Some((gw2, gh2, gpx2)) = ImageCodec.pngDecodeRgb(gout)
+    assert((gw2, gh2) == ((2, 2)))
+    assert(gpx2.grouped(3).forall(p =>
+      (p(0) & 0xFF) == 0x33 && (p(1) & 0xFF) == 0x66 && (p(2) & 0xFF) == 0x99))
+  }
+
   test("explodeSampledFrames: one row per sampled frame, stride respected") {
     import spark.implicits._
     // payload of 25 bytes -> n_frames = 25 % 30 = 25; stride 10 -> frames 0,10,20
