@@ -147,4 +147,108 @@ object VideoCodec {
     while (j < mdatLen) { out.write((seed + j) & 0xFF); j += 1 }
     out.toByteArray
   }
+
+  // ------------------------------------------------------- sample tables
+
+  /** Sum of `stts` sample counts across every track — the container's
+    * true frame count, from the same box walk as [[parse]] but descending
+    * trak → mdia → minf → stbl → stts. Returns None when the container
+    * carries no sample table (older fixtures, audio-only files) so the
+    * caller can choose its fallback — never throws. */
+  def frameCount(bytes: Array[Byte]): Option[Long] = try {
+    if (bytes == null || bytes.length < 16 || fourCC(bytes, 4) != "ftyp") return None
+    var total = -1L
+    def walk(from: Int, end: Int, path: List[String]): Unit = {
+      var i = from
+      while (i < end) {
+        boxAt(bytes, i, end) match {
+          case None => return
+          case Some((tpe, p, e)) =>
+            (path, tpe) match {
+              case (Nil, "moov") => walk(p, e, List("moov"))
+              case (List("moov"), "trak") => walk(p, e, List("moov", "trak"))
+              case (List("moov", "trak"), "mdia") => walk(p, e, List("moov", "trak", "mdia"))
+              case (List("moov", "trak", "mdia"), "minf") =>
+                walk(p, e, List("moov", "trak", "mdia", "minf"))
+              case (List("moov", "trak", "mdia", "minf"), "stbl") =>
+                walk(p, e, List("moov", "trak", "mdia", "minf", "stbl"))
+              case (List("moov", "trak", "mdia", "minf", "stbl"), "stts") =>
+                // version+flags(4), entry_count(4), then (count, delta) pairs
+                if (e - p >= 8) {
+                  val n = be32(bytes, p + 4)
+                  var k = 0L
+                  var sum = 0L
+                  while (k < n && p + 8 + k * 8 + 8 <= e) {
+                    sum += be32(bytes, p + 8 + k.toInt * 8)
+                    k += 1
+                  }
+                  total = (if (total < 0) 0L else total) + sum
+                }
+              case _ =>
+            }
+            i = e
+        }
+      }
+    }
+    walk(0, bytes.length, Nil)
+    if (total < 0) None else Some(total)
+  } catch { case _: Exception => None }
+
+  /** MP4 with REAL per-track sample tables: like [[mp4Bytes]] but each
+    * trak carries mdia/minf/stbl with spec-layout stts (one run of
+    * `nFrames` samples at delta 1), stsz (constant `frameSize`) and stco
+    * (one chunk at the mdat payload) — what [[frameCount]] and a real
+    * demuxer read. mdat holds nFrames·frameSize ramp bytes.
+    * Total size = 140 + 188·nTracks + nFrames·frameSize — the formula an
+    * oracle can recompute exactly (the m07/m08 discipline). */
+  def mp4BytesWithFrames(timescale: Int, duration: Long, nTracks: Int,
+      nFrames: Int, frameSize: Int = 1, seed: Int = 0): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && nTracks >= 1 && nFrames >= 0 && frameSize >= 1)
+    require(duration < 4294967296L)
+    val mdatLen = nFrames * frameSize
+    // box sizes, inside out: stts 24 (8 hdr + 4 ver + 4 count + 8 entry),
+    // stsz 20 (8 + 4 + 4 sample_size + 4 count), stco 20 (8 + 4 + 4 count
+    // + 4 offset); stbl 8+24+20+20 = 72; minf 8+72 = 80; mdia 8+80 = 88;
+    // trak 8 + 92 (tkhd) + 88 = 188
+    val trakSize = 188
+    val out = new java.io.ByteArrayOutputStream(140 + trakSize * nTracks + mdatLen)
+    def w32(v: Long): Unit = { var s = 24; while (s >= 0) { out.write(((v >> s) & 0xFF).toInt); s -= 8 } }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    w32(16); tag("ftyp"); tag("isom"); w32(0)
+    w32(8L + 108 + trakSize.toLong * nTracks); tag("moov")
+    w32(108); tag("mvhd"); w32(0); w32(0); w32(0)
+    w32(timescale.toLong); w32(duration)
+    w32(0x00010000L); w32(0x01000000L); w32(0); w32(0)
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    var t = 0
+    while (t < 6) { w32(0); t += 1 }
+    w32(nTracks + 1L)
+    val mdatPayloadOffset = 16 + 8 + 108 + trakSize * nTracks + 8
+    var k = 0
+    while (k < nTracks) {
+      w32(trakSize.toLong); tag("trak")
+      w32(92); tag("tkhd"); w32(7)
+      w32(0); w32(0); w32(k + 1L); w32(0); w32(duration)
+      w32(0); w32(0); w32(0); w32(0)
+      w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+      w32(0); w32(0); w32(0x40000000L)
+      w32(0); w32(0)
+      w32(88); tag("mdia")
+      w32(80); tag("minf")
+      w32(72); tag("stbl")
+      w32(24); tag("stts"); w32(0) // version+flags
+      if (nFrames > 0) { w32(1); w32(nFrames.toLong); w32(1) } // one run, delta 1
+      else { w32(0); w32(0); w32(0) } // entry_count 0 + zero entry padding
+      w32(20); tag("stsz"); w32(0)
+      w32(frameSize.toLong); w32(nFrames.toLong) // constant size ⇒ no table
+      w32(20); tag("stco"); w32(0)
+      w32(1); w32(mdatPayloadOffset.toLong) // one chunk at the mdat payload
+      k += 1
+    }
+    w32(8L + mdatLen); tag("mdat")
+    var j = 0
+    while (j < mdatLen) { out.write((seed + j) & 0xFF); j += 1 }
+    out.toByteArray
+  }
 }

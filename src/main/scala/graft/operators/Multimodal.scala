@@ -58,8 +58,16 @@ object Multimodal {
     * not available in this environment; deterministic on payload size so
     * the generator shape is testable. Production body: read the container
     * index (moov/atom scan), same bytes-in/int-out seam. */
+  /** Frame count: REAL for MP4 containers carrying sample tables — the
+    * summed `stts` entry counts across tracks
+    * ([[graft.functions.VideoCodec.frameCount]]), which is what a demuxer
+    * iterates. Non-MP4 / table-less payloads keep the deterministic
+    * byte-length stand-in so plumbing tests over arbitrary binaries stay
+    * stable. */
   def videoFrameCount(payload: Array[Byte]): Int =
-    (if (payload == null) 0 else payload.length) % 30
+    graft.functions.VideoCodec.frameCount(payload)
+      .map(n => math.min(n, Int.MaxValue.toLong).toInt)
+      .getOrElse((if (payload == null) 0 else payload.length) % 30)
 
   /** Attach a decoded-metadata struct column to a DataFrame with a binary
     * `payload` column. Runs as mapPartitions over an explicit row encoder —

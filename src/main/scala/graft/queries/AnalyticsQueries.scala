@@ -300,13 +300,24 @@ object AnalyticsQueries {
     graft.streaming.StreamParity.staticJoinWindowCounts(s, s"$d/events.parquet")
       .orderBy(col("window_start_us"), col("event_type"))
 
-  /** M2 — multimodal frame sampling: every 7th frame index of each
-    * payload's (stub-)decoded frame count, exploded one row per sampled
-    * frame ([[Multimodal.explodeSampledFrames]] — the binary-column
-    * generator shape; narrow, shuffle-free). */
+  /** M2 — multimodal frame sampling, END-TO-END REAL: each document
+    * synthesizes an MP4 whose per-track sample tables carry
+    * n_chars mod 97 frames ([[graft.functions.VideoCodec.mp4BytesWithFrames]]
+    * — spec-layout stts/stsz/stco), the frame count is read back by the
+    * REAL `stts` box walk ([[Multimodal.videoFrameCount]] →
+    * `VideoCodec.frameCount`), and every 7th frame index is exploded one
+    * row per sampled frame ([[Multimodal.explodeSampledFrames]] — the
+    * binary-column generator shape; narrow, shuffle-free). The oracle
+    * replays the synthesis arithmetic (nf = n_chars % 97) — the m07/m08
+    * discipline: a green hash proves build → container walk → explode
+    * agree end-to-end, not that two copies of one formula agree. */
   def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VideoCodec
+    val mkMp4 = udf((nChars: Long) =>
+      VideoCodec.mp4BytesWithFrames(timescale = 1000, duration = 2000L,
+        nTracks = 1, nFrames = (nChars % 97).toInt))
     val withPayload = documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), mkMp4(col("n_chars")).as("payload"))
     Multimodal.explodeSampledFrames(withPayload, "payload", stride = 7)
       .select(col("doc_id"), col("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -1681,7 +1692,7 @@ object AnalyticsQueries {
          ORDER BY window_start_us, event_type""",
     "m02_frame_sample" ->
       """WITH b AS (
-           SELECT doc_id, octet_length(encode(text)) % 30 AS nf FROM documents
+           SELECT doc_id, n_chars % 97 AS nf FROM documents
          )
          SELECT doc_id, CAST(unnest(generate_series(0, nf - 1, 7)) AS INT) AS frame_idx
          FROM b WHERE nf > 0 ORDER BY doc_id, frame_idx""")

@@ -85,6 +85,27 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(m.nTracks == 2 && m.duration == 99L && m.mdatBytes == 8L)
   }
 
+  test("sample tables round-trip: frameCount reads back mp4BytesWithFrames") {
+    // the real stts walk, against the generator's own arithmetic
+    for (frames <- Seq(0, 1, 29, 96)) {
+      val b = VideoCodec.mp4BytesWithFrames(1000, 2000L, nTracks = 1, nFrames = frames)
+      assert(VideoCodec.frameCount(b) == Some(frames.toLong),
+        s"frameCount mismatch at nFrames=$frames")
+      // the sized formula the oracle relies on
+      assert(b.length == 140 + 188 + frames, s"size formula broke at $frames")
+      // the richer container still parses for metadata (mvhd intact)
+      val m = VideoCodec.parse(b).get
+      assert(m.timescale == 1000 && m.duration == 2000L && m.nTracks == 1)
+    }
+    // multi-track: counts sum across tracks
+    val two = VideoCodec.mp4BytesWithFrames(1000, 50L, nTracks = 2, nFrames = 10)
+    assert(VideoCodec.frameCount(two) == Some(20L))
+    // containers WITHOUT sample tables report None (callers choose fallback)
+    assert(VideoCodec.frameCount(VideoCodec.mp4Bytes(1000, 10L, 1, 64)).isEmpty)
+    assert(VideoCodec.frameCount(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.frameCount(null).isEmpty)
+  }
+
   test("parse refuses garbage and truncation without throwing") {
     assert(VideoCodec.parse(null).isEmpty)
     assert(VideoCodec.parse(Array.emptyByteArray).isEmpty)
