@@ -106,6 +106,18 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(VideoCodec.frameCount(null).isEmpty)
   }
 
+  test("frameCount survives seeded mutation/truncation fuzz") {
+    val base = VideoCodec.mp4BytesWithFrames(1000, 2000L, 2, 17, frameSize = 3)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      VideoCodec.frameCount(m) // any Option is fine; must not throw
+      VideoCodec.frameCount(m.take(rnd.nextInt(m.length + 1)))
+      VideoCodec.parse(m)
+    }
+  }
+
   test("parse refuses garbage and truncation without throwing") {
     assert(VideoCodec.parse(null).isEmpty)
     assert(VideoCodec.parse(Array.emptyByteArray).isEmpty)
