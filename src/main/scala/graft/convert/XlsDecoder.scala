@@ -18,9 +18,11 @@ import scala.collection.mutable
   * Scope (documented): BIFF8 (Excel 97+) cell records — LABELSST, LABEL,
   * NUMBER, RK, MULRK, BOOLERR, FORMULA (cached numeric/string results) —
   * with styles via XF + FORMAT + builtin ids; both regular-sector and
-  * mini-stream CFB layouts. SST CONTINUE-record splits and BIFF5 8-bit
-  * strings parse best-effort (a malformed tail yields fewer shared
-  * strings, never a throw); encrypted workbooks (FILEPASS) return empty.
+  * mini-stream CFB layouts; SST tables spilling into CONTINUE records,
+  * including the mid-string split that restarts with a fresh grbit byte
+  * (MS-XLS ContinuedString — any real workbook with a non-trivial string
+  * table needs this). Malformed tails yield fewer shared strings, never
+  * a throw; encrypted workbooks (FILEPASS) return empty.
   * Decoding is driver-free and bounded: one pass over the container, one
   * pass over each sheet sub-stream; the corpus converter parallelizes
   * across FILES, so a single workbook never needs to split.
@@ -199,6 +201,86 @@ object XlsDecoder {
     (s, p - o)
   }
 
+  /** Cursor over the SST record's payload segments (the SST record plus
+    * its CONTINUE records). Fixed fields read byte-wise across segment
+    * boundaries; CHARACTER data observes the BIFF8 continuation rule —
+    * a split inside a string's characters restarts the next segment with
+    * a fresh grbit byte that may CHANGE the encoding of the remaining
+    * characters (MS-XLS §2.5.293 ContinuedString). */
+  private final class SegReader(b: Array[Byte], segs: Seq[(Int, Int)]) {
+    private var si = 0
+    private var pos = if (segs.nonEmpty) segs.head._1 else 0
+    private def segEnd = segs(si)._2
+    private def advanceIfNeeded(): Boolean = {
+      while (si < segs.length && pos >= segEnd) {
+        si += 1
+        if (si < segs.length) pos = segs(si)._1
+      }
+      si < segs.length
+    }
+    def hasMore(n: Int): Boolean = {
+      var left = n
+      var s = si; var p = pos
+      while (left > 0 && s < segs.length) {
+        val take = math.min(left, segs(s)._2 - p)
+        left -= math.max(take, 0)
+        s += 1; if (s < segs.length) p = segs(s)._1
+      }
+      left <= 0
+    }
+    def u8(): Int = {
+      if (!advanceIfNeeded()) return -1
+      val v = b(pos) & 0xFF; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); val hi = u8(); if (lo < 0 || hi < 0) -1 else lo | (hi << 8) }
+    def i32(): Int = { val a = u16(); val c = u16(); if (a < 0 || c < 0) -1 else a | (c << 16) }
+    def skip(n: Long): Unit = { var k = 0L; while (k < n && u8() >= 0) k += 1 }
+    /** Read `cch` characters honoring the re-grbit rule at boundaries. */
+    def chars(cch: Int, highByteAtStart: Boolean): String = {
+      val sb = new java.lang.StringBuilder(cch)
+      var high = highByteAtStart
+      var k = 0
+      while (k < cch) {
+        if (!advanceIfNeeded()) return sb.toString
+        if (pos == segs(si)._1 && si > 0) {
+          // first byte of a continuation segment reached mid-characters:
+          // a fresh grbit byte precedes the continued character data
+          val g = u8()
+          if (g < 0) return sb.toString
+          high = (g & 1) != 0
+        }
+        if (high) {
+          val lo = u8(); val hi = u8()
+          if (lo < 0 || hi < 0) return sb.toString
+          sb.append((lo | (hi << 8)).toChar)
+        } else {
+          val c = u8()
+          if (c < 0) return sb.toString
+          sb.append(c.toChar)
+        }
+        k += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** One XLUnicodeRichExtendedString via the segment cursor. */
+  private def readSstString(r: SegReader): Option[String] = {
+    val cch = r.u16()
+    if (cch < 0) return None
+    val grbit = r.u8()
+    if (grbit < 0) return None
+    val fHighByte = (grbit & 1) != 0
+    val fExtSt = (grbit & 4) != 0
+    val fRichSt = (grbit & 8) != 0
+    val cRun = if (fRichSt) r.u16() else 0
+    val cbExt = if (fExtSt) r.i32() else 0
+    if (cRun < 0 || cbExt < 0) return None
+    val s = r.chars(cch, fHighByte)
+    r.skip(cRun.toLong * 4 + cbExt.toLong)
+    Some(s)
+  }
+
   /** Short (8-bit length) string used by BOUNDSHEET sheet names. */
   private def readShortString(b: Array[Byte], o: Int): String = {
     val cch = u8(b, o)
@@ -246,15 +328,23 @@ object XlsDecoder {
         case 0x002F => return Seq.empty // FILEPASS: encrypted workbook
         case 0x0085 => // BOUNDSHEET
           bounds += Bound(readShortString(wb, r.at + 6), i32(wb, r.at))
-        case 0x00FC => // SST: cstTotal(4) cstUnique(4) then strings
+        case 0x00FC => // SST: cstTotal(4) cstUnique(4) then strings, possibly
+          // spilling into CONTINUE records (0x003C) — real workbooks cross
+          // the 8224-byte record cap as soon as the shared-string table is
+          // non-trivial, so CONTINUE handling is required, not optional
           val unique = i32(wb, r.at + 4)
-          var p = r.at + 8
+          val segs = mutable.ArrayBuffer((r.at + 8, r.at + r.len))
+          val ahead = records(wb, r.at + r.len)
+          var more = true
+          while (more && ahead.hasNext) {
+            val nr = ahead.next()
+            if (nr.id == 0x003C) segs += ((nr.at, nr.at + nr.len)) else more = false
+          }
+          val reader = new SegReader(wb, segs.toSeq)
           var k = 0
-          // best-effort: stop at the record boundary (CONTINUE splits land
-          // here as fewer strings, never as a throw)
-          while (k < unique && p + 3 <= r.at + r.len) {
-            val (s, consumed) = readUnicodeString(wb, p)
-            sst += s; p += consumed; k += 1
+          while (k < unique && reader.hasMore(3)) {
+            readSstString(reader).foreach(sst += _)
+            k += 1
           }
         case 0x00E0 => xfFmt += u16(wb, r.at + 2) // XF: ifmt at offset 2
         case 0x041E => // FORMAT: ifmt(2) + unicode code string

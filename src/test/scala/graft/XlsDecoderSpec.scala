@@ -244,6 +244,35 @@ class XlsDecoderSpec extends SparkSpec {
     assert(XlsDecoder.decode(junk).isEmpty)
   }
 
+  test("SST spilling into CONTINUE records: mid-string split re-reads grbit") {
+    // BIFF8 string table across a record boundary (MS-XLS ContinuedString):
+    // "alpha" whole in the SST record; "splitme_0123456789" split after 7
+    // characters — the CONTINUE record restarts with a fresh grbit byte —
+    // and a UTF-16 string entirely inside the continuation
+    val s2 = "splitme_0123456789"
+    val sstBody = le32(3) ++ le32(3) ++
+      ustr8("alpha") ++
+      (le16(s2.length) ++ Array(0.toByte) ++
+        s2.take(7).getBytes(StandardCharsets.ISO_8859_1))
+    val contBody = Array(0.toByte) ++ // re-grbit: continued chars stay 8-bit
+      s2.drop(7).getBytes(StandardCharsets.ISO_8859_1) ++
+      ustr16("Ωmega")
+    val sheet = bof(0x0010) ++
+      labelSst(0, 0, 0, 0) ++ labelSst(0, 1, 0, 1) ++ labelSst(0, 2, 0, 2) ++
+      labelSst(1, 0, 0, 2) ++ labelSst(1, 1, 0, 0) ++ labelSst(1, 2, 0, 1) ++
+      eof
+    def globals(off: Int): Array[Byte] =
+      bof(0x0005) ++ boundsheet("S", off) ++ xf(0) ++
+        rec(0x00FC, sstBody) ++ rec(0x003C, contBody) ++ eof
+    val stream = globals(globals(0).length) ++ sheet
+    val sheets = XlsDecoder.decode(cfb("Workbook", stream, forceMini = true))
+    assert(sheets.size == 1)
+    val sh = sheets.head
+    assert(sh.header == Seq("alpha", s2, "Ωmega"),
+      s"continued SST mis-parsed: ${sh.header}")
+    assert(sh.rows(0) == Seq("Ωmega", "alpha", s2))
+  }
+
   test("seeded mutation fuzz: corrupted containers never throw") {
     val base = cfb("Workbook", workbookStream(), forceMini = true)
     val rnd = new scala.util.Random(7)
