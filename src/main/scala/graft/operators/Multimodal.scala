@@ -193,26 +193,29 @@ object Multimodal {
     }(enc)
   }
 
-  /** Pixel resize. REAL for the 8-bit-RGB PNG subset: decode
-    * ([[graft.functions.ImageCodec.pngDecodeRgb]] — zlib inflate + all
-    * five scanline filters), bilinear interpolation (half-pixel-centered,
-    * the OpenCV/PIL mapping), re-encode as a valid PNG — all JDK-only,
-    * ImageIO-cross-checked in ImageCodecSpec. Non-PNG / non-RGB payloads
-    * fall back to the deterministic truncate/pad fake (production swaps
-    * that branch for a vectorized decoder, e.g. libvips via FFM — JPEG
-    * entropy decode is out of pure-JVM scope). */
+  /** Pixel resize — REAL for all four image containers the sniffer
+    * routes: PNG (8-bit RGB; zlib + all five scanline filters), 24-bit
+    * BMP, GIF (full LZW + interlace), and baseline JPEG
+    * ([[graft.functions.JpegDecoder]] — Huffman + IDCT + libjpeg-style
+    * chroma upsampling). Bilinear interpolation (half-pixel-centered,
+    * the OpenCV/PIL mapping), then re-encode: BMP keeps its container,
+    * everything else canonicalizes to PNG (a lossless re-encode of
+    * decoded pixels — what a training-data resize stage does anyway; a
+    * JPEG/GIF ENCODER would add lossy/LZW write paths for no test
+    * power). All JDK-only, every codec ImageIO-cross-checked.
+    * Undecodable payloads (progressive JPEG, exotic color types,
+    * non-images) fall back to the deterministic truncate/pad fake. */
   def resizeBytes(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    import graft.functions.ImageCodec
+    import graft.functions.{ImageCodec, JpegDecoder}
     if (w > 0 && h > 0) {
-      // 24-bit BMP keeps its container; PNG and GIF re-encode as PNG (GIF
-      // out would need an LZW encoder — canonicalizing decoded frames to
-      // PNG is what a training-data resize stage does anyway)
       ImageCodec.bmpDecodeRgb(payload) match {
         case Some((sw, sh, px)) =>
           return ImageCodec.bmpEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))
         case None =>
       }
-      val decoded = ImageCodec.pngDecodeRgb(payload).orElse(ImageCodec.gifDecodeRgb(payload))
+      val decoded = ImageCodec.pngDecodeRgb(payload)
+        .orElse(ImageCodec.gifDecodeRgb(payload))
+        .orElse(JpegDecoder.decodeRgb(payload))
       decoded match {
         case Some((sw, sh, px)) =>
           return ImageCodec.pngEncodeRgb(w, h, ImageCodec.resizeRgbBilinear(px, sw, sh, w, h))

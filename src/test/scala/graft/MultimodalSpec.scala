@@ -264,6 +264,22 @@ class MultimodalSpec extends SparkSpec {
       (p(0) & 0xFF) == 0x33 && (p(1) & 0xFF) == 0x66 && (p(2) & 0xFF) == 0x99))
   }
 
+  test("resize routes baseline jpeg through the real pixel path") {
+    import graft.functions.ImageCodec
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x884422)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+    val out = Multimodal.resizeBytes(bos.toByteArray, 4, 4)
+    val Some((w, h, px)) = ImageCodec.pngDecodeRgb(out) // canonicalized to PNG
+    assert((w, h) == ((4, 4)))
+    // JPEG is lossy: the flat field survives within quantization slack
+    assert(px.grouped(3).forall(p =>
+      math.abs((p(0) & 0xFF) - 0x88) <= 6 && math.abs((p(1) & 0xFF) - 0x44) <= 6 &&
+        math.abs((p(2) & 0xFF) - 0x22) <= 6), "jpeg resize drifted")
+  }
+
   test("explodeSampledFrames: one row per sampled frame, stride respected") {
     import spark.implicits._
     // payload of 25 bytes -> n_frames = 25 % 30 = 25; stride 10 -> frames 0,10,20
