@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.RefineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.MiningQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.ProfileQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.RefineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
-      graft.queries.SketchQueries.oracle
+      graft.queries.SketchQueries.oracle ++
+      graft.queries.ProfileQueries.oracle
 }

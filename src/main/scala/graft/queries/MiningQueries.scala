@@ -285,7 +285,7 @@ object MiningQueries {
     * 100 TB the basket aggregate would NOT coalesce (output is
     * data-sized) and the explode variant becomes the right shape — this
     * is a bench-scale physical choice, not a semantic one. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.select(col("ok"), col("pk").as("u"))
     val b = li.select(col("ok"), col("pk").as("v"))

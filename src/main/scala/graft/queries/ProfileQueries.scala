@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.Dedupe
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Round-8 corpus-profiling surface: the descriptive statistics a
+  * pretraining-data team runs BEFORE choosing filters — lexical diversity,
+  * sentence-shape stats, readability, character-n-gram language profiles,
+  * cross-document repeated-span census, graph link prediction, and vector
+  * radius search. Same catalog rules as everywhere else: deterministic
+  * order, exact integer arithmetic wherever a ratio is reported (basis
+  * points / millis via BIGINT `div`), doubles only in the proven
+  * engine-identical cosine fold.
+  *
+  * Scale notes are per-query; the common shape is ONE explode of the
+  * corpus into the unit of analysis (word / sentence / trigram / shingle)
+  * followed by map-side-combinable hash aggregates — no windows over
+  * corpus-scaled frames without a partition key, no broadcast of
+  * corpus-scaled sides (t11's rule).
+  */
+object ProfileQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** T29 — LEXICAL DIVERSITY per document: type/token/hapax counts and the
+    * type-token + hapax ratios in basis points. TTR is the classic
+    * vocabulary-richness screen (low TTR = template soup / keyword
+    * stuffing; high hapax share on a long doc = OCR noise or gibberish) —
+    * next to t02's surface stats and t26's model-based surprisal, this is
+    * the distribution-free middle tier of the quality stack.
+    *
+    * Scale: one explode → (doc, word) hash agg → per-doc roll-up; both
+    * aggs are map-side combinable and keyed by doc_id, so the second agg
+    * reuses the first's clustering (no extra exchange). The doc left-join
+    * keeps empty docs in the report (ratio 0, the honest value). */
+  def t29LexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens",
+        "coalesce(n_types, CAST(0 AS BIGINT)) AS n_types",
+        "coalesce(n_hapax, CAST(0 AS BIGINT)) AS n_hapax")
+      .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
+        "CASE WHEN n_tokens > 0 THEN n_types * 10000 div n_tokens ELSE CAST(0 AS BIGINT) END AS ttr_bp",
+        "CASE WHEN n_tokens > 0 THEN n_hapax * 10000 div n_tokens ELSE CAST(0 AS BIGINT) END AS hapax_bp")
+      .orderBy(col("doc_id"))
+  }
+
+  /** T30 — SENTENCE-SHAPE statistics per document: sentence count, word
+    * count over sentences, longest sentence, and mean words-per-sentence
+    * in millis. Degenerate sentence shape (a 400-word "sentence", or
+    * thousands of 2-word fragments) is a strong boilerplate/table-soup
+    * signal that word-level stats miss entirely. Sentences are maximal
+    * `[.!?]+`-delimited segments with at least one word — the same
+    * whitespace tokenizer as the rest of the t-family inside each
+    * segment, so the numbers compose with t02/t29.
+    *
+    * Scale: one explode to segments (narrow), word counting is per-row
+    * array math (no second explode), then a single doc-keyed hash agg. */
+  def t30SentenceStats(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(coalesce(col("text"), lit(""))), "[.!?]+")).as("sent"))
+      .select(col("doc_id"),
+        size(filter(split(trim(col("sent")), "\\s+"), w => length(w) > 0))
+          .cast("long").as("nw"))
+      .filter(col("nw") > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("nw")).as("n_words"),
+        max(col("nw")).as("max_sentence_words"))
+    documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_sentences, CAST(0 AS BIGINT)) AS n_sentences",
+        "coalesce(n_words, CAST(0 AS BIGINT)) AS n_words",
+        "coalesce(max_sentence_words, CAST(0 AS BIGINT)) AS max_sentence_words")
+      .selectExpr("doc_id", "n_sentences", "n_words", "max_sentence_words",
+        "CASE WHEN n_sentences > 0 THEN n_words * 1000 div n_sentences ELSE CAST(0 AS BIGINT) END AS mean_words_milli")
+      .orderBy(col("doc_id"))
+  }
+
+  /** T31 — READABILITY (Flesch–Kincaid grade level) in exact milli-grade
+    * integers: 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59,
+    * with the syllable heuristic every fast pipeline uses — count of
+    * vowel-group runs `[aeiouy]+` (Kincaid et al. 1975's formula; the
+    * heuristic over-counts silent e's and under-counts some diphthongs,
+    * identically on every engine). Carried as
+    * fk_milli = (390·wps_milli + 11800·spw_milli) div 1000 − 15590 where
+    * both per-ratios are themselves BIGINT millis — no floats, so the
+    * full per-doc column hash-matches.
+    *
+    * Scale: zero joins, zero explodes — three regexp counts per row and
+    * a final sort. The cheapest query in the t-family at any corpus
+    * size; everything is one narrow codegen'd projection. */
+  def t31Readability(s: SparkSession, d: String): DataFrame = {
+    val txt = lower(coalesce(col("text"), lit("")))
+    documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(trim(txt), "\\s+"), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        size(filter(transform(split(txt, "[.!?]+"), seg => trim(seg)),
+          seg => length(seg) > 0)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(txt, lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables",
+        """CASE WHEN n_words > 0 AND n_sentences > 0
+          |  THEN (390 * (n_words * 1000 div n_sentences)
+          |        + 11800 * (n_syllables * 1000 div n_words)) div 1000 - 15590
+          |  ELSE CAST(0 AS BIGINT) END AS fk_milli""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  /** T32 — CHARACTER-TRIGRAM LANGUAGE PROFILES: top-10 character 3-grams
+    * per language over whitespace-normalized text (runs of whitespace →
+    * a single `_` boundary marker — Cavnar & Trenkle 1994's n-gram
+    * profile construction). This is the operator that TRAINS the t01
+    * language-ID classifier's profiles from the corpus itself: run it
+    * over a labeled slice, persist the per-lang top-k, and t01's scorer
+    * consumes it.
+    *
+    * Scale: explode to trigrams → (lang, tri) hash agg with map-side
+    * combine → per-lang top-10 via a rank window that Spark's
+    * InferWindowGroupLimit turns into a partial per-partition top-k
+    * BEFORE the exchange (the q29/s01 shape) — the full trigram
+    * frequency table never gathers anywhere. */
+  def t32CharTrigramProfile(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(coalesce(col("text"), lit("")))), "\\s+", "_")
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    documents(s, d)
+      .select(col("lang"), norm.as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("lang"), explode(
+        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .selectExpr("lang", "CAST(rn AS BIGINT) AS rank", "tri", "cnt")
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** D26 — CROSS-DOCUMENT REPEATED-SPAN CENSUS: word 8-grams appearing in
+    * ≥ 2 distinct documents, ranked by document frequency — the
+    * diagnostic scan behind span-level dedupe (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": memorized
+    * spans come from text repeated ACROSS documents that doc-level
+    * dedupe never sees). d12 removes duplicated content within matched
+    * docs; this measures the corpus-wide span duplication mass so a team
+    * can decide whether span-level removal is worth running at all.
+    *
+    * Scale: shingle explode (the d03/t13 primitive) → ONE hash agg with
+    * count + count-distinct on the gram key → TakeOrdered top-20. The
+    * agg is two-level (gram, doc) → gram, both map-side combinable; no
+    * joins, no windows, no suffix array — at 100 TB this is strictly an
+    * aggregation problem. */
+  def d26RepeatedSpans(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(Dedupe.shingles(col("text"), 8)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(20)
+
+  /** G08 — LINK PREDICTION on the co-purchase graph: for each seed part,
+    * the top-10 NON-adjacent parts ranked by common-neighbor count with
+    * the resource-allocation index as tie-breaker — RA = Σ_z 1/deg(z)
+    * over shared neighbors z (Zhou, Lü & Zhang 2009; the strongest of
+    * the classic local indices), carried in integer basis points
+    * (10000 div deg) so the ranking is hash-exact. This is the
+    * "customers who bought X also bought"-style candidate generator run
+    * directly on graph structure, and completes the graph family's
+    * predictive axis next to g04's importance and g06's communities.
+    *
+    * Scale: wedges are generated ONLY from the seed set — seed → neighbor
+    * → neighbor-of-neighbor is two equi-joins bounded by |seeds|·deg²,
+    * never the all-pairs wedge census; existing edges leave via an
+    * anti-join on the edge key; per-seed top-10 is a rank window with
+    * map-side WindowGroupLimit. The edge frame feeds four consumers, so
+    * it is checkpointed once (the d08/g04 lineage discipline). */
+  def g08LinkPrediction(s: SparkSession, d: String): DataFrame = {
+    val und = MiningQueries.coPurchaseEdges(s, d)
+    val e = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true) // 4 consumers: seed hop, cand hop, anti, deg
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val seeds = part(s, d).filter(col("p_partkey") % 200 === 0)
+      .select(col("p_partkey").as("seed"))
+    val hop1 = e.join(seeds, e("u") === seeds("seed"))
+      .select(col("seed"), col("v").as("z"))
+    val wedges = hop1
+      .join(e.select(col("u").as("z"), col("v").as("cand")), Seq("z"))
+      .filter(col("cand") =!= col("seed"))
+    val nonAdj = wedges.join(
+      e.select(col("u").as("seed"), col("v").as("cand")),
+      Seq("seed", "cand"), "left_anti")
+    val w = Window.partitionBy(col("seed"))
+      .orderBy(col("cn").desc, col("ra_bp").desc, col("cand"))
+    nonAdj
+      .join(deg.select(col("u").as("z"), col("deg")), Seq("z"))
+      .groupBy(col("seed"), col("cand"))
+      .agg(count(lit(1)).as("cn"), sum(expr("10000 div deg")).as("ra_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .selectExpr("seed", "CAST(rn AS BIGINT) AS rank",
+        "cand AS predicted", "cn", "ra_bp")
+      .orderBy(col("seed"), col("rank"))
+  }
+
+  /** S09 — RANGE (radius) SEARCH: every corpus vector within cosine ≥ 0.25
+    * of each query vector — FAISS `range_search` semantics, the retrieval
+    * mode for "give me everything similar enough", where top-k's fixed
+    * cutoff is wrong (near-duplicate sweeps, recall-bounded candidate
+    * generation). Same query set and the same engine-identical
+    * sequential-fold cosine as s01, so the threshold comparison is
+    * bit-exact cross-engine.
+    *
+    * Scale: the query set broadcasts; the corpus is scanned once with the
+    * codegen cosine kernel and the radius predicate — no shuffle of the
+    * corpus at all (not even top-k's rank exchange). The result is
+    * output-bounded, which is the point of range search. For corpora
+    * where even one scan is too much, s02/s03's bucketed prefilters
+    * compose in front of the same predicate. */
+  def s09RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    embeddings(s, d)
+      .join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        cosineSimilarity(col("embedding"), col("qv")).as("score"))
+      .filter(col("score") >= 0.25)
+      .orderBy(col("qid"), col("score").desc, col("id"))
+  }
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "t29_lexical_diversity" -> t29LexicalDiversity,
+    "t30_sentence_stats" -> t30SentenceStats,
+    "t31_readability" -> t31Readability,
+    "t32_char_trigram_profile" -> t32CharTrigramProfile,
+    "d26_repeated_spans" -> d26RepeatedSpans,
+    "g08_link_prediction" -> g08LinkPrediction,
+    "s09_range_search" -> s09RangeSearch)
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val normSql = (v: String) =>
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+
+  val oracle: Map[String, String] = Map(
+    "t29_lexical_diversity" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($wordsSql) AS w FROM documents
+          ), t2 AS (
+            SELECT doc_id, w FROM tok WHERE length(w) > 0
+          ), per AS (
+            SELECT doc_id, w, count(*) AS c FROM t2 GROUP BY doc_id, w
+          ), agg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+            FROM per GROUP BY doc_id
+          )
+          SELECT d.doc_id,
+                 coalesce(a.n_tokens, 0) AS n_tokens,
+                 coalesce(a.n_types, 0) AS n_types,
+                 coalesce(a.n_hapax, 0) AS n_hapax,
+                 CASE WHEN coalesce(a.n_tokens, 0) > 0
+                      THEN a.n_types * 10000 // a.n_tokens ELSE 0 END AS ttr_bp,
+                 CASE WHEN coalesce(a.n_tokens, 0) > 0
+                      THEN a.n_hapax * 10000 // a.n_tokens ELSE 0 END AS hapax_bp
+          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
+    "t30_sentence_stats" ->
+      """WITH seg AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(coalesce(text, '')), '[.!?]+')) AS sent
+           FROM documents
+         ), nw AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(trim(sent), '\s+'),
+                                       w -> length(w) > 0)) AS BIGINT) AS nw
+           FROM seg
+         ), per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+                  CAST(sum(nw) AS BIGINT) AS n_words,
+                  CAST(max(nw) AS BIGINT) AS max_sentence_words
+           FROM nw WHERE nw > 0 GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                coalesce(p.n_sentences, 0) AS n_sentences,
+                coalesce(p.n_words, 0) AS n_words,
+                coalesce(p.max_sentence_words, 0) AS max_sentence_words,
+                CASE WHEN coalesce(p.n_sentences, 0) > 0
+                     THEN p.n_words * 1000 // p.n_sentences ELSE 0 END AS mean_words_milli
+         FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "t31_readability" ->
+      """WITH base AS (
+           SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+         ), cnt AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                                       w -> length(w) > 0)) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(list_transform(
+                         regexp_split_to_array(t, '[.!?]+'), s -> trim(s)),
+                       s -> length(s) > 0)) AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS n_syllables
+           FROM base
+         )
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words > 0 AND n_sentences > 0
+                     THEN (390 * (n_words * 1000 // n_sentences)
+                           + 11800 * (n_syllables * 1000 // n_words)) // 1000 - 15590
+                     ELSE 0 END AS fk_milli
+         FROM cnt ORDER BY doc_id""",
+    "t32_char_trigram_profile" ->
+      """WITH n AS (
+           SELECT lang,
+                  regexp_replace(trim(lower(coalesce(text, ''))), '\s+', '_', 'g') AS t
+           FROM documents
+         ), tri AS (
+           SELECT lang,
+                  unnest(list_transform(generate_series(1, length(t) - 2),
+                                        i -> substr(t, i, 3))) AS tri
+           FROM n WHERE length(t) >= 3
+         ), cnt AS (
+           SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+           FROM tri GROUP BY lang, tri
+         ), r AS (
+           SELECT lang, tri, cnt,
+                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+           FROM cnt
+         )
+         SELECT lang, CAST(rn AS BIGINT) AS rank, tri, cnt
+         FROM r WHERE rn <= 10 ORDER BY lang, rank""",
+    "d26_repeated_spans" ->
+      s"""WITH w0 AS (
+            SELECT doc_id, $wordsSql AS w FROM documents
+          ), g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 8
+                          THEN list_transform(generate_series(1, len(w) - 7),
+                               i -> array_to_string(w[i : i + 7], ' '))
+                          ELSE []::VARCHAR[] END) AS gram
+            FROM w0
+          ), agg AS (
+            SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM g GROUP BY gram
+          )
+          SELECT gram, n_docs, n_occ FROM agg WHERE n_docs >= 2
+          ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""",
+    "g08_link_prediction" ->
+      """WITH eu AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         ), e AS (
+           SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu
+         ), deg AS (
+           SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u
+         ), seeds AS (
+           SELECT p_partkey AS seed FROM part WHERE p_partkey % 200 = 0
+         ), hop1 AS (
+           SELECT s.seed, e.v AS z FROM e JOIN seeds s ON e.u = s.seed
+         ), wedges AS (
+           SELECT h.seed, h.z, e.v AS cand
+           FROM hop1 h JOIN e ON e.u = h.z
+           WHERE e.v <> h.seed
+         ), nonadj AS (
+           SELECT w.seed, w.z, w.cand FROM wedges w
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.seed AND e.v = w.cand)
+         ), scored AS (
+           SELECT n.seed, n.cand, CAST(count(*) AS BIGINT) AS cn,
+                  CAST(sum(10000 // d.deg) AS BIGINT) AS ra_bp
+           FROM nonadj n JOIN deg d ON d.u = n.z
+           GROUP BY n.seed, n.cand
+         ), ranked AS (
+           SELECT seed, cand, cn, ra_bp,
+                  row_number() OVER (PARTITION BY seed
+                                     ORDER BY cn DESC, ra_bp DESC, cand) AS rn
+           FROM scored
+         )
+         SELECT seed, CAST(rn AS BIGINT) AS rank, cand AS predicted, cn, ra_bp
+         FROM ranked WHERE rn <= 10 ORDER BY seed, rank""",
+    "s09_range_search" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3
+          ), scored AS (
+            SELECT b.qid, a.vec_id AS id,
+                   list_reduce(list_transform(list_zip(a.embedding, b.v),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                   / (${normSql("a.embedding")} * ${normSql("b.v")}) AS score
+            FROM embeddings a CROSS JOIN q b WHERE a.vec_id <> b.qid
+          )
+          SELECT qid, id, score FROM scored WHERE score >= 0.25
+          ORDER BY qid, score DESC, id""")
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.ProfileQueries
+
+/** Invariant + plan-shape pins for the round-8 corpus-profiling family
+  * (t29–t32, d26, g08, s09). The cross-engine value check is the driver's
+  * DuckDB oracle; these specs pin the claims the oracle can't see — the
+  * internal consistency of the integer ratios, the semantic contracts
+  * (non-adjacency, radius, span multiplicity), and the physical plans the
+  * scale arguments depend on. */
+class ProfileQueriesSpec extends SparkSpec {
+
+  test("t29: ratios are consistent with counts and bounded by 10000") {
+    val rows = ProfileQueries.t29LexicalDiversity(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ttr, hbp) = (r.getLong(4), r.getLong(5))
+      assert(typ <= tok && hap <= typ, s"count ordering broken: $r")
+      if (tok > 0) {
+        assert(ttr == typ * 10000 / tok && hbp == hap * 10000 / tok)
+        assert(ttr >= 0 && ttr <= 10000 && hbp <= ttr * 1 + 10000)
+      } else assert(ttr == 0 && hbp == 0)
+    }
+  }
+
+  test("t30: every doc appears once; max <= total; mean recomputes") {
+    val df = ProfileQueries.t30SentenceStats(spark, sf())
+    val n = df.count()
+    assert(n == spark.read.parquet(s"${sf()}/documents.parquet").count())
+    df.collect().foreach { r =>
+      val (ns, nw, mx, mean) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mx <= nw && (ns == 0 || mx >= nw / ns))
+      if (ns > 0) assert(mean == nw * 1000 / ns) else assert(mean == 0)
+    }
+  }
+
+  test("t31: FK grade recomputed in BigInt — no intermediate wrap") {
+    ProfileQueries.t31Readability(spark, sf()).collect().foreach { r =>
+      val (w, s, y, fk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (w > 0 && s > 0) {
+        val exp = (BigInt(390) * (BigInt(w) * 1000 / s) +
+          BigInt(11800) * (BigInt(y) * 1000 / w)) / 1000 - 15590
+        assert(BigInt(fk) == exp, s"fk mismatch for $r")
+      } else assert(fk == 0)
+    }
+  }
+
+  test("t32: exactly <=10 ranks per lang, counts non-increasing in rank") {
+    val rows = ProfileQueries.t32CharTrigramProfile(spark, sf())
+      .collect().groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.length <= 10)
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      val cnts = byRank.map(_.getLong(3)).toSeq
+      assert(cnts == cnts.sorted.reverse, "counts not non-increasing")
+      assert(rs.forall(_.getString(2).length == 3))
+    }
+  }
+
+  test("t32/g08: per-group top-k gets map-side WindowGroupLimit") {
+    for (q <- Seq("t32_char_trigram_profile", "g08_link_prediction")) {
+      val p = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$q rank-filter pushdown lost:\n${p.take(2000)}")
+    }
+  }
+
+  test("d26: every reported span really occurs in >=2 distinct docs") {
+    val spans = ProfileQueries.d26RepeatedSpans(spark, sf()).collect()
+    assert(spans.nonEmpty, "fixture corpus should contain cross-doc repeats")
+    val grams = spans.map(_.getString(0)).toSeq
+    // recount from scratch with an independent formulation (per-doc distinct)
+    val recount = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), explode(graft.operators.Dedupe.shingles(col("text"), 8)).as("g"))
+      .filter(col("g").isin(grams: _*))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spans.foreach { r =>
+      assert(recount(r.getString(0)) == r.getLong(1) && r.getLong(1) >= 2,
+        s"doc-frequency mismatch: $r")
+      assert(r.getLong(2) >= r.getLong(1), "n_occ < n_docs")
+    }
+  }
+
+  test("g08: predictions are non-adjacent, cn matches a recount") {
+    val preds = ProfileQueries.g08LinkPrediction(spark, sf()).collect()
+    assert(preds.nonEmpty)
+    // rebuild the undirected edge set independently
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .filter(col("u") =!= col("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    preds.foreach { r =>
+      val (s0, cand, cn) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(!pairs.contains((s0, cand)), s"predicted an existing edge: $r")
+      val common = adj.getOrElse(s0, Set.empty) & adj.getOrElse(cand, Set.empty)
+      assert(common.size.toLong == cn, s"cn mismatch: $r vs ${common.size}")
+    }
+  }
+
+  test("s09: radius contract — matches >= threshold, non-matches below") {
+    val got = ProfileQueries.s09RangeSearch(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // brute-force recount against the s01 kernel on the driver
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L to 2L; (id, v) <- emb if id != q) {
+      val s0 = cos(emb(q), v)
+      if (s0 >= 0.2500001) assert(got.contains((q, id)), s"missing ($q,$id) score $s0")
+      if (s0 < 0.2499999) assert(!got.contains((q, id)), s"spurious ($q,$id) score $s0")
+    }
+  }
+
+  test("s09: corpus side never shuffles — broadcast join, no exchange before filter") {
+    val p = SparkEntry.queries("s09_range_search")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"query set should broadcast:\n${p.take(2000)}")
+  }
+}
