@@ -241,6 +241,60 @@ object ProfileQueries {
       .orderBy(col("qid"), col("score").desc, col("id"))
   }
 
+  /** T33 — BPE MERGE LEARNING (Sennrich, Haddow & Birch 2016): learn the
+    * first 5 byte-pair merges from the corpus itself — the TRAINING side
+    * of the tokenizer whose APPLICATION side is t05. Word vocabulary →
+    * per-word character segmentation (+ `</w>` terminal), then per round:
+    * count adjacent symbol pairs weighted by word frequency, take the
+    * arg-max pair (count desc, pair asc — deterministic), splice it into
+    * every segmentation, repeat. Output is the learned merge table
+    * (round, pair, merged, freq) — integers + strings, hash-exact.
+    *
+    * Merge application is a LITERAL string replace of ` a b ` with
+    * ` ab ` over the space-joined segmentation — leftmost,
+    * non-overlapping, separator-consuming in BOTH engines identically
+    * (canonical BPE re-matches after each merge and differs only on odd
+    * runs of a self-adjacent pair, e.g. `a a a a`; the divergence is
+    * deterministic and engine-identical, so the contract holds). The
+    * arg-max row is a 1-row broadcast into the splice — no driver
+    * collect anywhere.
+    *
+    * Scale: the working frame is the WORD VOCABULARY (corpus-scaled but
+    * vastly smaller than the corpus; the corpus itself is read once for
+    * the frequency count). Each round = one explode + one
+    * map-combinable agg + a TakeOrdered(1) + a narrow splice;
+    * segmentations re-checkpoint per round (the g04/LPA lineage
+    * discipline — without it round r replays rounds 1..r−1). */
+  def t33BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", concat(
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
+        lit(" </w>")))
+      .localCheckpoint(true) // 5 rounds of splice lineage start here
+    var seg = vocab.select(col("word"), col("freq"), col("seg"))
+    val merges = (1 to 5).map { round =>
+      val top1 = seg
+        .select(col("freq"), split(col("seg"), " ").as("syms"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
+          col("cnt").as("freq"))
+        .localCheckpoint(true) // 1 row; feeds the splice AND the output union
+      val applied = seg.crossJoin(broadcast(top1.select(col("pair"), col("merged"))))
+        .select(col("word"), col("freq"),
+          trim(expr("replace(concat(' ', seg, ' '), concat(' ', pair, ' '), concat(' ', merged, ' '))")).as("seg"))
+        .localCheckpoint(true)
+      seg = applied
+      top1.select(lit(round.toLong).as("round"), col("pair"), col("merged"), col("freq"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -248,6 +302,7 @@ object ProfileQueries {
     "t30_sentence_stats" -> t30SentenceStats,
     "t31_readability" -> t31Readability,
     "t32_char_trigram_profile" -> t32CharTrigramProfile,
+    "t33_bpe_train" -> t33BpeTrain,
     "d26_repeated_spans" -> d26RepeatedSpans,
     "g08_link_prediction" -> g08LinkPrediction,
     "s09_range_search" -> s09RangeSearch)
@@ -345,6 +400,47 @@ object ProfileQueries {
          )
          SELECT lang, CAST(rn AS BIGINT) AS rank, tri, cnt
          FROM r WHERE rn <= 10 ORDER BY lang, rank""",
+    "t33_bpe_train" -> {
+      // 5 unrolled rounds; each = pair count over the previous round's
+      // segmentations, arg-max, literal-replace splice (same separator
+      // semantics as the Spark side — see the t33 Scaladoc).
+      def pairsOf(segCte: String): String =
+        s"""SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+           |       i -> syms[i] || ' ' || syms[i + 1])) AS pair
+           |FROM (SELECT freq, string_split(seg, ' ') AS syms FROM $segCte)""".stripMargin
+      def topOf(pairsCte: String): String =
+        s"""SELECT pair, replace(pair, ' ', '') AS merged, CAST(sum(freq) AS BIGINT) AS freq
+           |FROM $pairsCte GROUP BY pair ORDER BY freq DESC, pair LIMIT 1""".stripMargin
+      def spliceOf(segCte: String, topCte: String): String =
+        s"""SELECT s.word, s.freq,
+           |       trim(replace(' ' || s.seg || ' ', ' ' || t.pair || ' ',
+           |                    ' ' || t.merged || ' ')) AS seg
+           |FROM $segCte s CROSS JOIN $topCte t""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s"""p$r AS (${pairsOf(s"seg${r - 1}")}),
+           |t$r AS (${topOf(s"p$r")}),
+           |seg$r AS (${spliceOf(s"seg${r - 1}", s"t$r")})""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pair, merged, freq FROM t$r")
+        .mkString(" UNION ALL ")
+      s"""WITH vocab AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
+                w -> length(w) > 0)) AS word
+              FROM documents) t
+            GROUP BY word
+          ), seg0 AS (
+            SELECT word, freq,
+                   array_to_string(list_transform(generate_series(1, length(word)),
+                                                  i -> substr(word, i, 1)), ' ')
+                     || ' </w>' AS seg
+            FROM vocab
+          ),
+          $rounds
+          $out ORDER BY round"""
+    },
     "d26_repeated_spans" ->
       s"""WITH w0 AS (
             SELECT doc_id, $wordsSql AS w FROM documents

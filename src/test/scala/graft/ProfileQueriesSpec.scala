@@ -126,6 +126,41 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t33: merges match an independent driver-side BPE trainer") {
+    val got = ProfileQueries.t33BpeTrain(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 5 && got.map(_._1).toSeq == (1L to 5L).toSeq)
+    // independent recount: plain Scala maps, same separator-consuming
+    // literal replace as both engines
+    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("text")).collect().iterator
+      .flatMap(r => Option(r.getString(0)).getOrElse("").toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[String, (Long, String)] = words.map { case (w, f) =>
+      w -> (f, w.map(_.toString).mkString(" ") + " </w>")
+    }
+    for (round <- 1 to 5) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      segs.values.foreach { case (f, seg) =>
+        val syms = seg.split(" ")
+        syms.indices.dropRight(1).foreach { i =>
+          val p = syms(i) + " " + syms(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (bestPair, bestCnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val expect = got(round - 1)
+      assert((expect._2, expect._4) == (bestPair, bestCnt),
+        s"round $round: engine ${expect._2}/${expect._4} vs driver $bestPair/$bestCnt")
+      assert(expect._3 == bestPair.replace(" ", ""))
+      val merged = bestPair.replace(" ", "")
+      segs = segs.view.mapValues { case (f, seg) =>
+        (f, (" " + seg + " ").replace(" " + bestPair + " ", " " + merged + " ").trim)
+      }.toMap
+    }
+  }
+
   test("s09: corpus side never shuffles — broadcast join, no exchange before filter") {
     val p = SparkEntry.queries("s09_range_search")(spark, sf())
       .queryExecution.executedPlan.toString
