@@ -216,6 +216,61 @@ object ProfileQueries {
       .orderBy(col("seed"), col("rank"))
   }
 
+  /** G09 — HITS (Kleinberg 1999) over the bipartite customer↔part
+    * purchase graph, in SCALED-BIGINT arithmetic: hubs are customers,
+    * authorities are parts; 3 mutual-reinforcement rounds
+    * (a = Σ h over edges, h = Σ a over edges), each side re-scaled to
+    * max = 10¹² with a truncating integer div so the fixpoint prefix is
+    * hash-exact cross-engine (g04's discipline — float HITS folds in
+    * engine-dependent order and can never hash-match). Output: top-20
+    * hubs and top-20 authorities. Completes the graph family's ranking
+    * axis: g04 ranks within one vertex set, this ranks two roles against
+    * each other — the "best buyers vs most-bought parts" dual.
+    *
+    * Headroom scope: the re-scale product s·10⁶ with s ≤ deg·10⁶ stays
+    * in BIGINT to deg ≈ 9·10⁶ buyers of ONE part; past that the scale
+    * constant must drop a decade (10¹² would overflow the product at
+    * deg ≈ 9, which is why the constant is 10⁶ here, not g04's 10¹² —
+    * g04 never multiplies two scaled quantities). The shape is
+    * size-independent.
+    *
+    * Scale: the edge frame is checkpointed once (6 consumers across the
+    * rounds); each round is two edge-keyed equi-joins + two map-side-
+    * combinable sum aggs + two 1-row max broadcasts; top-20 each side is
+    * TakeOrdered, never a global sort. */
+  def g09Hits(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000L
+    val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true) // every round's two joins read this frame
+    var h = e.select(col("c")).distinct().select(col("c"), lit(S).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      val a0 = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("s"))
+      val am = a0.agg(max(col("s")).as("m"))
+      a = a0.crossJoin(broadcast(am))
+        .selectExpr("p", "s * 1000000 div m AS a")
+        .localCheckpoint(true)
+      val h0 = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("s"))
+      val hm = h0.agg(max(col("s")).as("m"))
+      h = h0.crossJoin(broadcast(hm))
+        .selectExpr("c", "s * 1000000 div m AS h")
+        .localCheckpoint(true)
+    }
+    val topHubs = h.selectExpr("'hub' AS kind", "c AS id", "h AS score")
+      .orderBy(col("score").desc, col("id")).limit(20)
+    val topAuth = a.selectExpr("'authority' AS kind", "p AS id", "a AS score")
+      .orderBy(col("score").desc, col("id")).limit(20)
+    topHubs.unionByName(topAuth)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("kind")).orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("kind"), col("rank"), col("id"), col("score"))
+      .orderBy(col("kind"), col("rank"))
+  }
+
   /** S09 — RANGE (radius) SEARCH: every corpus vector within cosine ≥ 0.25
     * of each query vector — FAISS `range_search` semantics, the retrieval
     * mode for "give me everything similar enough", where top-k's fixed
@@ -305,6 +360,7 @@ object ProfileQueries {
     "t33_bpe_train" -> t33BpeTrain,
     "d26_repeated_spans" -> d26RepeatedSpans,
     "g08_link_prediction" -> g08LinkPrediction,
+    "g09_hits" -> g09Hits,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -491,6 +547,46 @@ object ProfileQueries {
          )
          SELECT seed, CAST(rn AS BIGINT) AS rank, cand AS predicted, cn, ra_bp
          FROM ranked WHERE rn <= 10 ORDER BY seed, rank""",
+    "g09_hits" -> {
+      val S = "1000000"
+      // 3 unrolled rounds; h0 = S for every customer, each side re-scaled
+      // to max = S with truncating // after its sum.
+      val rounds = (1 to 3).map { r =>
+        val hPrev = if (r == 1) "h0" else s"h${r - 1}"
+        s"""a${r}0 AS (
+           |  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS s
+           |  FROM e JOIN $hPrev h ON h.c = e.c GROUP BY e.p
+           |), a$r AS (
+           |  SELECT p, s * $S // (SELECT max(s) FROM a${r}0) AS a FROM a${r}0
+           |), h${r}0 AS (
+           |  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS s
+           |  FROM e JOIN a$r a ON a.p = e.p GROUP BY e.c
+           |), h$r AS (
+           |  SELECT c, s * $S // (SELECT max(s) FROM h${r}0) AS h FROM h${r}0
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          ), h0 AS (
+            SELECT DISTINCT c, CAST($S AS BIGINT) AS h FROM e
+          ),
+          $rounds,
+          th AS (
+            SELECT 'hub' AS kind, c AS id, h AS score FROM h3
+            ORDER BY score DESC, id LIMIT 20
+          ), ta AS (
+            SELECT 'authority' AS kind, p AS id, a AS score FROM a3
+            ORDER BY score DESC, id LIMIT 20
+          ), u AS (
+            SELECT * FROM th UNION ALL SELECT * FROM ta
+          )
+          SELECT kind,
+                 CAST(row_number() OVER (PARTITION BY kind
+                                         ORDER BY score DESC, id) AS BIGINT) AS rank,
+                 id, score
+          FROM u ORDER BY kind, rank"""
+    },
     "s09_range_search" ->
       s"""WITH q AS (
             SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3

@@ -161,6 +161,41 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("g09: HITS recomputed in driver-side BigInt — scores and ranks exact") {
+    val got = ProfileQueries.g09Hits(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.count(_._1 == "hub") == 20 && got.count(_._1 == "authority") == 20)
+    // rank-1 on each side is the arg-max row: re-scaled to exactly 10^6
+    got.filter(_._2 == 1L).foreach { r => assert(r._4 == 1000000L, s"rank-1 not S: $r") }
+    // independent recount (BigInt, so a wrap in the engine would surface here)
+    val ords = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1)))).distinct
+    val S = BigInt(1000000)
+    var h = edges.map(_._1).distinct.map(_ -> S).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val a0 = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val am = a0.values.max
+      a = a0.view.mapValues(s0 => s0 * S / am).toMap
+      val h0 = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hm = h0.values.max
+      h = h0.view.mapValues(s0 => s0 * S / hm).toMap
+    }
+    def top20(m: Map[Long, BigInt]) =
+      m.toSeq.sortBy { case (id, s0) => (-s0, id) }.take(20)
+    val expHubs = top20(h); val expAuth = top20(a)
+    got.filter(_._1 == "hub").sortBy(_._2).zip(expHubs).foreach {
+      case ((_, _, id, sc), (eid, esc)) => assert(id == eid && BigInt(sc) == esc)
+    }
+    got.filter(_._1 == "authority").sortBy(_._2).zip(expAuth).foreach {
+      case ((_, _, id, sc), (eid, esc)) => assert(id == eid && BigInt(sc) == esc)
+    }
+  }
+
   test("s09: corpus side never shuffles — broadcast join, no exchange before filter") {
     val p = SparkEntry.queries("s09_range_search")(spark, sf())
       .queryExecution.executedPlan.toString
