@@ -226,6 +226,50 @@ object Multimodal {
     java.util.Arrays.copyOf(if (payload == null) Array.emptyByteArray else payload, target)
   }
 
+  /** Difference-hash (dHash) of a decodable image, as FOUR 16-bit
+    * segments: decode to RGB (any of the four real pixel codecs),
+    * integer grayscale (r+g+b div 3), average-pool to a 9×8 grid with
+    * integer-boundary blocks (x ∈ [i·w/9, (i+1)·w/9), same for rows —
+    * exact for dims divisible by the grid, deterministic truncation
+    * otherwise), then bit b = j·8+i set iff grid(i+1,j) > grid(i,j).
+    *
+    * Segments instead of one 64-bit word on purpose: bit 63 would make
+    * the packed value negative, and arithmetic-vs-logical shift-right
+    * semantics differ across engines — four unsigned-range INTs sidestep
+    * the sign hazard entirely, and the LSH band key IS the segment
+    * (d02's pigeonhole: hamming ≤ 3 over 4 segments guarantees one
+    * equal segment). All-integer, so hashes are cross-engine exact. */
+  def dHashSegments(payload: Array[Byte]): Option[Array[Int]] = {
+    import graft.functions.{ImageCodec, JpegDecoder}
+    val decoded = ImageCodec.pngDecodeRgb(payload)
+      .orElse(ImageCodec.bmpDecodeRgb(payload))
+      .orElse(ImageCodec.gifDecodeRgb(payload))
+      .orElse(JpegDecoder.decodeRgb(payload))
+    decoded.flatMap { case (w, h, px) =>
+      if (w < 9 || h < 8) None
+      else {
+        def gray(x: Int, y: Int): Int = {
+          val o = (y * w + x) * 3
+          ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+        }
+        val m = Array.ofDim[Int](8, 9)
+        for (j <- 0 until 8; i <- 0 until 9) {
+          val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var s = 0
+          for (y <- y0 until y1; x <- x0 until x1) s += gray(x, y)
+          m(j)(i) = s / ((x1 - x0) * (y1 - y0))
+        }
+        val segs = new Array[Int](4)
+        for (b <- 0 until 64) {
+          val j = b / 8; val i = b % 8
+          if (m(j)(i + 1) > m(j)(i)) segs(b / 16) |= 1 << (b % 16)
+        }
+        Some(segs)
+      }
+    }
+  }
+
   /** Batched resize over partitions: rows are processed in fixed-size
     * batches (the reference's 64/100-row batching contract — a vectorized
     * decoder amortizes setup per batch, not per row). Shuffle-free. */

@@ -350,6 +350,64 @@ object ProfileQueries {
     merges.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  /** M09 — PERCEPTUAL-HASH IMAGE NEAR-DUP (the image-side d02): every
+    * document materializes as a REAL 18×16 RGB PNG whose pixels are a
+    * deterministic integer function of doc_id — clusters of 8 share a
+    * base image, each member perturbed on a sparse pixel lattice — and
+    * the ENGINE's path is decode (inflate + unfilter, the real codec) →
+    * grayscale → 9×8 average-pool → 64-bit dHash as 4×16-bit segments
+    * ([[graft.operators.Multimodal.dHashSegments]]) → segment-keyed LSH
+    * self-join (pigeonhole: hamming ≤ 3 ⇒ some segment equal) → exact
+    * hamming verify. The oracle recomputes the hash from the SYNTHESIS
+    * arithmetic (never seeing a PNG), so a hash match proves the whole
+    * decode+pool+hash pipeline end-to-end — the m01/m03 discipline
+    * applied to pixel MATH, not just headers. This is LAION-style image
+    * dedupe: the only corpus-sized shuffles are the segment equi-join
+    * and the pair distinct; no all-pairs stage exists at any scale.
+    *
+    * The fixture separation is engineered (intra-cluster hamming ≤ 1,
+    * inter ≥ 12 for distinct base patterns, measured). All pixel terms
+    * are taken mod 256, so bases 256 apart produce IDENTICAL images —
+    * at SFs with > 2048 docs those aliased clusters legitimately merge
+    * (true duplicates, found by both engines). The spec asserts the
+    * exact-cluster contract at the small SF where no aliasing exists. */
+  def m09PhashPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ImageCodec
+    import graft.operators.Multimodal
+    val mk = udf { (docId: Long) =>
+      val w = 18; val h = 16
+      val base = docId / 8; val pert = docId % 8
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        var r = (x * x + 3 * y * base + 7 * base * base + 11 * y) % 256
+        if ((x + 18 * y) % 29 == 0) r = (r + pert) % 256
+        val g = (y * y + 5 * x * base + 13 * base) % 256
+        val b = (x * y + 17 * base + 19 * x) % 256
+        val o = (y * w + x) * 3
+        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+      }
+      ImageCodec.pngEncodeRgb(w, h, rgb)
+    }
+    val dh = udf { (payload: Array[Byte]) =>
+      Multimodal.dHashSegments(payload).orNull
+    }
+    val hashed = documents(s, d)
+      .select(col("doc_id"), dh(mk(col("doc_id"))).as("sv"))
+      .filter(col("sv").isNotNull)
+    val banded = hashed.select(col("doc_id"), col("sv"),
+      posexplode(col("sv")).as(Seq("s", "seg")))
+    banded.as("a").join(banded.as("b"),
+        col("a.s") === col("b.s") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("""CAST(bit_count(a.sv[0] ^ b.sv[0]) + bit_count(a.sv[1] ^ b.sv[1])
+               |   + bit_count(a.sv[2] ^ b.sv[2]) + bit_count(a.sv[3] ^ b.sv[3])
+               | AS BIGINT)""".stripMargin).as("hamming"))
+      .distinct() // a pair may agree on several segments
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -361,6 +419,7 @@ object ProfileQueries {
     "d26_repeated_spans" -> d26RepeatedSpans,
     "g08_link_prediction" -> g08LinkPrediction,
     "g09_hits" -> g09Hits,
+    "m09_phash_pairs" -> m09PhashPairs,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -586,6 +645,47 @@ object ProfileQueries {
                                          ORDER BY score DESC, id) AS BIGINT) AS rank,
                  id, score
           FROM u ORDER BY kind, rank"""
+    },
+    "m09_phash_pairs" -> {
+      // recompute the dHash from the synthesis arithmetic — the oracle
+      // never sees a PNG, so a match proves the engine's decode path
+      def gray(xe: String, ye: String): String = {
+        val r0 = s"((($xe)*($xe) + 3*($ye)*base + 7*base*base + 11*($ye)) % 256)"
+        val r = s"CASE WHEN (($xe) + 18*($ye)) % 29 = 0 THEN ($r0 + pert) % 256 ELSE $r0 END"
+        val g = s"((($ye)*($ye) + 5*($xe)*base + 13*base) % 256)"
+        val b = s"((($xe)*($ye) + 17*base + 19*($xe)) % 256)"
+        s"(($r) + ($g) + ($b)) // 3"
+      }
+      def mean(i: String, j: String): String =
+        "((" + (for (dx <- 0 to 1; dy <- 0 to 1)
+          yield gray(s"2*($i)+$dx", s"2*($j)+$dy")).mkString(")+(") + ")) // 4"
+      val m1 = mean("b % 8 + 1", "b // 8")
+      val m0 = mean("b % 8", "b // 8")
+      s"""WITH d AS (
+            SELECT doc_id, doc_id // 8 AS base, doc_id % 8 AS pert FROM documents
+          ), bits AS (
+            SELECT doc_id, b.b AS b,
+                   CASE WHEN ($m1) > ($m0) THEN (1 << (b.b % 16)) ELSE 0 END AS bit
+            FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+          ), segs AS (
+            SELECT doc_id, b // 16 AS s, CAST(sum(bit) AS INTEGER) AS seg
+            FROM bits GROUP BY doc_id, b // 16
+          ), docs AS (
+            SELECT doc_id, list(seg ORDER BY s) AS sv FROM segs GROUP BY doc_id
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM segs a JOIN segs b
+              ON a.s = b.s AND a.seg = b.seg AND a.doc_id < b.doc_id
+          ), scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(bit_count(xor(x.sv[1], y.sv[1])) + bit_count(xor(x.sv[2], y.sv[2]))
+                      + bit_count(xor(x.sv[3], y.sv[3])) + bit_count(xor(x.sv[4], y.sv[4]))
+                     AS BIGINT) AS hamming
+            FROM cand c JOIN docs x ON x.doc_id = c.id_a
+            JOIN docs y ON y.doc_id = c.id_b
+          )
+          SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+          ORDER BY id_a, id_b"""
     },
     "s09_range_search" ->
       s"""WITH q AS (

@@ -196,6 +196,61 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m09: dHash through the real PNG codec equals the raw pixel math") {
+    import graft.functions.ImageCodec
+    import graft.operators.Multimodal
+    for (docId <- Seq(0L, 7L, 8L, 123L)) {
+      val w = 18; val h = 16
+      val base = docId / 8; val pert = docId % 8
+      val rgb = new Array[Byte](w * h * 3)
+      def grayAt(x: Int, y: Int): Int = {
+        var r = (x * x + 3 * y * base + 7 * base * base + 11 * y) % 256
+        if ((x + 18 * y) % 29 == 0) r = (r + pert) % 256
+        val g = (y * y + 5 * x * base + 13 * base) % 256
+        val b = (x * y + 17 * base + 19 * x) % 256
+        ((r + g + b) / 3).toInt
+      }
+      for (y <- 0 until h; x <- 0 until w) {
+        var r = (x * x + 3 * y * base + 7 * base * base + 11 * y) % 256
+        if ((x + 18 * y) % 29 == 0) r = (r + pert) % 256
+        val g = (y * y + 5 * x * base + 13 * base) % 256
+        val b = (x * y + 17 * base + 19 * x) % 256
+        val o = (y * w + x) * 3
+        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+      }
+      // expected segments straight from the arithmetic — no codec involved
+      val m = Array.ofDim[Int](8, 9)
+      for (j <- 0 until 8; i <- 0 until 9)
+        m(j)(i) = (grayAt(2 * i, 2 * j) + grayAt(2 * i + 1, 2 * j)
+          + grayAt(2 * i, 2 * j + 1) + grayAt(2 * i + 1, 2 * j + 1)) / 4
+      val exp = new Array[Int](4)
+      for (b <- 0 until 64; j = b / 8; i = b % 8)
+        if (m(j)(i + 1) > m(j)(i)) exp(b / 16) |= 1 << (b % 16)
+      val got = Multimodal.dHashSegments(ImageCodec.pngEncodeRgb(w, h, rgb))
+      assert(got.exists(_.sameElements(exp)), s"doc $docId: codec path diverges")
+    }
+  }
+
+  test("m09: recovers exactly the engineered clusters, no product join") {
+    val pairs = ProfileQueries.m09PhashPairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // fixture contract: near-dups are exactly the same-base pairs
+    pairs.foreach { case (a, b, hm) =>
+      assert(a / 8 == b / 8, s"inter-cluster pair reported: ($a,$b)")
+      assert(hm <= 3)
+    }
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    val expected = (0L until nDocs).groupBy(_ / 8).values
+      .map(c => c.size.toLong * (c.size - 1) / 2).sum
+    assert(pairs.length.toLong == expected,
+      s"expected $expected intra-cluster pairs, got ${pairs.length}")
+    val p = SparkEntry.queries("m09_phash_pairs")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "phash pairing degraded to all-pairs")
+  }
+
   test("s09: corpus side never shuffles — broadcast join, no exchange before filter") {
     val p = SparkEntry.queries("s09_range_search")(spark, sf())
       .queryExecution.executedPlan.toString
