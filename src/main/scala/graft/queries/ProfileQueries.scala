@@ -350,6 +350,46 @@ object ProfileQueries {
     merges.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  /** T34 — SOURCE-DIVERGENCE: a χ²-style drift score of each source's
+    * unigram distribution against the whole corpus, over the global
+    * top-200 vocabulary, in exact integer arithmetic: per (source, word)
+    * the observed share obs_bp = o·10⁴ div s_tot vs the corpus share
+    * exp_bp = g·10⁴ div T, term = (obs_bp − exp_bp)² div (exp_bp + 1)
+    * (the +1 is a deterministic zero-guard), score = Σ terms. This is
+    * the mixture-tuning diagnostic run before t22/t25 allocate domain
+    * weights — "which slices even differ, and by how much" — and the
+    * text-distribution complement of dq02's numeric drift. Working in
+    * basis-point shares FIRST keeps every product ≤ 10⁸ per term
+    * (raw-count χ² squares o·T and wraps at corpus scale).
+    *
+    * Scale: one corpus explode feeds all three aggregates; the score
+    * frame is (sources × 200) rows built from a BROADCAST top-200 (200
+    * rows BY CONSTRUCTION after TakeOrdered — bounded, unlike the full
+    * vocab, which is never broadcast per t11's rule) crossed with the
+    * per-source totals, left-joined to observed counts so absent words
+    * contribute their full expected-share penalty. */
+  def t34SourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(Dedupe.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint(true) // three aggregate consumers
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("g"))
+      .orderBy(col("g").desc, col("w")).limit(200)
+    val sTot = tok.groupBy(col("source")).agg(count(lit(1)).as("s_tot"))
+    val tTot = tok.agg(count(lit(1)).as("t"))
+    val grid = sTot.crossJoin(broadcast(top)).crossJoin(broadcast(tTot))
+    val obs = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("o"))
+    grid.join(obs, Seq("source", "w"), "left")
+      .selectExpr("source", "s_tot",
+        "coalesce(o, CAST(0 AS BIGINT)) * 10000 div s_tot AS obs_bp",
+        "g * 10000 div t AS exp_bp")
+      .selectExpr("source", "s_tot",
+        "(obs_bp - exp_bp) * (obs_bp - exp_bp) div (exp_bp + 1) AS term")
+      .groupBy(col("source"))
+      .agg(max(col("s_tot")).as("n_tokens"), sum(col("term")).as("div_score"))
+      .orderBy(col("div_score").desc, col("source"))
+  }
+
   /** M09 — PERCEPTUAL-HASH IMAGE NEAR-DUP (the image-side d02): every
     * document materializes as a REAL 18×16 RGB PNG whose pixels are a
     * deterministic integer function of doc_id — clusters of 8 share a
@@ -416,6 +456,7 @@ object ProfileQueries {
     "t31_readability" -> t31Readability,
     "t32_char_trigram_profile" -> t32CharTrigramProfile,
     "t33_bpe_train" -> t33BpeTrain,
+    "t34_source_divergence" -> t34SourceDivergence,
     "d26_repeated_spans" -> d26RepeatedSpans,
     "g08_link_prediction" -> g08LinkPrediction,
     "g09_hits" -> g09Hits,
@@ -646,6 +687,36 @@ object ProfileQueries {
                  id, score
           FROM u ORDER BY kind, rank"""
     },
+    "t34_source_divergence" ->
+      s"""WITH tok AS (
+            SELECT source, w FROM (
+              SELECT source, unnest($wordsSql) AS w FROM documents) t
+            WHERE length(w) > 0
+          ), top AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS g FROM tok GROUP BY w
+            ORDER BY g DESC, w LIMIT 200
+          ), stot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS s_tot FROM tok GROUP BY source
+          ), ttot AS (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM tok
+          ), obs AS (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS o
+            FROM tok GROUP BY source, w
+          ), grid AS (
+            SELECT s.source, s.s_tot,
+                   coalesce(o.o, 0) * 10000 // s.s_tot AS obs_bp,
+                   p.g * 10000 // ttot.t AS exp_bp
+            FROM stot s CROSS JOIN top p CROSS JOIN ttot
+            LEFT JOIN obs o ON o.source = s.source AND o.w = p.w
+          ), terms AS (
+            SELECT source, s_tot,
+                   (obs_bp - exp_bp) * (obs_bp - exp_bp) // (exp_bp + 1) AS term
+            FROM grid
+          )
+          SELECT source, CAST(max(s_tot) AS BIGINT) AS n_tokens,
+                 CAST(sum(term) AS BIGINT) AS div_score
+          FROM terms GROUP BY source
+          ORDER BY div_score DESC, source""",
     "m09_phash_pairs" -> {
       // recompute the dHash from the synthesis arithmetic — the oracle
       // never sees a PNG, so a match proves the engine's decode path

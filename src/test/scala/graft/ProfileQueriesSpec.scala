@@ -196,6 +196,30 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t34: scores recompute from an independent driver-side tally") {
+    val got = ProfileQueries.t34SourceDivergence(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).getOrElse("").toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).map(w => (r.getString(0), w)))
+    val t = toks.length.toLong
+    val g = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val top = g.toSeq.sortBy { case (w, c) => (-c, w) }.take(200)
+    val sTot = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val obs = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (src, nTok, score) =>
+      assert(nTok == sTot(src))
+      val exp = top.map { case (w, gc) =>
+        val obsBp = obs.getOrElse((src, w), 0L) * 10000 / sTot(src)
+        val expBp = gc * 10000 / t
+        (obsBp - expBp) * (obsBp - expBp) / (expBp + 1)
+      }.sum
+      assert(score == exp, s"$src: engine $score vs driver $exp")
+    }
+  }
+
   test("m09: dHash through the real PNG codec equals the raw pixel math") {
     import graft.functions.ImageCodec
     import graft.operators.Multimodal
