@@ -350,6 +350,71 @@ object ProfileQueries {
     merges.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  /** Q77 — TIME-WEIGHTED AVERAGE (TWAP) per (event_type, day): each
+    * sample holds its value until the next sample; the last sample of a
+    * day holds to midnight — duration-weighted aggregation over IRREGULAR
+    * samples, the finance/IoT downsampling semantic that a plain mean
+    * gets wrong whenever sampling density correlates with value. Exact
+    * integer arithmetic end-to-end: micros timestamps, cent values,
+    * milli durations; twap_centi = Σ cents·dur_ms div Σ dur_ms.
+    * Headroom: cents ≤ 5.6·10⁴ at the fixture (value ≤ 560), dur_ms ≤
+    * 8.64·10⁷ → 4.8·10¹² per term — BIGINT holds ~10⁶ samples/day/type
+    * of margin; the unit pair (cents, ms) is the documented knob.
+    *
+    * Scale: ONE key shuffle — the (type, day) window sort — then a hash
+    * agg on the SAME key reuses the clustering; no self-join, no range
+    * join (the q22 as-of discipline applied to duration weighting).
+    * Duplicate timestamps get dur 0 deterministically (event_id
+    * tie-break), which is exactly right: a zero-duration holding period
+    * contributes nothing to a time-weighted mean. */
+  def q77Twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    tsNanos(events(s, d))
+      .select(col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .withColumn("dur_ms",
+        expr("(coalesce(next_us, (day + 1) * 86400000000) - us) div 1000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("dur_ms")).as("total_dur_ms"),
+        sum(expr("cents * dur_ms")).as("wsum"))
+      .selectExpr("event_type", "day", "n_samples", "total_dur_ms",
+        "CASE WHEN total_dur_ms > 0 THEN wsum div total_dur_ms ELSE CAST(0 AS BIGINT) END AS twap_centi")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DQ08 — SPLIT-LEAKAGE AUDIT at the SPAN level: word 8-grams that
+    * appear on BOTH sides of a train/val/test boundary — the t07 hash
+    * split is keyed on doc_id, so shared passages (boilerplate,
+    * near-dup docs, quoted text) straddle the boundary and leak training
+    * text into eval even when no document is byte-identical (the GPT-3 /
+    * Lee et al. n-gram contamination criterion; an exact-fingerprint
+    * audit is vacuously clean on this corpus — measured — which is
+    * precisely why contamination checks use spans, not documents).
+    * Composes t07's split with d26's shingle primitive; reports, per
+    * split pair, how many distinct 8-gram spans cross it.
+    *
+    * Scale: one shingle explode → distinct (split, gram) — map-
+    * combinable — then a gram-keyed self-join that only pairs rows
+    * sharing a span (the d-family equi-join shape; never all-pairs) and
+    * a ≤3-row aggregate. */
+  def dq08SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val grams = documents(s, d)
+      .select(Sampling.split(col("doc_id"), 80, 10).as("split"),
+        explode(Dedupe.shingles(col("text"), 8)).as("gram"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(countDistinct(col("a.gram")).as("n_leaked_spans"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** T34 — SOURCE-DIVERGENCE: a χ²-style drift score of each source's
     * unigram distribution against the whole corpus, over the global
     * top-200 vocabulary, in exact integer arithmetic: per (source, word)
@@ -461,6 +526,8 @@ object ProfileQueries {
     "g08_link_prediction" -> g08LinkPrediction,
     "g09_hits" -> g09Hits,
     "m09_phash_pairs" -> m09PhashPairs,
+    "q77_twap" -> q77Twap,
+    "dq08_split_leakage" -> dq08SplitLeakage,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -686,6 +753,53 @@ object ProfileQueries {
                                          ORDER BY score DESC, id) AS BIGINT) AS rank,
                  id, score
           FROM u ORDER BY kind, rank"""
+    },
+    "q77_twap" ->
+      """WITH e AS (
+           SELECT event_type, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events
+         ), d AS (
+           SELECT event_type, event_id, us, cents,
+                  us // 86400000000 AS day
+           FROM e
+         ), led AS (
+           SELECT event_type, day, cents,
+                  (coalesce(lead(us) OVER (PARTITION BY event_type, day
+                                           ORDER BY us, event_id),
+                            (day + 1) * 86400000000) - us) // 1000 AS dur_ms
+           FROM d
+         ), agg AS (
+           SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+                  CAST(sum(cents * dur_ms) AS BIGINT) AS wsum
+           FROM led GROUP BY event_type, day
+         )
+         SELECT event_type, day, n_samples, total_dur_ms,
+                CASE WHEN total_dur_ms > 0 THEN wsum // total_dur_ms
+                     ELSE 0 END AS twap_centi
+         FROM agg ORDER BY event_type, day""",
+    "dq08_split_leakage" -> {
+      val bktSql = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+      s"""WITH w0 AS (
+            SELECT doc_id, $wordsSql AS w,
+                   CASE WHEN $bktSql < 80 THEN 'train'
+                        WHEN $bktSql < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+          ), g AS (
+            SELECT DISTINCT split,
+                   unnest(CASE WHEN len(w) >= 8
+                          THEN list_transform(generate_series(1, len(w) - 7),
+                               i -> array_to_string(w[i : i + 7], ' '))
+                          ELSE []::VARCHAR[] END) AS gram
+            FROM w0
+          )
+          SELECT a.split AS split_a, b.split AS split_b,
+                 CAST(count(DISTINCT a.gram) AS BIGINT) AS n_leaked_spans
+          FROM g a JOIN g b ON a.gram = b.gram AND a.split < b.split
+          GROUP BY a.split, b.split
+          ORDER BY split_a, split_b"""
     },
     "t34_source_divergence" ->
       s"""WITH tok AS (

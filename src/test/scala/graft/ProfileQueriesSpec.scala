@@ -196,6 +196,58 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q77: TWAP recomputes from an independent driver-side BigInt fold") {
+    val got = ProfileQueries.q77Twap(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.core.Tables.tsNanos(
+        spark.read.parquet(s"${sf()}/events.parquet"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / 1000, // us
+        math.floor(r.getDouble(3) * 100).toLong))
+    val byKey = ev.groupBy(e => (e._1, e._3 / 86400000000L))
+    assert(byKey.size == got.size)
+    byKey.foreach { case ((typ, day), rows) =>
+      val sorted = rows.sortBy(e => (e._3, e._2))
+      var wsum = BigInt(0); var dtot = BigInt(0)
+      for (i <- sorted.indices) {
+        val nextUs = if (i + 1 < sorted.length) sorted(i + 1)._3 else (day + 1) * 86400000000L
+        val durMs = (nextUs - sorted(i)._3) / 1000
+        wsum += BigInt(sorted(i)._4) * durMs; dtot += durMs
+      }
+      val (n, tot, twap) = got((typ, day))
+      assert(n == rows.length && BigInt(tot) == dtot)
+      assert(BigInt(twap) == (if (dtot > 0) wsum / dtot else BigInt(0)),
+        s"($typ,$day): twap mismatch")
+    }
+  }
+
+  test("dq08: leaked-span counts match a driver-side recount; fixture leaks") {
+    val got = ProfileQueries.dq08SplitLeakage(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty, "fixture should have cross-split span leakage")
+    // independent recount
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Int =
+      (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100).toInt
+    def splitOf(id: Long): String = {
+      val b = bucket(id); if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val spans = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val ws = Option(r.getString(1)).getOrElse("").toLowerCase.trim.split("\\s+")
+        val sp = splitOf(r.getLong(0))
+        if (ws.length >= 8) ws.sliding(8).map(g => (sp, g.mkString(" "))).toSeq else Seq.empty
+      }.distinct
+    val bySplit = spans.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (a <- bySplit.keys; b <- bySplit.keys if a < b) {
+      val n = (bySplit(a) & bySplit(b)).size.toLong
+      assert(got.getOrElse((a, b), 0L) == n, s"($a,$b): ${got.get((a, b))} vs $n")
+    }
+  }
+
   test("t34: scores recompute from an independent driver-side tally") {
     val got = ProfileQueries.t34SourceDivergence(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
