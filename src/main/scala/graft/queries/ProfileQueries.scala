@@ -720,19 +720,24 @@ object ProfileQueries {
       // to max = S with truncating // after its sum.
       val rounds = (1 to 3).map { r =>
         val hPrev = if (r == 1) "h0" else s"h${r - 1}"
-        s"""a${r}0 AS (
+        s"""a${r}0 AS MATERIALIZED (
            |  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS s
            |  FROM e JOIN $hPrev h ON h.c = e.c GROUP BY e.p
-           |), a$r AS (
-           |  SELECT p, s * $S // (SELECT max(s) FROM a${r}0) AS a FROM a${r}0
-           |), h${r}0 AS (
+           |), am$r AS (SELECT max(s) AS m FROM a${r}0
+           |), a$r AS MATERIALIZED (
+           |  SELECT p, s * $S // am$r.m AS a FROM a${r}0, am$r
+           |), h${r}0 AS MATERIALIZED (
            |  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS s
            |  FROM e JOIN a$r a ON a.p = e.p GROUP BY e.c
-           |), h$r AS (
-           |  SELECT c, s * $S // (SELECT max(s) FROM h${r}0) AS h FROM h${r}0
+           |), hm$r AS (SELECT max(s) AS m FROM h${r}0
+           |), h$r AS MATERIALIZED (
+           |  SELECT c, s * $S // hm$r.m AS h FROM h${r}0, hm$r
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
+      // MATERIALIZED hints: each round frame feeds two consumers; without
+      // them DuckDB re-inlines the whole prefix per reference (measured
+      // 38 s -> 0.3 s at sf0.1). Semantically identical.
+      s"""WITH e AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           ), h0 AS (
