@@ -64,6 +64,42 @@ object AudioCodec {
     Some(AudioMeta(rate, channels, bits, nSamples, nSamples * 1000L / rate))
   }
 
+  /** REAL 16-bit PCM sample decode: walks the chunk list to the `data`
+    * chunk and reads little-endian signed int16 samples (channel-
+    * interleaved, returned as one stream — energy/VAD profiling doesn't
+    * separate channels). None for non-PCM/non-16-bit/malformed input —
+    * never throws. This is the content-level decode seam next to
+    * [[parse]]'s header-only path: header pass for corpus profiling,
+    * sample pass only for rows that survive the profile filters. */
+  def pcmSamples16(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var i = 12
+    var ok = false; var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= bytes.length && (!ok || dataOff < 0)) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val len = le32(bytes, i + 4)
+      if (len < 0 || i + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        ok = le16(bytes, i + 8) == 1 && le16(bytes, i + 22) == 16
+      } else if (id == "data") { dataOff = i + 8; dataLen = len }
+      i += 8 + len.toInt + (len % 2).toInt
+    }
+    if (!ok || dataOff < 0 || dataLen % 2 != 0) return None
+    val n = (dataLen / 2).toInt
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val v = le16(bytes, dataOff + 2 * k)
+      out(k) = if (v >= 32768) v - 65536 else v
+      k += 1
+    }
+    Some(out)
+  }
+
   /** Minimal valid PCM WAV: 12-byte RIFF header, 24-byte fmt chunk,
     * 8-byte data chunk header + payload (+ pad byte when odd). Sample
     * bytes are a deterministic ramp keyed by `seed` so equal params give

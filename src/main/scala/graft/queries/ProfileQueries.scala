@@ -513,6 +513,49 @@ object ProfileQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** M10 — AUDIO ENERGY PROFILE through REAL PCM sample decode: each
+    * document materializes as a valid 16-bit mono WAV whose sample bytes
+    * are the deterministic ramp [[graft.functions.AudioCodec.wavBytes]]
+    * encodes, and the ENGINE's path is the full chunk walk + little-
+    * endian signed-int16 decode ([[graft.functions.AudioCodec.pcmSamples16]])
+    * → 8 equal integer-boundary segments → per-segment mean |amplitude|
+    * — the energy/VAD profiling pass an ASR pipeline runs before
+    * transcription. The oracle recomputes the segment means from the
+    * SYNTHESIS ramp arithmetic (never parsing a WAV), so a hash match
+    * proves header walk + sample decode + segmentation end-to-end — m09's
+    * pixel-math discipline applied to audio CONTENT (m04 proved headers
+    * only).
+    *
+    * Scale: decode is a narrow per-row kernel (mapPartitions-class, no
+    * shuffle); the only exchange is the final ordering. Segment math is
+    * exact integers (sum of |int16| div count). */
+  def m10AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val mk = udf { (docId: Long, nChars: Long) =>
+      AudioCodec.wavBytes(8000, 1, 16, (nChars % 400 + 50).toInt,
+        seed = (docId % 251).toInt)
+    }
+    val prof = udf { (b: Array[Byte]) =>
+      AudioCodec.pcmSamples16(b).map { smp =>
+        val n = smp.length
+        (0 until 8).map { g =>
+          val lo = g * n / 8; val hi = (g + 1) * n / 8
+          var sum = 0L
+          var k = lo; while (k < hi) { sum += math.abs(smp(k)); k += 1 }
+          (g.toLong, (hi - lo).toLong, if (hi > lo) sum / (hi - lo) else 0L)
+        }
+      }.orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"),
+        prof(mk(col("doc_id"), col("n_chars"))).as("segs"))
+      .filter(col("segs").isNotNull)
+      .select(col("doc_id"), explode(col("segs")).as("sg"))
+      .select(col("doc_id"), col("sg._1").as("seg"),
+        col("sg._2").as("n_seg"), col("sg._3").as("mean_abs"))
+      .orderBy(col("doc_id"), col("seg"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -528,6 +571,7 @@ object ProfileQueries {
     "m09_phash_pairs" -> m09PhashPairs,
     "q77_twap" -> q77Twap,
     "dq08_split_leakage" -> dq08SplitLeakage,
+    "m10_audio_energy" -> m10AudioEnergy,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -759,6 +803,34 @@ object ProfileQueries {
                  id, score
           FROM u ORDER BY kind, rank"""
     },
+    "m10_audio_energy" ->
+      // recompute the per-segment means from the synthesis ramp
+      // (data byte j = (seed + j) mod 256, samples little-endian signed
+      // int16) — the oracle never parses a WAV; integer-boundary segment
+      // assignment mirrors the engine's lo = g·n div 8 loop exactly
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars % 400 + 50 AS BIGINT) AS n,
+                  doc_id % 251 AS seed
+           FROM documents
+         ), smp AS (
+           SELECT doc_id, n, k.k AS k,
+                  ((seed + 2 * k.k) % 256) + ((seed + 2 * k.k + 1) % 256) * 256 AS v
+           FROM d CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(0, n - 1)) AS k) k
+         ), sgn AS (
+           SELECT doc_id, n, k,
+                  CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+           FROM smp
+         ), segk AS (
+           SELECT s.doc_id, g.g, s.sv
+           FROM sgn s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g) g
+           WHERE s.k >= g.g * s.n // 8 AND s.k < (g.g + 1) * s.n // 8
+         )
+         SELECT doc_id, CAST(g AS BIGINT) AS seg,
+                CAST(count(*) AS BIGINT) AS n_seg,
+                CAST(sum(abs(sv)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_abs
+         FROM segk GROUP BY doc_id, g
+         ORDER BY doc_id, seg""",
     "q77_twap" ->
       """WITH e AS (
            SELECT event_type, event_id, epoch_us(ts) AS us,

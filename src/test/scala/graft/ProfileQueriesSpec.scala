@@ -248,6 +248,63 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m10: pcmSamples16 agrees with the JDK's own WAV reader") {
+    import graft.functions.AudioCodec
+    for (seed <- Seq(0, 17, 250); n <- Seq(50, 137)) {
+      val wav = AudioCodec.wavBytes(8000, 1, 16, n, seed)
+      val got = AudioCodec.pcmSamples16(wav).get
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val raw = ais.readAllBytes()
+      val exp = (0 until raw.length / 2).map { k =>
+        val v = (raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8)
+        if (v >= 32768) v - 65536 else v
+      }
+      assert(got.toSeq == exp, s"seed=$seed n=$n: JDK disagreement")
+    }
+  }
+
+  test("m09/m10 kernels never throw on malformed payloads") {
+    import graft.functions.AudioCodec
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(42)
+    val wav = AudioCodec.wavBytes(8000, 1, 16, 60, 3)
+    val png = graft.functions.ImageCodec.pngEncodeRgb(18, 16, new Array[Byte](18 * 16 * 3))
+    for (_ <- 1 to 300) {
+      def mutate(b: Array[Byte]): Array[Byte] = {
+        val c = b.clone()
+        for (_ <- 0 to rnd.nextInt(8)) c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        if (rnd.nextBoolean()) c.take(rnd.nextInt(c.length + 1)) else c
+      }
+      AudioCodec.pcmSamples16(mutate(wav)) // must not throw
+      Multimodal.dHashSegments(mutate(png)) // must not throw
+    }
+    assert(AudioCodec.pcmSamples16(null).isEmpty)
+    assert(AudioCodec.pcmSamples16(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("m10: segment means recompute from the ramp arithmetic") {
+    val got = ProfileQueries.m10AudioEnergy(spark, sf()).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    docs.foreach { case (id, nc) =>
+      val n = (nc % 400 + 50).toInt; val seed = (id % 251).toInt
+      val smp = (0 until n).map { k =>
+        val v = ((seed + 2 * k) % 256) + ((seed + 2 * k + 1) % 256) * 256
+        if (v >= 32768) v - 65536 else v
+      }
+      for (g <- 0 until 8) {
+        val lo = g * n / 8; val hi = (g + 1) * n / 8
+        val seg = smp.slice(lo, hi)
+        val exp = (seg.size.toLong, seg.map(v => math.abs(v).toLong).sum / seg.size)
+        assert(got((id, g.toLong)) == exp, s"doc $id seg $g")
+      }
+    }
+  }
+
   test("t34: scores recompute from an independent driver-side tally") {
     val got = ProfileQueries.t34SourceDivergence(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
