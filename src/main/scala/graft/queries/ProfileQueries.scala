@@ -513,6 +513,30 @@ object ProfileQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** S10 — METADATA-FILTERED ANN ("hybrid search"): exact top-5 cosine
+    * among corpus vectors whose label passes a metadata predicate — the
+    * filtered-search mode every vector store exposes (LanceDB
+    * `where=`, FAISS IDSelector), where post-filtering a top-k is WRONG
+    * (k survivors of an unfiltered top-k may all fail the predicate;
+    * the filter must gate candidate generation). Pre-filter semantics
+    * here: the predicate is an `In` filter PUSHED TO THE PARQUET SCAN
+    * (plan-pinned), so at 100 TB row-group statistics prune before a
+    * single vector is read — then s01's broadcast-window top-k runs on
+    * the surviving rows only.
+    *
+    * Scale: same zero-corpus-shuffle shape as s01 (broadcast queries,
+    * map-side WindowGroupLimit top-k), with the scan itself shrunk by
+    * the pushed predicate. Composes with s03/s05's index paths — the
+    * IVF probe list is filtered the same way. */
+  def s10FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val qs = embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val gated = embeddings(s, d).filter(col("label").isin(0, 2, 5))
+    Similarity.batchTopKByCosine(gated, col("vec_id"), col("embedding"), qs, 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** M10 — AUDIO ENERGY PROFILE through REAL PCM sample decode: each
     * document materializes as a valid 16-bit mono WAV whose sample bytes
     * are the deterministic ramp [[graft.functions.AudioCodec.wavBytes]]
@@ -572,6 +596,7 @@ object ProfileQueries {
     "q77_twap" -> q77Twap,
     "dq08_split_leakage" -> dq08SplitLeakage,
     "m10_audio_energy" -> m10AudioEnergy,
+    "s10_filtered_ann" -> s10FilteredAnn,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -803,6 +828,24 @@ object ProfileQueries {
                  id, score
           FROM u ORDER BY kind, rank"""
     },
+    "s10_filtered_ann" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3
+          ), scored AS (
+            SELECT b.qid, a.vec_id AS id,
+                   list_reduce(list_transform(list_zip(a.embedding, b.v),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                   / (${normSql("a.embedding")} * ${normSql("b.v")}) AS score
+            FROM embeddings a CROSS JOIN q b
+            WHERE a.label IN (0, 2, 5) AND a.vec_id <> b.qid
+          ), ranked AS (
+            SELECT qid, id, score,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY score DESC, id) AS INT) AS rank
+            FROM scored
+          )
+          SELECT qid, id, score, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
     "m10_audio_energy" ->
       // recompute the per-segment means from the synthesis ramp
       // (data byte j = (seed + j) mod 256, samples little-endian signed

@@ -248,6 +248,22 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("s10: label predicate pushed to the parquet scan; results all pass it") {
+    val df = SparkEntry.queries("s10_filtered_ann")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(label"),
+      s"metadata filter not pushed to the scan:\n${p.take(2000)}")
+    val labels = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(Set(0, 2, 5)(labels(r.getLong(1))),
+      s"result ${r.getLong(1)} fails the metadata predicate"))
+    // pre-filter, not post-filter: every query must still get full k
+    rows.groupBy(_.getLong(0)).values.foreach(g => assert(g.size == 5))
+  }
+
   test("m10: pcmSamples16 agrees with the JDK's own WAV reader") {
     import graft.functions.AudioCodec
     for (seed <- Seq(0, 17, 250); n <- Seq(50, 137)) {
