@@ -513,6 +513,64 @@ object ProfileQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** T35 — STUPID-BACKOFF held-out scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): build the bigram LM from
+    * the TRAIN split only (t07's hash split) and score the held-out
+    * (val/test) documents — the honest perplexity protocol, where t26
+    * scores data under a model that has seen it. Backoff weight α = 1/2
+    * ON PURPOSE: in the catalog's floor-log₂ surprisal basis (d11's
+    * bit-length primitive) ×1/2 is EXACTLY +1, so the whole chain stays
+    * integer and hash-exact — a seen bigram costs
+    * floor_log2(c_w1 div c_bg), an unseen one costs
+    * 1 + floor_log2(T div c_w2), an OOV word costs 1 + floor_log2(T) + 1.
+    * Per-doc output carries the backoff count — the novelty rate a
+    * domain-shift monitor watches alongside the score.
+    *
+    * Scale: model and scoring are both corpus-scaled hash aggs/joins on
+    * the bigram key, never broadcast (t11's rule); the train/held-out
+    * gate is a pushed-down predicate on the already-computed split
+    * column. */
+  def t35BackoffSurprisal(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val base = documents(s, d)
+      .select(col("doc_id"), Sampling.split(col("doc_id"), 80, 10).as("split"),
+        expr("""filter(split(trim(lower(coalesce(text, ''))), '\\s+'),
+               |       w -> length(w) > 0)""".stripMargin).as("ws"))
+      .localCheckpoint(true) // feeds the train model AND the held-out scorer
+    def pairsOf(df: DataFrame) = df.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |    i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = base.filter(col("split") === "train")
+    val uni = train.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tTot = uni.agg(sum(col("c_w")).as("t"))
+    val bg = pairsOf(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("c_w1",
+        sum(col("c_bg")).over(Window.partitionBy(col("w1"))))
+      .selectExpr("w1", "w2",
+        "CAST(length(bin(c_w1 div c_bg)) - 1 AS BIGINT) AS s_bg")
+    val held = pairsOf(base.filter(col("split") =!= "train"))
+    held.join(bg, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tTot))
+      .selectExpr("doc_id",
+        """CASE WHEN s_bg IS NOT NULL THEN s_bg
+          |     WHEN c_w IS NOT NULL
+          |       THEN 1 + CAST(length(bin(t div c_w)) - 1 AS BIGINT)
+          |     ELSE 2 + CAST(length(bin(t)) - 1 AS BIGINT) END AS s""".stripMargin,
+        "CASE WHEN s_bg IS NULL THEN 1 ELSE 0 END AS backed")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"),
+        sum(col("backed")).as("n_backoff"))
+      .selectExpr("doc_id", "n_bigrams", "n_backoff", "sum_surprisal",
+        "sum_surprisal * 1000 div n_bigrams AS mean_milli")
+      .orderBy(col("doc_id"))
+  }
+
   /** S10 — METADATA-FILTERED ANN ("hybrid search"): exact top-5 cosine
     * among corpus vectors whose label passes a metadata predicate — the
     * filtered-search mode every vector store exposes (LanceDB
@@ -597,6 +655,7 @@ object ProfileQueries {
     "dq08_split_leakage" -> dq08SplitLeakage,
     "m10_audio_energy" -> m10AudioEnergy,
     "s10_filtered_ann" -> s10FilteredAnn,
+    "t35_backoff_surprisal" -> t35BackoffSurprisal,
     "s09_range_search" -> s09RangeSearch)
 
   // ----------------------------------------------------------- oracle SQL
@@ -827,6 +886,59 @@ object ProfileQueries {
                                          ORDER BY score DESC, id) AS BIGINT) AS rank,
                  id, score
           FROM u ORDER BY kind, rank"""
+    },
+    "t35_backoff_surprisal" -> {
+      val bktSql = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+      val pairsSql = (cond: String) =>
+        s"""SELECT doc_id,
+           |       unnest(CASE WHEN len(ws) >= 2
+           |              THEN list_transform(generate_series(1, len(ws) - 1),
+           |                   i -> ws[i] || ' ' || ws[i + 1])
+           |              ELSE []::VARCHAR[] END) AS bg
+           |FROM base WHERE $cond""".stripMargin
+      s"""WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN $bktSql < 80 THEN 'train'
+                        WHEN $bktSql < 90 THEN 'val' ELSE 'test' END AS split,
+                   list_filter(
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> length(w) > 0) AS ws
+            FROM documents
+          ), tp AS (${pairsSql("split = 'train'")}
+          ), bgm0 AS (
+            SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM tp GROUP BY bg
+          ), bgm AS (
+            SELECT bg,
+                   CAST(length(bin(
+                     CAST(sum(c_bg) OVER (PARTITION BY split_part(bg, ' ', 1)) AS BIGINT)
+                       // c_bg)) - 1 AS BIGINT) AS s_bg
+            FROM bgm0
+          ), uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c_w
+            FROM (SELECT unnest(ws) AS w FROM base WHERE split = 'train') t
+            GROUP BY w
+          ), ttot AS (
+            SELECT CAST(sum(c_w) AS BIGINT) AS t FROM uni
+          ), hp AS (${pairsSql("split <> 'train'")}
+          ), j AS (
+            SELECT hp.doc_id,
+                   CASE WHEN m.s_bg IS NOT NULL THEN m.s_bg
+                        WHEN u.c_w IS NOT NULL
+                          THEN 1 + CAST(length(bin(tt.t // u.c_w)) - 1 AS BIGINT)
+                        ELSE 2 + CAST(length(bin(tt.t)) - 1 AS BIGINT) END AS s,
+                   CASE WHEN m.s_bg IS NULL THEN 1 ELSE 0 END AS backed
+            FROM hp LEFT JOIN bgm m ON m.bg = hp.bg
+            LEFT JOIN uni u ON u.w = split_part(hp.bg, ' ', 2)
+            CROSS JOIN ttot tt
+          ), agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(backed) AS BIGINT) AS n_backoff,
+                   CAST(sum(s) AS BIGINT) AS sum_surprisal
+            FROM j GROUP BY doc_id
+          )
+          SELECT doc_id, n_bigrams, n_backoff, sum_surprisal,
+                 sum_surprisal * 1000 // n_bigrams AS mean_milli
+          FROM agg ORDER BY doc_id"""
     },
     "s10_filtered_ann" ->
       s"""WITH q AS (

@@ -248,6 +248,50 @@ class ProfileQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t35: held-out only, backoff counted, surprisal recomputes in BigInt") {
+    val got = ProfileQueries.t35BackoffSurprisal(spark, sf()).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    got.foreach { case (id, _) => assert(splitOf(id) != "train", s"train doc $id scored") }
+    // independent model + scorer in plain Scala / BigInt
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("").toLowerCase.trim.split("\\s+").filter(_.nonEmpty)))
+    def log2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val trainWs = docs.filter(d => splitOf(d._1) == "train")
+    val uni = trainWs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = uni.values.sum
+    val bgc = trainWs.flatMap(_._2.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val w1c = bgc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    docs.filter(d => splitOf(d._1) != "train" && d._2.length >= 2).foreach { case (id, ws) =>
+      var n = 0L; var nb = 0L; var sum = BigInt(0)
+      ws.sliding(2).filter(_.length == 2).foreach { a =>
+        n += 1
+        bgc.get((a(0), a(1))) match {
+          case Some(c) => sum += log2(w1c(a(0)) / c)
+          case None =>
+            nb += 1
+            sum += (uni.get(a(1)) match {
+              case Some(cw) => 1 + log2(t / cw)
+              case None => 2 + log2(t)
+            })
+        }
+      }
+      val (gn, gb, gs, gm) = got.toMap.apply(id)
+      assert(gn == n && gb == nb && BigInt(gs) == sum, s"doc $id")
+      assert(gm == gs * 1000 / gn)
+    }
+  }
+
   test("s10: label predicate pushed to the parquet scan; results all pass it") {
     val df = SparkEntry.queries("s10_filtered_ann")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
