@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.MiningQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.ProfileQueries.queries
+      graft.queries.ProfileQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
       graft.queries.SketchQueries.oracle ++
-      graft.queries.ProfileQueries.oracle
+      graft.queries.ProfileQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

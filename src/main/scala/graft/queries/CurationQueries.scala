@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.Dedupe
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Round-8 curation surface: the decision-making queries a pretraining-data
+  * team runs AFTER profiling (ProfileQueries) and BEFORE committing a mix —
+  * graph-based keyword salience (TextRank), embedding-space label probing
+  * (k-NN eval), cross-series lead-lag structure, pipeline-freshness audit,
+  * and the composite quality-tier routing that turns individual signals
+  * into a filter decision. Catalog rules as everywhere else: deterministic
+  * order, exact integer arithmetic for every reported ratio (basis points /
+  * millis via BIGINT `div`), doubles only inside the proven engine-identical
+  * cosine fold where they feed RANKS, never hashed values.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** T36 — TEXTRANK keyword salience (Mihalcea & Tarau 2004) over the
+    * word-adjacency graph, in SCALED-BIGINT arithmetic: adjacent word
+    * pairs within each document become undirected weighted edges, then 3
+    * damped PageRank rounds (d = 0.85) rank words by graph centrality —
+    * the keyword extractor that, unlike t28's RAKE frequency heuristic,
+    * rewards words that co-occur with many DIFFERENT well-connected words.
+    *
+    * Arithmetic: scores carried as rank × 10⁹ (NOT g04's 10¹² — TextRank
+    * multiplies score × edge weight before the div, and edge weights scale
+    * linearly with corpus size: p ≤ V·S ≈ 3·10¹⁰ here, c ≈ 3·10⁵ at sf0.1,
+    * so p·c ≈ 10¹⁶ with ~300× corpus headroom before p·c nears 2⁶³; past
+    * that, pre-normalize edge weights by their global gcd or widen the
+    * contribution product to DECIMAL — the 10⁹ CONSTANT is bench-scoped,
+    * the round shape is not). Truncating `div` is bit-identical in Spark
+    * and DuckDB, so the full 3-round fixpoint hash-matches (g04's
+    * discipline).
+    *
+    * Scale shape: ONE corpus explode into adjacent pairs → (w1, w2) hash
+    * agg with map-side combine (the only corpus-sized shuffle); every
+    * round after that is joins/aggs on the vocabulary-sized edge list,
+    * checkpointed per round (L15/G3 lineage discipline). No windows, no
+    * driver-side state; vocabulary frames are small by Heaps' law but are
+    * still never broadcast (t11's rule — vocab grows with the corpus). */
+  def t36Textrank(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000L // rank × 10^9; headroom argued in the scaladoc
+    val toks = documents(s, d).select(
+      filter(Dedupe.words(coalesce(col("text"), lit(""))),
+        w => length(w) > 0).as("ws"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"""
+          .stripMargin)).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("w1"),
+        greatest(col("p.a"), col("p.b")).as("w2"))
+      .filter(col("w1") =!= col("w2")) // no self-loops (repeated-word runs)
+    val und = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val e = und.select(col("w1").as("u"), col("w2").as("v"), col("c"))
+      .union(und.select(col("w2").as("u"), col("w1").as("v"), col("c")))
+      .localCheckpoint(true)
+    val wdeg = e.groupBy(col("u")).agg(sum(col("c")).as("wsum"))
+      .localCheckpoint(true)
+    // Every vertex has ≥1 edge (pairs define the vertex set), so each
+    // round's contribution agg covers the full vertex set — no outer join
+    // back to a node table needed (g04's observation).
+    var p = wdeg.select(col("u").as("v"), lit(S).as("p")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      p = e.join(p.withColumnRenamed("v", "u"), Seq("u"))
+        .join(wdeg, Seq("u"))
+        .select(col("v"), expr("(p * c) div wsum").as("t"))
+        .groupBy(col("v")).agg(sum(col("t")).as("sc"))
+        .select(col("v"),
+          (lit(15L * S / 100) + expr("(85 * sc) div 100")).as("p"))
+        .localCheckpoint(true)
+    }
+    p.orderBy(col("p").desc, col("v"))
+      .select(col("v").as("word"), col("p").as("rank_scaled"))
+      .limit(50)
+  }
+
+  /** S11 — k-NN LABEL EVAL: the embedding-quality probe classifier. Hold
+    * out every vec_id ≡ 0,1 (mod 100), predict each held-out vector's
+    * label by majority vote of its 5 nearest training neighbors (cosine),
+    * and report per-query prediction vs truth. This is the standard cheap
+    * "are these embeddings any good" harness (kNN probe, Cover & Hart
+    * 1967): no training, and accuracy directly measures whether the
+    * embedding geometry separates the label classes — run it before
+    * spending GPU-hours on anything downstream. Votes and the correct
+    * flag are exact integers; the cosine scores only feed RANKS (the
+    * codegen fold is bit-identical both engines, so ranks match exactly).
+    *
+    * Tie rule: most votes, then smallest label — expressed as ONE
+    * partial-aggregable `max(struct(votes, -label, label))` hash agg,
+    * never a row_number window over the vote table (the d08/s05 argmax
+    * discipline).
+    *
+    * Scale shape: the held-out set is a bounded probe panel (broadcast);
+    * the training corpus streams through one narrow scored projection
+    * into a per-qid top-k window that InferWindowGroupLimit cuts to ≤k
+    * rows per partition BEFORE the shuffle (s01's plan shape). Nothing
+    * corpus-sized shuffles on anything but the bounded qid key. */
+  def s11KnnLabelEval(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val heldout = col("vec_id") % 100 < 2
+    val qs = emb.filter(heldout)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("truth"))
+    val scored = emb.filter(!heldout).crossJoin(broadcast(qs))
+      .select(col("qid"), col("truth"), col("label"), col("vec_id").as("id"),
+        cosineSimilarity(col("embedding"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .groupBy(col("qid"), col("truth"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("qid"), col("truth"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"), col("label").as("lab"))).as("m"))
+      .select(col("qid"), col("truth"),
+        col("m.lab").as("pred"), col("m.c").as("votes"))
+      .withColumn("correct", (col("pred") === col("truth")).cast("int"))
+      .orderBy(col("qid"))
+  }
+
+  /** Q78 — LEAD-LAG CONCORDANCE between two business series: monthly
+    * order revenue (orders) vs monthly shipped quantity (lineitem) at
+    * lags −6..+6. Pearson cross-correlation needs √(denA·denB) — an
+    * irrational normalizer no integer (or cross-engine double) pipeline
+    * can hash — so the statistic reported is the SIGN-CONCORDANCE
+    * correlogram: at each lag, the share of month pairs where both
+    * series sit on the same side of their mean (in basis points), plus
+    * the exact BIGINT covariance numerator for magnitude. Concordance is
+    * the distribution-free lead-lag test (Kendall's idea applied to
+    * mean-deviations); the peak lag answers "does ordering LEAD
+    * shipping" — the demand-forecasting primitive.
+    *
+    * Arithmetic: q68's mean-division killer — deviations scaled by n
+    * (dev = n·x − Σx), revenue in $100k units (cents div 10⁷), quantity
+    * floor()ed to BIGINT (floor is IEEE-identical both engines; naked
+    * CAST is NOT — Spark truncates, DuckDB rounds). Headroom: num terms
+    * ≈ 10¹² at sf0.1 and grow quadratically with monthly volume — safe
+    * to ~1000× this bench, then coarsen the units (the q76 scoping
+    * rule). Months on the LINEAR year·12+month axis (d20's rule).
+    *
+    * Scale shape: both fact tables collapse to calendar-bounded monthly
+    * frames FIRST (map-side-combinable aggs — the only corpus-sized
+    * work); the join, stats broadcast, and 13-lag self-join all run on
+    * ≤ n_months rows. Aggregate first, correlate after (q76's shape). */
+  def q78LeadLag(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("t"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("t")).agg(expr("sum(cents) div 10000000").as("a"))
+    val b = lineitem(s, d).select(
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("t"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("q"))
+      .groupBy(col("t")).agg(sum(col("q")).as("b"))
+    val joint = a.join(b, Seq("t")).localCheckpoint(false)
+    val stats = joint.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+    val dev = joint.crossJoin(broadcast(stats))
+      .select(col("t"), (col("n") * col("a") - col("sa")).as("da"),
+        (col("n") * col("b") - col("sb")).as("db"))
+      .localCheckpoint(false) // both sides of the lag join
+    val lags = s.range(-6, 7).select(col("id").as("k"))
+    dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("t").as("tk"), col("db").as("db_k")),
+        col("t") + col("k") === col("tk"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("da") * col("db_k")).as("num"),
+        sum(when((col("da") > 0 && col("db_k") > 0) ||
+                 (col("da") < 0 && col("db_k") < 0), 1L).otherwise(0L))
+          .as("n_concordant"))
+      .selectExpr("k AS lag", "n_pairs", "num", "n_concordant",
+        "n_concordant * 10000 div n_pairs AS concord_bp")
+      .orderBy(col("lag"))
+  }
+
+  /** DQ09 — FRESHNESS / SILENCE AUDIT per event type: arrival-gap
+    * statistics over the event stream — first/last seen, the largest
+    * silent gap, the mean inter-arrival time, and how many gaps exceeded
+    * one hour. This is the pipeline-health audit every ingestion team
+    * pages on ("source X went quiet for 9 hours last Tuesday"): a mean
+    * arrival rate hides exactly the outage the max-gap exposes. All
+    * integer microseconds (the catalog's ts-micros discipline; mean gap
+    * as an exact `div` over last−first, which equals the mean of the
+    * gaps by telescoping — no per-gap sum needed).
+    *
+    * Scale shape: ONE shuffle on event_type (the lag window's sort), and
+    * the same clustering feeds the groupBy — Spark reuses the exchange,
+    * so the whole audit is a single-exchange plan. Gap diffs over a
+    * sorted multiset are tie-order-independent (equal timestamps give
+    * zero gaps wherever they land), so the window order needs no
+    * tiebreak to be deterministic. */
+  def dq09Freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), expr("ts div 1000").as("us"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+    ev.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("gap")).as("max_gap_us"),
+        sum(when(col("gap") > 3600000000L, 1L).otherwise(0L)).as("n_gaps_over_1h"))
+      .selectExpr("event_type", "n_events", "first_us", "last_us",
+        "max_gap_us", "n_gaps_over_1h",
+        "CASE WHEN n_events > 1 THEN (last_us - first_us) div (n_events - 1) " +
+          "ELSE CAST(0 AS BIGINT) END AS mean_gap_us")
+      .orderBy(col("event_type"))
+  }
+
+  /** P02 — COMPOSITE QUALITY TIERS: the routing decision that turns the
+    * profiling family's individual signals into a keep/fix/drop verdict,
+    * reported as a per-source tier histogram with in-source shares. The
+    * cascade (first matching rule wins) mirrors how production filters
+    * compose — hard gates before soft ones: too_short (< 25 words, t02's
+    * axis) → repetitive (type-token ratio < 4000 bp, t29's axis) →
+    * complex (Flesch–Kincaid > 30 milli-grades ×10³, t31's axis) → keep.
+    * Thresholds sit at round numbers well inside the observed signal
+    * ranges (wc 10–99, ttr 2765–10⁴, fk 2.6k–40.8k at sf0.01) so every
+    * tier is populated and no document sits on a knife edge — and the
+    * arithmetic is exact integers anyway, so a boundary value is still
+    * deterministic.
+    *
+    * Scale shape: ALL three signals come from ONE narrow per-row
+    * projection (array_distinct for types — per-document work, bounded
+    * by doc length, never a corpus-distinct shuffle), then a
+    * (source, tier) map-side-combinable agg; the in-source share window
+    * runs over the aggregated frame (≤ sources × 4 rows). One scan, one
+    * real shuffle. */
+  def p02QualityTiers(s: SparkSession, d: String): DataFrame = {
+    val txt = lower(coalesce(col("text"), lit("")))
+    val sig = documents(s, d).select(col("source"),
+      size(filter(Dedupe.words(coalesce(col("text"), lit(""))),
+        w => length(w) > 0)).cast("long").as("wc"),
+      size(array_distinct(filter(Dedupe.words(coalesce(col("text"), lit(""))),
+        w => length(w) > 0))).cast("long").as("types"),
+      size(filter(transform(split(txt, "[.!?]+"), seg => trim(seg)),
+        seg => length(seg) > 0)).cast("long").as("n_sentences"),
+      size(regexp_extract_all(txt, lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syllables"))
+    // greatest(n_sentences, 1): a ≥25-word doc always has ≥1 sentence on
+    // this corpus, but an all-punctuation pathological doc would hit
+    // ANSI DIVIDE_BY_ZERO and kill the whole job — the guard is inert on
+    // real data and mirrored in the oracle.
+    val tiered = sig.selectExpr("source",
+      """CASE WHEN wc < 25 THEN 'too_short'
+        |     WHEN types * 10000 div wc < 4000 THEN 'repetitive'
+        |     WHEN (390 * (wc * 1000 div greatest(n_sentences, CAST(1 AS BIGINT)))
+        |           + 11800 * (n_syllables * 1000 div wc)) div 1000 - 15590 > 30000
+        |       THEN 'complex'
+        |     ELSE 'keep' END AS tier""".stripMargin)
+    val w = Window.partitionBy(col("source"))
+    tiered.groupBy(col("source"), col("tier")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(w))
+      .selectExpr("source", "tier", "n_docs", "n_docs * 10000 div tot AS share_bp")
+      .orderBy(col("source"), col("tier"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t36_textrank" -> t36Textrank,
+    "s11_knn_label_eval" -> s11KnnLabelEval,
+    "q78_lead_lag" -> q78LeadLag,
+    "dq09_freshness" -> dq09Freshness,
+    "p02_quality_tiers" -> p02QualityTiers)
+
+  private val wordsSql =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> length(w) > 0)"""
+
+  val oracle: Map[String, String] = Map(
+    "t36_textrank" -> {
+      // One PageRank round over the weighted word graph (p_prev -> sql).
+      def round(prev: String) =
+        s"""SELECT e.v,
+              CAST(150000000 + (85 * sum((p.p * e.c) // w.wsum)) // 100 AS BIGINT) AS p
+            FROM e JOIN $prev p ON p.v = e.u JOIN wdeg w ON w.u = e.u
+            GROUP BY e.v"""
+      s"""WITH tok AS (
+            SELECT $wordsSql AS ws FROM documents
+          ), bg AS (
+            SELECT unnest(CASE WHEN len(ws) >= 2
+                   THEN list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])
+                   ELSE []::VARCHAR[] END) AS bg
+            FROM tok
+          ), und AS (
+            SELECT least(split_part(bg, ' ', 1), split_part(bg, ' ', 2)) AS w1,
+                   greatest(split_part(bg, ' ', 1), split_part(bg, ' ', 2)) AS w2,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM bg WHERE split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)
+            GROUP BY 1, 2
+          ), e AS (
+            SELECT w1 AS u, w2 AS v, c FROM und
+            UNION ALL SELECT w2 AS u, w1 AS v, c FROM und
+          ), wdeg AS (
+            SELECT u, CAST(sum(c) AS BIGINT) AS wsum FROM e GROUP BY u
+          ), p0 AS (
+            SELECT u AS v, CAST(1000000000 AS BIGINT) AS p FROM wdeg
+          ), p1 AS (${round("p0")}), p2 AS (${round("p1")}), p3 AS (${round("p2")})
+          SELECT v AS word, p AS rank_scaled FROM p3
+          ORDER BY p DESC, v LIMIT 50"""
+    },
+    "s11_knn_label_eval" -> {
+      val dot = "list_reduce(list_transform(list_zip(t.embedding, q.qv), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+      def norm(v: String) =
+        s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv, label AS truth
+            FROM embeddings WHERE vec_id % 100 < 2
+          ), scored AS (
+            SELECT q.qid, q.truth, t.label, t.vec_id AS id,
+                   $dot / (${norm("t.embedding")} * ${norm("q.qv")}) AS score
+            FROM embeddings t CROSS JOIN q
+            WHERE NOT t.vec_id % 100 < 2
+          ), top AS (
+            SELECT qid, truth, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+              FROM scored) WHERE rk <= 5
+          ), votes AS (
+            SELECT qid, truth, label, CAST(count(*) AS BIGINT) AS c
+            FROM top GROUP BY qid, truth, label
+          ), pick AS (
+            SELECT qid, truth, label AS pred, c AS votes,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rk
+            FROM votes
+          )
+          SELECT qid, truth, pred, votes,
+                 CAST(CASE WHEN pred = truth THEN 1 ELSE 0 END AS INT) AS correct
+          FROM pick WHERE rk = 1 ORDER BY qid"""
+    },
+    "q78_lead_lag" ->
+      """WITH a AS (
+           SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS t,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) // 10000000 AS BIGINT) AS a
+           FROM orders GROUP BY 1
+         ), b AS (
+           SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS t,
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS b
+           FROM lineitem GROUP BY 1
+         ), joint AS (
+           SELECT a.t, a.a, b.b FROM a JOIN b USING (t)
+         ), stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+           FROM joint
+         ), dev AS (
+           SELECT t, n * a - sa AS da, n * b - sb AS db FROM joint CROSS JOIN stats
+         ), lags AS (
+           SELECT unnest(generate_series(-6, 6)) AS k
+         )
+         SELECT l.k AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(x.da * y.db) AS BIGINT) AS num,
+                CAST(sum(CASE WHEN (x.da > 0 AND y.db > 0)
+                               OR (x.da < 0 AND y.db < 0) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_concordant,
+                CAST(sum(CASE WHEN (x.da > 0 AND y.db > 0)
+                               OR (x.da < 0 AND y.db < 0) THEN 1 ELSE 0 END) * 10000
+                     // count(*) AS BIGINT) AS concord_bp
+         FROM lags l JOIN dev x ON true JOIN dev y ON y.t = x.t + l.k
+         GROUP BY l.k ORDER BY lag""",
+    "dq09_freshness" ->
+      """WITH g AS (
+           SELECT event_type, epoch_us(ts) AS us,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS gap
+           FROM events
+         )
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(min(us) AS BIGINT) AS first_us, CAST(max(us) AS BIGINT) AS last_us,
+                CAST(max(gap) AS BIGINT) AS max_gap_us,
+                CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1h,
+                CAST(CASE WHEN count(*) > 1
+                     THEN (max(us) - min(us)) // (count(*) - 1)
+                     ELSE 0 END AS BIGINT) AS mean_gap_us
+         FROM g GROUP BY event_type ORDER BY event_type""",
+    "p02_quality_tiers" ->
+      s"""WITH sig AS (
+            SELECT source,
+                   CAST(len($wordsSql) AS BIGINT) AS wc,
+                   CAST(len(list_distinct($wordsSql)) AS BIGINT) AS types,
+                   CAST(len(list_filter(list_transform(
+                        regexp_split_to_array(lower(text), '[.!?]+'), x -> trim(x)),
+                        x -> length(x) > 0)) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+            FROM documents
+          ), tiered AS (
+            SELECT source,
+                   CASE WHEN wc < 25 THEN 'too_short'
+                        WHEN types * 10000 // wc < 4000 THEN 'repetitive'
+                        WHEN (390 * (wc * 1000 // greatest(n_sentences, 1))
+                              + 11800 * (n_syllables * 1000 // wc)) // 1000 - 15590 > 30000
+                          THEN 'complex'
+                        ELSE 'keep' END AS tier
+            FROM sig
+          ), agg AS (
+            SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs
+            FROM tiered GROUP BY source, tier
+          )
+          SELECT source, tier, n_docs,
+                 CAST(n_docs * 10000 // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                   AS share_bp
+          FROM agg ORDER BY source, tier""")
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Behavior contracts for the curation family (t36 / s11 / q78 / dq09 /
+  * p02) — independent driver-side recomputations and the distribution
+  * invariants the DuckDB hash check doesn't state explicitly.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("t36: 3-round TextRank reproduces under an independent BigInt driver-side walk") {
+    // Independent plain-Scala implementation: tokenize → adjacent pairs →
+    // undirected weighted graph → 3 damped rounds, all in BigInt so any
+    // engine-side overflow would show up as a mismatch.
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val S = BigInt(1000000000L)
+    val edges = collection.mutable.Map.empty[(String, String), BigInt]
+    docs.filter(_ != null).foreach { t =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(2).foreach {
+        case Array(a, b) if a != b =>
+          val k = if (a < b) (a, b) else (b, a)
+          edges(k) = edges.getOrElse(k, BigInt(0)) + 1
+        case _ => ()
+      }
+    }
+    val dir = edges.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val wsum = dir.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    var p: Map[String, BigInt] = wsum.map { case (u, _) => u -> S }
+    for (_ <- 1 to 3) {
+      val contrib = dir.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, c) => (p(u) * c) / wsum(u) }.sum
+      }
+      p = contrib.map { case (v, s) => v -> (S * 15 / 100 + s * 85 / 100) }
+    }
+    val expect = p.toSeq.sortBy { case (w, r) => (-r, w) }.take(50)
+    val got = CurationQueries.t36Textrank(spark, sf()).collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1))))
+    assert(got.toSeq == expect,
+      s"engine TextRank diverges from the BigInt recount:\n${got.take(5).toSeq} vs ${expect.take(5)}")
+  }
+
+  test("s11: votes reproduce under a driver-side brute-force kNN recount") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val held = emb.filter(_._1 % 100 < 2)
+    val train = emb.filter(_._1 % 100 >= 2)
+    val expect = held.sortBy(_._1).map { case (qid, qv, truth) =>
+      val top = train.map { case (id, v, l) => (id, l, cos(v, qv)) }
+        .sortBy { case (id, _, sc) => (-sc, id) }.take(5)
+      val votes = top.groupBy(_._2).map { case (l, g) => (l, g.length) }
+      val (pred, n) = votes.toSeq.maxBy { case (l, c) => (c, -l) }
+      (qid, truth, pred, n.toLong, if (pred == truth) 1 else 0)
+    }
+    val got = CurationQueries.s11KnnLabelEval(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == expect.toSeq,
+      s"kNN eval diverges from brute force:\n${got.take(3).toSeq} vs ${expect.take(3).toSeq}")
+    // the probe must fill every held-out query
+    assert(got.length == held.length)
+  }
+
+  test("q78: concordance and covariance numerators reproduce in BigInt; lag 0 is self-consistent") {
+    val rows = CurationQueries.q78LeadLag(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent recount from the raw tables
+    val a = spark.read.parquet(sf() + "/orders.parquet")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("t"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("t").agg(expr("sum(c) div 10000000").as("v")).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    val b = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("t"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("q"))
+      .groupBy("t").agg(sum("q").as("v")).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    val ts = a.keySet.intersect(b.keySet).toSeq.sorted
+    val n = BigInt(ts.length)
+    val sa = ts.map(a).sum; val sb = ts.map(b).sum
+    val da = ts.map(t => t -> (n * a(t) - sa)).toMap
+    val db = ts.map(t => t -> (n * b(t) - sb)).toMap
+    for ((lag, nPairs, num, nConc, bp) <- rows) {
+      val pairs = ts.filter(t => db.contains(t + lag))
+      assert(nPairs == pairs.length.toLong, s"lag $lag pair count")
+      val eNum = pairs.map(t => da(t) * db(t + lag)).sum
+      assert(BigInt(num) == eNum, s"lag $lag covariance numerator wraps or diverges")
+      val eConc = pairs.count(t =>
+        (da(t) > 0 && db(t + lag) > 0) || (da(t) < 0 && db(t + lag) < 0))
+      assert(nConc == eConc.toLong && bp == eConc.toLong * 10000 / pairs.length)
+    }
+    // lag 0 pairs every common month with itself: covariance numerator > 0
+    val l0 = rows.find(_._1 == 0L).get
+    assert(l0._2 == ts.length.toLong)
+  }
+
+  test("dq09: max gap dominates the telescoped mean and 1h exceedances are consistent") {
+    val rows = CurationQueries.dq09Freshness(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val first = r.getAs[Long]("first_us"); val last = r.getAs[Long]("last_us")
+      val maxGap = r.getAs[Long]("max_gap_us"); val mean = r.getAs[Long]("mean_gap_us")
+      assert(last >= first && maxGap >= 0 && maxGap >= mean,
+        s"${r.getString(0)}: max gap must dominate the mean")
+      assert(mean == (if (n > 1) (last - first) / (n - 1) else 0L),
+        "telescoped mean must equal (last-first)/(n-1) exactly")
+      val over = r.getAs[Long]("n_gaps_over_1h")
+      assert(over >= 0 && over <= n - 1)
+      if (maxGap <= 3600000000L) assert(over == 0L)
+      else assert(over >= 1L)
+    }
+  }
+
+  test("p02: tiers partition each source and shares telescope to ~10000 bp") {
+    val rows = CurationQueries.p02QualityTiers(spark, sf()).collect()
+    val valid = Set("too_short", "repetitive", "complex", "keep")
+    assert(rows.forall(r => valid(r.getString(1))))
+    val nDocs = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document must land in exactly one (source, tier) cell")
+    rows.groupBy(_.getString(0)).foreach { case (src, grp) =>
+      val bp = grp.map(_.getAs[Long]("share_bp")).sum
+      assert(bp > 10000 - grp.length && bp <= 10000, s"$src share sum $bp")
+    }
+  }
+}
