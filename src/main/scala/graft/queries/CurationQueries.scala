@@ -257,8 +257,133 @@ object CurationQueries {
       .orderBy(col("source"), col("tier"))
   }
 
+  /** M11 — COLOR STATISTICS through the REAL pixel path: every document
+    * materializes as a real container (PNG for even doc_ids — inflate +
+    * unfilter on decode — uncompressed 24-bit BMP for odd, exercising TWO
+    * independent codec paths in one query), and the engine decodes actual
+    * bytes to compute per-image channel means and a 4-bucket luminance
+    * histogram (ITU-R BT.601 integer weights 299/587/114, the standard
+    * grayscale the dHash path also uses). This is the exposure/color
+    * screen a vision-data pipeline runs before training (all-black /
+    * blown-out / single-hue detection). The oracle recomputes every value
+    * from the SYNTHESIS arithmetic — it never sees a PNG or BMP — so the
+    * hash proves encode → decode → pixel-stat equivalence end-to-end
+    * (m09's pixel-math discipline).
+    *
+    * All-integer: channel sums are exact, means are `div` by the pixel
+    * count, luminance `(299r+587g+114b) div 1000` ∈ [0,255] buckets by
+    * `div 64`. Scale shape: one narrow per-row kernel (decode + one pass
+    * over 288 pixels), no shuffle but the final order — the m10 shape. */
+  def m11ColorStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ImageCodec
+    val mk = udf { (docId: Long) =>
+      val w = 18; val h = 16
+      val base = docId / 8; val pert = docId % 8
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        var r = (x * x + 3 * y * base + 7 * base * base + 11 * y) % 256
+        if ((x + 18 * y) % 29 == 0) r = (r + pert) % 256
+        val g = (y * y + 5 * x * base + 13 * base) % 256
+        val b = (x * y + 17 * base + 19 * x) % 256
+        val o = (y * w + x) * 3
+        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+      }
+      if (docId % 2 == 0) ImageCodec.pngEncodeRgb(w, h, rgb)
+      else ImageCodec.bmpEncodeRgb(w, h, rgb)
+    }
+    val stats = udf { (payload: Array[Byte]) =>
+      val dec =
+        if (payload != null && payload.length > 8 && (payload(0) & 0xFF) == 0x89)
+          ImageCodec.pngDecodeRgb(payload).map(("png", _))
+        else if (payload != null && payload.length > 2 &&
+          payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+          ImageCodec.bmpDecodeRgb(payload).map(("bmp", _))
+        else None
+      dec.map { case (fmt, (w, h, rgb)) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](4)
+        var i = 0
+        while (i < w * h) {
+          val r = rgb(i * 3) & 0xFF
+          val g = rgb(i * 3 + 1) & 0xFF
+          val b = rgb(i * 3 + 2) & 0xFF
+          sr += r; sg += g; sb += b
+          hist(((r * 299 + g * 587 + b * 114) / 1000) / 64) += 1
+          i += 1
+        }
+        (fmt, (w * h).toLong, sr, sg, sb, hist(0), hist(1), hist(2), hist(3))
+      }.orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), stats(mk(col("doc_id"))).as("st"))
+      .filter(col("st").isNotNull)
+      .selectExpr("doc_id", "st._1 AS format", "st._2 AS n_px",
+        "st._3 div st._2 AS mean_r", "st._4 div st._2 AS mean_g",
+        "st._5 div st._2 AS mean_b",
+        "st._6 AS lum_h0", "st._7 AS lum_h1", "st._8 AS lum_h2", "st._9 AS lum_h3")
+      .orderBy(col("doc_id"))
+  }
+
+  /** S12 — IVF PROBE-SWEEP RECALL CURVE: the ANN tuning harness. Runs
+    * the s03 seeded-IVF index at nProbe ∈ {1, 2, 4} and reports, per
+    * setting, the candidate count actually scanned (the COST axis) and
+    * recall@5 against the exact s01 ground truth (the QUALITY axis) —
+    * the cost-vs-recall curve is THE artifact an ANN deployment decision
+    * is made from (FAISS's own benchmarks report exactly this pair).
+    * Recall in exact basis points; candidate counts exact BIGINTs; the
+    * cosine scores only ever feed ranks.
+    *
+    * Scale shape: ONE assignment pass over the corpus (the index build,
+    * shared by all three settings via the probe grid — never one scan
+    * per setting), candidates via the partition equi-join bounded by
+    * probed partitions, per-(np, qid) top-5 windows on candidate-sized
+    * frames, and a 5-row ground-truth join. The sweep multiplies only
+    * the CANDIDATE work, exactly like production. The candidate frame is
+    * checkpointed once for its two consumers (cost agg + rank). */
+  def s12RecallSweep(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"),
+      col("embedding"), qs, 5).select(col("qid"), col("id"))
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val assigned = Similarity.assignToCentroids(emb, col("vec_id"), col("embedding"), cent)
+    val nps = Seq(1L, 2L, 4L).toDF("np")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("part"))
+    val pranks = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qv"), col("part"),
+        cosineSimilarity(col("qv"), col("cvec")).as("cscore"))
+      .withColumn("prank", row_number().over(wProbe))
+    val probes = pranks.crossJoin(broadcast(nps))
+      .filter(col("prank") <= col("np"))
+      .select(col("np"), col("qid"), col("qv"), col("part"))
+    val cand = assigned.join(broadcast(probes), Seq("part"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("np"), col("qid"), col("id"),
+        cosineSimilarity(col("v"), col("qv")).as("score"))
+      .localCheckpoint(false) // two consumers: cost agg + top-5 rank
+    val nCand = cand.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+    val wk = Window.partitionBy(col("np"), col("qid")).orderBy(col("score").desc, col("id"))
+    val hits = cand.withColumn("rk", row_number().over(wk)).filter(col("rk") <= 5)
+      .select(col("np"), col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("sum_hits"))
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    nps.join(nCand, Seq("np"), "left").join(hits, Seq("np"), "left")
+      .crossJoin(broadcast(nq))
+      .selectExpr("np", "n_queries",
+        "coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates",
+        "coalesce(sum_hits, CAST(0 AS BIGINT)) AS sum_hits",
+        "coalesce(sum_hits, CAST(0 AS BIGINT)) * 10000 div (5 * n_queries) AS recall_bp")
+      .orderBy(col("np"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t36_textrank" -> t36Textrank,
+    "m11_color_stats" -> m11ColorStats,
+    "s12_recall_sweep" -> s12RecallSweep,
     "s11_knn_label_eval" -> s11KnnLabelEval,
     "q78_lead_lag" -> q78LeadLag,
     "dq09_freshness" -> dq09Freshness,
@@ -267,7 +392,103 @@ object CurationQueries {
   private val wordsSql =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> length(w) > 0)"""
 
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
+
   val oracle: Map[String, String] = Map(
+    "m11_color_stats" ->
+      """WITH px AS (
+           SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents
+         ), v AS (
+           SELECT doc_id, p % 18 AS x, p // 18 AS y, p,
+                  doc_id // 8 AS base, doc_id % 8 AS pert
+           FROM px
+         ), c AS (
+           SELECT doc_id,
+                  CASE WHEN p % 29 = 0
+                       THEN ((x*x + 3*y*base + 7*base*base + 11*y) % 256 + pert) % 256
+                       ELSE (x*x + 3*y*base + 7*base*base + 11*y) % 256 END AS r,
+                  (y*y + 5*x*base + 13*base) % 256 AS g,
+                  (x*y + 17*base + 19*x) % 256 AS b
+           FROM v
+         ), l AS (
+           SELECT doc_id, r, g, b,
+                  ((r*299 + g*587 + b*114) // 1000) // 64 AS lb
+           FROM c
+         )
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(r) // count(*) AS BIGINT) AS mean_r,
+                CAST(sum(g) // count(*) AS BIGINT) AS mean_g,
+                CAST(sum(b) // count(*) AS BIGINT) AS mean_b,
+                CAST(sum(CASE WHEN lb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h0,
+                CAST(sum(CASE WHEN lb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h1,
+                CAST(sum(CASE WHEN lb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h2,
+                CAST(sum(CASE WHEN lb = 3 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h3
+         FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "s12_recall_sweep" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t
+          ), assigned AS (
+            SELECT id, v, part FROM (
+              SELECT a.vec_id AS id, a.embedding AS v, c.part,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "c.cvec")} DESC, c.part) AS rn
+              FROM embeddings a CROSS JOIN cent c) s
+            WHERE rn = 1
+          ), q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+          ), exact AS (
+            SELECT qid, id FROM (
+              SELECT b.qid, a.vec_id AS id,
+                     row_number() OVER (PARTITION BY b.qid
+                       ORDER BY ${cosSql("a.embedding", "b.qv")} DESC, a.vec_id) AS rank
+              FROM embeddings a CROSS JOIN q b WHERE a.vec_id <> b.qid) t
+            WHERE rank <= 5
+          ), pranks AS (
+            SELECT q.qid, c.part,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.part) AS prank
+            FROM q CROSS JOIN cent c
+          ), nps AS (
+            SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np
+          ), probes AS (
+            SELECT n.np, p.qid, p.part FROM pranks p CROSS JOIN nps n
+            WHERE p.prank <= n.np
+          ), cand AS (
+            SELECT p.np, p.qid, a.id, ${cosSql("a.v", "q.qv")} AS score
+            FROM assigned a JOIN probes p ON a.part = p.part
+            JOIN q ON q.qid = p.qid
+            WHERE a.id <> p.qid
+          ), ncand AS (
+            SELECT np, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY np
+          ), approx AS (
+            SELECT np, qid, id FROM (
+              SELECT np, qid, id,
+                     row_number() OVER (PARTITION BY np, qid ORDER BY score DESC, id) AS rk
+              FROM cand) t
+            WHERE rk <= 5
+          ), hits AS (
+            SELECT np, CAST(count(*) AS BIGINT) AS sum_hits
+            FROM approx JOIN exact USING (qid, id) GROUP BY np
+          ), nq AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q
+          )
+          SELECT n.np, nq.n_queries,
+                 coalesce(ncand.n_candidates, 0) AS n_candidates,
+                 coalesce(hits.sum_hits, 0) AS sum_hits,
+                 CAST(coalesce(hits.sum_hits, 0) * 10000 // (5 * nq.n_queries) AS BIGINT)
+                   AS recall_bp
+          FROM nps n
+          LEFT JOIN ncand ON ncand.np = n.np
+          LEFT JOIN hits ON hits.np = n.np
+          CROSS JOIN nq
+          ORDER BY n.np""",
     "t36_textrank" -> {
       // One PageRank round over the weighted word graph (p_prev -> sql).
       def round(prev: String) =

@@ -122,6 +122,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("m11: decoded color stats reproduce the synthesis arithmetic for BOTH containers") {
+    // Independent driver-side recount straight from the pixel formula —
+    // if the PNG or BMP codec mangled one channel byte anywhere, a mean
+    // or histogram bucket would shift.
+    val got = graft.queries.CurationQueries.m11ColorStats(spark, sf()).collect()
+    val nDocs = spark.read.parquet(sf() + "/documents.parquet").count().toInt
+    assert(got.length == nDocs, "every doc must decode (no codec fallout)")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "bmp"))
+      val base = id / 8; val pert = id % 8
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](4)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        var rr = (x * x + 3 * y * base + 7 * base * base + 11 * y) % 256
+        if ((x + 18 * y) % 29 == 0) rr = (rr + pert) % 256
+        val gg = (y * y + 5 * x * base + 13 * base) % 256
+        val bb = (x * y + 17 * base + 19 * x) % 256
+        sr += rr; sg += gg; sb += bb
+        hist((((rr * 299 + gg * 587 + bb * 114) / 1000) / 64).toInt) += 1
+      }
+      assert(r.getAs[Long]("n_px") == 288L)
+      assert(r.getAs[Long]("mean_r") == sr / 288 && r.getAs[Long]("mean_g") == sg / 288 &&
+        r.getAs[Long]("mean_b") == sb / 288, s"doc $id channel means diverge")
+      assert((6 to 9).map(r.getLong) == hist.toSeq, s"doc $id luminance histogram diverges")
+      assert(hist.sum == 288L)
+    }
+  }
+
+  test("s12: candidate cost grows strictly with nProbe and recall is monotone") {
+    val rows = graft.queries.CurationQueries.s12RecallSweep(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("np"))
+    assert(rows.map(_.getAs[Long]("np")).toSeq == Seq(1L, 2L, 4L))
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands(0) < cands(1) && cands(1) < cands(2),
+      s"probing more partitions must scan strictly more candidates: ${cands.toSeq}")
+    // superset candidate sets can only displace a true hit with another
+    // true hit, so recall@5 is monotone non-decreasing in nProbe
+    val hits = rows.map(_.getAs[Long]("sum_hits"))
+    assert(hits(0) <= hits(1) && hits(1) <= hits(2), s"recall must be monotone: ${hits.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_bp") ==
+        r.getAs[Long]("sum_hits") * 10000 / (5 * r.getAs[Long]("n_queries")))
+      assert(r.getAs[Long]("sum_hits") <= 5 * r.getAs[Long]("n_queries"))
+    }
+  }
+
   test("p02: tiers partition each source and shares telescope to ~10000 bp") {
     val rows = CurationQueries.p02QualityTiers(spark, sf()).collect()
     val valid = Set("too_short", "repetitive", "complex", "keep")
