@@ -380,10 +380,136 @@ object CurationQueries {
       .orderBy(col("np"))
   }
 
+  /** Q79 — RFM SEGMENTATION: every customer with orders scored on three
+    * axes — Recency (last order day), Frequency (order count), Monetary
+    * (lifetime cents) — each cut into EXACT global quintiles, then the
+    * 125-cell (r,f,m) segment grid with customer counts and revenue.
+    * The classic CRM / cohort-marketing operator (Hughes 1994), and the
+    * third consumer of [[graft.operators.GlobalRank]]: a bare
+    * `ntile(5) OVER (ORDER BY …)` plans a SinglePartition window — one
+    * task sorting every customer — while GlobalRank's range-shuffle +
+    * partition-offset rank keeps the sort distributed (q40's
+    * discipline, here run three times on three independent orders).
+    *
+    * All-integer: order days via datediff (the TIMESTAMP_NTZ rule),
+    * money in floor()ed cents, quintiles from ntileExpr's remainder-
+    * first semantics (proven against DuckDB's ntile by q40's hash).
+    * Customers who never ordered are out of scope by construction
+    * (RFM is defined over the purchase history).
+    *
+    * Scale shape: one custkey hash-agg over orders (map-side
+    * combinable), checkpointed once for the three rank passes; each
+    * pass is a range exchange + narrow rank map on the CUSTOMER frame
+    * (orders-of-magnitude smaller than the fact table), joined back on
+    * the custkey clustering. */
+  def q79Rfm(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val base = orders(s, d).groupBy(col("o_custkey"))
+      .agg(max(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"))
+          .cast("long").as("last_day"),
+        count(lit(1)).as("freq"),
+        expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("cents"))
+      .localCheckpoint(false) // three independent rank passes + the grid
+    val n = base.count() // bounded: one count over the aggregated frame
+    def quintile(metric: String, out: String): DataFrame =
+      GlobalRank.withGlobalRank(base.select(col("o_custkey"), col(metric)),
+          Seq(col(metric), col("o_custkey")), rankCol = "gr")
+        .withColumn(out, GlobalRank.ntileExpr("gr", n, 5))
+        .select(col("o_custkey"), col(out))
+    base.select(col("o_custkey"), col("cents"))
+      .join(quintile("last_day", "r_q"), Seq("o_custkey"))
+      .join(quintile("freq", "f_q"), Seq("o_custkey"))
+      .join(quintile("cents", "m_q"), Seq("o_custkey"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** T37 — COLLOCATION EXTRACTION: adjacent word bigrams scored by
+    * positive PMI in the catalog's floor-log₂ basis (t26's surprisal
+    * discipline — `length(bin(x)) − 1` is exact and engine-identical,
+    * where a float log₂ never hashes) and by the Dice coefficient in
+    * basis points. PMI finds pairs that co-occur far above chance
+    * (Church & Hanks 1990 — multiword expressions, named entities);
+    * Dice is the symmetric strength axis lexicographers prefer because
+    * it ignores corpus size. Support floor c_ab ≥ 5 (the standard
+    * noise gate), positive-PMI only (ratio ≥ 1 keeps bit_length exact).
+    *
+    * Headroom: the PMI ratio computes c_ab·T before the div — ≈ 10¹⁰
+    * at sf0.1, growing quadratically with corpus size; safe to ~10⁴×
+    * this bench, then the ratio needs a pre-div by gcd or DECIMAL (the
+    * q76 scoping rule). Scale shape: ONE corpus explode each for
+    * unigrams and bigrams (both map-side-combinable aggs), then
+    * vocab-sized equi-joins — vocab frames are never broadcast (t11's
+    * rule), the 1-row total is. */
+  def t37Collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(
+      filter(Dedupe.words(coalesce(col("text"), lit(""))),
+        w => length(w) > 0).as("ws"))
+      .localCheckpoint(true) // unigram + bigram consumers
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(true) // total + two join consumers
+    val total = uni.agg(sum(col("c_w")).as("t"))
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |          i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bg.join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .selectExpr("w1", "w2", "c_ab", "c_a", "c_b",
+        "(c_ab * t) div (c_a * c_b) AS ratio",
+        "2 * c_ab * 10000 div (c_a + c_b) AS dice_bp")
+      .filter(col("ratio") >= 1)
+      .selectExpr("w1", "w2", "c_ab", "c_a", "c_b",
+        "CAST(length(bin(ratio)) - 1 AS BIGINT) AS pmi_log2", "dice_bp")
+      .orderBy(col("pmi_log2").desc, col("dice_bp").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  /** T38 — TOKENIZER FERTILITY per language: BPE tokens per whitespace
+    * word (milli) and characters per BPE token (milli) — the standard
+    * tokenizer-efficiency audit (a language with fertility 2.5× pays
+    * 2.5× the context budget for the same text; the metric that drives
+    * vocab-rebalancing decisions in multilingual training). Composes
+    * t03's whitespace axis with t05's real merge-list BPE kernel; the
+    * per-language roll-up makes the comparison the artifact, not the
+    * per-doc counts.
+    *
+    * Scale shape: one narrow projection per row (the BPE count is the
+    * same bounded per-doc kernel t05 runs) into a lang-keyed
+    * map-side-combinable agg — nothing but the ≤|langs| result ever
+    * shuffles. Integer end-to-end; div guards are inert on real data
+    * but keep ANSI mode crash-free on empty languages. */
+  def t38Fertility(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BpeTokenizer
+    documents(s, d).select(col("lang"),
+        size(filter(Dedupe.words(coalesce(col("text"), lit(""))),
+          w => length(w) > 0)).cast("long").as("wc"),
+        BpeTokenizer.bpeTokenCount(coalesce(col("text"), lit(""))).cast("long").as("bt"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_words"),
+        sum(col("bt")).as("n_bpe"), sum(col("nc")).as("n_chars"))
+      .selectExpr("lang", "n_docs", "n_words", "n_bpe", "n_chars",
+        "CASE WHEN n_words > 0 THEN n_bpe * 1000 div n_words ELSE CAST(0 AS BIGINT) END AS fertility_milli",
+        "CASE WHEN n_bpe > 0 THEN n_chars * 1000 div n_bpe ELSE CAST(0 AS BIGINT) END AS chars_per_token_milli")
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t36_textrank" -> t36Textrank,
     "m11_color_stats" -> m11ColorStats,
     "s12_recall_sweep" -> s12RecallSweep,
+    "q79_rfm" -> q79Rfm,
+    "t37_collocations" -> t37Collocations,
+    "t38_fertility" -> t38Fertility,
     "s11_knn_label_eval" -> s11KnnLabelEval,
     "q78_lead_lag" -> q78LeadLag,
     "dq09_freshness" -> dq09Freshness,
@@ -398,6 +524,70 @@ object CurationQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "q79_rfm" ->
+      """WITH base AS (
+           SELECT o_custkey,
+                  CAST(max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey
+         ), q AS (
+           SELECT o_custkey, cents,
+                  CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS INT) AS r_q,
+                  CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INT) AS f_q,
+                  CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS INT) AS m_q
+           FROM base
+         )
+         SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""",
+    "t37_collocations" ->
+      s"""WITH tok AS (
+            SELECT $wordsSql AS ws FROM documents
+          ), uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c_w
+            FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w
+          ), total AS (
+            SELECT CAST(sum(c_w) AS BIGINT) AS t FROM uni
+          ), bg AS (
+            SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                   CAST(count(*) AS BIGINT) AS c_ab
+            FROM (
+              SELECT unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1])
+                     ELSE []::VARCHAR[] END) AS bg
+              FROM tok)
+            GROUP BY 1, 2 HAVING count(*) >= 5
+          ), scored AS (
+            SELECT bg.w1, bg.w2, bg.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+                   (bg.c_ab * total.t) // (a.c_w * b.c_w) AS ratio,
+                   2 * bg.c_ab * 10000 // (a.c_w + b.c_w) AS dice_bp
+            FROM bg JOIN uni a ON a.w = bg.w1 JOIN uni b ON b.w = bg.w2
+            CROSS JOIN total
+          )
+          SELECT w1, w2, c_ab, c_a, c_b,
+                 CAST(length(bin(ratio)) - 1 AS BIGINT) AS pmi_log2,
+                 CAST(dice_bp AS BIGINT) AS dice_bp
+          FROM scored WHERE ratio >= 1
+          ORDER BY pmi_log2 DESC, dice_bp DESC, w1, w2 LIMIT 30""",
+    "t38_fertility" -> {
+      val bpeSql = graft.functions.BpeTokenizer.oracleQuerySql(
+        "documents", "doc_id", "text", "bt")
+      s"""WITH bpe AS ($bpeSql)
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len($wordsSql)) AS BIGINT) AS n_words,
+                 CAST(sum(bpe.bt) AS BIGINT) AS n_bpe,
+                 CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN sum(len($wordsSql)) > 0
+                      THEN sum(bpe.bt) * 1000 // sum(len($wordsSql))
+                      ELSE 0 END AS BIGINT) AS fertility_milli,
+                 CAST(CASE WHEN sum(bpe.bt) > 0
+                      THEN sum(coalesce(d.n_chars, 0)) * 1000 // sum(bpe.bt)
+                      ELSE 0 END AS BIGINT) AS chars_per_token_milli
+          FROM documents d JOIN bpe ON bpe.doc_id = d.doc_id
+          GROUP BY d.lang ORDER BY d.lang"""
+    },
     "m11_color_stats" ->
       """WITH px AS (
            SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents

@@ -169,6 +169,78 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q79: quintiles are balanced per axis and the grid conserves customers and revenue") {
+    val rows = graft.queries.CurationQueries.q79Rfm(spark, sf()).collect()
+    val o = spark.read.parquet(sf() + "/orders.parquet")
+    val nCust = o.select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "every ordering customer lands in exactly one (r,f,m) cell")
+    val totCents = o.selectExpr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_cents")).sum == totCents, "revenue conserved")
+    // remainder-first NTILE: every axis quintile holds floor(n/5) or ceil(n/5)
+    for (axis <- Seq("r_q", "f_q", "m_q")) {
+      val byQ = rows.groupBy(_.getAs[Int](axis))
+        .map { case (q, g) => q -> g.map(_.getAs[Long]("n_customers")).sum }
+      assert(byQ.keySet == Set(1, 2, 3, 4, 5), s"$axis must have 5 populated quintiles")
+      assert(byQ.values.forall(c => c == nCust / 5 || c == nCust / 5 + 1),
+        s"$axis quintiles unbalanced: $byQ")
+    }
+  }
+
+  test("t37: PMI and Dice reproduce under a BigInt driver-side recount") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = collection.mutable.Map.empty[String, Long]
+    val bg = collection.mutable.Map.empty[(String, String), Long]
+    docs.filter(_ != null).foreach { t =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).foreach {
+        case Array(a, b) => bg((a, b)) = bg.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    val total = uni.values.sum
+    val expect = bg.toSeq.collect { case ((a, b), cab) if cab >= 5 =>
+      val ratio = (BigInt(cab) * total) / (BigInt(uni(a)) * uni(b))
+      (a, b, cab, uni(a), uni(b), ratio,
+        2 * cab * 10000 / (uni(a) + uni(b)))
+    }.filter(_._6 >= 1)
+      .map { case (a, b, cab, ca, cb, ratio, dice) =>
+        (a, b, cab, ca, cb, (ratio.bitLength - 1).toLong, dice) }
+      .sortBy { case (a, b, _, _, _, pmi, dice) => (-pmi, -dice, a, b) }
+      .take(30)
+    val got = graft.queries.CurationQueries.t37Collocations(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expect, s"collocations diverge:\n${got.take(3).toSeq}\nvs ${expect.take(3)}")
+  }
+
+  test("t38: per-lang totals reproduce against the driver-side BPE kernel; fertility >= 1000") {
+    import graft.functions.BpeTokenizer
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("lang"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).map { case (lang, g) =>
+      lang -> ((g.length.toLong,
+        g.map(d => Option(d._2).map(_.trim.toLowerCase.split("\\s+")
+          .count(_.nonEmpty).toLong).getOrElse(0L)).sum,
+        g.map(d => BpeTokenizer.countTokens(d._2).toLong).sum,
+        g.map(_._3).sum))
+    }
+    val got = graft.queries.CurationQueries.t38Fertility(spark, sf()).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (nd, nw, nb, nc) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == nw && r.getLong(3) == nb &&
+        r.getLong(4) == nc, s"${r.getString(0)} totals diverge")
+      // BPE never merges across words, so each word is >= 1 token
+      assert(r.getAs[Long]("fertility_milli") >= 1000L || nw == 0L)
+      assert(r.getAs[Long]("fertility_milli") == (if (nw > 0) nb * 1000 / nw else 0L))
+    }
+  }
+
   test("p02: tiers partition each source and shares telescope to ~10000 bp") {
     val rows = CurationQueries.p02QualityTiers(spark, sf()).collect()
     val valid = Set("too_short", "repetitive", "complex", "keep")
