@@ -194,6 +194,75 @@ object VideoCodec {
     if (total < 0) None else Some(total)
   } catch { case _: Exception => None }
 
+  /** Frame GEOMETRY of the first track with a complete sample table: the
+    * demux-plan tuple (timescale, nFrames, frameSize, chunkOffset,
+    * firstDelta) a frame-sampling pass needs to address individual frames
+    * without decoding them — stts for the count and tick delta, stsz for
+    * the constant sample size (variable-size tables return None: the
+    * caller's fixed-stride address math would be wrong, the honest
+    * refusal), stco for where the chunk lives. Same walk discipline as
+    * [[frameCount]]: never throws, None on any structural shortfall. */
+  def frameGeometry(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = try {
+    if (bytes == null || bytes.length < 16 || fourCC(bytes, 4) != "ftyp") return None
+    var timescale = -1L
+    var result: Option[(Long, Long, Long, Long)] = None
+    def walkStbl(from: Int, end: Int): Unit = {
+      var nFrames = -1L; var delta = -1L; var fSize = -1L; var chunkOff = -1L
+      var i = from
+      while (i < end) {
+        boxAt(bytes, i, end) match {
+          case None => return
+          case Some((tpe, p, e)) =>
+            tpe match {
+              case "stts" if e - p >= 8 =>
+                val n = be32(bytes, p + 4)
+                var k = 0L; var sum = 0L; var d = -1L
+                while (k < n && p + 8 + k * 8 + 8 <= e) {
+                  sum += be32(bytes, p + 8 + k.toInt * 8)
+                  if (d < 0) d = be32(bytes, p + 8 + k.toInt * 8 + 4)
+                  k += 1
+                }
+                nFrames = sum; delta = math.max(d, 0L)
+              case "stsz" if e - p >= 12 =>
+                val sampleSize = be32(bytes, p + 4)
+                if (sampleSize > 0) fSize = sampleSize // constant-size form only
+              case "stco" if e - p >= 12 =>
+                // ver+flags(4) entry_count(4) first_offset(4) = 12 bytes
+                if (be32(bytes, p + 4) >= 1) chunkOff = be32(bytes, p + 8)
+              case _ =>
+            }
+            i = e
+        }
+      }
+      if (result.isEmpty && nFrames >= 0 && fSize > 0 && chunkOff >= 0)
+        result = Some((nFrames, fSize, chunkOff, delta))
+    }
+    def walk(from: Int, end: Int, path: List[String]): Unit = {
+      var i = from
+      while (i < end) {
+        boxAt(bytes, i, end) match {
+          case None => return
+          case Some((tpe, p, e)) =>
+            (path, tpe) match {
+              case (Nil, "moov") => walk(p, e, List("moov"))
+              case (List("moov"), "mvhd") if e - p >= 20 =>
+                val version = bytes(p) & 0xFF
+                timescale = if (version == 1) be32(bytes, p + 20) else be32(bytes, p + 12)
+              case (List("moov"), "trak") => walk(p, e, List("moov", "trak"))
+              case (List("moov", "trak"), "mdia") => walk(p, e, List("moov", "trak", "mdia"))
+              case (List("moov", "trak", "mdia"), "minf") =>
+                walk(p, e, List("moov", "trak", "mdia", "minf"))
+              case (List("moov", "trak", "mdia", "minf"), "stbl") => walkStbl(p, e)
+              case _ =>
+            }
+            i = e
+        }
+      }
+    }
+    walk(0, bytes.length, Nil)
+    result.collect { case (n, f, c, dl) if timescale > 0 => (timescale, n, f, c, dl) }
+  } catch { case _: Exception => None }
+
   /** MP4 with REAL per-track sample tables: like [[mp4Bytes]] but each
     * trak carries mdia/minf/stbl with spec-layout stts (one run of
     * `nFrames` samples at delta 1), stsz (constant `frameSize`) and stco

@@ -503,7 +503,86 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** M12 — VIDEO FRAME SAMPLING through the REAL sample tables: every
+    * document materializes as a valid MP4 whose stts/stsz/stco boxes the
+    * engine actually walks ([[graft.functions.VideoCodec.frameGeometry]])
+    * to plan a fixed-stride sample — every 5th frame's byte offset, size
+    * and presentation time — WITHOUT touching sample data. This is the
+    * frame-sample verb of the multimodal stack (the pass a vision
+    * pipeline runs to pull keyframe candidates before any pixel decode):
+    * the demux PLAN is the product, and at 100 TB it reads a few hundred
+    * header bytes per object while downstream range-reads fetch exactly
+    * the planned (offset, size) spans. Constant-size stsz only — a
+    * variable-size table makes fixed-stride address math wrong, so the
+    * geometry reader refuses it (honest None) rather than guessing.
+    *
+    * The oracle recomputes offsets/pts from the synthesis formulas
+    * (chunk payload at byte 328 for one track; pts = i·delta·1000 div
+    * timescale) without parsing a container — so the hash proves the
+    * box walk end-to-end (m09/m10's discipline for video GEOMETRY).
+    * Scale shape: narrow per-row kernel + bounded explode (≤ nFrames/5
+    * rows per doc), no shuffle but the final order. */
+  def m12FrameSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VideoCodec
+    val mk = udf { (docId: Long) =>
+      val nFrames = (10 + docId % 41).toInt
+      val frameSize = (1 + docId % 7).toInt
+      val timescale = (10 + docId % 20).toInt
+      VideoCodec.mp4BytesWithFrames(timescale, nFrames.toLong, nTracks = 1,
+        nFrames = nFrames, frameSize = frameSize, seed = (docId % 251).toInt)
+    }
+    val geo = udf { (payload: Array[Byte]) =>
+      VideoCodec.frameGeometry(payload).orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), geo(mk(col("doc_id"))).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g._1").as("ts"), col("g._2").as("n"),
+        col("g._3").as("fs"), col("g._4").as("off"), col("g._5").as("delta"))
+      .select(col("doc_id"), col("ts"), col("fs"), col("off"), col("delta"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n - 1)")).as("i"))
+      .filter(col("i") % 5 === 0)
+      .selectExpr("doc_id", "i AS frame_idx", "off + i * fs AS byte_offset",
+        "fs AS frame_bytes", "i * delta * 1000 div ts AS pts_milli")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** P03 — DEDUPE IMPACT REPORT: what the d05 near-dup cluster pass
+    * would actually remove, per source — documents and tokens before vs
+    * after keeping one canonical doc per cluster, with drop shares in
+    * basis points. This is the go/no-go artifact a curation team reads
+    * before committing a dedupe config ("source X loses 40% of its
+    * tokens — is that template soup or real coverage?"), composing the
+    * d03/d05 cluster machinery with t03's token axis — the oracle embeds
+    * the SAME d05 CTE chain, so cluster semantics can't drift between
+    * the report and the dedupe it describes.
+    *
+    * Scale shape: everything is d05's own plan (banded equi-joins + CC)
+    * plus one token projection and one source-keyed map-combinable agg —
+    * the report rides the dedupe pass it audits; nothing new shuffles
+    * at corpus scale. */
+  def p03DedupImpact(s: SparkSession, d: String): DataFrame = {
+    val assigned = LlmQueries.d05DupClusters(s, d)
+      .select(col("doc_id"), (col("is_canonical") === 1).as("keep"))
+    val tok = documents(s, d).select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+    tok.join(assigned, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_after"),
+        sum(col("tok")).as("tokens_before"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_after"))
+      .selectExpr("source", "n_docs_before", "n_docs_after",
+        "tokens_before", "tokens_after",
+        "(n_docs_before - n_docs_after) * 10000 div n_docs_before AS doc_drop_bp",
+        "CASE WHEN tokens_before > 0 THEN (tokens_before - tokens_after) * 10000 div tokens_before " +
+          "ELSE CAST(0 AS BIGINT) END AS token_drop_bp")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_frame_sample" -> m12FrameSample,
+    "p03_dedup_impact" -> p03DedupImpact,
     "t36_textrank" -> t36Textrank,
     "m11_color_stats" -> m11ColorStats,
     "s12_recall_sweep" -> s12RecallSweep,
@@ -524,6 +603,38 @@ object CurationQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "m12_frame_sample" ->
+      """WITH geo AS (
+           SELECT doc_id,
+                  10 + doc_id % 20 AS ts,
+                  10 + doc_id % 41 AS n,
+                  1 + doc_id % 7 AS fs
+           FROM documents
+         ), fr AS (
+           SELECT doc_id, ts, fs, unnest(generate_series(0, n - 1)) AS i FROM geo
+         )
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                CAST(328 + i * fs AS BIGINT) AS byte_offset,
+                CAST(fs AS BIGINT) AS frame_bytes,
+                CAST(i * 1000 // ts AS BIGINT) AS pts_milli
+         FROM fr WHERE i % 5 = 0 ORDER BY doc_id, frame_idx""",
+    "p03_dedup_impact" ->
+      s"""WITH RECURSIVE ${LlmQueries.dupAssignedCtes}, tcnt AS (
+            SELECT d.doc_id, d.source, ${LlmQueries.tokSql} AS tok FROM documents d
+          ), j AS (
+            SELECT t.source, t.tok,
+                   CASE WHEN a.doc_id = a.cluster THEN 1 ELSE 0 END AS keep
+            FROM tcnt t JOIN assigned a ON a.doc_id = t.doc_id
+          )
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs_before,
+                 CAST(sum(keep) AS BIGINT) AS n_docs_after,
+                 CAST(sum(tok) AS BIGINT) AS tokens_before,
+                 CAST(sum(CASE WHEN keep = 1 THEN tok ELSE 0 END) AS BIGINT) AS tokens_after,
+                 CAST((count(*) - sum(keep)) * 10000 // count(*) AS BIGINT) AS doc_drop_bp,
+                 CAST(CASE WHEN sum(tok) > 0
+                      THEN (sum(tok) - sum(CASE WHEN keep = 1 THEN tok ELSE 0 END)) * 10000 // sum(tok)
+                      ELSE 0 END AS BIGINT) AS token_drop_bp
+          FROM j GROUP BY source ORDER BY source""",
     "q79_rfm" ->
       """WITH base AS (
            SELECT o_custkey,

@@ -1313,8 +1313,12 @@ object LlmQueries {
   /** d05 oracle: same jpairs edge set, transitive closure by recursive CTE
     * (labels flow along symmetrized edges; min reachable label = component),
     * then per-document cluster assignment, size, canonical flag. */
-  private val dupClustersSql: String =
-    s"""WITH RECURSIVE $jaccardPairCtes, edges AS (
+  /** The d05 cluster-assignment CTE chain (ends in `assigned(doc_id,
+    * cluster)`); must follow a `WITH RECURSIVE` keyword. Shared with
+    * CurationQueries' p03 dedupe-impact oracle so both agree on the
+    * cluster semantics to the letter. */
+  private[queries] val dupAssignedCtes: String =
+    s"""$jaccardPairCtes, edges AS (
           SELECT id_a AS src, id_b AS dst FROM jpairs
           UNION
           SELECT id_b AS src, id_a AS dst FROM jpairs
@@ -1327,7 +1331,10 @@ object LlmQueries {
         ), assigned AS (
           SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        ), csizes AS (
+        )"""
+
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $dupAssignedCtes, csizes AS (
           SELECT cluster, count(*) AS cluster_size FROM assigned GROUP BY cluster
         )
         SELECT a.doc_id, a.cluster, s.cluster_size,
@@ -1335,8 +1342,9 @@ object LlmQueries {
         FROM assigned a JOIN csizes s ON a.cluster = s.cluster
         ORDER BY a.doc_id"""
 
-  /** DuckDB mirror of t03's token count, shared by t21/t22. */
-  private val tokSql =
+  /** DuckDB mirror of t03's token count, shared by t21/t22 (and
+    * CurationQueries' p03). */
+  private[queries] val tokSql =
     """CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
       |     ELSE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
       |     END AS BIGINT)""".stripMargin

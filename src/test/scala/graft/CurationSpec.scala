@@ -241,6 +241,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("m12: sampled frame plan reproduces the synthesis geometry; geometry reader refuses tableless MP4s") {
+    import graft.functions.VideoCodec
+    val got = graft.queries.CurationQueries.m12FrameSample(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = spark.read.parquet(sf() + "/documents.parquet").count().toInt
+    val expect = (0 until nDocs).flatMap { id =>
+      val n = 10 + id % 41; val fs = 1 + id % 7; val ts = 10 + id % 20
+      (0 until n).filter(_ % 5 == 0).map(i =>
+        (id.toLong, i.toLong, 328L + i.toLong * fs, fs.toLong, i.toLong * 1000 / ts))
+    }
+    assert(got.toSeq == expect, s"frame plan diverges: ${got.take(3).toSeq} vs ${expect.take(3)}")
+    // a container without sample tables must be refused, not guessed at
+    assert(VideoCodec.frameGeometry(VideoCodec.mp4Bytes(30, 300, 2, 64)).isEmpty)
+    assert(VideoCodec.frameGeometry(null).isEmpty)
+    assert(VideoCodec.frameGeometry(Array[Byte](1, 2, 3)).isEmpty)
+    // and the geometry round-trips the synthesis parameters exactly
+    val g = VideoCodec.frameGeometry(
+      VideoCodec.mp4BytesWithFrames(25, 12, nTracks = 1, nFrames = 12, frameSize = 3))
+    assert(g.contains((25L, 12L, 3L, 328L, 1L)))
+  }
+
+  test("p03: the impact report reconciles with d05's own cluster assignment") {
+    val rows = graft.queries.CurationQueries.p03DedupImpact(spark, sf()).collect()
+    val d05 = graft.queries.LlmQueries.d05DupClusters(spark, sf())
+      .select(col("doc_id"), col("is_canonical"))
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val bySource = docs.join(d05, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("before"),
+        sum(col("is_canonical")).as("after"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val (before, after) = bySource(r.getString(0))
+      assert(r.getAs[Long]("n_docs_before") == before)
+      assert(r.getAs[Long]("n_docs_after") == after)
+      assert(r.getAs[Long]("tokens_after") <= r.getAs[Long]("tokens_before"))
+      assert(r.getAs[Long]("doc_drop_bp") ==
+        (before - after) * 10000 / before)
+    }
+  }
+
   test("p02: tiers partition each source and shares telescope to ~10000 bp") {
     val rows = CurationQueries.p02QualityTiers(spark, sf()).collect()
     val valid = Set("too_short", "repetitive", "complex", "keep")
