@@ -580,7 +580,54 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** M13 — SILENCE / VAD SEGMENTATION through REAL PCM decode: the
+    * run-structure complement to m10's energy profile — per clip, the
+    * silent-sample census (|int16| < 2048, i.e. < −24 dBFS), the count
+    * of silence RUNS of ≥ 6 consecutive samples, and the longest run.
+    * Trim-silence / voice-activity segmentation is the pass an ASR
+    * pipeline runs before chunking audio; mean energy (m10) cannot see
+    * run structure — a clip that alternates loud/quiet every sample and
+    * one with a long dead stretch can share a mean. Engine path: full
+    * RIFF chunk walk + little-endian signed-int16 decode
+    * ([[graft.functions.AudioCodec.pcmSamples16]]) → one linear
+    * run-length pass per clip. The oracle recomputes runs from the
+    * synthesis ramp via rn-difference islands (q51's discipline) without
+    * parsing a WAV — hash-proving decode + run detection end-to-end.
+    *
+    * Scale: narrow per-row kernel, integer-exact outputs, no shuffle
+    * but the final order (the m10/m12 shape). */
+  def m13SilenceVad(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val mk = udf { (docId: Long, nChars: Long) =>
+      AudioCodec.wavBytes(8000, 1, 16, (nChars % 400 + 50).toInt,
+        seed = (docId % 251).toInt)
+    }
+    val vad = udf { (b: Array[Byte]) =>
+      AudioCodec.pcmSamples16(b).map { smp =>
+        var nSilent = 0L; var nRuns = 0L; var longest = 0L; var run = 0L
+        var k = 0
+        while (k < smp.length) {
+          if (math.abs(smp(k)) < 2048) {
+            run += 1; nSilent += 1
+            if (run > longest) longest = run
+            if (run == 6) nRuns += 1 // count once, when the run qualifies
+          } else run = 0
+          k += 1
+        }
+        (smp.length.toLong, nSilent, nRuns, longest)
+      }.orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), vad(mk(col("doc_id"), col("n_chars"))).as("v"))
+      .filter(col("v").isNotNull)
+      .selectExpr("doc_id", "v._1 AS n_samples", "v._2 AS n_silent",
+        "v._3 AS n_runs", "v._4 AS longest_run",
+        "v._2 * 10000 div v._1 AS silent_bp")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m13_silence_vad" -> m13SilenceVad,
     "m12_frame_sample" -> m12FrameSample,
     "p03_dedup_impact" -> p03DedupImpact,
     "t36_textrank" -> t36Textrank,
@@ -603,6 +650,43 @@ object CurationQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "m13_silence_vad" ->
+      // ramp byte j = (seed + j) mod 256; sample k little-endian signed
+      // int16; silence |sv| < 2048; runs via rn-difference islands over
+      // the silent k's (q51's trick) — the oracle never parses a WAV
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars % 400 + 50 AS BIGINT) AS n,
+                  doc_id % 251 AS seed
+           FROM documents
+         ), smp AS (
+           SELECT doc_id, n, k.k AS k,
+                  ((seed + 2 * k.k) % 256) + ((seed + 2 * k.k + 1) % 256) * 256 AS v
+           FROM d CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(0, n - 1)) AS k) k
+         ), sil AS (
+           SELECT doc_id, k FROM (
+             SELECT doc_id, k,
+                    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+             FROM smp) t
+           WHERE abs(sv) < 2048
+         ), runs AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM (
+             SELECT doc_id, k,
+                    k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+             FROM sil) t
+           GROUP BY doc_id, grp
+         ), agg AS (
+           SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_silent,
+                  CAST(sum(CASE WHEN len >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                  CAST(max(len) AS BIGINT) AS longest_run
+           FROM runs GROUP BY doc_id
+         )
+         SELECT d.doc_id, d.n AS n_samples,
+                coalesce(a.n_silent, 0) AS n_silent,
+                coalesce(a.n_runs, 0) AS n_runs,
+                coalesce(a.longest_run, 0) AS longest_run,
+                CAST(coalesce(a.n_silent, 0) * 10000 // d.n AS BIGINT) AS silent_bp
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "m12_frame_sample" ->
       """WITH geo AS (
            SELECT doc_id,

@@ -284,6 +284,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("m13: VAD census reproduces under a driver-side decode + run-length recount") {
+    import graft.functions.AudioCodec
+    val got = graft.queries.CurationQueries.m13SilenceVad(spark, sf()).collect()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == docs.length)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, nChars) =>
+      val smp = AudioCodec.pcmSamples16(
+        AudioCodec.wavBytes(8000, 1, 16, (nChars % 400 + 50).toInt,
+          seed = (id % 251).toInt)).get
+      var nSil = 0L; var nRuns = 0L; var longest = 0L; var run = 0L
+      smp.foreach { v =>
+        if (math.abs(v) < 2048) {
+          run += 1; nSil += 1
+          if (run > longest) longest = run
+          if (run == 6) nRuns += 1
+        } else run = 0
+      }
+      val r = byId(id)
+      assert(r.getAs[Long]("n_samples") == smp.length.toLong &&
+        r.getAs[Long]("n_silent") == nSil && r.getAs[Long]("n_runs") == nRuns &&
+        r.getAs[Long]("longest_run") == longest, s"doc $id VAD census diverges")
+      assert(r.getAs[Long]("silent_bp") == nSil * 10000 / smp.length)
+      assert(r.getAs[Long]("longest_run") <= r.getAs[Long]("n_silent"))
+    }
+    // the fixture must actually exercise run detection somewhere
+    assert(got.exists(_.getAs[Long]("n_runs") > 0), "no qualifying silence runs in fixture")
+  }
+
   test("p02: tiers partition each source and shares telescope to ~10000 bp") {
     val rows = CurationQueries.p02QualityTiers(spark, sf()).collect()
     val valid = Set("too_short", "repetitive", "complex", "keep")
