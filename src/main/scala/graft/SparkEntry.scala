@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.MiningQueries.queries ++
       graft.queries.SketchQueries.queries ++
       graft.queries.ProfileQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.MiningQueries.oracle ++
       graft.queries.SketchQueries.oracle ++
       graft.queries.ProfileQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

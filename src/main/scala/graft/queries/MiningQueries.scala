@@ -111,7 +111,15 @@ object MiningQueries {
     * per-vertex window (keyed partition, spillable); lineage cut per
     * round with localCheckpoint (the g05/CC discipline). Fixed round
     * count = fixed plan depth — no data-dependent driver loop. */
-  def g06LabelProp(s: SparkSession, d: String): DataFrame = {
+  def g06LabelProp(s: SparkSession, d: String): DataFrame =
+    lpaAssign(s, d).orderBy(col("vertex"))
+
+  /** The g06 assignment WITHOUT the final presentation sort, so composing
+    * queries (g10 modularity) can consume it join-side without paying an
+    * ordering they immediately destroy. Semantics are g06's exactly — the
+    * shared [[lpaCtes]] oracle chain keeps the two declared queries
+    * provably in sync. */
+  private[queries] def lpaAssign(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = coPurchaseEdges(s, d)
     val e = und.select(col("u"), col("v"))
@@ -129,8 +137,48 @@ object MiningQueries {
         .localCheckpoint(true)
     }
     lab.select(col("vertex"), col("label").as("community"))
-      .orderBy(col("vertex"))
   }
+
+  /** Shared oracle CTE chain for the 3-round deterministic LPA (g06 and
+    * g10): `und` = the normalized co-purchase edge set, `l3` = the final
+    * (vertex, label) assignment. Both consumers interpolate this prefix so
+    * community semantics cannot drift between the assignment query and the
+    * modularity audit built on it (the p03/d05 `dupAssignedCtes` rule). */
+  private[queries] val lpaCtes: String =
+    """WITH li AS (
+         SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), und AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       ), e AS (
+         SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+       ), l0 AS (
+         SELECT DISTINCT u AS vertex, u AS label FROM e
+       ), c1 AS (
+         SELECT e.u, l.label, count(*) AS c
+         FROM e JOIN l0 l ON l.vertex = e.v GROUP BY e.u, l.label
+       ), l1 AS (
+         SELECT u AS vertex, label FROM (
+           SELECT u, label,
+                  row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+           FROM c1) t WHERE rn = 1
+       ), c2 AS (
+         SELECT e.u, l.label, count(*) AS c
+         FROM e JOIN l1 l ON l.vertex = e.v GROUP BY e.u, l.label
+       ), l2 AS (
+         SELECT u AS vertex, label FROM (
+           SELECT u, label,
+                  row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+           FROM c2) t WHERE rn = 1
+       ), c3 AS (
+         SELECT e.u, l.label, count(*) AS c
+         FROM e JOIN l2 l ON l.vertex = e.v GROUP BY e.u, l.label
+       ), l3 AS (
+         SELECT u AS vertex, label FROM (
+           SELECT u, label,
+                  row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+           FROM c3) t WHERE rn = 1
+       )"""
 
   /** Q64 — HIERARCHY ROLLUP via [[Hierarchy]] pointer doubling: the part
     * catalog forms a decimal forest (parent = partkey div 10, keys < 10
@@ -886,40 +934,7 @@ object MiningQueries {
          FROM walk WHERE cur < 10
          GROUP BY cur ORDER BY root""",
     "g06_label_prop" ->
-      """WITH li AS (
-           SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         ), und AS (
-           SELECT DISTINCT a.pk AS u, b.pk AS v
-           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-         ), e AS (
-           SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
-         ), l0 AS (
-           SELECT DISTINCT u AS vertex, u AS label FROM e
-         ), c1 AS (
-           SELECT e.u, l.label, count(*) AS c
-           FROM e JOIN l0 l ON l.vertex = e.v GROUP BY e.u, l.label
-         ), l1 AS (
-           SELECT u AS vertex, label FROM (
-             SELECT u, label,
-                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
-             FROM c1) t WHERE rn = 1
-         ), c2 AS (
-           SELECT e.u, l.label, count(*) AS c
-           FROM e JOIN l1 l ON l.vertex = e.v GROUP BY e.u, l.label
-         ), l2 AS (
-           SELECT u AS vertex, label FROM (
-             SELECT u, label,
-                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
-             FROM c2) t WHERE rn = 1
-         ), c3 AS (
-           SELECT e.u, l.label, count(*) AS c
-           FROM e JOIN l2 l ON l.vertex = e.v GROUP BY e.u, l.label
-         ), l3 AS (
-           SELECT u AS vertex, label FROM (
-             SELECT u, label,
-                    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
-             FROM c3) t WHERE rn = 1
-         )
+      s"""$lpaCtes
          SELECT vertex, label AS community FROM l3 ORDER BY vertex""",
     "q65_markov_transitions" ->
       """WITH e AS (

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Round-8 operations/audit surface: the queries a data-platform team runs
+  * ABOUT the pipeline rather than inside it — community-quality scoring of
+  * a graph clustering, covariance structure of an embedding space, an
+  * algebraic table checksum for verifying 100 TB copies, a small-file
+  * compaction plan, and an integer-exact forecast over the revenue series.
+  * Catalog rules as everywhere: deterministic order, exact integer
+  * arithmetic for every reported ratio (`div` + explicit scale constants),
+  * doubles only where both engines provably execute the identical IEEE
+  * operation sequence.
+  */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** G10 — MODULARITY AUDIT of the g06 label-propagation communities
+    * (Newman–Girvan Q, the standard "is this clustering real structure?"
+    * score): per community c over the co-purchase graph, e_c intra-edges,
+    * D_c degree mass, and the contribution q_c = e_c/m − (D_c/2m)² in
+    * exact parts-per-million — computed as
+    * `e_c·10⁶ div m − (D_c·10⁶ div 2m)² div 10⁶`, every step BIGINT and
+    * truncating, so the fixpoint is hash-checkable (no float Q). The
+    * oracle interpolates the SAME [[MiningQueries.lpaCtes]] chain g06
+    * declares, so the audited assignment cannot drift from the assignment
+    * query (the p03/d05 shared-CTE rule). Headroom: e_c ≤ m and
+    * D_c ≤ 2m, so both scaled terms stay under 2⁶³ up to m ≈ 9·10¹²
+    * edges — far past a 100 TB co-purchase graph; past that the 10⁶
+    * constant coarsens, the shape is size-independent.
+    *
+    * Scale shape: the assignment is g06's own plan; on top of it one
+    * vertex-keyed degree agg, two label equi-joins of the edge list
+    * (labels scale with vertices — NEVER broadcast, g06's rule), a
+    * community-keyed hash agg, and a 1-row m broadcast. No all-pairs
+    * term anywhere — Q's pairwise definition collapses to per-community
+    * sums exactly so the O(n²) null-model never materializes. */
+  def g10Modularity(s: SparkSession, d: String): DataFrame = {
+    val und = MiningQueries.coPurchaseEdges(s, d).localCheckpoint(false)
+    val comm = MiningQueries.lpaAssign(s, d).localCheckpoint(false)
+    val deg = und.select(col("u").as("vertex"))
+      .union(und.select(col("v").as("vertex")))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("deg"))
+    val m1 = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(comm.select(col("vertex").as("u"), col("community").as("cu")), "u")
+      .join(comm.select(col("vertex").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_intra"))
+    comm.join(deg, "vertex")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("deg_sum"))
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m1))
+      .selectExpr("community", "n_vertices", "e_intra", "deg_sum",
+        "(e_intra * 1000000 div m) - " +
+          "((deg_sum * 1000000 div (2 * m)) * (deg_sum * 1000000 div (2 * m)) div 1000000) AS q_ppm")
+      .orderBy(col("community"))
+  }
+
+  /** S13 — EMBEDDING COVARIANCE STRUCTURE (the whitening/PCA-prep audit):
+    * exact integer covariance numerators over the first 16 dimensions,
+    * upper triangle j ≤ k. Vectors are fixed-point-quantized
+    * (`floor(double(v)·1000)` — float→double widening is exact and the
+    * multiply/floor then execute bit-identically in both engines, the
+    * m09 pixel-arithmetic discipline), and the report carries
+    * cov_num = n·Σx_jx_k − Σx_j·Σx_k = n²·cov — division-free, so the
+    * 136-row matrix hashes exactly. A training team reads the off-diagonal
+    * mass to decide whether the space needs whitening before cosine
+    * retrieval (correlated dims overweight their shared direction).
+    * Headroom: |x| ≤ ~10³ quantized, so n·Σx_jx_k ≈ n²·10⁶ stays under
+    * 2⁶³ to n ≈ 3·10⁶ vectors; past that the final products widen to
+    * DECIMAL(38) (the shape — one explode + hash agg — is
+    * size-independent, these constants are not).
+    *
+    * Scale shape: ONE narrow projection quantizes, one bounded explode
+    * (136 pairs/row — dim-bounded, not data-bounded) feeds a 136-group
+    * map-side-combinable hash agg; nothing shuffles but the 136 partials
+    * per task. This is the standard distributed Gram-matrix shape. */
+  def s13EmbeddingCovariance(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(expr("transform(slice(embedding, 1, 16), " +
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, 16), j ->
+          |  transform(sequence(j, 16), k ->
+          |    named_struct('j', CAST(j AS BIGINT), 'k', CAST(k AS BIGINT),
+          |                 'xj', qv[j-1], 'xk', qv[k-1]))))""".stripMargin)).as("p"))
+      .select(col("p.j"), col("p.k"), col("p.xj"), col("p.xk"))
+      .groupBy(col("j"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("xj")).as("sx"),
+        sum(col("xk")).as("sy"), sum(expr("xj * xk")).as("sxy"))
+      .selectExpr("j", "k", "n", "sxy * n - sx * sy AS cov_num")
+      .orderBy(col("j"), col("k"))
+
+  /** DQ10 — ALGEBRAIC TABLE CHECKSUM (Litwin–Schwarz-style signature):
+    * 16 order-independent bucket signatures over lineitem, each
+    * sig = Σ_rows (Σ_cols a_i·v_i) mod p with fixed small prime
+    * coefficients and p = 10⁹+7 — the artifact that verifies a 100 TB
+    * table copy/migration without sorting anything: recompute on both
+    * sides, compare 16 rows. Order-independence is by construction
+    * (addition commutes), bucketing by l_orderkey % 16 localizes a
+    * mismatch to 1/16 of the keyspace for bisection. Money columns enter
+    * as exact cents (`floor(x·100)` — IEEE-identical both engines).
+    * The running sum widens to DECIMAL(38,0) BEFORE aggregation (DuckDB's
+    * HUGEINT mirror), so the signature cannot wrap at any row count a
+    * 38-digit accumulator holds (~10²⁹ rows at p ≈ 10⁹) — then reduces
+    * mod p back to BIGINT.
+    *
+    * Scale shape: one narrow projection + one 16-group map-side-combinable
+    * hash agg — the cheapest full-scan verb in the catalog; no shuffle
+    * but 16 partials per task. */
+  def dq10TableChecksum(s: SparkSession, d: String): DataFrame = {
+    val p = 1000000007L
+    lineitem(s, d)
+      .selectExpr("l_orderkey % 16 AS bucket",
+        s"""(3 * l_orderkey + 5 * l_partkey + 7 * l_suppkey
+           | + 11 * CAST(l_linenumber AS BIGINT)
+           | + 13 * CAST(floor(l_quantity * 100) AS BIGINT)
+           | + 17 * CAST(floor(l_extendedprice * 100) AS BIGINT)) % $p AS sig0""".stripMargin)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(sig0 AS DECIMAL(38,0))")).as("ssum"))
+      .selectExpr("bucket", "n_rows", s"CAST(ssum % $p AS BIGINT) AS sig")
+      .orderBy(col("bucket"))
+  }
+
+  /** P04 — SMALL-FILE COMPACTION PLAN (the OPTIMIZE/bin-pack verb of a
+    * lakehouse maintenance pass): within each source, documents in
+    * doc_id order coalesce greedily into target-sized output bins —
+    * bin = (running size BEFORE this file) div target — and the report
+    * is the plan a compactor executes: per (source, bin) file count,
+    * byte total, and the id span it covers. Sequential greedy (not FFD)
+    * is the industry shape — it preserves ingest order so downstream
+    * range predicates on doc_id still prune, exactly like Delta OPTIMIZE's
+    * default bin-packing. Target is 2000 chars here — the bench-scale
+    * stand-in for the 128 MB–1 GB file target a real compactor uses.
+    *
+    * Scale shape: one per-source keyed window (running sum — spillable,
+    * keyed, never SinglePartition) feeding a (source, bin) hash agg that
+    * reuses the window's clustering; one shuffle total. */
+  def p04CompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 2000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("sz"))
+      .withColumn("cum_before", coalesce(sum(col("sz")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Q80 — HOLT LINEAR-TREND FORECAST over the monthly revenue series,
+    * hash-exact: α = β = 1/2 makes every smoothing step a BIGINT
+    * truncating halving — l_t = (y_t + l + b) div 2,
+    * b_t = (l_t − l + b) div 2, seeded l₁ = y₁, b₁ = 0 — so the
+    * recursion is bit-identical across engines with no float state.
+    * Output: the fitted final (level, trend) and the h = 1..3 step-ahead
+    * forecasts l + h·b in cents. The engine folds the calendar-bounded
+    * series with `aggregate` over ONE sorted array (q48's contract:
+    * both engines fold identical values in identical order); the oracle
+    * runs the same recurrence as a RECURSIVE CTE — a completely different
+    * evaluation strategy arriving at the same integer fixpoint (the
+    * q64/d10 two-strategies discipline). Headroom: monthly cents ≈ 10⁸·SF
+    * and the state stays within ~2× the series maximum, so BIGINT holds
+    * to ~10¹⁰× this bench.
+    *
+    * Scale shape: the fact scan collapses to ≤ n_months rows in one
+    * map-side-combinable agg FIRST (q76's aggregate-first rule); the
+    * fold then runs on one calendar-bounded array — a 1-row frame, not a
+    * driver loop, and its cost is invariant to fact-table size. */
+  def q80HoltForecast(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("t"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("t")).agg(sum(col("cents")).as("x"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("ds"))
+      .select(expr(
+        """aggregate(slice(ds, 2, size(ds) - 1),
+          |  named_struct('l', ds[0].x, 'b', CAST(0 AS BIGINT)),
+          |  (acc, e) -> named_struct(
+          |    'l', (e.x + acc.l + acc.b) div 2,
+          |    'b', (((e.x + acc.l + acc.b) div 2) - acc.l + acc.b) div 2))""".stripMargin)
+        .as("st"))
+      .select(explode(expr("sequence(CAST(1 AS BIGINT), CAST(3 AS BIGINT))")).as("h"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"))
+      .selectExpr("h", "level_cents", "trend_cents",
+        "level_cents + h * trend_cents AS forecast_cents")
+      .orderBy(col("h"))
+
+  val queries: Map[String, Q] = Map(
+    "g10_modularity" -> g10Modularity,
+    "s13_embedding_covariance" -> s13EmbeddingCovariance,
+    "dq10_table_checksum" -> dq10TableChecksum,
+    "p04_compaction_plan" -> p04CompactionPlan,
+    "q80_holt_forecast" -> q80HoltForecast)
+
+  val oracle: Map[String, String] = Map(
+    "g10_modularity" ->
+      s"""${MiningQueries.lpaCtes},
+         lab AS (SELECT vertex, label AS community FROM l3),
+         deg AS (
+           SELECT vertex, count(*) AS deg
+           FROM (SELECT u AS vertex FROM und UNION ALL SELECT v FROM und) t
+           GROUP BY vertex
+         ), mm AS (SELECT count(*) AS m FROM und),
+         intra AS (
+           SELECT la.community, count(*) AS e_intra
+           FROM und
+           JOIN lab la ON la.vertex = und.u
+           JOIN lab lb ON lb.vertex = und.v
+           WHERE la.community = lb.community
+           GROUP BY la.community
+         ), per AS (
+           SELECT lab.community, count(*) AS n_vertices, sum(deg.deg) AS deg_sum
+           FROM lab JOIN deg ON deg.vertex = lab.vertex
+           GROUP BY lab.community
+         )
+         SELECT per.community,
+                CAST(per.n_vertices AS BIGINT) AS n_vertices,
+                CAST(coalesce(intra.e_intra, 0) AS BIGINT) AS e_intra,
+                CAST(per.deg_sum AS BIGINT) AS deg_sum,
+                CAST((coalesce(intra.e_intra, 0) * 1000000 // mm.m)
+                     - (((per.deg_sum * 1000000 // (2 * mm.m))
+                         * (per.deg_sum * 1000000 // (2 * mm.m))) // 1000000)
+                     AS BIGINT) AS q_ppm
+         FROM per LEFT JOIN intra ON intra.community = per.community, mm
+         ORDER BY per.community""",
+    "s13_embedding_covariance" ->
+      """SELECT j, k, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) * sum(xj * xk) - sum(xj) * sum(xk) AS BIGINT) AS cov_num
+         FROM (
+           SELECT gj.j, gk.k,
+                  CAST(floor(CAST(embedding[gj.j] AS DOUBLE) * 1000) AS BIGINT) AS xj,
+                  CAST(floor(CAST(embedding[gk.k] AS DOUBLE) * 1000) AS BIGINT) AS xk
+           FROM embeddings,
+                generate_series(1, 16) AS gj(j),
+                generate_series(1, 16) AS gk(k)
+           WHERE gk.k >= gj.j) t
+         GROUP BY j, k ORDER BY j, k""",
+    "dq10_table_checksum" ->
+      """SELECT l_orderkey % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum((3 * l_orderkey + 5 * l_partkey + 7 * l_suppkey
+                          + 11 * CAST(l_linenumber AS BIGINT)
+                          + 13 * CAST(floor(l_quantity * 100) AS BIGINT)
+                          + 17 * CAST(floor(l_extendedprice * 100) AS BIGINT))
+                         % 1000000007) % 1000000007 AS BIGINT) AS sig
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+    "p04_compaction_plan" ->
+      """WITH f AS (
+           SELECT source, doc_id, coalesce(n_chars, 0) AS sz,
+                  coalesce(sum(coalesce(n_chars, 0)) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM documents
+         )
+         SELECT source, CAST(cum_before // 2000 AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(sz) AS BIGINT) AS bytes,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM f GROUP BY source, cum_before // 2000
+         ORDER BY source, bin""",
+    "q80_holt_forecast" ->
+      """WITH RECURSIVE monthly AS (
+           SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS t,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), ser AS (
+           SELECT row_number() OVER (ORDER BY t) AS rn, x FROM monthly
+         ), st AS (
+           SELECT CAST(1 AS BIGINT) AS rn, x AS l, CAST(0 AS BIGINT) AS b
+           FROM ser WHERE rn = 1
+           UNION ALL
+           SELECT s.rn + 1,
+                  (ser.x + s.l + s.b) // 2,
+                  (((ser.x + s.l + s.b) // 2) - s.l + s.b) // 2
+           FROM st s JOIN ser ON ser.rn = s.rn + 1
+         ), fin AS (
+           SELECT l, b FROM st ORDER BY rn DESC LIMIT 1
+         )
+         SELECT CAST(g.h AS BIGINT) AS h, fin.l AS level_cents, fin.b AS trend_cents,
+                fin.l + g.h * fin.b AS forecast_cents
+         FROM fin, generate_series(1, 3) AS g(h)
+         ORDER BY h""")
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.queries.OpsQueries
+import org.apache.spark.sql.functions._
+
+/** Behavior contracts for the round-8 operations/audit family — each test
+  * re-derives the query's arithmetic with an independent driver-side
+  * (BigInt / plain-Scala) implementation, the DriftMarkovSpec discipline:
+  * the DuckDB hash proves cross-engine agreement, these prove the shared
+  * formula is the INTENDED one and cannot wrap.
+  */
+class OpsQueriesSpec extends SparkSpec {
+
+  test("g10: modularity recomputes under driver-side BigInt from raw edges + g06 labels") {
+    val rows = OpsQueries.g10Modularity(spark, sf()).collect()
+    // independent edge derivation straight from lineitem
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), expr("a.ok = b.ok AND a.pk < b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comm = graft.queries.MiningQueries.g06LabelProp(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = BigInt(edges.length)
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val eIntra = edges.groupBy { case (u, v) =>
+      if (comm(u) == comm(v)) Some(comm(u)) else None
+    }.collect { case (Some(c), es) => c -> BigInt(es.length) }
+    val degSum = comm.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(x => BigInt(deg(x._1))).sum }
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum == comm.size,
+      "communities must partition the vertex set")
+    assert(rows.map(_.getAs[Long]("e_intra")).sum <= edges.length)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      val ei = eIntra.getOrElse(c, BigInt(0))
+      val ds = degSum(c)
+      assert(BigInt(r.getAs[Long]("e_intra")) == ei, s"community $c e_intra")
+      assert(BigInt(r.getAs[Long]("deg_sum")) == ds, s"community $c deg_sum")
+      val expect = (ei * 1000000 / m) -
+        ((ds * 1000000 / (2 * m)) * (ds * 1000000 / (2 * m)) / 1000000)
+      assert(BigInt(r.getAs[Long]("q_ppm")) == expect, s"community $c q_ppm")
+      assert(r.getAs[Long]("q_ppm") <= 1000000L)
+    }
+    // total degree mass must equal 2m (handshake lemma over the report)
+    assert(rows.map(r => BigInt(r.getAs[Long]("deg_sum"))).sum == 2 * m)
+  }
+
+  test("s13: covariance numerators recompute under driver-side BigInt; diagonal is a variance (≥ 0)") {
+    val rows = OpsQueries.s13EmbeddingCovariance(spark, sf()).collect()
+    assert(rows.length == 16 * 17 / 2, "upper triangle of a 16x16 matrix")
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(16)
+        .map(v => BigInt(math.floor(v.toDouble * 1000).toLong)).toArray)
+    val n = BigInt(vecs.length)
+    rows.foreach { r =>
+      val (j, k) = (r.getAs[Long]("j").toInt - 1, r.getAs[Long]("k").toInt - 1)
+      val sx = vecs.map(_(j)).sum
+      val sy = vecs.map(_(k)).sum
+      val sxy = vecs.map(v => v(j) * v(k)).sum
+      assert(BigInt(r.getAs[Long]("cov_num")) == sxy * n - sx * sy, s"pair ($j,$k)")
+      if (j == k) assert(r.getAs[Long]("cov_num") >= 0L, "n²·Var(x) must be ≥ 0")
+    }
+  }
+
+  test("dq10: bucket signatures recompute driver-side and rows partition the table") {
+    val p = BigInt(1000000007L)
+    val rows = OpsQueries.dq10TableChecksum(spark, sf()).collect()
+    val li = spark.read.parquet(sf() + "/lineitem.parquet").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == li.length)
+    val expect = li.groupBy(r => r.getAs[Long]("l_orderkey") % 16).map { case (b, rs) =>
+      b -> (rs.map { r =>
+        (BigInt(3) * r.getAs[Long]("l_orderkey") +
+          BigInt(5) * r.getAs[Long]("l_partkey") +
+          BigInt(7) * r.getAs[Long]("l_suppkey") +
+          BigInt(11) * r.getAs[Int]("l_linenumber") +
+          BigInt(13) * math.floor(r.getAs[Double]("l_quantity") * 100).toLong +
+          BigInt(17) * math.floor(r.getAs[Double]("l_extendedprice") * 100).toLong) mod p
+      }.sum mod p)
+    }
+    rows.foreach { r =>
+      assert(BigInt(r.getAs[Long]("sig")) == expect(r.getAs[Long]("bucket")),
+        s"bucket ${r.getAs[Long]("bucket")}")
+    }
+    // the signature detects a single-row change: flipping one quantity cent
+    // shifts the bucket sum by 13 mod p, which is nonzero
+    assert((BigInt(13) mod p) != BigInt(0))
+  }
+
+  test("p04: greedy bin assignment recomputes driver-side; bins conserve files and bytes") {
+    val target = 2000L
+    val rows = OpsQueries.p04CompactionPlan(spark, sf()).collect()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("source"), col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("sz"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, id, sz) =>
+        val bin = cum / target; cum += sz; ((src, bin), (id, sz))
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      (k, (vs.size, vs.map(_._2._2).sum, vs.map(_._2._1).min, vs.map(_._2._1).max))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("bin"))
+      val (nf, by, fd, ld) = expect(k)
+      assert(r.getAs[Long]("n_files") == nf && r.getAs[Long]("bytes") == by &&
+        r.getAs[Long]("first_doc") == fd && r.getAs[Long]("last_doc") == ld, s"bin $k")
+    }
+    assert(rows.map(_.getAs[Long]("n_files")).sum == docs.length,
+      "every file lands in exactly one bin")
+  }
+
+  test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
+    val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
+    assert(rows.length == 3)
+    val monthly = spark.read.parquet(sf() + "/orders.parquet")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("t"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("t").agg(sum("c").as("x")).orderBy("t")
+      .collect().map(_.getAs[Long]("x"))
+    // BigInt fold; / on BigInt truncates toward zero for the signs involved
+    var l = BigInt(monthly.head); var b = BigInt(0)
+    monthly.tail.foreach { y =>
+      val l2 = (y + l + b) / 2
+      b = (l2 - l + b) / 2
+      l = l2
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h")
+      assert(BigInt(r.getAs[Long]("level_cents")) == l)
+      assert(BigInt(r.getAs[Long]("trend_cents")) == b)
+      assert(BigInt(r.getAs[Long]("forecast_cents")) == l + h * b, s"h=$h")
+    }
+  }
+}
