@@ -320,4 +320,113 @@ object VideoCodec {
     while (j < mdatLen) { out.write((seed + j) & 0xFF); j += 1 }
     out.toByteArray
   }
+
+  /** Sync-sample numbers (1-based, the `stss` box) of the first track that
+    * carries one — the keyframe table a seek/thumbnail pass reads. A
+    * container with no stss means EVERY sample is sync per ISO 14496-12
+    * §8.6.2 — that semantic decision belongs to the caller, so this
+    * returns None rather than fabricating 1..n. Same walk discipline as
+    * [[frameGeometry]]: never throws, None on structural shortfall. */
+  def syncSampleIndices(bytes: Array[Byte]): Option[Array[Long]] = try {
+    if (bytes == null || bytes.length < 16 || fourCC(bytes, 4) != "ftyp") return None
+    var result: Option[Array[Long]] = None
+    def walkStbl(from: Int, end: Int): Unit = {
+      var i = from
+      while (i < end) {
+        boxAt(bytes, i, end) match {
+          case None => return
+          case Some((tpe, p, e)) =>
+            if (tpe == "stss" && e - p >= 8 && result.isEmpty) {
+              val n = be32(bytes, p + 4)
+              if (p + 8 + n * 4 <= e) { // refuse truncated tables
+                val out = new Array[Long](n.toInt)
+                var k = 0
+                while (k < n) { out(k) = be32(bytes, p + 8 + k * 4); k += 1 }
+                result = Some(out)
+              }
+            }
+            i = e
+        }
+      }
+    }
+    def walk(from: Int, end: Int, path: List[String]): Unit = {
+      var i = from
+      while (i < end) {
+        boxAt(bytes, i, end) match {
+          case None => return
+          case Some((tpe, p, e)) =>
+            (path, tpe) match {
+              case (Nil, "moov") => walk(p, e, List("moov"))
+              case (List("moov"), "trak") => walk(p, e, List("moov", "trak"))
+              case (List("moov", "trak"), "mdia") => walk(p, e, List("moov", "trak", "mdia"))
+              case (List("moov", "trak", "mdia"), "minf") =>
+                walk(p, e, List("moov", "trak", "mdia", "minf"))
+              case (List("moov", "trak", "mdia", "minf"), "stbl") => walkStbl(p, e)
+              case _ =>
+            }
+            i = e
+        }
+      }
+    }
+    walk(0, bytes.length, Nil)
+    result
+  } catch { case _: Exception => None }
+
+  /** Single-track MP4 like [[mp4BytesWithFrames]] plus a REAL `stss`
+    * sync-sample box marking every `gop`-th sample (samples 1, 1+gop, …)
+    * as a keyframe — what a demuxer reads to seek without decoding.
+    * Box math: stss = 16 + 4·nk with nk = 1 + (nFrames−1) div gop, so
+    * the mdat payload lands at byte 344 + 4·nk and total size =
+    * 344 + 4·nk + nFrames·frameSize — the formulas m15's oracle
+    * recomputes exactly (the m07/m12 discipline). */
+  def mp4BytesWithKeyframes(timescale: Int, duration: Long, nFrames: Int,
+      frameSize: Int, gop: Int, seed: Int = 0): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && nFrames >= 1 && frameSize >= 1 && gop >= 1)
+    require(duration < 4294967296L)
+    val nk = 1 + (nFrames - 1) / gop
+    val mdatLen = nFrames * frameSize
+    val stssSize = 16 + 4 * nk
+    val stblSize = 8 + 24 + 20 + 20 + stssSize // stts + stsz + stco + stss
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val out = new java.io.ByteArrayOutputStream(344 + 4 * nk + mdatLen)
+    def w32(v: Long): Unit = { var s = 24; while (s >= 0) { out.write(((v >> s) & 0xFF).toInt); s -= 8 } }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    w32(16); tag("ftyp"); tag("isom"); w32(0)
+    w32(8L + 108 + trakSize); tag("moov")
+    w32(108); tag("mvhd"); w32(0); w32(0); w32(0)
+    w32(timescale.toLong); w32(duration)
+    w32(0x00010000L); w32(0x01000000L); w32(0); w32(0)
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    var t = 0
+    while (t < 6) { w32(0); t += 1 }
+    w32(2L) // next_track_id
+    val mdatPayloadOffset = 16 + 8 + 108 + trakSize + 8
+    w32(trakSize.toLong); tag("trak")
+    w32(92); tag("tkhd"); w32(7)
+    w32(0); w32(0); w32(1L); w32(0); w32(duration)
+    w32(0); w32(0); w32(0); w32(0)
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    w32(0); w32(0)
+    w32(mdiaSize.toLong); tag("mdia")
+    w32(minfSize.toLong); tag("minf")
+    w32(stblSize.toLong); tag("stbl")
+    w32(24); tag("stts"); w32(0)
+    w32(1); w32(nFrames.toLong); w32(1) // one run, delta 1
+    w32(20); tag("stsz"); w32(0)
+    w32(frameSize.toLong); w32(nFrames.toLong)
+    w32(20); tag("stco"); w32(0)
+    w32(1); w32(mdatPayloadOffset.toLong)
+    w32(stssSize.toLong); tag("stss"); w32(0)
+    w32(nk.toLong)
+    var ki = 0
+    while (ki < nk) { w32(1L + ki.toLong * gop); ki += 1 }
+    w32(8L + mdatLen); tag("mdat")
+    var j = 0
+    while (j < mdatLen) { out.write((seed + j) & 0xFF); j += 1 }
+    out.toByteArray
+  }
 }

@@ -197,7 +197,54 @@ object OpsQueries {
         "level_cents + h * trend_cents AS forecast_cents")
       .orderBy(col("h"))
 
+  /** M15 — KEYFRAME SEEK PLAN through a REAL `stss` sync-sample box:
+    * every document materializes as a valid MP4 whose stss the engine
+    * actually reads ([[graft.functions.VideoCodec.syncSampleIndices]]),
+    * composed with the stts/stsz/stco geometry walk — the product is the
+    * seek plan a thumbnail/preview pass executes: each keyframe's byte
+    * offset, size and presentation time, addressed WITHOUT decoding
+    * anything. m12 plans a fixed-stride sample; m15 plans the
+    * container's OWN keyframe structure — the difference between "every
+    * 5th frame" and "the frames a decoder can actually start at". A
+    * container without stss returns None (ISO 14496-12: no stss ⇒ all
+    * samples sync — a semantic the CALLER must opt into, not a guess).
+    *
+    * The oracle recomputes everything from the synthesis formulas — nk =
+    * 1 + (nF−1) div gop keyframes at samples 1, 1+gop, …; chunk offset
+    * 344 + 4·nk — without parsing a container, so the hash proves the
+    * stss read + box math end-to-end (the m07/m12 discipline).
+    * Scale shape: narrow per-row kernel + keyframe-bounded explode
+    * (≤ nF/gop rows per doc), no shuffle but the final order. */
+  def m15Keyframes(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VideoCodec
+    val mk = udf { (docId: Long) =>
+      val nFrames = (10 + docId % 41).toInt
+      val frameSize = (1 + docId % 7).toInt
+      val timescale = (10 + docId % 20).toInt
+      val gop = (3 + docId % 5).toInt
+      VideoCodec.mp4BytesWithKeyframes(timescale, nFrames.toLong, nFrames,
+        frameSize, gop, (docId % 251).toInt)
+    }
+    val plan = udf { (payload: Array[Byte]) =>
+      for {
+        g <- VideoCodec.frameGeometry(payload)
+        ks <- VideoCodec.syncSampleIndices(payload)
+      } yield (g._1, g._3, g._4, g._5, ks) // timescale, frameSize, chunkOff, delta, stss
+    }
+    documents(s, d)
+      .select(col("doc_id"), plan(mk(col("doc_id"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p._1").as("ts"), col("p._2").as("fs"),
+        col("p._3").as("off"), col("p._4").as("delta"),
+        explode(col("p._5")).as("k"))
+      .selectExpr("doc_id", "k AS sample_no",
+        "off + (k - 1) * fs AS byte_offset", "fs AS frame_bytes",
+        "(k - 1) * delta * 1000 div ts AS pts_milli")
+      .orderBy(col("doc_id"), col("sample_no"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m15_keyframes" -> m15Keyframes,
     "g10_modularity" -> g10Modularity,
     "s13_embedding_covariance" -> s13EmbeddingCovariance,
     "dq10_table_checksum" -> dq10TableChecksum,
@@ -205,6 +252,25 @@ object OpsQueries {
     "q80_holt_forecast" -> q80HoltForecast)
 
   val oracle: Map[String, String] = Map(
+    "m15_keyframes" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  10 + doc_id % 41 AS nf, 1 + doc_id % 7 AS fs,
+                  10 + doc_id % 20 AS ts, 3 + doc_id % 5 AS gop
+           FROM documents
+         ), k AS (
+           -- lateral bounds are unsupported: enumerate the max frame range
+           -- (nf ≤ 50 by synthesis) and keep the gop-stride samples
+           SELECT doc_id, fs, ts, g.k,
+                  344 + 4 * (1 + (nf - 1) // gop) AS chunk_off
+           FROM v, generate_series(1, 51) AS g(k)
+           WHERE g.k <= nf AND (g.k - 1) % gop = 0
+         )
+         SELECT doc_id, CAST(k AS BIGINT) AS sample_no,
+                CAST(chunk_off + (k - 1) * fs AS BIGINT) AS byte_offset,
+                CAST(fs AS BIGINT) AS frame_bytes,
+                CAST((k - 1) * 1000 // ts AS BIGINT) AS pts_milli
+         FROM k ORDER BY doc_id, sample_no""",
     "g10_modularity" ->
       s"""${MiningQueries.lpaCtes},
          lab AS (SELECT vertex, label AS community FROM l3),

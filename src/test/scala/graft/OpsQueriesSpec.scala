@@ -114,6 +114,46 @@ class OpsQueriesSpec extends SparkSpec {
       "every file lands in exactly one bin")
   }
 
+  test("m15: stss round-trips through the synthesizer and the plan covers every gop-th sample") {
+    import graft.functions.VideoCodec
+    // direct codec round-trip across gop/frame shapes
+    for (nf <- Seq(1, 2, 10, 41); gop <- Seq(1, 3, 7); fsz <- Seq(1, 5)) {
+      val bytes = VideoCodec.mp4BytesWithKeyframes(30, nf.toLong, nf, fsz, gop)
+      val nk = 1 + (nf - 1) / gop
+      assert(bytes.length == 344 + 4 * nk + nf * fsz, s"size nf=$nf gop=$gop fsz=$fsz")
+      val ks = VideoCodec.syncSampleIndices(bytes).get
+      assert(ks.toSeq == (0 until nk).map(i => 1L + i.toLong * gop), s"nf=$nf gop=$gop")
+      val g = VideoCodec.frameGeometry(bytes).get
+      assert(g._4 == 344L + 4 * nk, "chunk offset must sit after the stss-widened moov")
+      assert(VideoCodec.parse(bytes).nonEmpty, "container must stay a valid MP4")
+    }
+    // no stss ⇒ None (caller decides the all-sync semantic), never 1..n
+    val plain = VideoCodec.mp4BytesWithFrames(30, 10, 1, 10, 2)
+    assert(VideoCodec.syncSampleIndices(plain).isEmpty)
+    // stss whose entry_count overruns its box ⇒ refused, not misread:
+    // nk=4 ⇒ stss spans bytes [320, 352) with entry_count at 332
+    val kf = VideoCodec.mp4BytesWithKeyframes(30, 10, 10, 1, 3)
+    assert(VideoCodec.syncSampleIndices(kf).get.length == 4)
+    val broken = kf.clone()
+    broken(332 + 3) = 100.toByte // count 4 → 100, table would overrun the box
+    assert(VideoCodec.syncSampleIndices(broken).isEmpty,
+      "overrunning sync-sample table must be refused")
+    // query-level conservation: row count = Σ nk over all docs
+    val rows = OpsQueries.m15Keyframes(spark, sf()).collect()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expectRows = docs.map { id =>
+      val nf = 10 + id % 41; val gop = 3 + id % 5
+      1 + (nf - 1) / gop
+    }.sum
+    assert(rows.length == expectRows, "one row per keyframe per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gop = 3 + id % 5
+      assert((r.getAs[Long]("sample_no") - 1) % gop == 0, s"doc $id keyframe stride")
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
