@@ -243,8 +243,59 @@ object OpsQueries {
       .orderBy(col("doc_id"), col("sample_no"))
   }
 
+  /** Q81 — SPATIAL DISTANCE-PAIRS via grid blocking (the Sedona/GeoSpark
+    * partitioned spatial join, distilled): customers get deterministic
+    * integer micro-degree coordinates (quadratic key hash — synthesis,
+    * like the media family's containers), and the query reports every
+    * pair within Euclidean distance r = 5000, exact integer dx²+dy² ≤ r²
+    * arithmetic so the pair set hashes. The engine is the lossless
+    * GRID-BLOCKED shape: cell = (x div r, y div r); one side replicates
+    * to its 3×3 cell neighborhood, the other joins on its HOME cell —
+    * every qualifying pair meets in exactly the right cell ONCE (b's home
+    * ∈ a's neighborhood iff |cells|∞ ≤ 1 ⊇ dist ≤ r), so no dedup pass.
+    * The oracle is the UNBLOCKED inequality-join spec (DuckDB plans it as
+    * an IEJoin over the bounding box) — two completely different join
+    * strategies, one result, so the hash proves the blocking lossless
+    * (q50/d02's complementary-strategy discipline).
+    *
+    * Scale shape: 9× replication of ONE side + equi-join on cell — the
+    * industry-standard distributed spatial join; candidates are bounded
+    * by local density (Σ|cell|·|neighborhood|), never n². Skewed hot
+    * cells are AQE-splittable because the join is a plain hash/SMJ on the
+    * cell key. Coordinate span 10⁶ with r=5000 ⇒ ~200² cells. */
+  def q81SpatialPairs(s: SparkSession, d: String): DataFrame = {
+    val r = 5000L
+    // QUADRATIC key hash: a linear (k·a mod m) map is translation-invariant
+    // — x(k)−x(k') depends only on k−k', a lattice with NO close pairs for
+    // consecutive keys — so the coordinate synthesis must be nonlinear in
+    // k. km² ≤ 10¹² keeps every term far from 2⁶³ at any key scale.
+    val pts = customer(s, d)
+      .selectExpr("c_custkey AS id", "c_custkey % 999983 AS km")
+      .selectExpr("id",
+        "(km * km * 3 + km * 7919) % 1000000 AS x",
+        "(km * km * 11 + km * 104729) % 1000000 AS y")
+    val cell = pts.selectExpr("id", "x", "y",
+      s"x div $r AS cx", s"y div $r AS cy")
+    val aRep = cell.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "named_struct('cx', cx + dx, 'cy', cy + dy))))")).as("c"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val bHome = cell.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    aRep.join(bHome, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(s"(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= ${r * r}"))
+      .selectExpr("id_a", "id_b",
+        "(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m15_keyframes" -> m15Keyframes,
+    "q81_spatial_pairs" -> q81SpatialPairs,
     "g10_modularity" -> g10Modularity,
     "s13_embedding_covariance" -> s13EmbeddingCovariance,
     "dq10_table_checksum" -> dq10TableChecksum,
@@ -252,6 +303,24 @@ object OpsQueries {
     "q80_holt_forecast" -> q80HoltForecast)
 
   val oracle: Map[String, String] = Map(
+    "q81_spatial_pairs" ->
+      """WITH k AS (
+           SELECT c_custkey AS id, c_custkey % 999983 AS km FROM customer
+         ), p AS (
+           SELECT id,
+                  (km * km * 3 + km * 7919) % 1000000 AS x,
+                  (km * km * 11 + km * 104729) % 1000000 AS y
+           FROM k
+         )
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+         FROM p a JOIN p b
+           ON a.id < b.id
+          AND b.x BETWEEN a.x - 5000 AND a.x + 5000
+          AND b.y BETWEEN a.y - 5000 AND a.y + 5000
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25000000
+         ORDER BY id_a, id_b""",
     "m15_keyframes" ->
       """WITH v AS (
            SELECT doc_id,

@@ -154,6 +154,36 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q81: grid-blocked pairs equal the brute-force quadratic spec") {
+    // sf0.01: 150 points in the 10⁶ square are too sparse for any pair
+    val dir = sf("sf0.01")
+    val r = 5000L
+    val rows = OpsQueries.q81SpatialPairs(spark, dir).collect()
+      .map(x => ((x.getAs[Long]("id_a"), x.getAs[Long]("id_b")), x.getAs[Long]("dist2")))
+    val pts = spark.read.parquet(dir + "/customer.parquet")
+      .selectExpr("c_custkey AS id", "c_custkey % 999983 AS km")
+      .selectExpr("id",
+        "(km * km * 3 + km * 7919) % 1000000 AS x",
+        "(km * km * 11 + km * 104729) % 1000000 AS y")
+      .collect().map(p => (p.getLong(0), p.getLong(1), p.getLong(2)))
+    val brute = for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield ((ia, ib), d2)
+    assert(rows.toMap == brute.toMap,
+      s"blocked join must be lossless: got ${rows.length}, brute ${brute.length}")
+    assert(rows.nonEmpty, "fixture must exercise at least one close pair")
+    // pairs crossing a cell boundary are the blocking's hard case — ensure
+    // the fixture exercises them (cells differ on at least one axis)
+    val crossing = brute.count { case ((ia, ib), _) =>
+      val a = pts.find(_._1 == ia).get; val b = pts.find(_._1 == ib).get
+      a._2 / r != b._2 / r || a._3 / r != b._3 / r
+    }
+    assert(crossing > 0, "no boundary-crossing pair — blocking untested")
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)

@@ -10,6 +10,12 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q81: spatial grid join stays an equi-join on the cell key — never a product join") {
+    val p = plan("q81_spatial_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"grid blocking degraded to a product join:\n${p.take(3000)}")
+  }
+
   test("q01: column pruning reaches the parquet scan") {
     val p = plan("q01_scan_project")
     // only the 3 needed columns (2 projected + sort tie-break) are read
