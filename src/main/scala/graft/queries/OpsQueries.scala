@@ -263,12 +263,18 @@ object OpsQueries {
     * by local density (Σ|cell|·|neighborhood|), never n². Skewed hot
     * cells are AQE-splittable because the join is a plain hash/SMJ on the
     * cell key. Coordinate span 10⁶ with r=5000 ⇒ ~200² cells. */
-  def q81SpatialPairs(s: SparkSession, d: String): DataFrame = {
-    val r = 5000L
-    // QUADRATIC key hash: a linear (k·a mod m) map is translation-invariant
-    // — x(k)−x(k') depends only on k−k', a lattice with NO close pairs for
-    // consecutive keys — so the coordinate synthesis must be nonlinear in
-    // k. km² ≤ 10¹² keeps every term far from 2⁶³ at any key scale.
+  /** All ordered candidate pairs (id_a, id_b, dist2) within distance r,
+    * via the lossless 3×3 grid blocking — each ordered pair appears
+    * exactly once (b's single home cell meets exactly one a-replica).
+    * Shared by q81 (unordered pairs: keep id_a < id_b) and q82 (per-point
+    * kNN: group by id_a).
+    *
+    * QUADRATIC key hash for the coordinates: a linear (k·a mod m) map is
+    * translation-invariant — x(k)−x(k') depends only on k−k', a lattice
+    * with NO close pairs for consecutive keys — so the synthesis must be
+    * nonlinear in k. km² ≤ 10¹² keeps every term far from 2⁶³ at any key
+    * scale. */
+  private def spatialCandidates(s: SparkSession, d: String, r: Long): DataFrame = {
     val pts = customer(s, d)
       .selectExpr("c_custkey AS id", "c_custkey % 999983 AS km")
       .selectExpr("id",
@@ -286,16 +292,90 @@ object OpsQueries {
     val bHome = cell.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), col("cx"), col("cy"))
     aRep.join(bHome, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .filter(expr(s"(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= ${r * r}"))
       .selectExpr("id_a", "id_b",
         "(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2")
+  }
+
+  def q81SpatialPairs(s: SparkSession, d: String): DataFrame =
+    spatialCandidates(s, d, 5000L)
+      .filter(col("id_a") < col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Q82 — BOUNDED SPATIAL k-NN (radius-limited nearest neighbors, the
+    * honest distributed formulation): each point's up-to-3 nearest
+    * neighbors WITHIN r — bounding by radius first is what keeps grid
+    * blocking lossless (an unbounded kNN needs expanding-ring search:
+    * a sparse cell's true NN can live outside the 3×3 neighborhood,
+    * and silently missing it is the classic distributed-kNN bug; the
+    * radius contract makes the 3×3 sweep provably complete). Ranking
+    * is deterministic — (dist2 ASC, id_b ASC) — and the window is keyed
+    * by id_a, spillable, never SinglePartition.
+    *
+    * Scale shape: q81's candidate generation (9× one-side replication
+    * equi-join) + one keyed window over candidates bounded by local
+    * density. The oracle ranks the IEJoin bounding-box candidates — the
+    * complementary strategy, again. */
+  def q82SpatialKnn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("dist2"), col("id_b"))
+    spatialCandidates(s, d, 5000L)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("id_a"), col("rank").cast("long").as("rank"),
+        col("id_b"), col("dist2"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  /** M16 — AUDIO DOWNSAMPLE (2:1 decimation) through the REAL PCM path:
+    * decode int16 samples (RIFF walk + little-endian signed decode, the
+    * m10/m13 kernel), then the resample itself — y_i = (s_2i + s_2i+1)
+    * div 2, truncating toward zero in both engines, odd tail dropped —
+    * the rate-halving pass an ASR pipeline runs before a 16 kHz→8 kHz
+    * model. The report pins the RESULT SIGNAL, not just its existence:
+    * n_out, Σ|y|, max|y|, and an order-sensitive checksum
+    * Σ(y_i+32768)·(i+1) (shift to non-negative keeps the sum exact
+    * BIGINT with no modular arithmetic; position weighting catches a
+    * reordered or off-by-one resampler that energy stats would miss).
+    * Oracle recomputes every value from the synthesis ramp arithmetic —
+    * decode + decimation hash-proven end-to-end (the L90/L105
+    * discipline). Scale shape: narrow per-row kernel, no shuffle but
+    * the final order. */
+  def m16AudioResample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val mk = udf { (docId: Long, nChars: Long) =>
+      AudioCodec.wavBytes(8000, 1, 16, (nChars % 400 + 50).toInt,
+        seed = (docId % 251).toInt)
+    }
+    val res = udf { (b: Array[Byte]) =>
+      AudioCodec.pcmSamples16(b).map { smp =>
+        val m = smp.length / 2
+        var sumAbs = 0L; var maxAbs = 0L; var dot = 0L
+        var i = 0
+        while (i < m) {
+          val y = (smp(2 * i) + smp(2 * i + 1)) / 2
+          sumAbs += math.abs(y)
+          maxAbs = math.max(maxAbs, math.abs(y).toLong)
+          dot += (y.toLong + 32768L) * (i + 1)
+          i += 1
+        }
+        (m.toLong, sumAbs, maxAbs, dot)
+      }.orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), res(mk(col("doc_id"), col("n_chars"))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r._1").as("n_out"), col("r._2").as("sum_abs"),
+        col("r._3").as("max_abs"), col("r._4").as("pos_checksum"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
     "m15_keyframes" -> m15Keyframes,
+    "m16_audio_resample" -> m16AudioResample,
     "q81_spatial_pairs" -> q81SpatialPairs,
+    "q82_spatial_knn" -> q82SpatialKnn,
     "g10_modularity" -> g10Modularity,
     "s13_embedding_covariance" -> s13EmbeddingCovariance,
     "dq10_table_checksum" -> dq10TableChecksum,
@@ -303,6 +383,59 @@ object OpsQueries {
     "q80_holt_forecast" -> q80HoltForecast)
 
   val oracle: Map[String, String] = Map(
+    "q82_spatial_knn" ->
+      """WITH k AS (
+           SELECT c_custkey AS id, c_custkey % 999983 AS km FROM customer
+         ), p AS (
+           SELECT id,
+                  (km * km * 3 + km * 7919) % 1000000 AS x,
+                  (km * km * 11 + km * 104729) % 1000000 AS y
+           FROM k
+         ), cand AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+           FROM p a JOIN p b
+             ON a.id <> b.id
+            AND b.x BETWEEN a.x - 5000 AND a.x + 5000
+            AND b.y BETWEEN a.y - 5000 AND a.y + 5000
+           WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25000000
+         ), rk AS (
+           SELECT id_a, id_b, dist2,
+                  row_number() OVER (PARTITION BY id_a
+                                     ORDER BY dist2, id_b) AS rank
+           FROM cand
+         )
+         SELECT id_a, CAST(rank AS BIGINT) AS rank, id_b,
+                CAST(dist2 AS BIGINT) AS dist2
+         FROM rk WHERE rank <= 3 ORDER BY id_a, rank""",
+    "m16_audio_resample" ->
+      // recompute decode + decimation from the synthesis ramp (data byte
+      // j = (seed + j) mod 256, little-endian signed int16; y_i =
+      // (s_2i + s_2i+1) // 2, odd tail dropped) — the m10 discipline
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars % 400 + 50 AS BIGINT) AS n,
+                  doc_id % 251 AS seed
+           FROM documents
+         ), smp AS (
+           SELECT doc_id, n, k.k AS k,
+                  ((seed + 2 * k.k) % 256) + ((seed + 2 * k.k + 1) % 256) * 256 AS v
+           FROM d CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(0, n - 1)) AS k) k
+         ), sgn AS (
+           SELECT doc_id, n, k,
+                  CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+           FROM smp
+         ), ys AS (
+           SELECT a.doc_id, a.k // 2 AS i, (a.sv + b.sv) // 2 AS y
+           FROM sgn a JOIN sgn b
+             ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k % 2 = 0 AND a.k + 1 < a.n
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+                CAST(sum(abs(y)) AS BIGINT) AS sum_abs,
+                CAST(max(abs(y)) AS BIGINT) AS max_abs,
+                CAST(sum((y + 32768) * (i + 1)) AS BIGINT) AS pos_checksum
+         FROM ys GROUP BY doc_id ORDER BY doc_id""",
     "q81_spatial_pairs" ->
       """WITH k AS (
            SELECT c_custkey AS id, c_custkey % 999983 AS km FROM customer

@@ -184,6 +184,54 @@ class OpsQueriesSpec extends SparkSpec {
     assert(crossing > 0, "no boundary-crossing pair — blocking untested")
   }
 
+  test("q82: radius-bounded kNN equals the brute-force ranking") {
+    val dir = sf("sf0.01")
+    val r = 5000L
+    val rows = OpsQueries.q82SpatialKnn(spark, dir).collect()
+    val pts = spark.read.parquet(dir + "/customer.parquet")
+      .selectExpr("c_custkey AS id", "c_custkey % 999983 AS km")
+      .selectExpr("id",
+        "(km * km * 3 + km * 7919) % 1000000 AS x",
+        "(km * km * 11 + km * 104729) % 1000000 AS y")
+      .collect().map(p => (p.getLong(0), p.getLong(1), p.getLong(2)))
+    val brute = pts.flatMap { case (ia, xa, ya) =>
+      pts.collect { case (ib, xb, yb) if ib != ia &&
+          (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= r * r =>
+        (ia, (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb), ib)
+      }.sortBy(t => (t._2, t._3)).take(3).zipWithIndex
+        .map { case ((a, d2, b), i) => ((a, i + 1L), (b, d2)) }
+    }.toMap
+    assert(rows.length == brute.size, "kNN row count")
+    rows.foreach { r2 =>
+      val k = (r2.getAs[Long]("id_a"), r2.getAs[Long]("rank"))
+      assert(brute(k) == ((r2.getAs[Long]("id_b"), r2.getAs[Long]("dist2"))), s"row $k")
+    }
+  }
+
+  test("m16: decimation recomputes from the ramp formula, independent of the WAV parser") {
+    val rows = OpsQueries.m16AudioResample(spark, sf()).collect()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == docs.length)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, nChars) =>
+      val n = (nChars % 400 + 50).toInt
+      val seed = (id % 251).toInt
+      val smp = (0 until n).map { k =>
+        val v = ((seed + 2 * k) % 256) + ((seed + 2 * k + 1) % 256) * 256
+        if (v >= 32768) v - 65536 else v
+      }
+      val ys = (0 until n / 2).map(i => (smp(2 * i) + smp(2 * i + 1)) / 2)
+      val row = byId(id)
+      assert(row.getAs[Long]("n_out") == n / 2)
+      assert(row.getAs[Long]("sum_abs") == ys.map(y => math.abs(y).toLong).sum, s"doc $id")
+      assert(row.getAs[Long]("max_abs") == ys.map(y => math.abs(y).toLong).max)
+      assert(row.getAs[Long]("pos_checksum") ==
+        ys.zipWithIndex.map { case (y, i) => (y + 32768L) * (i + 1) }.sum, s"doc $id")
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
