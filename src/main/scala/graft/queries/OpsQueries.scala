@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
+import graft.functions.VectorFunctions.cosineSimilarity
 
 /** Round-8 operations/audit surface: the queries a data-platform team runs
   * ABOUT the pipeline rather than inside it — community-quality scoring of
@@ -371,9 +372,59 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S14 — EMBEDDING-DIMENSION ABLATION (the Matryoshka/truncation
+    * decision artifact): recall@5 of exact cosine search using only the
+    * first 8/16/32 dimensions against the full-64-dim ground truth —
+    * the table a platform reads before truncating stored vectors to cut
+    * index memory 2–8× (MRL-trained embeddings keep most recall at small
+    * prefixes; this measures whether THESE embeddings do). Completes the
+    * ANN tuning story on its second axis: s12 sweeps probe COUNT at
+    * fixed dimension, s14 sweeps DIMENSION at exact search.
+    *
+    * Scores stay doubles but never reach the output — ranks only (the
+    * proven engine-identical sequential-fold cosine on both sides;
+    * truncation preserves fold order), recall reported in exact bp.
+    * Scale shape: a HARNESS like s12 — panel × corpus scored projection
+    * replicated per dims setting via a 3-row broadcast grid (never a
+    * per-setting rescan of anything but the one projection), per-
+    * (dims,qid) top-5 windows, integer recall agg. Panel-bounded, not
+    * corpus-pairs. */
+  def s14DimAblation(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.batchTopKByCosine(emb, col("vec_id"),
+        col("embedding"), qs, 5)
+      .select(col("qid"), col("id"))
+      .localCheckpoint(false) // consumed once per dims setting
+    val dims = Seq(8L, 16L, 32L).toDF("dims")
+    val cand = emb.crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("vec_id"))
+      .crossJoin(broadcast(dims))
+      .select(col("dims"), col("qid"), col("vec_id").as("id"),
+        cosineSimilarity(expr("slice(embedding, 1, CAST(dims AS INT))"),
+          expr("slice(qv, 1, CAST(dims AS INT))")).as("score"))
+    val wk = Window.partitionBy(col("dims"), col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    val hits = cand.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 5)
+      .select(col("dims"), col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"))
+      .groupBy(col("dims")).agg(count(lit(1)).as("sum_hits"))
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    dims.join(hits, Seq("dims"), "left").crossJoin(broadcast(nq))
+      .selectExpr("dims", "n_queries",
+        "coalesce(sum_hits, CAST(0 AS BIGINT)) AS sum_hits",
+        "coalesce(sum_hits, CAST(0 AS BIGINT)) * 10000 div (5 * n_queries) AS recall_bp")
+      .orderBy(col("dims"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m15_keyframes" -> m15Keyframes,
     "m16_audio_resample" -> m16AudioResample,
+    "s14_dim_ablation" -> s14DimAblation,
     "q81_spatial_pairs" -> q81SpatialPairs,
     "q82_spatial_knn" -> q82SpatialKnn,
     "g10_modularity" -> g10Modularity,
@@ -382,7 +433,45 @@ object OpsQueries {
     "p04_compaction_plan" -> p04CompactionPlan,
     "q80_holt_forecast" -> q80HoltForecast)
 
+  private val normSliceSql = (v: String) =>
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private def cosSliceSql(a: String, b: String) =
+    s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
+
   val oracle: Map[String, String] = Map(
+    "s14_dim_ablation" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3
+          ), exact AS (
+            SELECT qid, id FROM (
+              SELECT b.qid, a.vec_id AS id,
+                     row_number() OVER (PARTITION BY b.qid
+                       ORDER BY ${cosSliceSql("a.embedding", "b.v")} DESC, a.vec_id) AS rank
+              FROM embeddings a CROSS JOIN q b WHERE a.vec_id <> b.qid) t
+            WHERE rank <= 5
+          ), dm AS (
+            SELECT unnest([8, 16, 32]) AS dims
+          ), cand AS (
+            SELECT dm.dims, b.qid, a.vec_id AS id,
+                   ${cosSliceSql("(a.embedding[1:dm.dims])", "(b.v[1:dm.dims])")} AS score
+            FROM embeddings a CROSS JOIN q b CROSS JOIN dm
+            WHERE a.vec_id <> b.qid
+          ), rk AS (
+            SELECT dims, qid, id,
+                   row_number() OVER (PARTITION BY dims, qid
+                                      ORDER BY score DESC, id) AS rk
+            FROM cand
+          ), hits AS (
+            SELECT rk.dims, count(*) AS sum_hits
+            FROM rk JOIN exact ON exact.qid = rk.qid AND exact.id = rk.id
+            WHERE rk.rk <= 5 GROUP BY rk.dims
+          ), nq AS (SELECT count(*) AS n FROM q)
+          SELECT CAST(dm.dims AS BIGINT) AS dims,
+                 CAST(nq.n AS BIGINT) AS n_queries,
+                 CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+                 CAST(coalesce(h.sum_hits, 0) * 10000 // (5 * nq.n) AS BIGINT) AS recall_bp
+          FROM dm LEFT JOIN hits h ON h.dims = dm.dims, nq
+          ORDER BY dims""",
     "q82_spatial_knn" ->
       """WITH k AS (
            SELECT c_custkey AS id, c_custkey % 999983 AS km FROM customer

@@ -232,6 +232,36 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("s14: ablation recall reproduces under a driver-side recount with the same fold") {
+    val rows = OpsQueries.s14DimAblation(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("dims")).toSeq == Seq(8L, 16L, 32L))
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // identical accumulation order to CosineSimilarityExpr.nullSafeEval
+    def cos(a: Array[Float], b: Array[Float], dims: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dims) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(qid: Long, dims: Int): Set[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, cos(vecs(id), vecs(qid), dims)))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+    val qids = vecs.keys.filter(_ < 3).toSeq
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dims").toInt
+      val hits = qids.map(q => (top5(q, d) & top5(q, 64)).size).sum
+      assert(r.getAs[Long]("n_queries") == qids.length)
+      assert(r.getAs[Long]("sum_hits") == hits, s"dims=$d")
+      assert(r.getAs[Long]("recall_bp") == hits.toLong * 10000 / (5 * qids.length))
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
