@@ -91,17 +91,16 @@ object Dedupe {
     * @return columns (id_a, id_b, agree) — agree = fraction of equal
     *         signature components (Jaccard estimate).
     */
-  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      minAgree: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    // Signatures via explode + ONE codegen'd hash aggregate (min per lane)
-    // instead of per-row higher-order functions: HOF lambdas are evaluated
-    // interpreted in Spark, and the signature subtree would additionally be
-    // recomputed on each side of the self-join below. The tiny aggregated
-    // result (one row per doc) is localCheckpoint'ed so both join sides and
-    // the verification read materialized blocks, not the lineage.
+  /** MinHash signatures (id, sig array<long> length k) via explode + ONE
+    * codegen'd hash aggregate (min per lane) instead of per-row
+    * higher-order functions: HOF lambdas are evaluated interpreted in
+    * Spark, and the signature subtree would otherwise be recomputed on
+    * each side of any downstream self-join. The tiny aggregated result
+    * (one row per doc) is localCheckpoint'ed so every consumer reads
+    * materialized blocks, not the lineage. Shared by [[minhashLshPairs]]
+    * and the d27 band-configuration sweep. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16): DataFrame = {
     val fam = hashFamily(k)
     val exploded = df
       .select(id.as("id"), explode(shingles(text, shingleN)).as("sh"))
@@ -109,16 +108,30 @@ object Dedupe {
     val laneMins = fam.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MersennePrime).as(s"__m$i")
     }
-    val sig = exploded.groupBy(col("id"))
+    exploded.groupBy(col("id"))
       .agg(laneMins.head, laneMins.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
       .localCheckpoint(false)
-    val banded = sig.select(col("id"), col("sig"),
+  }
+
+  /** LSH banding of a signature frame: (id, sig, band_idx, band_key) with
+    * k/bands rows per band key. */
+  def bandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(":", transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string"))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
+  }
+
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(df, id, text, shingleN, k)
+    val banded = bandKeys(sig, k, bands)
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_key"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),

@@ -421,7 +421,67 @@ object OpsQueries {
       .orderBy(col("dims"))
   }
 
+  /** D27 — LSH BAND-CONFIGURATION SWEEP (the S-curve tuning artifact): for
+    * the SAME 16-lane MinHash signature, candidate pairs at band shapes
+    * (8 bands × 2 rows) / (4×4) / (2×8) scored against EXACT set-Jaccard
+    * ≥ 0.5 ground truth — precision/recall per shape, the table a dedupe
+    * rollout reads to pick its banding (more bands = higher recall, lower
+    * precision; the sweep MEASURES the S-curve instead of trusting the
+    * (1/b)^(1/r) folklore). Completes the tuning-harness trilogy: s12
+    * sweeps ANN probes, s14 sweeps dimensions, d27 sweeps LSH bands.
+    *
+    * Ground truth is integer-exact: J ≥ 1/2 ⟺ 3·|∩| ≥ |A|+|B| — no
+    * doubles anywhere in the truth set — computed by the inverted-index
+    * shingle equi-join (the d25/jpairs shape: Σ df² bounded by shingle
+    * selectivity, never n² in docs; a pathological hot shingle is the
+    * documented caveat, and the same join IS the oracle's strategy).
+    * Scale shape: ONE signature agg (shared, checkpointed) + one banded
+    * equi-join per config (3, each shuffling only (band_key) groups) +
+    * the truth join; counts are map-side-combinable; output 3 rows. */
+  def d27LshTuning(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedupe
+    val docs = documents(s, d)
+    val sig = Dedupe.minhashSignatures(docs, col("doc_id"), col("text"))
+    // exact set-Jaccard >= 1/2 truth via the inverted shingle index
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(
+        Dedupe.shingles(col("text"), 3))).as("sh"))
+      .localCheckpoint(false) // sizes + self-join
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = tok.select(col("doc_id").as("id_a"), col("sh"))
+      .join(tok.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+      .filter(col("inter") * 3 >= col("sa") + col("sb"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false) // joined against each config
+    val nTruthDf = truth.agg(count(lit(1)).as("n_truth")) // 1-row broadcast
+    val configs = Seq(8, 4, 2)
+    val reports = configs.map { b =>
+      val banded = Dedupe.bandKeys(sig, 16, b)
+      val cand = banded.select(col("id").as("id_a"), col("band_idx"), col("band_key"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand.join(truth.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0))).as("tp"))
+        .select(lit(b.toLong).as("bands"), lit((16 / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("tp").cast("long").as("tp"))
+    }
+    reports.reduce(_ unionAll _)
+      .crossJoin(broadcast(nTruthDf))
+      .selectExpr("bands", "rows_per_band", "n_candidates", "n_truth", "tp",
+        "CASE WHEN n_candidates > 0 THEN tp * 10000 div n_candidates ELSE CAST(0 AS BIGINT) END AS precision_bp",
+        "CASE WHEN n_truth > 0 THEN tp * 10000 div n_truth ELSE CAST(0 AS BIGINT) END AS recall_bp")
+      .orderBy(col("bands").desc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d27_lsh_tuning" -> d27LshTuning,
     "m15_keyframes" -> m15Keyframes,
     "m16_audio_resample" -> m16AudioResample,
     "s14_dim_ablation" -> s14DimAblation,
@@ -433,12 +493,78 @@ object OpsQueries {
     "p04_compaction_plan" -> p04CompactionPlan,
     "q80_holt_forecast" -> q80HoltForecast)
 
+  /** d27's oracle: the d01 minhash machinery (same hash-family literals via
+    * [[graft.operators.Dedupe.hashFamily]]) swept over three band shapes,
+    * plus the integer-exact 3·|∩| ≥ |A|+|B| truth join. */
+  private val d27Sql: String = {
+    val P = 2147483647L
+    val words = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+    val md5h = (v: String) => s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
+    val shingle =
+      s"""list_transform(generate_series(1, len(w) - 2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""
+    val sigEntries = graft.operators.Dedupe.hashFamily(16).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val candCte = (b: Int) => {
+      val r = 16 / b
+      s"""banded$b AS (
+            SELECT doc_id, bi.band_idx,
+                   array_to_string(sig[band_idx * $r + 1 : band_idx * $r + $r], ':') AS band_key
+            FROM sig, LATERAL (SELECT unnest(generate_series(0, ${b - 1})) AS band_idx) bi
+          ), cand$b AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded$b a JOIN banded$b b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+          ), rep$b AS (
+            SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM cand$b c LEFT JOIN truth t
+              ON t.id_a = c.id_a AND t.id_b = c.id_b
+          )"""
+    }
+    s"""WITH w0 AS (
+          SELECT doc_id, $words AS w FROM documents
+        ), hh AS (
+          SELECT doc_id, list_transform($shingle, sh -> ${md5h("sh")} % $P) AS h
+          FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
+        ), sig AS (
+          SELECT doc_id, $sigEntries AS sig FROM hh
+        ), tok AS (
+          SELECT doc_id, unnest(list_distinct($shingle)) AS sh
+          FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
+        ), tsizes AS (
+          SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), truth AS (
+          SELECT i.id_a, i.id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) i
+          JOIN tsizes sa ON sa.doc_id = i.id_a
+          JOIN tsizes sb ON sb.doc_id = i.id_b
+          WHERE i.inter * 3 >= sa.sz + sb.sz
+        ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        ${candCte(8)}, ${candCte(4)}, ${candCte(2)},
+        allrep AS (
+          SELECT * FROM rep8 UNION ALL SELECT * FROM rep4 UNION ALL SELECT * FROM rep2
+        )
+        SELECT bands, rows_per_band, n_candidates, nt.n_truth, tp,
+               CASE WHEN n_candidates > 0 THEN tp * 10000 // n_candidates
+                    ELSE CAST(0 AS BIGINT) END AS precision_bp,
+               CASE WHEN nt.n_truth > 0 THEN tp * 10000 // nt.n_truth
+                    ELSE CAST(0 AS BIGINT) END AS recall_bp
+        FROM allrep, nt ORDER BY bands DESC"""
+  }
+
   private val normSliceSql = (v: String) =>
     s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
   private def cosSliceSql(a: String, b: String) =
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "d27_lsh_tuning" -> d27Sql,
     "s14_dim_ablation" ->
       s"""WITH q AS (
             SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3

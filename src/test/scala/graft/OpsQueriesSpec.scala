@@ -262,6 +262,62 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d27: band-sweep precision/recall reproduce under a full driver-side minhash recount") {
+    val P = 2147483647L
+    val rows = OpsQueries.d27LshTuning(spark, sf()).collect()
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"))).toSeq ==
+      Seq((8L, 2L), (4L, 4L), (2L, 8L)))
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .selectExpr("doc_id", "coalesce(text, '') AS text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5h32(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val shingled = docs.map { case (id, t) =>
+      val w = t.trim.toLowerCase.split("\\s+")
+      id -> (if (w.length >= 3) (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+             else Seq.empty[String])
+    }.filter(_._2.nonEmpty)
+    val fam = graft.operators.Dedupe.hashFamily(16)
+    val sigs = shingled.map { case (id, shs) =>
+      val hs = shs.map(sh => md5h32(sh) % P)
+      id -> fam.map { case (a, b) => hs.map(x => (x * a + b) % P).min }.toArray
+    }.toMap
+    val sets = shingled.map { case (id, shs) => id -> shs.toSet }.toMap
+    val ids = sigs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      (a, b) = (ids(i), ids(j))
+      inter = (sets(a) & sets(b)).size
+      if inter * 3 >= sets(a).size + sets(b).size
+    } yield (a, b)).toSet
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bands").toInt; val rr = 16 / b
+      val cand = (for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+        (x, y) = (ids(i), ids(j))
+        if (0 until b).exists(bi =>
+          sigs(x).slice(bi * rr, bi * rr + rr).sameElements(sigs(y).slice(bi * rr, bi * rr + rr)))
+      } yield (x, y)).toSet
+      assert(r.getAs[Long]("n_candidates") == cand.size, s"bands=$b candidates")
+      assert(r.getAs[Long]("n_truth") == truth.size)
+      val tp = (cand & truth).size
+      assert(r.getAs[Long]("tp") == tp, s"bands=$b tp")
+      assert(r.getAs[Long]("precision_bp") ==
+        (if (cand.nonEmpty) tp.toLong * 10000 / cand.size else 0L))
+      assert(r.getAs[Long]("recall_bp") ==
+        (if (truth.nonEmpty) tp.toLong * 10000 / truth.size else 0L))
+    }
+    // nesting guarantee: a 2r-row band equals iff both constituent r-row
+    // bands equal, so cand(2,8) ⊆ cand(4,4) ⊆ cand(8,2) — recall is
+    // monotone in band count BY CONSTRUCTION; pin it
+    val byBands = rows.map(r => r.getAs[Long]("bands") -> r.getAs[Long]("recall_bp")).toMap
+    assert(byBands(8L) >= byBands(4L) && byBands(4L) >= byBands(2L),
+      "recall must be monotone in band count (nested band structure)")
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
