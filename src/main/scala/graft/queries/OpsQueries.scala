@@ -19,11 +19,13 @@ import graft.functions.VectorFunctions.cosineSimilarity
 object OpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** G10 — MODULARITY AUDIT of the g06 label-propagation communities
-    * (Newman–Girvan Q, the standard "is this clustering real structure?"
-    * score): per community c over the co-purchase graph, e_c intra-edges,
-    * D_c degree mass, and the contribution q_c = e_c/m − (D_c/2m)² in
-    * exact parts-per-million — computed as
+  /** G10 — MODULARITY + CONDUCTANCE AUDIT of the g06 label-propagation
+    * communities (Newman–Girvan Q and the cut-share complement — the two
+    * standard "is this clustering real structure?" scores; low
+    * conductance + high modularity contribution is the real-structure
+    * quadrant): per community c over the co-purchase graph, e_c
+    * intra-edges, D_c degree mass, the contribution
+    * q_c = e_c/m − (D_c/2m)² in exact parts-per-million — computed as
     * `e_c·10⁶ div m − (D_c·10⁶ div 2m)² div 10⁶`, every step BIGINT and
     * truncating, so the fixpoint is hash-checkable (no float Q). The
     * oracle interpolates the SAME [[MiningQueries.lpaCtes]] chain g06
@@ -59,7 +61,14 @@ object OpsQueries {
       .crossJoin(broadcast(m1))
       .selectExpr("community", "n_vertices", "e_intra", "deg_sum",
         "(e_intra * 1000000 div m) - " +
-          "((deg_sum * 1000000 div (2 * m)) * (deg_sum * 1000000 div (2 * m)) div 1000000) AS q_ppm")
+          "((deg_sum * 1000000 div (2 * m)) * (deg_sum * 1000000 div (2 * m)) div 1000000) AS q_ppm",
+        // conductance: share of the community's edge endpoints that leave
+        // it — cut = deg_sum − 2·e_intra, normalized by min(vol, 2m−vol);
+        // the low-conductance/high-modularity quadrant is "real structure"
+        "deg_sum - 2 * e_intra AS cut_edges",
+        "CASE WHEN least(deg_sum, 2 * m - deg_sum) > 0 " +
+          "THEN (deg_sum - 2 * e_intra) * 1000000 div least(deg_sum, 2 * m - deg_sum) " +
+          "ELSE CAST(0 AS BIGINT) END AS conductance_ppm")
       .orderBy(col("community"))
   }
 
@@ -715,7 +724,12 @@ object OpsQueries {
                 CAST((coalesce(intra.e_intra, 0) * 1000000 // mm.m)
                      - (((per.deg_sum * 1000000 // (2 * mm.m))
                          * (per.deg_sum * 1000000 // (2 * mm.m))) // 1000000)
-                     AS BIGINT) AS q_ppm
+                     AS BIGINT) AS q_ppm,
+                CAST(per.deg_sum - 2 * coalesce(intra.e_intra, 0) AS BIGINT) AS cut_edges,
+                CAST(CASE WHEN least(per.deg_sum, 2 * mm.m - per.deg_sum) > 0
+                     THEN (per.deg_sum - 2 * coalesce(intra.e_intra, 0)) * 1000000
+                          // least(per.deg_sum, 2 * mm.m - per.deg_sum)
+                     ELSE 0 END AS BIGINT) AS conductance_ppm
          FROM per LEFT JOIN intra ON intra.community = per.community, mm
          ORDER BY per.community""",
     "s13_embedding_covariance" ->

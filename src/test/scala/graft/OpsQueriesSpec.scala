@@ -42,6 +42,11 @@ class OpsQueriesSpec extends SparkSpec {
         ((ds * 1000000 / (2 * m)) * (ds * 1000000 / (2 * m)) / 1000000)
       assert(BigInt(r.getAs[Long]("q_ppm")) == expect, s"community $c q_ppm")
       assert(r.getAs[Long]("q_ppm") <= 1000000L)
+      val cut = ds - 2 * ei
+      assert(BigInt(r.getAs[Long]("cut_edges")) == cut, s"community $c cut")
+      val denom = ds.min(2 * m - ds)
+      assert(BigInt(r.getAs[Long]("conductance_ppm")) ==
+        (if (denom > 0) cut * 1000000 / denom else BigInt(0)), s"community $c conductance")
     }
     // total degree mass must equal 2m (handshake lemma over the report)
     assert(rows.map(r => BigInt(r.getAs[Long]("deg_sum"))).sum == 2 * m)

@@ -16,6 +16,22 @@ class PlanShapeSpec extends SparkSpec {
       s"grid blocking degraded to a product join:\n${p.take(3000)}")
   }
 
+  test("dq10: checksum is ONE scan + one map-side-combinable agg") {
+    val p = plan("dq10_table_checksum")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"checksum re-scans the table:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      s"bucket counts lost map-side combine:\n${p.take(2000)}")
+  }
+
+  test("p04: compaction agg reuses the per-source window clustering — one hash exchange") {
+    val p = plan("p04_compaction_plan")
+    // window needs hashpartitioning(source); the (source, bin) agg is
+    // satisfied by that subset clustering — a second exchange is a regression
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"compaction plan reshuffled after the window:\n${p.take(3000)}")
+  }
+
   test("q01: column pruning reaches the parquet scan") {
     val p = plan("q01_scan_project")
     // only the 3 needed columns (2 projected + sort tie-break) are read
