@@ -489,7 +489,33 @@ object OpsQueries {
       .orderBy(col("bands").desc)
   }
 
+  /** DQ11 — K-ANONYMITY / L-DIVERSITY CENSUS (Sweeney 2002 / Machanavajjhala
+    * 2007): the privacy-governance audit a release manager runs BEFORE
+    * publishing a table — equivalence classes over the quasi-identifier
+    * pair (market segment × nation), each class's size (k) and the count
+    * of distinct sensitive-attribute buckets it contains (l), plus the
+    * below-k=5 flag marking re-identifiable classes. The structured-data
+    * complement of the M4 text anonymizer: M4 scrubs PII literals, dq11
+    * measures whether the remaining columns STILL single people out.
+    * All-integer; the sensitive bucket is exact $1000 floor-division of
+    * the account balance (truncation toward zero mirrored cross-engine).
+    *
+    * Scale shape: one QI-keyed hash agg; the distinct-count is exact
+    * (keyed by class, spillable) — classes are bounded by the QI domain
+    * (≤ segments × nations), so the report never grows with rows. */
+  def dq11KAnonymity(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .selectExpr("c_mktsegment AS qi_segment", "c_nationkey AS qi_nation",
+        "CAST(floor(c_acctbal) AS BIGINT) div 1000 AS sens_bucket")
+      .groupBy(col("qi_segment"), col("qi_nation"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("sens_bucket")).as("l_diversity"))
+      .selectExpr("qi_segment", "qi_nation", "class_size", "l_diversity",
+        "CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k5")
+      .orderBy(col("qi_segment"), col("qi_nation"))
+
   val queries: Map[String, Q] = Map(
+    "dq11_k_anonymity" -> dq11KAnonymity,
     "d27_lsh_tuning" -> d27LshTuning,
     "m15_keyframes" -> m15Keyframes,
     "m16_audio_resample" -> m16AudioResample,
@@ -573,6 +599,12 @@ object OpsQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "dq11_k_anonymity" ->
+      """SELECT c_mktsegment AS qi_segment, c_nationkey AS qi_nation,
+                CAST(count(*) AS BIGINT) AS class_size,
+                CAST(count(DISTINCT CAST(floor(c_acctbal) AS BIGINT) // 1000) AS BIGINT) AS l_diversity,
+                CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k5
+         FROM customer GROUP BY 1, 2 ORDER BY qi_segment, qi_nation""",
     "d27_lsh_tuning" -> d27Sql,
     "s14_dim_ablation" ->
       s"""WITH q AS (

@@ -323,6 +323,28 @@ class OpsQueriesSpec extends SparkSpec {
       "recall must be monotone in band count (nested band structure)")
   }
 
+  test("dq11: k/l census recomputes driver-side and classes partition the table") {
+    val rows = OpsQueries.dq11KAnonymity(spark, sf()).collect()
+    val cust = spark.read.parquet(sf() + "/customer.parquet")
+      .selectExpr("c_mktsegment AS s", "c_nationkey AS n",
+        "CAST(floor(c_acctbal) AS BIGINT) div 1000 AS b")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("class_size")).sum == cust.length,
+      "classes must partition the customer table")
+    val expect = cust.groupBy(c => (c._1, c._2)).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._3).distinct.length.toLong)
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("qi_segment"), r.getAs[Int]("qi_nation"))
+      val (sz, ld) = expect(k)
+      assert(r.getAs[Long]("class_size") == sz, s"class $k size")
+      assert(r.getAs[Long]("l_diversity") == ld, s"class $k l-diversity")
+      assert(r.getAs[Long]("below_k5") == (if (sz < 5) 1L else 0L))
+      assert(ld <= sz, "l can never exceed k")
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
