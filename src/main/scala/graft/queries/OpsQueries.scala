@@ -514,7 +514,47 @@ object OpsQueries {
         "CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k5")
       .orderBy(col("qi_segment"), col("qi_nation"))
 
+  /** M17 — IMAGE TILE PLAN through the REAL header decode: every document
+    * materializes as a valid PNG whose IHDR the engine actually parses
+    * ([[graft.functions.ImageCodec.parse]]) to plan a 128×128 tile grid
+    * with edge clamping — the patch-extraction verb of a vision pipeline
+    * (ViT patching, tile-serving, zoomable thumbnails), planned WITHOUT
+    * decoding a pixel: at 100 TB this pass reads ~30 header bytes per
+    * object and downstream range-reads fetch exactly the planned tiles
+    * (m12/m15's discipline for images). Edge tiles carry their true
+    * clamped size — min(128, w−x0) — because a resizer that pads
+    * silently corrupts aspect ratios downstream.
+    *
+    * Oracle recomputes the grid from the synthesis dimension formulas,
+    * never parsing a PNG — header decode + grid math hash-proven.
+    * Scale shape: narrow per-row kernel + grid-bounded explode
+    * (≤ ⌈w/128⌉·⌈h/128⌉ rows per doc), no shuffle but the final order. */
+  def m17TilePlan(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ImageCodec
+    val mk = udf { (docId: Long) =>
+      ImageCodec.pngBytes((100 + docId % 500).toInt, (80 + docId % 333).toInt,
+        (docId % 37).toInt)
+    }
+    val dims = udf { (b: Array[Byte]) =>
+      ImageCodec.parse(b).map(m => (m.width, m.height)).orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), dims(mk(col("doc_id"))).as("wh"))
+      .filter(col("wh").isNotNull)
+      .select(col("doc_id"), col("wh._1").cast("long").as("w"),
+        col("wh._2").cast("long").as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (h + 127) div 128 - 1)")).as("ty"))
+      .select(col("doc_id"), col("w"), col("h"), col("ty"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (w + 127) div 128 - 1)")).as("tx"))
+      .selectExpr("doc_id", "ty", "tx", "tx * 128 AS x0", "ty * 128 AS y0",
+        "least(CAST(128 AS BIGINT), w - tx * 128) AS tile_w",
+        "least(CAST(128 AS BIGINT), h - ty * 128) AS tile_h")
+      .orderBy(col("doc_id"), col("ty"), col("tx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m17_tile_plan" -> m17TilePlan,
     "dq11_k_anonymity" -> dq11KAnonymity,
     "d27_lsh_tuning" -> d27LshTuning,
     "m15_keyframes" -> m15Keyframes,
@@ -599,6 +639,25 @@ object OpsQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "m17_tile_plan" ->
+      // grid math from the synthesis dims (w = 100 + id%500 ≤ 599,
+      // h = 80 + id%333 ≤ 412 ⇒ ≤ 5×4 tiles); bounded-range + filter
+      // because table functions reject lateral column bounds
+      """WITH v AS (
+           SELECT doc_id, 100 + doc_id % 500 AS w, 80 + doc_id % 333 AS h
+           FROM documents
+         ), g AS (
+           SELECT doc_id, w, h, ty.ty, tx.tx
+           FROM v,
+                generate_series(0, 4) AS ty(ty),
+                generate_series(0, 4) AS tx(tx)
+           WHERE ty.ty < (h + 127) // 128 AND tx.tx < (w + 127) // 128
+         )
+         SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+                CAST(tx * 128 AS BIGINT) AS x0, CAST(ty * 128 AS BIGINT) AS y0,
+                CAST(least(128, w - tx * 128) AS BIGINT) AS tile_w,
+                CAST(least(128, h - ty * 128) AS BIGINT) AS tile_h
+         FROM g ORDER BY doc_id, ty, tx""",
     "dq11_k_anonymity" ->
       """SELECT c_mktsegment AS qi_segment, c_nationkey AS qi_nation,
                 CAST(count(*) AS BIGINT) AS class_size,

@@ -345,6 +345,29 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m17: tile grid covers every pixel exactly once and clamps at the edges") {
+    val rows = OpsQueries.m17TilePlan(spark, sf()).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(byDoc.keySet == docs.toSet, "every document plans a grid")
+    byDoc.foreach { case (id, ts) =>
+      val w = 100 + id % 500; val h = 80 + id % 333
+      val nx = (w + 127) / 128; val ny = (h + 127) / 128
+      assert(ts.length == nx * ny, s"doc $id tile count")
+      // exact coverage: tile areas sum to the pixel count (no overlap by
+      // construction of the disjoint 128-grid)
+      assert(ts.map(t => t.getAs[Long]("tile_w") * t.getAs[Long]("tile_h")).sum == w * h,
+        s"doc $id pixel coverage")
+      ts.foreach { t =>
+        assert(t.getAs[Long]("tile_w") >= 1 && t.getAs[Long]("tile_w") <= 128)
+        assert(t.getAs[Long]("tile_h") >= 1 && t.getAs[Long]("tile_h") <= 128)
+        assert(t.getAs[Long]("x0") + t.getAs[Long]("tile_w") <= w)
+        assert(t.getAs[Long]("y0") + t.getAs[Long]("tile_h") <= h)
+      }
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
