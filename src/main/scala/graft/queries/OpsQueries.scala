@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
@@ -553,7 +553,47 @@ object OpsQueries {
       .orderBy(col("doc_id"), col("ty"), col("tx"))
   }
 
+  /** DQ12 — GENERALIZATION LATTICE for k-anonymity (the decision artifact
+    * ON TOP of dq11's census): the same customer table audited at three
+    * QI generalization levels — (segment × nation), (segment × region)
+    * via the nation dimension, (segment) — reporting per level the class
+    * count, the minimum k, and how many customers would need SUPPRESSION
+    * to reach k ≥ 5 (suppressed share in bp). A release manager reads it
+    * bottom-up and picks the first level whose suppression cost is
+    * acceptable — measuring the generalization/suppression trade-off
+    * instead of guessing it (the lattice walk at the heart of
+    * Incognito/Mondrian, evaluated declaratively). All-integer.
+    *
+    * Scale shape: one narrow base projection + broadcast of the ≤25-row
+    * nation dim (a DIMENSION — broadcast is correct here, unlike vocab
+    * joins), three QI-keyed hash aggs (one per level) + a second tiny agg
+    * over each class frame; every report row count is QI-domain-bounded. */
+  def dq12GeneralizationLattice(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        col("n_regionkey").as("reg"))
+      .localCheckpoint(false) // three level aggs
+    def level(lvl: Long, desc: String, keys: Seq[Column]): DataFrame =
+      base.groupBy(keys: _*).agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, lit(1)).otherwise(lit(0))).as("classes_below_k5"),
+          sum(when(col("k") < 5, col("k")).otherwise(lit(0))).as("suppressed"),
+          sum(col("k")).as("total"))
+        .select(lit(lvl).as("level"), lit(desc).as("qi"), col("n_classes"),
+          col("min_k"), col("classes_below_k5").cast("long").as("classes_below_k5"),
+          col("suppressed").cast("long").as("suppressed"), col("total"))
+    level(0L, "segment x nation", Seq(col("seg"), col("nat")))
+      .unionAll(level(1L, "segment x region", Seq(col("seg"), col("reg"))))
+      .unionAll(level(2L, "segment", Seq(col("seg"))))
+      .selectExpr("level", "qi", "n_classes", "min_k", "classes_below_k5",
+        "suppressed", "suppressed * 10000 div total AS suppressed_bp")
+      .orderBy(col("level"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq12_generalization_lattice" -> dq12GeneralizationLattice,
     "m17_tile_plan" -> m17TilePlan,
     "dq11_k_anonymity" -> dq11KAnonymity,
     "d27_lsh_tuning" -> d27LshTuning,
@@ -639,6 +679,41 @@ object OpsQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "dq12_generalization_lattice" ->
+      """WITH base AS (
+           SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat, n.n_regionkey AS reg
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         ), l0 AS (
+           SELECT count(*) AS k FROM base GROUP BY seg, nat
+         ), l1 AS (
+           SELECT count(*) AS k FROM base GROUP BY seg, reg
+         ), l2 AS (
+           SELECT count(*) AS k FROM base GROUP BY seg
+         ), rep AS (
+           SELECT 0 AS level, 'segment x nation' AS qi, count(*) AS n_classes,
+                  min(k) AS min_k,
+                  sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS classes_below_k5,
+                  sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS suppressed,
+                  sum(k) AS total
+           FROM l0
+           UNION ALL
+           SELECT 1, 'segment x region', count(*), min(k),
+                  sum(CASE WHEN k < 5 THEN 1 ELSE 0 END),
+                  sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k)
+           FROM l1
+           UNION ALL
+           SELECT 2, 'segment', count(*), min(k),
+                  sum(CASE WHEN k < 5 THEN 1 ELSE 0 END),
+                  sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k)
+           FROM l2
+         )
+         SELECT CAST(level AS BIGINT) AS level, qi,
+                CAST(n_classes AS BIGINT) AS n_classes,
+                CAST(min_k AS BIGINT) AS min_k,
+                CAST(classes_below_k5 AS BIGINT) AS classes_below_k5,
+                CAST(suppressed AS BIGINT) AS suppressed,
+                CAST(suppressed * 10000 // total AS BIGINT) AS suppressed_bp
+         FROM rep ORDER BY level""",
     "m17_tile_plan" ->
       // grid math from the synthesis dims (w = 100 + id%500 ≤ 599,
       // h = 80 + id%333 ≤ 412 ⇒ ≤ 5×4 tiles); bounded-range + filter

@@ -368,6 +368,36 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq12: lattice levels recompute driver-side; coarsening is monotone") {
+    val rows = OpsQueries.dq12GeneralizationLattice(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("level"))
+    assert(rows.map(_.getAs[String]("qi")).toSeq ==
+      Seq("segment x nation", "segment x region", "segment"))
+    val cust = spark.read.parquet(sf() + "/customer.parquet")
+      .selectExpr("c_mktsegment AS s", "c_nationkey AS n").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val n2r = spark.read.parquet(sf() + "/nation.parquet")
+      .selectExpr("n_nationkey", "n_regionkey").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    def audit[K](key: ((String, Int)) => K): (Long, Long, Long, Long) = {
+      val ks = cust.groupBy(key).map(_._2.length.toLong)
+      (ks.size.toLong, ks.min, ks.count(_ < 5).toLong, ks.filter(_ < 5).sum)
+    }
+    val expect = Seq(audit(identity), audit(c => (c._1, n2r(c._2))), audit(_._1))
+    rows.zip(expect).foreach { case (r, (nc, mk, below, sup)) =>
+      assert(r.getAs[Long]("n_classes") == nc, s"level ${r.getAs[Long]("level")}")
+      assert(r.getAs[Long]("min_k") == mk)
+      assert(r.getAs[Long]("classes_below_k5") == below)
+      assert(r.getAs[Long]("suppressed") == sup)
+      assert(r.getAs[Long]("suppressed_bp") == sup * 10000 / cust.length)
+    }
+    // coarsening merges classes: counts shrink, the minimum k cannot drop
+    val ncs = rows.map(_.getAs[Long]("n_classes"))
+    val mks = rows.map(_.getAs[Long]("min_k"))
+    assert(ncs(0) >= ncs(1) && ncs(1) >= ncs(2), "class count must shrink with coarsening")
+    assert(mks(0) <= mks(1) && mks(1) <= mks(2), "min k cannot drop when classes merge")
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
