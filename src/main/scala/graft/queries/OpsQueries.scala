@@ -447,17 +447,19 @@ object OpsQueries {
     * Scale shape: ONE signature agg (shared, checkpointed) + one banded
     * equi-join per config (3, each shuffling only (band_key) groups) +
     * the truth join; counts are map-side-combinable; output 3 rows. */
-  def d27LshTuning(s: SparkSession, d: String): DataFrame = {
+  /** Exact set-Jaccard ≥ ½ pairs (id_a < id_b) over 3-word shingles via
+    * the inverted shingle index — integer-exact (3·|∩| ≥ |A|+|B|), cost
+    * bounded by Σ df² over shingle selectivity, never n² in docs. Truth
+    * set for d27's band sweep and the pair source for d28's cross-source
+    * overlap matrix. */
+  private def shingleJaccardTruth(docs: DataFrame): DataFrame = {
     import graft.operators.Dedupe
-    val docs = documents(s, d)
-    val sig = Dedupe.minhashSignatures(docs, col("doc_id"), col("text"))
-    // exact set-Jaccard >= 1/2 truth via the inverted shingle index
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(
         Dedupe.shingles(col("text"), 3))).as("sh"))
       .localCheckpoint(false) // sizes + self-join
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val truth = tok.select(col("doc_id").as("id_a"), col("sh"))
+    tok.select(col("doc_id").as("id_a"), col("sh"))
       .join(tok.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
@@ -465,6 +467,13 @@ object OpsQueries {
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
       .filter(col("inter") * 3 >= col("sa") + col("sb"))
       .select(col("id_a"), col("id_b"))
+  }
+
+  def d27LshTuning(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedupe
+    val docs = documents(s, d)
+    val sig = Dedupe.minhashSignatures(docs, col("doc_id"), col("text"))
+    val truth = shingleJaccardTruth(docs)
       .localCheckpoint(false) // joined against each config
     val nTruthDf = truth.agg(count(lit(1)).as("n_truth")) // 1-row broadcast
     val configs = Seq(8, 4, 2)
@@ -592,7 +601,39 @@ object OpsQueries {
       .orderBy(col("level"))
   }
 
+  /** D28 — CROSS-SOURCE DUPLICATION MATRIX: the directionless (source_a ≤
+    * source_b) matrix of near-duplicate pair counts with J ≥ ½ (d27's
+    * integer-exact shingle truth), plus each cell's share of the row
+    * source's documents in bp — the feed-provenance artifact ("which
+    * feeds mirror each other") a curation team reads before deciding
+    * which source to drop wholesale vs dedupe pairwise. p03 reports WHAT
+    * dedupe removes per source; d28 reports WHERE the duplication comes
+    * FROM — diagonal cells are within-feed template soup, off-diagonal
+    * cells are mirror/syndication relationships.
+    *
+    * Scale shape: the truth join's Σ df² bound + one doc→source
+    * broadcast-free equi-join pair (doc→source is corpus-sized — joined,
+    * never broadcast, t11's rule) + a ≤|sources|² agg. */
+  def d28CrossSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = shingleJaccardTruth(docs)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .selectExpr("least(src_a, src_b) AS source_a",
+        "greatest(src_a, src_b) AS source_b")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val perSrc = src.groupBy(col("source").as("source_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    pairs.join(perSrc, "source_a")
+      .selectExpr("source_a", "source_b", "n_pairs", "n_docs_a",
+        "n_pairs * 10000 div n_docs_a AS pair_rate_bp")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d28_cross_source_overlap" -> d28CrossSourceOverlap,
     "dq12_generalization_lattice" -> dq12GeneralizationLattice,
     "m17_tile_plan" -> m17TilePlan,
     "dq11_k_anonymity" -> dq11KAnonymity,
@@ -608,16 +649,38 @@ object OpsQueries {
     "p04_compaction_plan" -> p04CompactionPlan,
     "q80_holt_forecast" -> q80HoltForecast)
 
+  private val d2xWords = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val d2xShingle =
+    s"""list_transform(generate_series(1, len(w) - 2),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""
+
+  /** The exact-Jaccard-≥½ truth CTE chain (ends in `truth(id_a, id_b)`),
+    * shared by d27's sweep and d28's matrix so pair semantics cannot
+    * drift (the lpaCtes/dupAssignedCtes rule). */
+  private val d2xTruthCtes: String =
+    s"""w0 AS (
+          SELECT doc_id, $d2xWords AS w FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(list_distinct($d2xShingle)) AS sh
+          FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
+        ), tsizes AS (
+          SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), truth AS (
+          SELECT i.id_a, i.id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) i
+          JOIN tsizes sa ON sa.doc_id = i.id_a
+          JOIN tsizes sb ON sb.doc_id = i.id_b
+          WHERE i.inter * 3 >= sa.sz + sb.sz
+        )"""
+
   /** d27's oracle: the d01 minhash machinery (same hash-family literals via
     * [[graft.operators.Dedupe.hashFamily]]) swept over three band shapes,
-    * plus the integer-exact 3·|∩| ≥ |A|+|B| truth join. */
+    * plus the shared integer-exact truth chain. */
   private val d27Sql: String = {
     val P = 2147483647L
-    val words = """regexp_split_to_array(trim(lower(text)), '\s+')"""
     val md5h = (v: String) => s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
-    val shingle =
-      s"""list_transform(generate_series(1, len(w) - 2),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""
     val sigEntries = graft.operators.Dedupe.hashFamily(16).map { case (a, b) =>
       s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
@@ -640,26 +703,11 @@ object OpsQueries {
               ON t.id_a = c.id_a AND t.id_b = c.id_b
           )"""
     }
-    s"""WITH w0 AS (
-          SELECT doc_id, $words AS w FROM documents
-        ), hh AS (
-          SELECT doc_id, list_transform($shingle, sh -> ${md5h("sh")} % $P) AS h
+    s"""WITH $d2xTruthCtes, hh AS (
+          SELECT doc_id, list_transform($d2xShingle, sh -> ${md5h("sh")} % $P) AS h
           FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
         ), sig AS (
           SELECT doc_id, $sigEntries AS sig FROM hh
-        ), tok AS (
-          SELECT doc_id, unnest(list_distinct($shingle)) AS sh
-          FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
-        ), tsizes AS (
-          SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
-        ), truth AS (
-          SELECT i.id_a, i.id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id) i
-          JOIN tsizes sa ON sa.doc_id = i.id_a
-          JOIN tsizes sb ON sb.doc_id = i.id_b
-          WHERE i.inter * 3 >= sa.sz + sb.sz
         ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
         ${candCte(8)}, ${candCte(4)}, ${candCte(2)},
         allrep AS (
@@ -679,6 +727,24 @@ object OpsQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "d28_cross_source_overlap" ->
+      s"""WITH $d2xTruthCtes, sp AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b
+            FROM truth t
+            JOIN documents sa ON sa.doc_id = t.id_a
+            JOIN documents sb ON sb.doc_id = t.id_b
+          ), mat AS (
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM sp GROUP BY source_a, source_b
+          ), ds AS (
+            SELECT source AS source_a, CAST(count(*) AS BIGINT) AS n_docs_a
+            FROM documents GROUP BY source
+          )
+          SELECT m.source_a, m.source_b, m.n_pairs, ds.n_docs_a,
+                 CAST(m.n_pairs * 10000 // ds.n_docs_a AS BIGINT) AS pair_rate_bp
+          FROM mat m JOIN ds ON ds.source_a = m.source_a
+          ORDER BY m.source_a, m.source_b""",
     "dq12_generalization_lattice" ->
       """WITH base AS (
            SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat, n.n_regionkey AS reg

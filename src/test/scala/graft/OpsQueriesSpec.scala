@@ -398,6 +398,26 @@ class OpsQueriesSpec extends SparkSpec {
     assert(mks(0) <= mks(1) && mks(1) <= mks(2), "min k cannot drop when classes merge")
   }
 
+  test("d28: matrix pair totals reconcile with the d27 truth set and its doc→source map") {
+    val rows = OpsQueries.d28CrossSourceOverlap(spark, sf()).collect()
+    // d27's spec recomputes the truth set independently; here reconcile the
+    // MATRIX against the truth reported by d27 (same session, same corpus)
+    val d27 = OpsQueries.d27LshTuning(spark, sf()).collect()
+    val nTruth = d27.head.getAs[Long]("n_truth")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nTruth,
+      "matrix cells must partition the truth pair set")
+    val srcDocs = spark.read.parquet(sf() + "/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        "cells are canonical (source_a <= source_b)")
+      assert(r.getAs[Long]("n_docs_a") == srcDocs(r.getAs[String]("source_a")))
+      assert(r.getAs[Long]("pair_rate_bp") ==
+        r.getAs[Long]("n_pairs") * 10000 / r.getAs[Long]("n_docs_a"))
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
