@@ -43,7 +43,10 @@ object OpsQueries {
     * sums exactly so the O(n²) null-model never materializes. */
   def g10Modularity(s: SparkSession, d: String): DataFrame = {
     val und = MiningQueries.coPurchaseEdges(s, d).localCheckpoint(false)
-    val comm = MiningQueries.lpaAssign(s, d).localCheckpoint(false)
+    // lpaAssign's round-3 frame is already checkpointed inside the loop;
+    // a second checkpoint here would re-materialize the vertex frame for
+    // nothing (the 3 consumers below read the loop's materialized blocks)
+    val comm = MiningQueries.lpaAssign(s, d)
     val deg = und.select(col("u").as("vertex"))
       .union(und.select(col("v").as("vertex")))
       .groupBy(col("vertex")).agg(count(lit(1)).as("deg"))
@@ -632,7 +635,92 @@ object OpsQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** T39 — TEMPERATURE-SCALED MIXING WEIGHTS (the multilingual/multi-source
+    * rebalancing knob of Llama/PaLM-style data mixes): per-source sampling
+    * weights at τ=1 (proportional), τ=2 (∝ √n — upweights low-resource
+    * sources), τ=∞ (uniform), all in exact bp, plus the τ=2/τ=1 upsample
+    * factor in milli — the table a mix designer reads to see HOW MUCH a
+    * temperature choice favors the tail before committing t22's
+    * allocation to it. √n is EXACT integer sqrt: floor(sqrt(double)) with
+    * a ±1 integer correction, so the weights hash at any corpus size
+    * (a bare double sqrt is off-by-one near perfect squares at ~2⁵²).
+    *
+    * Scale shape: one source-keyed token agg (map-side combinable) + a
+    * 1-row totals broadcast — t22's shape with the temperature axis. */
+  def t39TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val isqrt = (n: String) =>
+      s"""(CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)
+         | + CASE WHEN (CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) + 1)
+         |          * (CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) + 1) <= $n
+         |     THEN 1 ELSE 0 END
+         | - CASE WHEN CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)
+         |          * CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) > $n
+         |     THEN 1 ELSE 0 END)""".stripMargin
+    val perSource = documents(s, d)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
+      .selectExpr("source", "tokens", s"${isqrt("tokens")} AS sqrt_tokens")
+    val totals = perSource.agg(sum(col("tokens")).as("t_total"),
+      sum(col("sqrt_tokens")).as("s_total"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .selectExpr("source", "tokens", "sqrt_tokens",
+        "tokens * 10000 div t_total AS w_t1_bp",
+        "sqrt_tokens * 10000 div s_total AS w_t2_bp",
+        "10000 div n_sources AS w_inf_bp",
+        "CASE WHEN tokens * 10000 div t_total > 0 " +
+          "THEN (sqrt_tokens * 10000 div s_total) * 1000 div (tokens * 10000 div t_total) " +
+          "ELSE CAST(0 AS BIGINT) END AS upsample_milli")
+      .orderBy(col("source"))
+  }
+
+  /** T40 — CONTEXT-WINDOW PACKING EFFICIENCY: padding waste of next-fit
+    * document packing into 512-token windows under two orderings —
+    * ingest order vs length-descending — the GPU-utilization decision a
+    * training-infra team measures before choosing a packer (length-sorted
+    * packing routinely halves padding; this MEASURES it on the actual
+    * corpus). Next-fit is inherently sequential, so the fold runs per
+    * SOURCE SHARD over one sorted array (`aggregate`, the q48/q80
+    * identical-fold contract — DuckDB mirrors with list_reduce over the
+    * same pre-transformed state list, seeded by its first element); a
+    * production packer bounds shards anyway, so the per-key fold IS the
+    * deployment shape, not a compromise. Window 512 > max doc tokens on
+    * this corpus (spec-pinned) — oversized docs would need the split
+    * path t21 models.
+    *
+    * Scale shape: one (source, doc) token projection, one source-keyed
+    * collect + fold (shard-bounded), 2-row output. */
+  def t40PackingEfficiency(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val base = documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .localCheckpoint(false) // two policy folds
+    def packed(policy: String, sortKey: String): DataFrame =
+      base.selectExpr("source", "doc_id", "tok", s"$sortKey AS s")
+        .groupBy(col("source"))
+        .agg(expr("sort_array(collect_list(struct(s, doc_id, tok)))").as("ds"),
+          sum(col("tok")).as("toks"))
+        .selectExpr("source", "toks",
+          """aggregate(
+            |  slice(transform(ds, x -> named_struct('k', CAST(1 AS BIGINT), 't', x.tok)),
+            |        2, size(ds) - 1),
+            |  named_struct('k', CAST(1 AS BIGINT), 't', ds[0].tok),
+            |  (a, b) -> CASE WHEN a.t + b.t <= 512
+            |            THEN named_struct('k', a.k, 't', a.t + b.t)
+            |            ELSE named_struct('k', a.k + 1, 't', b.t) END).k AS wins""".stripMargin)
+        .agg(sum(col("wins")).as("n_windows"), sum(col("toks")).as("n_tokens"))
+        .selectExpr(s"'$policy' AS policy", "n_windows", "n_tokens",
+          "n_windows * 512 - n_tokens AS padding_tokens",
+          "(n_windows * 512 - n_tokens) * 10000 div (n_windows * 512) AS padding_bp")
+    packed("ingest_order", "doc_id")
+      .unionAll(packed("length_sorted", "struct(0 - tok, doc_id)"))
+      .orderBy(col("policy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t39_temperature_mix" -> t39TemperatureMix,
+    "t40_packing_efficiency" -> t40PackingEfficiency,
     "d28_cross_source_overlap" -> d28CrossSourceOverlap,
     "dq12_generalization_lattice" -> dq12GeneralizationLattice,
     "m17_tile_plan" -> m17TilePlan,
@@ -726,7 +814,67 @@ object OpsQueries {
   private def cosSliceSql(a: String, b: String) =
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSliceSql(a)} * ${normSliceSql(b)}))"
 
+  private val t39IsqrtSql = (n: String) =>
+    s"""(CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)
+       | + CASE WHEN (CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) + 1)
+       |          * (CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) + 1) <= $n
+       |     THEN 1 ELSE 0 END
+       | - CASE WHEN CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)
+       |          * CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT) > $n
+       |     THEN 1 ELSE 0 END)""".stripMargin
+
+  private val t40FoldSql = (orderBy: String) =>
+    s"""list_reduce(
+       |  list_transform(list(tok ORDER BY $orderBy),
+       |                 t -> struct_pack(k := CAST(1 AS BIGINT), t := t)),
+       |  (a, b) -> CASE WHEN a.t + b.t <= 512
+       |            THEN struct_pack(k := a.k, t := a.t + b.t)
+       |            ELSE struct_pack(k := a.k + 1, t := b.t) END).k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t39_temperature_mix" ->
+      s"""WITH per AS (
+            SELECT source, CAST(sum(${LlmQueries.tokSql}) AS BIGINT) AS tokens
+            FROM documents GROUP BY source
+          ), sq AS (
+            SELECT source, tokens, ${t39IsqrtSql("tokens")} AS sqrt_tokens FROM per
+          ), tot AS (
+            SELECT CAST(sum(tokens) AS BIGINT) AS t_total,
+                   CAST(sum(sqrt_tokens) AS BIGINT) AS s_total,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM sq
+          )
+          SELECT source, tokens, CAST(sqrt_tokens AS BIGINT) AS sqrt_tokens,
+                 CAST(tokens * 10000 // t_total AS BIGINT) AS w_t1_bp,
+                 CAST(sqrt_tokens * 10000 // s_total AS BIGINT) AS w_t2_bp,
+                 CAST(10000 // n_sources AS BIGINT) AS w_inf_bp,
+                 CAST(CASE WHEN tokens * 10000 // t_total > 0
+                      THEN (sqrt_tokens * 10000 // s_total) * 1000
+                           // (tokens * 10000 // t_total)
+                      ELSE 0 END AS BIGINT) AS upsample_milli
+          FROM sq, tot ORDER BY source""",
+    "t40_packing_efficiency" ->
+      s"""WITH base AS (
+            SELECT source, doc_id, ${LlmQueries.tokSql} AS tok FROM documents
+          ), ing AS (
+            SELECT source, sum(tok) AS toks, ${t40FoldSql("doc_id")} AS wins
+            FROM base GROUP BY source
+          ), srt AS (
+            SELECT source, sum(tok) AS toks, ${t40FoldSql("0 - tok, doc_id")} AS wins
+            FROM base GROUP BY source
+          ), rep AS (
+            SELECT 'ingest_order' AS policy, sum(wins) AS n_windows,
+                   sum(toks) AS n_tokens
+            FROM ing
+            UNION ALL
+            SELECT 'length_sorted', sum(wins), sum(toks) FROM srt
+          )
+          SELECT policy, CAST(n_windows AS BIGINT) AS n_windows,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_windows * 512 - n_tokens AS BIGINT) AS padding_tokens,
+                 CAST((n_windows * 512 - n_tokens) * 10000
+                      // (n_windows * 512) AS BIGINT) AS padding_bp
+          FROM rep ORDER BY policy""",
     "d28_cross_source_overlap" ->
       s"""WITH $d2xTruthCtes, sp AS (
             SELECT least(sa.source, sb.source) AS source_a,

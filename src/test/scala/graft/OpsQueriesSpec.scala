@@ -418,6 +418,76 @@ class OpsQueriesSpec extends SparkSpec {
     }
   }
 
+  private def tokCount(text: String): Long =
+    if (text == null || text.isEmpty) 0L
+    else "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(text.toLowerCase).length.toLong
+
+  test("t39: temperature weights recompute with exact integer sqrt; shares sum to ~10000 bp") {
+    val rows = OpsQueries.t39TemperatureMix(spark, sf()).collect()
+    val perSrc = spark.read.parquet(sf() + "/documents.parquet")
+      .selectExpr("source", "coalesce(text, '') AS text").collect()
+      .map(r => (r.getString(0), tokCount(r.getString(1))))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum }
+    def isqrt(n: Long): Long = { // exact: correct the double sqrt by ±1
+      var s = math.floor(math.sqrt(n.toDouble)).toLong
+      if ((s + 1) * (s + 1) <= n) s += 1
+      if (s * s > n) s -= 1
+      s
+    }
+    val tTotal = perSrc.values.sum
+    val sTotal = perSrc.values.map(isqrt).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val n = perSrc(src)
+      assert(r.getAs[Long]("tokens") == n, s"$src tokens")
+      assert(r.getAs[Long]("sqrt_tokens") == isqrt(n), s"$src isqrt")
+      assert(isqrt(n) * isqrt(n) <= n && (isqrt(n) + 1) * (isqrt(n) + 1) > n,
+        "isqrt must be the exact integer square root")
+      assert(r.getAs[Long]("w_t1_bp") == n * 10000 / tTotal)
+      assert(r.getAs[Long]("w_t2_bp") == isqrt(n) * 10000 / sTotal)
+      assert(r.getAs[Long]("w_inf_bp") == 10000L / perSrc.size)
+    }
+    for (cName <- Seq("w_t1_bp", "w_t2_bp", "w_inf_bp")) {
+      val tot = rows.map(_.getAs[Long](cName)).sum
+      assert(tot > 10000 - rows.length && tot <= 10000, s"$cName sums to $tot")
+    }
+    // temperature flattens: the smallest source's tau=2 weight can't be
+    // below its tau=1 weight, and the largest source's can't be above
+    val smallest = rows.minBy(_.getAs[Long]("tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("tokens"))
+    assert(smallest.getAs[Long]("w_t2_bp") >= smallest.getAs[Long]("w_t1_bp"))
+    assert(largest.getAs[Long]("w_t2_bp") <= largest.getAs[Long]("w_t1_bp"))
+  }
+
+  test("t40: next-fit packing recomputes under a driver-side fold for both policies") {
+    val rows = OpsQueries.t40PackingEfficiency(spark, sf()).collect()
+      .map(r => r.getAs[String]("policy") -> r).toMap
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .selectExpr("source", "doc_id", "coalesce(text, '') AS text").collect()
+      .map(r => (r.getString(0), r.getLong(1), tokCount(r.getString(2))))
+    assert(docs.forall(_._3 < 512), "window must exceed every doc (no split path)")
+    def pack(ordered: Seq[Long]): Long = {
+      var wins = 1L; var used = 0L
+      ordered.foreach { t => if (used + t <= 512) used += t else { wins += 1; used = t } }
+      wins
+    }
+    def total(by: Array[(String, Long, Long)] => Seq[Long]): (Long, Long) = {
+      val bySrc = docs.groupBy(_._1)
+      (bySrc.values.map(g => pack(by(g))).sum, docs.map(_._3).sum)
+    }
+    val (wIng, nTok) = total(_.sortBy(_._2).map(_._3))
+    val (wSrt, _) = total(_.sortBy(d => (-d._3, d._2)).map(_._3))
+    assert(rows("ingest_order").getAs[Long]("n_windows") == wIng)
+    assert(rows("length_sorted").getAs[Long]("n_windows") == wSrt)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      val w = r.getAs[Long]("n_windows")
+      assert(w >= (nTok + 511) / 512, "windows can never beat the volume bound")
+      assert(r.getAs[Long]("padding_tokens") == w * 512 - nTok)
+      assert(r.getAs[Long]("padding_bp") == (w * 512 - nTok) * 10000 / (w * 512))
+    }
+  }
+
   test("q80: Holt recursion reproduces under a driver-side BigInt fold") {
     val rows = OpsQueries.q80HoltForecast(spark, sf()).collect()
     assert(rows.length == 3)
