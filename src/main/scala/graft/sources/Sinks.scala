@@ -123,4 +123,33 @@ object Sinks {
     df.withColumn("shard", substring(col(idCol), 1, 2))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
   }
+
+  // ------------------------------------------------- interchange formats
+
+  /** ORC sink/scan — the columnar interchange format for Hive/Trino-side
+    * consumers of this engine's outputs. Same pushdown class as parquet
+    * (predicate + column pruning reach the ORC reader — pinned in spec),
+    * so handing a table to an ORC-native warehouse costs a rewrite, not a
+    * capability. Parquet stays the native format everywhere else. */
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines sink/scan — the STAGING/interchange format (one JSON object
+    * per line: appendable, splittable, human-debuggable, the lingua franca
+    * of crawl/annotation tooling). Deliberately NOT a query format: no
+    * pushdown, no column pruning, 3–10× the bytes — land JSONL, convert to
+    * parquet, query parquet (the reference's own convert-first posture).
+    * Reads REQUIRE the caller's schema: schema inference is a full extra
+    * pass at 100 TB and silently widens types on dirty data. */
+  def writeJsonl(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
 
+  test("ORC round-trip preserves content and keeps predicate pushdown") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graftorc").toString + "/t"
+    Sinks.writeOrc(docs, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.schema == docs.schema, "ORC must round-trip the schema")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+      "ORC round-trip must preserve every row")
+    val filtered = back.filter(col("lang") === "en").select(col("doc_id"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"ORC scan lost predicate pushdown:\n${plan.take(2000)}")
+    assert(!plan.contains("text"), "ORC scan reads pruned-away columns")
+  }
+
+  test("JSONL round-trip with explicit schema preserves content") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString + "/t"
+    Sinks.writeJsonl(docs, dir)
+    val back = Sinks.readJsonl(spark, dir, docs.schema)
+    // JSON omits null fields per line; the schema read restores them
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+      "JSONL round-trip must preserve every row")
+  }
+
   test("partitioned write: partition pruning reaches the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftpart").toString + "/t"
