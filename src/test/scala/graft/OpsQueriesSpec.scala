@@ -189,6 +189,45 @@ class OpsQueriesSpec extends SparkSpec {
     assert(crossing > 0, "no boundary-crossing pair — blocking untested")
   }
 
+  test("grid blocking is lossless on RANDOM point sets (3 seeded trials, direct operator check)") {
+    // the q81 spec proves losslessness on the hashed-corpus layout; this
+    // proves the blocking math on arbitrary layouts — boundary clusters,
+    // duplicate coordinates, near-r distances
+    import spark.implicits._
+    val r = 1000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(500 + seed)
+      val pts = (1L to 300L).map { id =>
+        // clump points so cells are dense and boundary pairs are common
+        val cx = rnd.nextInt(8) * 900L
+        (id, cx + rnd.nextInt(2000), rnd.nextInt(8) * 900L + rnd.nextInt(2000))
+      }
+      val df = pts.toDF("id", "x", "y")
+      val cell = df.selectExpr("id", "x", "y", s"x div $r AS cx", s"y div $r AS cy")
+      val aRep = cell.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+          explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+            "transform(sequence(-1, 1), dy -> " +
+            "named_struct('cx', cx + dx, 'cy', cy + dy))))")).as("c"))
+        .select(col("id_a"), col("xa"), col("ya"),
+          col("c.cx").as("cx"), col("c.cy").as("cy"))
+      val bHome = cell.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy"))
+      val got = aRep.join(bHome, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr(s"(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= ${r * r}"))
+        .select(col("id_a"), col("id_b"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"seed=$seed: a pair met in more than one cell")
+      val brute = for {
+        (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+        if ia < ib && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= r * r
+      } yield (ia, ib)
+      assert(got.toSet == brute.toSet, s"seed=$seed: blocking lost or invented pairs")
+      assert(brute.nonEmpty, s"seed=$seed: degenerate trial")
+    }
+  }
+
   test("q82: radius-bounded kNN equals the brute-force ranking") {
     val dir = sf("sf0.01")
     val r = 5000L

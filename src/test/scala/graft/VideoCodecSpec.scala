@@ -118,6 +118,23 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("syncSampleIndices and frameGeometry survive the same mutation/truncation fuzz") {
+    val base = VideoCodec.mp4BytesWithKeyframes(1000, 40L, 40, 3, gop = 4)
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 200) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      VideoCodec.syncSampleIndices(m) // must not throw
+      VideoCodec.frameGeometry(m)
+      VideoCodec.syncSampleIndices(m.take(rnd.nextInt(m.length + 1)))
+    }
+    assert(VideoCodec.syncSampleIndices(null).isEmpty)
+    assert(VideoCodec.syncSampleIndices(Array[Byte](1, 2, 3)).isEmpty)
+    // a plain-sample-table MP4 carries no stss
+    assert(VideoCodec.syncSampleIndices(
+      VideoCodec.mp4BytesWithFrames(1000, 10L, 1, 10)).isEmpty)
+  }
+
   test("parse refuses garbage and truncation without throwing") {
     assert(VideoCodec.parse(null).isEmpty)
     assert(VideoCodec.parse(Array.emptyByteArray).isEmpty)
