@@ -619,7 +619,10 @@ object OpsQueries {
     * never broadcast, t11's rule) + a ≤|sources|² agg. */
   def d28CrossSourceOverlap(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val src = docs.select(col("doc_id"), col("source"))
+    // one pruned (doc_id, source) scan materialized for its three
+    // consumers (two pair-side joins + the per-source denominator) —
+    // without it the table is re-scanned per consumer
+    val src = docs.select(col("doc_id"), col("source")).localCheckpoint(false)
     val pairs = shingleJaccardTruth(docs)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
