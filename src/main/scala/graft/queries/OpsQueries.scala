@@ -664,6 +664,9 @@ object OpsQueries {
       .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
       .groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
       .selectExpr("source", "tokens", s"${isqrt("tokens")} AS sqrt_tokens")
+      // ≤|sources| rows, two consumers (totals + final join): without the
+      // checkpoint each re-runs the full-text token regex scan
+      .localCheckpoint(false)
     val totals = perSource.agg(sum(col("tokens")).as("t_total"),
       sum(col("sqrt_tokens")).as("s_total"), count(lit(1)).as("n_sources"))
     perSource.crossJoin(broadcast(totals))
