@@ -362,6 +362,62 @@ class OpsQueriesSpec extends SparkSpec {
       "recall must be monotone in band count (nested band structure)")
   }
 
+  test("dq10: the signature actually catches a single-cell mutation, localized to its bucket") {
+    import spark.implicits._
+    val p = 1000000007L
+    def sigs(rows: Seq[(Long, Long, Long, Int, Double, Double)]): Map[Long, Long] = {
+      val df = rows.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice")
+      df.selectExpr("l_orderkey % 16 AS bucket",
+          s"""(3 * l_orderkey + 5 * l_partkey + 7 * l_suppkey
+             | + 11 * CAST(l_linenumber AS BIGINT)
+             | + 13 * CAST(floor(l_quantity * 100) AS BIGINT)
+             | + 17 * CAST(floor(l_extendedprice * 100) AS BIGINT)) % $p AS sig0""".stripMargin)
+        .groupBy("bucket")
+        .agg(expr(s"CAST(sum(CAST(sig0 AS DECIMAL(38,0))) % $p AS BIGINT)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val base = (1L to 64L).map(i => (i, i * 7, i * 3, i.toInt % 5, i * 1.25, i * 10.5))
+    val clean = sigs(base)
+    // flip one quantity cent in one row: ONLY that row's bucket moves
+    val mutated = base.updated(9, base(9).copy(_5 = base(9)._5 + 0.01))
+    val dirty = sigs(mutated)
+    val moved = clean.keySet.filter(b => clean(b) != dirty(b))
+    assert(moved == Set(base(9)._1 % 16),
+      s"mutation must move exactly its own bucket, moved: $moved")
+    // and a row swap BETWEEN buckets moves exactly those two buckets
+    val swapped = base.updated(3, base(3).copy(_1 = 101L)) // bucket 4 → 5
+    val swapSigs = sigs(swapped)
+    val movedSwap = clean.keySet.filter(b => clean(b) != swapSigs(b))
+    assert(movedSwap == Set(base(3)._1 % 16, 101L % 16), s"moved: $movedSwap")
+  }
+
+  test("q80: Holt fold matches the driver recurrence on RANDOM series (3 seeded trials, operator-level)") {
+    // the q80 spec pins the corpus series; this pins the fold shape itself
+    // on arbitrary integer series incl. negatives and short lengths
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(900 + seed)
+      val n = 1 + rnd.nextInt(40)
+      val xs = Seq.fill(n)(rnd.nextLong() % 1000000L) // signed values
+      val got = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("t", "x")
+        .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("ds"))
+        .selectExpr(
+          """aggregate(slice(ds, 2, size(ds) - 1),
+            |  named_struct('l', ds[0].x, 'b', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    'l', (e.x + acc.l + acc.b) div 2,
+            |    'b', (((e.x + acc.l + acc.b) div 2) - acc.l + acc.b) div 2)) AS st""".stripMargin)
+        .selectExpr("st.l AS l", "st.b AS b").collect().head
+      var l = xs.head; var b = 0L
+      xs.tail.foreach { y =>
+        val l2 = (y + l + b) / 2; b = (l2 - l + b) / 2; l = l2
+      }
+      assert(got.getLong(0) == l && got.getLong(1) == b, s"seed=$seed n=$n")
+    }
+  }
+
   test("dq11: k/l census recomputes driver-side and classes partition the table") {
     val rows = OpsQueries.dq11KAnonymity(spark, sf()).collect()
     val cust = spark.read.parquet(sf() + "/customer.parquet")
