@@ -152,4 +152,38 @@ object Sinks {
   def readJsonl(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** CSV EXPORT — the interchange-OUT direction of the reference's
+    * convert-IN posture (S3/S4 read CSV; downstream spreadsheet/BI
+    * consumers want it back). Header on, everything quoted-when-needed
+    * with `"`-doubling escapes (RFC 4180), explicit empty-string vs null
+    * disambiguation — the three places naive CSV round-trips silently
+    * corrupt. Reads REQUIRE the caller's schema (same rule as JSONL:
+    * inference is an extra full pass and widens dirty columns). */
+  def writeCsv(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", "true")
+      .option("escape", "\"")   // RFC 4180 ""-doubling, not backslash
+      .option("nullValue", "\\N") // the Hive/MySQL sentinel: null ≠ ""
+      // the WRITER trims cell whitespace by default too — preserve bytes
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      // multiLine: quoted embedded newlines are record CONTENT, not record
+      // separators. Costs file-splittability on read — export format, not
+      // query format (same posture as JSONL).
+      .option("multiLine", "true")
+      .option("nullValue", "\\N") // only the sentinel is null; "" stays ""
+      // Spark's CSV reader TRIMS cell whitespace by default — silent
+      // corruption for an export format; preserve bytes exactly
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 }

@@ -32,6 +32,34 @@ class ScaleOpsSpec extends SparkSpec {
       "JSONL round-trip must preserve every row")
   }
 
+  test("CSV export round-trips the classic corruption hazards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString + "/t"
+    val tricky = Seq(
+      (1L, "plain", 10.5),
+      (2L, "comma, inside", -1.0),
+      (3L, "quote \" inside", 0.0),
+      (4L, "newline\ninside", 2.25),
+      (5L, "", 3.0),               // empty string ≠ null
+      (6L, null.asInstanceOf[String], 4.0),
+      (7L, "  leading and trailing  ", 5.0),
+      (8L, "unicode é ☃ 日本", 6.0))
+      .toDF("id", "s", "v")
+    Sinks.writeCsv(tricky, dir)
+    val back = Sinks.readCsv(spark, dir, tricky.schema)
+    // CSV reads are always nullable — compare names and types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      tricky.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty,
+      "CSV must round-trip commas, quotes, newlines, empty-vs-null, whitespace, unicode")
+    // and the documents table survives whole
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir2 = java.nio.file.Files.createTempDirectory("graftcsv2").toString + "/t"
+    Sinks.writeCsv(docs, dir2)
+    val docsBack = Sinks.readCsv(spark, dir2, docs.schema)
+    assert(docsBack.exceptAll(docs).isEmpty && docs.exceptAll(docsBack).isEmpty)
+  }
+
   test("partitioned write: partition pruning reaches the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftpart").toString + "/t"
