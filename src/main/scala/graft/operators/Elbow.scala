@@ -39,10 +39,10 @@ object Elbow {
       .agg(greatest(
         expr("percentile(__step, 0.5)") * sensitivity,
         lit(minStep)).as("__thr"))
-    val cutRk = withStep.crossJoin(thr)
+    val cutRk = withStep.crossJoin(broadcast(thr))
       .filter(col("__step") > col("__thr"))
       .agg(min(col("__rk")).as("__cut"))
-    withStep.crossJoin(cutRk)
+    withStep.crossJoin(broadcast(cutRk))
       .filter(col("__cut").isNull || col("__rk") <= col("__cut"))
       .drop("__step", "__cut")
       .withColumnRenamed("__rk", "rank")

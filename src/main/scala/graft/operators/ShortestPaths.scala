@@ -31,11 +31,7 @@ object ShortestPaths {
     */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    // both directions once, up front: the per-hop join is then a plain
-    // equi-join instead of a union of two joins per iteration
-    val dir = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val dir = doubled(edges.select(col("u"), col("v")))
 
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
@@ -48,10 +44,29 @@ object ShortestPaths {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // visited stays UN-checkpointed: it is a union of already-
+      // checkpointed frames (seeds + each hop's `next`), so every consumer
+      // re-reads cached blocks — a per-hop eager re-materialization of the
+      // whole visited set was pure job floor (round-9 fix)
+      visited = visited.union(next)
       frontier = next
     }
     visited
+  }
+
+  /** Both directions in ONE generate pass (explode of the two
+    * orientations), hash-partitioned on the hop-join key `u` BEFORE the
+    * eager checkpoint: the LogicalRDD captures the partitioning, so each
+    * hop's equi-join satisfies its distribution from the checkpoint blocks
+    * and the GRAPH-SIZED side shuffles once total, not once per hop. */
+  private def doubled(edges: DataFrame): DataFrame = {
+    val extra = edges.columns.filterNot(Seq("u", "v").contains)
+    edges.select(explode(array(
+        struct((col("u").as("a") +: col("v").as("b") +: extra.map(col)): _*),
+        struct((col("v").as("a") +: col("u").as("b") +: extra.map(col)): _*))).as("s"))
+      .select((col("s.a").as("u") +: col("s.b").as("v") +: extra.map(c => col(s"s.$c").as(c))): _*)
+      .repartition(col("u"))
+      .localCheckpoint(true)
   }
 
   /** Weighted single-source shortest distances, Bellman-Ford style: each
@@ -95,12 +110,16 @@ object ShortestPaths {
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try {
-      val dir = edges.select(col("u"), col("v"), col("w"))
-        .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
-        .localCheckpoint(true)
+      val dir = doubled(edges.select(col("u"), col("v"), col("w")))
 
+      // lazy per-round checkpoints (round-9 job-floor fix): lineage is
+      // still cut at every round — localCheckpoint(false) wraps the round
+      // in a LogicalRDD immediately — but materialization happens once,
+      // inside the final action, instead of as r eager jobs. The round's
+      // two consumers of `dist` (join side + union side) share that one
+      // materialization.
       var dist = seeds.select(col("node")).distinct()
-        .withColumn("dist", lit(0L)).localCheckpoint(true)
+        .withColumn("dist", lit(0L)).localCheckpoint(false)
       var r = 0
       while (r < rounds) {
         r += 1
@@ -108,7 +127,7 @@ object ShortestPaths {
           .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
           .union(dist.select(col("node"), col("dist")))
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       dist
     } finally spark.conf.set(key, prev)

@@ -930,11 +930,12 @@ object AnalyticsQueries {
     * then a 12-row profile joined back; the `sum() OVER ()` grand total
     * runs on the 12-row profile frame (dq02's trick), never the fact
     * table. Integer div is truncation-consistent in both engines; cents
-    * keep every sum exact. Headroom scope: mo_cents·120000 needs
-    * mo_cents < 2⁶³/1.2·10⁵ ≈ $7.7·10¹¹ per calendar month — ~10⁶×
-    * this bench; beyond that the profile arithmetic must widen to
-    * DECIMAL or coarsen cents to dollars (the shape itself is
-    * size-independent, the constants are not). */
+    * keep every sum exact. Headroom: the ×120000 / ×10000 products run
+    * in DECIMAL(38,0) (the frames are calendar-bounded, so the decimal
+    * cost is ~dozens of rows), which holds to mo_cents ≈ 10³³ — beyond
+    * any corpus; only the per-month BIGINT cents sum (< $9.2·10¹⁶/month)
+    * bounds the shape. `div` on DECIMAL returns BIGINT, so the output
+    * schema and all in-range values are unchanged. */
   def q75SeasonalAdjust(s: SparkSession, d: String): DataFrame = {
     val monthly = orders(s, d).select(
         year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
@@ -945,12 +946,12 @@ object AnalyticsQueries {
     val prof = monthly.groupBy(col("mo"))
       .agg(sum(col("rev_cents")).as("mo_cents"))
       .withColumn("idx_bp",
-        expr("(mo_cents * 120000) div sum(mo_cents) OVER ()"))
+        expr("(CAST(mo_cents AS DECIMAL(38,0)) * 120000) div sum(mo_cents) OVER ()"))
       .select(col("mo"), col("idx_bp"))
     monthly.join(prof, "mo")
       .selectExpr("yr", "mo", "n_orders", "rev_cents", "idx_bp",
         "CASE WHEN idx_bp = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE (rev_cents * 10000) div idx_bp END AS deseason_cents")
+          "ELSE (CAST(rev_cents AS DECIMAL(38,0)) * 10000) div idx_bp END AS deseason_cents")
       .orderBy(col("yr"), col("mo"))
   }
 

