@@ -37,6 +37,20 @@ object Tables {
     parallelize(spark, df, new java.io.File(path).length)
   }
 
+  /** Scan WITHOUT the [[parallelize]] round-robin fan-out — for consumers
+    * whose FIRST operation is already a shuffle (a join or aggregate on a
+    * fact-table key). For those plans the fan-out exchange is pure waste:
+    * the shuffle right after it re-distributes everything anyway, and the
+    * pre-shuffle work is a narrow projection a single core finishes in
+    * tens of milliseconds at fixture scale (measured in Probe, round 10:
+    * the co-purchase pair join costs 0.7 s from a raw scan vs 1.6 s
+    * through the fan-out). Keep [[table]] for consumers with heavy
+    * narrow work (hashing, explode, vector math) before the first
+    * exchange. At production scale the file has many row groups, the scan
+    * parallelizes natively, and the two accessors behave identically. */
+  def tableRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Normalize an events-shaped `ts` column to BIGINT epoch NANOSECONDS.
     *
     * Driver data generations have shipped `ts` as INT64 TIMESTAMP(NANOS)

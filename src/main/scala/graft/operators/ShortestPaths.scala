@@ -33,17 +33,27 @@ object ShortestPaths {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val dir = doubled(edges.select(col("u"), col("v")))
 
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+    // Round-10 shape: every per-hop frame is a partitioning-RETAINING
+    // checkpoint on the vertex key, so hop r+1's expansion join reads
+    // BOTH sides in place (frontier clustered on node, dir on u) — the
+    // frontier rides a shuffle-hash hint because static planning would
+    // otherwise SMJ-sort the graph-sized stream side. One AQE-off job
+    // per hop instead of a fan of adaptive stage-jobs (measured: the
+    // hop loop was 27 jobs, dominated by scheduling floor, not data).
+    var visited = graft.core.Materialize.partitionedCheckpoint(
+      seeds.select(col("node")).distinct().withColumn("hops", lit(0)), "node")
     var frontier = visited
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
       h += 1
-      val next = frontier.join(dir, frontier("node") === dir("u"))
-        .select(dir("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-        .localCheckpoint(true)
+      // expansion -> dedupe fused into the node repartition -> anti-join
+      // against visited at vertex size -> eager ckpt, all ONE static job
+      val next = graft.core.Materialize.checkpointRetainingPartitioning(
+        frontier.hint("shuffle_hash").join(dir, frontier("node") === dir("u"))
+          .select(dir("v").as("node"))
+          .repartition(col("node")).dropDuplicates("node")
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
       // visited stays UN-checkpointed: it is a union of already-
       // checkpointed frames (seeds + each hop's `next`), so every consumer
       // re-reads cached blocks — a per-hop eager re-materialization of the
@@ -55,18 +65,21 @@ object ShortestPaths {
   }
 
   /** Both directions in ONE generate pass (explode of the two
-    * orientations), hash-partitioned on the hop-join key `u` BEFORE the
-    * eager checkpoint: the LogicalRDD captures the partitioning, so each
-    * hop's equi-join satisfies its distribution from the checkpoint blocks
-    * and the GRAPH-SIZED side shuffles once total, not once per hop. */
+    * orientations), materialized via
+    * [[graft.core.Materialize.partitionedCheckpoint]] on the hop-join key
+    * `u` (round 10): the AQE-off eager checkpoint RETAINS the
+    * HashPartitioning, so each hop's equi-join reads the checkpoint
+    * blocks in place with no exchange — the r9 shape lost the
+    * partitioning at the AQE checkpoint boundary and re-shuffled the
+    * graph side every hop. */
   private def doubled(edges: DataFrame): DataFrame = {
     val extra = edges.columns.filterNot(Seq("u", "v").contains)
-    edges.select(explode(array(
-        struct((col("u").as("a") +: col("v").as("b") +: extra.map(col)): _*),
-        struct((col("v").as("a") +: col("u").as("b") +: extra.map(col)): _*))).as("s"))
-      .select((col("s.a").as("u") +: col("s.b").as("v") +: extra.map(c => col(s"s.$c").as(c))): _*)
-      .repartition(col("u"))
-      .localCheckpoint(true)
+    graft.core.Materialize.partitionedCheckpoint(
+      edges.select(explode(array(
+          struct((col("u").as("a") +: col("v").as("b") +: extra.map(col)): _*),
+          struct((col("v").as("a") +: col("u").as("b") +: extra.map(col)): _*))).as("s"))
+        .select((col("s.a").as("u") +: col("s.b").as("v") +: extra.map(c => col(s"s.$c").as(c))): _*),
+      "u")
   }
 
   /** Weighted single-source shortest distances, Bellman-Ford style: each

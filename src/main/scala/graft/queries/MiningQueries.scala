@@ -106,21 +106,23 @@ object MiningQueries {
     * hash-checkable cross-engine. Complements the CC family (d05/d10
     * find connectivity; LPA finds DENSITY structure inside one component).
     *
-    * Scale design: a round is one equi-join on the neighbor key (labels
-    * scale with vertices — never broadcast) against the pre-partitioned
-    * [[doubledEdges]] frame (graph side never re-shuffles), then TWO
-    * map-side-combinable hash aggs — (u,label) counts, then per-u argmax
-    * via `max(struct(c, -label))` (count DESC, label ASC — NOTES rule) —
-    * replacing the per-vertex row_number window: the window shuffled the
-    * full edge-sized join output and SORTED it per round; the agg pair
-    * reduces map-side first and never sorts. Lineage cut per round with
-    * a LAZY localCheckpoint — analyzer lineage is truncated without
-    * paying an eager materialization job per round (the round-9 job-floor
-    * fix); the blocks still materialize exactly once, inside the first
-    * consuming action. Fixed round count = fixed plan depth — no
-    * data-dependent driver loop. */
+    * Scale design (round-10 shape): the edge frame is a PARTITIONING-
+    * RETAINING checkpoint ([[graft.core.Materialize]]) clustered on the
+    * round-join key, so the graph side genuinely never re-shuffles —
+    * each round is one small exchange of the vertex-sized label frame
+    * (labels scale with vertices — never broadcast) plus one exchange of
+    * the join output, feeding TWO map-side-combinable hash aggs —
+    * (u,label) counts, then per-u argmax via `max(struct(c, -label))`
+    * (count DESC, label ASC — NOTES rule). Round 1 is algebraically
+    * specialized to a single min-neighbor aggregate (see lpaAssign).
+    * Fixed round count = fixed plan depth — no data-dependent driver
+    * loop, and the whole 3-round fixpoint runs as ONE action. */
   def g06LabelProp(s: SparkSession, d: String): DataFrame =
-    lpaAssign(s, d).orderBy(col("vertex"))
+    // lazy ckpt before the presentation sort: orderBy's range-partitioner
+    // SAMPLES its child, which would re-execute the whole 3-round fixpoint
+    // (the d25 sort lesson); one materialization of the vertex-sized
+    // assignment severs that (measured ~0.3 s at sf0.1)
+    lpaAssign(s, d).localCheckpoint(false).orderBy(col("vertex"))
 
   /** The g06 assignment WITHOUT the final presentation sort, so composing
     * queries (g10 modularity) can consume it join-side without paying an
@@ -128,27 +130,44 @@ object MiningQueries {
     * shared [[lpaCtes]] oracle chain keeps the two declared queries
     * provably in sync. */
   private[queries] def lpaAssign(s: SparkSession, d: String): DataFrame = {
-    // partitioned on v — the per-round join key (e.v = lab.vertex)
-    val e = doubledEdges(coPurchaseEdges(s, d), "v")
-    var lab = e.select(col("u").as("vertex")).distinct()
-      .select(col("vertex"), col("vertex").as("label"))
-      .localCheckpoint(false)
+    // partitioned on v — the per-round join key (e.v = lab.vertex); the
+    // fused builder dedupes and clusters in the same shuffle (round 10)
+    val e = doubledEdgesFused(s, d, "v")
     val shufN = s.sessionState.conf.numShufflePartitions
-    for (_ <- 1 to 3) {
+    // ROUND 1, algebraically specialized (round 10): initial labels are
+    // the vertex ids themselves, and the edge set is distinct, so every
+    // (u, label) count in round 1 is exactly 1 — the argmax by
+    // (count DESC, label ASC) degenerates to min(neighbor). One map-side-
+    // combinable agg replaces the join + repartition + double agg, and it
+    // also absorbs lab0 (groupBy(u) enumerates every vertex with an
+    // edge). The oracle keeps the unrolled l0/c1/l1 CTEs — results are
+    // identical by the argument above, and the l3 hash pins it.
+    var lab = e.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .select(col("u").as("vertex"), col("label"))
+    for (_ <- 2 to 3) {
       // argmax by (count DESC, label ASC): max(struct(c, -label)) picks
       // the max count, ties to the SMALLEST label (labels are part keys
-      // ≥ 0, negation is safe). ONE explicit exchange on u feeds BOTH
-      // aggs — HashPartitioning(u) satisfies ClusteredDistribution(u,
-      // label) as well as (u), so neither groupBy inserts its own
-      // exchange (plan-verified); the old shape paid two.
-      lab = e.join(lab, e("v") === lab("vertex"))
+      // ≥ 0, negation is safe — invariant pinned in OpsQueriesSpec). ONE
+      // explicit exchange on u feeds BOTH aggs — HashPartitioning(u)
+      // satisfies ClusteredDistribution(u, label) as well as (u), so
+      // neither groupBy inserts its own exchange (plan-verified); the old
+      // shape paid two. Rounds are UNCHECKPOINTED (round 10): e is a
+      // partitioning-retaining checkpoint so the graph side never
+      // re-shuffles, each lab(r) has exactly one consumer, and two
+      // unrolled rounds are shallow enough that lineage-cut jobs would
+      // cost more than they save. The lab side carries NO join-strategy
+      // hint: the logical plan never asks to broadcast the vertex-sized
+      // label frame, and AQE picks broadcast at bench scale (4 MB) but
+      // a shuffled join once labels outgrow the threshold — the
+      // Spark-first posture (measured: hint-free beats a forced SHJ).
+      val l = lab
+      lab = e.join(l, e("v") === l("vertex"))
         .select(col("u"), col("label"))
         .repartition(shufN, col("u"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("u").as("vertex"), (-col("m.nl")).as("label"))
-        .localCheckpoint(false)
     }
     lab.select(col("vertex"), col("label").as("community"))
   }
@@ -264,36 +283,44 @@ object MiningQueries {
     * Spark and DuckDB, so the full 3-round fixpoint prefix hash-matches —
     * truncation loses < 10⁻¹² per op, identically on both sides.
     *
-    * Shape per round: ranks ⋈ [[doubledEdges]] (pre-partitioned on the
-    * src key — the graph side never re-shuffles) ⋈ degrees (the degree
-    * agg inherits the same partitioning through its own eager checkpoint,
-    * so it joins exchange-free too) → contributions along edges → sum per
-    * dst (map-side partial) → affine update. Rank frames carry a LAZY
-    * localCheckpoint per round — lineage truncated with no per-round
-    * materialization job (round-9 job-floor fix). The oracle unrolls the
+    * Shape per round (round-10): ranks ⋈ the partitioning-RETAINING
+    * doubled-edge checkpoint ⋈ degrees — ALL THREE sides arrive clustered
+    * on the src key (edges from [[graft.core.Materialize]], degrees from
+    * an agg over them with its own partitioning-retaining checkpoint,
+    * ranks because the previous round's dst-sum partitioning flows
+    * through the alias-aware projection), so the only exchange a round
+    * pays is the contribution sum per dst (map-side partial). Rank and
+    * degree frames ride shuffle-hash hints: both are vertex-sized (never
+    * broadcast — scale rule) and SMJ would sort the edge-sized stream per
+    * round. Rounds are UNCHECKPOINTED — each rank frame has exactly one
+    * consumer and the whole fixpoint runs as ONE action; only the final
+    * presentation sort gets a lazy materialization (range-sampling would
+    * re-execute the rounds — the d25 sort lesson). The oracle unrolls the
     * same three rounds as chained CTEs — fixed iteration count is what
     * makes an iterative algorithm a declarative, checkable query. */
   def g04PageRank(s: SparkSession, d: String): DataFrame = {
     val S = 1000000000000L // rank scale: p × 10^12
-    val e = doubledEdges(coPurchaseEdges(s, d), "u")
-    // eager: captures the u-partitioning for the per-round join AND feeds
-    // the metadata count below
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val e = doubledEdgesFused(s, d, "u")
+    // agg over the u-clustered checkpoint: no exchange; its own
+    // partitioning-retaining ckpt feeds the metadata count AND every
+    // round's join exchange-free
+    val deg = graft.core.Materialize.checkpointRetainingPartitioning(
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     val p0 = S / n // integral: S div N, identical to the oracle's `//`
-    var p = deg.select(col("u").as("v"), lit(p0).as("p")).localCheckpoint(false)
+    var p = deg.select(col("u").as("v"), lit(p0).as("p"))
     for (_ <- 1 to 3) {
       val contrib = e
-        .join(p.withColumnRenamed("v", "u"), Seq("u"))
-        .join(deg, Seq("u"))
+        .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+        .join(deg.hint("shuffle_hash"), Seq("u"))
         .select(col("v"), expr("p div deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       p = contrib
         .select(col("v"),
           (lit((15L * p0) / 100) + expr("(85 * s) div 100")).as("p"))
-        .localCheckpoint(false)
     }
-    p.orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
+    p.localCheckpoint(false)
+      .orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
   }
 
   /** G05 — bounded-round k-CORE PEEL (k = 3) of the co-purchase graph:
@@ -315,13 +342,18 @@ object MiningQueries {
     * prior round per downstream branch). */
   def g05Kcore(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    var e = doubledEdges(coPurchaseEdges(s, d), "u")
+    var e = doubledEdgesFused(s, d, "u")
     for (_ <- 1 to 3) {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
       // lazy checkpoint: lineage cut per round with no eager job — the
       // three consumers (degree agg + both semi-joins) of the NEXT round
-      // still read one materialization (round-9 job-floor fix)
+      // still read one materialization. An eager partitioning-retaining
+      // ckpt per round was MEASURED WORSE here (5.1 s vs 3.8 s at sf0.1,
+      // round 10): three extra static jobs cost more than the exchanges
+      // they elide, because AQE pipelines this round shape's stages
+      // inside one action anyway. Round 1's degree agg still reads the
+      // u-clustered fused edge checkpoint exchange-free.
       e = e.join(surv, Seq("u"))
         .join(surv.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("v")).localCheckpoint(false)
@@ -334,6 +366,15 @@ object MiningQueries {
   /** The g01–g07 input graph — ONE definition so the queries can never
     * silently analyze different graphs: parts are linked when they
     * appear in the same order.
+    *
+    * INVARIANT (load-bearing downstream): vertex ids are part keys and
+    * therefore NON-NEGATIVE. Three argmax sites (lpaAssign here, plus the
+    * Probe/PlanCheck test-scope mirrors) encode "(count DESC, label ASC)"
+    * as `max(struct(c, -label))`, which silently flips the tie-break for
+    * negative labels (and overflows at Long.MinValue). The invariant is
+    * asserted in OpsQueriesSpec ("co-purchase vertex ids are non-negative")
+    * — any future graph source with signed ids must fix the argmax
+    * encoding, not just the source.
     *
     * Shape note (measured, kept as the record of a rejected rewrite): a
     * basket-explode variant — groupBy(order) → sort_array(collect_set) →
@@ -349,7 +390,12 @@ object MiningQueries {
     * data-sized) and the explode variant becomes the right shape — this
     * is a bench-scale physical choice, not a semantic one. */
   private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // tableRaw, not lineitem(): the first operation is the ok-shuffle of
+    // the self-join, so Tables.parallelize's round-robin fan-out would be
+    // a pure extra pass over the fact table (measured 1.6 -> 0.7 s for
+    // this build at sf0.1, Probe round 10)
+    val li = tableRaw(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val a = li.select(col("ok"), col("pk").as("u"))
     // SHUFFLE_HASH, not broadcast (round-9, measured 1.52→0.66 s at
     // sf0.1): at bench scale the 600 k-row side slips under the
@@ -370,23 +416,46 @@ object MiningQueries {
     *    self-union — the union shape reads the normalized edge set twice
     *    and only ReuseExchange saves it from running the pair-generation
     *    twice; the explode is guaranteed single-pass.
-    *  - hash-REPARTITIONED on the per-round join key BEFORE the eager
-    *    localCheckpoint so the checkpointed blocks are key-clustered and
-    *    evenly spread for the per-round consumers. Honesty note
-    *    (measured, round 9): under AQE the LogicalRDD does NOT retain the
-    *    outputPartitioning (the adaptive plan's partitioning is unknown at
-    *    checkpoint-creation time), so per-round joins still insert an
-    *    exchange over the checkpoint scan — the repartition buys balanced
-    *    parallel reads, not exchange elision. The rounds' graph-sided
-    *    shuffle is bounded by the checkpoint read, never a recompute of
-    *    the pair-generation join. */
+    *  - materialized via [[graft.core.Materialize.partitionedCheckpoint]]
+    *    (round 10): the eager checkpoint is taken with AQE briefly off, so
+    *    the LogicalRDD RETAINS HashPartitioning(key) and every per-round
+    *    join/agg keyed on it reads the checkpoint blocks in place with NO
+    *    exchange — the r9 shape repartitioned before an AQE checkpoint,
+    *    which only balanced the blocks (partitioning was lost) and each
+    *    round still re-shuffled the graph side. Plan-verified in Probe:
+    *    the round join is `Scan ExistingRDD` with no Exchange above it. */
   private[queries] def doubledEdges(und: DataFrame, key: String): DataFrame =
-    und.select(explode(array(
-        struct(col("u").as("a"), col("v").as("b")),
-        struct(col("v").as("a"), col("u").as("b")))).as("s"))
-      .select(col("s.a").as("u"), col("s.b").as("v"))
-      .repartition(col(key))
-      .localCheckpoint(true)
+    graft.core.Materialize.partitionedCheckpoint(
+      und.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("s"))
+        .select(col("s.a").as("u"), col("s.b").as("v")),
+      key)
+
+  /** [[coPurchaseEdges]] + [[doubledEdges]] in ONE exchange fewer: the
+    * pair join's output is exploded into both orientations FIRST, then a
+    * single hash repartition on the round-join key doubles as the dedupe
+    * shuffle (`dropDuplicates(u, v)` over HashPartitioning(key) — key ⊆
+    * {u, v} so the dedupe aggregate inserts no second exchange). Identical
+    * edge set to doubledEdges(coPurchaseEdges(..)): (u,v)-dedupe of the
+    * doubled multi-set == doubling of the (u<v)-distinct set, because
+    * doubling preserves multiplicity per orientation. Saves the separate
+    * distinct exchange of the undirected half (~0.2 s at sf0.1; one full
+    * edge shuffle at any scale). */
+  private[queries] def doubledEdgesFused(s: SparkSession, d: String,
+      key: String): DataFrame = {
+    val li = tableRaw(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v")).hint("shuffle_hash")
+    graft.core.Materialize.dedupedPartitionedCheckpoint(
+      a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .select(explode(array(
+            struct(col("u").as("a"), col("v").as("b")),
+            struct(col("v").as("a"), col("u").as("b")))).as("s"))
+        .select(col("s.a").as("u"), col("s.b").as("v")),
+      keys = Seq(key), dedupeKeys = Seq("u", "v"))
+  }
 
   /** T24 — BLOOM-TIERED DECONTAMINATION: t13's eval-overlap screen
     * restructured the way a 100 TB corpus actually runs it — phase 1

@@ -43,10 +43,10 @@ object OpsQueries {
     * sums exactly so the O(n²) null-model never materializes. */
   def g10Modularity(s: SparkSession, d: String): DataFrame = {
     val und = MiningQueries.coPurchaseEdges(s, d).localCheckpoint(false)
-    // lpaAssign's round-3 frame is already checkpointed inside the loop;
-    // a second checkpoint here would re-materialize the vertex frame for
-    // nothing (the 3 consumers below read the loop's materialized blocks)
-    val comm = MiningQueries.lpaAssign(s, d)
+    // round 10: lpaAssign no longer checkpoints its rounds (they run as
+    // one action), so the THREE consumers below need one lazy
+    // materialization here or each would re-execute the whole fixpoint
+    val comm = MiningQueries.lpaAssign(s, d).localCheckpoint(false)
     val deg = und.select(col("u").as("vertex"))
       .union(und.select(col("v").as("vertex")))
       .groupBy(col("vertex")).agg(count(lit(1)).as("deg"))

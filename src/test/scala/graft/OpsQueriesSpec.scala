@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 class OpsQueriesSpec extends SparkSpec {
 
+  test("co-purchase vertex ids are non-negative (lpaAssign argmax invariant)") {
+    // lpaAssign (and its test-scope mirrors) encode (count DESC, label ASC)
+    // as max(struct(c, -label)) — correct ONLY for non-negative labels.
+    // Labels are co-purchase vertex ids; pin the invariant at the source.
+    // vertex ids ARE part keys (coPurchaseEdges projects l_partkey) — pin
+    // the invariant at the raw source the edge builder reads
+    val minPk = spark.read.parquet(sf() + "/lineitem.parquet")
+      .agg(min(col("l_partkey"))).head().getLong(0)
+    assert(minPk >= 0L,
+      "negative vertex id would flip the max(struct(c, -label)) tie-break")
+  }
+
   test("g10: modularity recomputes under driver-side BigInt from raw edges + g06 labels") {
     val rows = OpsQueries.g10Modularity(spark, sf()).collect()
     // independent edge derivation straight from lineitem
