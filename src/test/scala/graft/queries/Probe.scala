@@ -356,6 +356,35 @@ object Probe {
     t("lpa_3rounds_sorted")(
       round(round(round(lab0)).localCheckpoint(false)).localCheckpoint(false)
         .orderBy(col("vertex")))
+    // t24 decomposition
+    locally {
+      val docSh = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"),
+          expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(ws) >= 3
+            |  THEN array_distinct(transform(sequence(0, size(ws) - 3),
+            |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+            |  ELSE array() END""".stripMargin).as("gs"))
+      tj("t24_docsh_narrow")(docSh)
+      tj("t24_docsh_ckpt")(docSh.localCheckpoint(true))
+      val dsc = docSh.localCheckpoint(true)
+      val sh2 = dsc.select(col("doc_id"), explode(col("gs")).as("g"))
+      tj("t24_evalsh_distinct")(sh2.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
+      tj("t24_probe_4md5")(sh2.filter(col("doc_id") % 97 =!= 0)
+        .filter((0 until 4).map(l => (graft.operators.Dedupe.md5Hash32(
+          concat(col("g"), lit("#"), lit(l.toString))) % 1048576) > -1).reduce(_ && _)))
+      tj("t24_full")(MiningQueries.t24BloomDecontaminate(spark, sfDir))
+      // split: construction (ckpt+collect jobs) vs final action
+      locally {
+        val t0 = System.nanoTime()
+        val q = MiningQueries.t24BloomDecontaminate(spark, sfDir)
+        val t1 = System.nanoTime()
+        q.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        println(f"PROBEJ t24_construct                    ${(t1-t0)/1e9}%.2f s")
+        println(f"PROBEJ t24_final_action                 ${(t2-t1)/1e9}%.2f s")
+      }
+    }
     // full declared queries with job/stage counts (round-10 audit)
     tj("g03_full")(MiningQueries.g03BfsHops(spark, sfDir))
     tj("g04_full")(MiningQueries.g04PageRank(spark, sfDir))
