@@ -385,6 +385,24 @@ object Probe {
         println(f"PROBEJ t24_final_action                 ${(t2-t1)/1e9}%.2f s")
       }
     }
+    // s06 decomposition
+    locally {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"PROBEJ s06_corpus_rows                  ${emb.count()}")
+      val t0 = System.nanoTime()
+      val q = MiningQueries // no-op to keep block
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val full = Similarity.graphSearchTopK(emb, col("vec_id"), col("embedding"), qs,
+        k = 5, dim = 64, nPlanes = 5, nTables = 6, m = 8, beamWidth = 10)
+      val t1 = System.nanoTime()
+      full.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"PROBEJ s06_construct                    ${(t1-t0)/1e9}%.2f s")
+      println(f"PROBEJ s06_action                       ${(t2-t1)/1e9}%.2f s")
+      tj("s06_full")(graft.queries.LlmQueries.s06AnnGraph(spark, sfDir))
+    }
     // full declared queries with job/stage counts (round-10 audit)
     tj("g03_full")(MiningQueries.g03BfsHops(spark, sfDir))
     tj("g04_full")(MiningQueries.g04PageRank(spark, sfDir))
