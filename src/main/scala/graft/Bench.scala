@@ -64,6 +64,39 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // ---- DuckDB-oracle denominator (round-10 judge task) --------------
+    // tools/time_oracle.py writes ORACLE_TIMES.json (min-of-2 DuckDB
+    // seconds per oracle query at the same SF, committed at the repo
+    // root). The ratio the judges have re-derived by hand for three
+    // rounds ships in the artifact instead: ratio_aggregate over every
+    // query timed on both engines, and ratio_heavy_subset over the
+    // queries where the oracle itself does >= 0.5 s of work (the
+    // aggregate is dominated by per-query scheduling floor x catalog
+    // size; the heavy subset measures plan quality). Flat-JSON regex
+    // parse — no JSON library on the engine classpath, and the file
+    // format is ours.
+    val oracleTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("ORACLE_TIMES.json")))
+        val re = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+        re.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, v) => !k.startsWith("_") && v >= 0 }
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    val sparkByName = results.toMap
+    val both = oracleTimes.keys.filter(k => sparkByName.getOrElse(k, -1.0) >= 0).toSeq
+    def ratio(keys: Seq[String]): Double =
+      if (keys.isEmpty) -1.0
+      else {
+        val o = keys.map(oracleTimes).sum
+        if (o <= 0) -1.0 else keys.map(sparkByName).sum / o
+      }
+    val ratioAgg = ratio(both)
+    val heavy = both.filter(oracleTimes(_) >= 0.5)
+    val ratioHeavy = ratio(heavy)
+
     // Concurrent suite pass: all queries submitted to a fixed pool on the
     // shared session; FAIR scheduling interleaves their jobs so scheduling
     // gaps overlap with other queries' compute. min-of-2 walls, same
@@ -116,10 +149,17 @@ object Bench {
         if (t.isEmpty) "0" else t
       }
     }
+    def fmt3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ratioFields =
+      s""""ratio_aggregate":${fmt3(ratioAgg)},"ratio_heavy_subset":${fmt3(ratioHeavy)},""" +
+        s""""oracle_n":${both.size},"oracle_heavy_n":${heavy.size},""" +
+        s""""oracle_sec":${fmt3(both.map(oracleTimes).sum)},""" +
+        s""""oracle_heavy_sec":${fmt3(heavy.map(oracleTimes).sum)},""" +
+        s""""spark_heavy_sec":${fmt3(heavy.map(sparkByName).sum)}"""
     val detailJson =
-      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,"sf":"$sfDir","queries":$detail}"""
+      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")
     // Sidecar with FULL per-query precision: the stdout line keeps only the
     // slowest queries (the 2000-char recording window), so the durable
@@ -135,7 +175,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = results.size - keep.size
       val omitField = if (omit > 0) s""","omitted":$omit""" else ""
-      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
     }
     // the line carries the slowest 20 (what a bench reader needs at a
     // glance — per-query floors and outliers); the sidecar has everything
