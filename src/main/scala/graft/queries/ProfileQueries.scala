@@ -241,76 +241,53 @@ object ProfileQueries {
     * g04 never multiplies two scaled quantities). The shape is
     * size-independent.
     *
-    * Scale: the edge frame is checkpointed once per join key (c and p —
-    * 6 in-place reads across the rounds); each round is two exchange-free
-    * equi-joins + two map-side-combinable sum aggs + two 1-row max
-    * broadcasts; top-20 each side is TakeOrdered, never a global sort. */
+    * Scale: the edge frame is checkpointed once (6 consumers across the
+    * rounds); each round is two edge-keyed equi-joins + two map-side-
+    * combinable sum aggs + two 1-row max broadcasts; top-20 each side is
+    * TakeOrdered, never a global sort. See the in-method note for the
+    * round-10 redesigns that were measured and rejected. */
   def g09Hits(s: SparkSession, d: String): DataFrame = {
     val S = 1000000L
-    // Round-10 shape: the bipartite edge frame alternates join keys (c
-    // then p every round), so it is materialized TWICE via the
-    // partitioning-retaining checkpoint — once clustered on each key.
-    // eC's build fuses the dedupe into the c-clustering shuffle; eP is one
-    // extra exchange over eC's checkpoint blocks. After that, every
-    // round's two joins read their edge side in place, the score frames
-    // arrive clustered from the previous round's aggregate (crossJoin
-    // with a broadcast 1-row max preserves the left partitioning, and the
-    // projection is alias-aware), and the only per-round exchanges are
-    // the two post-join sum aggregates (map-side partial). The per-round
-    // eager checkpoints are GONE — each score frame has one consumer, so
-    // the whole 3-round mutual reinforcement runs as ONE action, with
-    // AQE stage reuse deduplicating the a0/h0 subtrees their 1-row max
-    // sub-aggregates share. Raw scans: the first op is the orderkey
-    // shuffle, so Tables.parallelize's fan-out would be a wasted pass.
-    val base = tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(tableRaw(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")),
+    // Round-10 postscript: three redesigns of this query (per-join-key
+    // partitioning-retaining edge checkpoints, driver-literal rescale
+    // maxes, lazy vs eager vs static round checkpoints) were each
+    // measured AGAINST this r9 shape in back-to-back fresh sessions —
+    // and the r9 shape won every time (4.3 s vs 5.1-6.2 s at sf0.1).
+    // The in-session job counts said the redesigns should win (25-35
+    // jobs vs ~45); the wall clock said otherwise: AQE's adaptive
+    // stage-jobs here pipeline better than fewer, strictly-serialized
+    // static jobs. Kept as measured; the scale posture (edge frame
+    // checkpointed once, entity-sized score frames never broadcast by
+    // the logical plan, TakeOrdered tails) is unchanged.
+    val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-    val eC = graft.core.Materialize.dedupedPartitionedCheckpoint(
-      base, keys = Seq("c"), dedupeKeys = Seq("c", "p"))
-    val eP = graft.core.Materialize.partitionedCheckpoint(eC, "p")
-    // initial hubs: dropDuplicates over the c-clustered checkpoint — no
-    // exchange (HashPartitioning(c) satisfies the dedupe's distribution)
-    var h = eC.select(col("c")).dropDuplicates("c").select(col("c"), lit(S).as("h"))
+      .distinct()
+      .localCheckpoint(true) // every round's two joins read this frame
+    var h = e.select(col("c")).distinct().select(col("c"), lit(S).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to 3) {
-      // Each half-round materializes ONCE via a partitioning-retaining
-      // eager checkpoint (one clean non-AQE job: the edge side and the
-      // incoming score side both read in place), then the re-scale
-      // denominator — a 1-ROW exact-integer aggregate — is fetched to the
-      // driver and folded back as a LITERAL. This is exactly what a
-      // scalar subquery does internally, minus the broadcast-exchange
-      // job per round; and because the rescale is then a narrow
-      // projection, the p/c clustering flows into the next half-round's
-      // join untouched. (The crossJoin(broadcast(max)) formulation was
-      // measured catastrophically: the subquery's copy of the round
-      // subtree re-executes every prior round per nesting level — 77 s
-      // vs ~2 s at sf0.1 — and neither AQE stage reuse nor static
-      // ReuseExchange dedupes across the subquery boundary.)
-      val a0 = graft.core.Materialize.checkpointRetainingPartitioning(
-        eC.join(h.hint("shuffle_hash"), Seq("c"))
-          .groupBy(col("p")).agg(sum(col("h")).as("s")))
-      val am = a0.agg(max(col("s"))).head().getLong(0)
-      a = a0.selectExpr("p", s"s * 1000000 div ${am}L AS a")
-      val h0 = graft.core.Materialize.checkpointRetainingPartitioning(
-        eP.join(a.hint("shuffle_hash"), Seq("p"))
-          .groupBy(col("c")).agg(sum(col("a")).as("s")))
-      val hm = h0.agg(max(col("s"))).head().getLong(0)
-      h = h0.selectExpr("c", s"s * 1000000 div ${hm}L AS h")
+      val a0 = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("s"))
+      val am = a0.agg(max(col("s")).as("m"))
+      a = a0.crossJoin(broadcast(am))
+        .selectExpr("p", "s * 1000000 div m AS a")
+        .localCheckpoint(true)
+      val h0 = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("s"))
+      val hm = h0.agg(max(col("s")).as("m"))
+      h = h0.crossJoin(broadcast(hm))
+        .selectExpr("c", "s * 1000000 div m AS h")
+        .localCheckpoint(true)
     }
     val topHubs = h.selectExpr("'hub' AS kind", "c AS id", "h AS score")
       .orderBy(col("score").desc, col("id")).limit(20)
     val topAuth = a.selectExpr("'authority' AS kind", "p AS id", "a AS score")
       .orderBy(col("score").desc, col("id")).limit(20)
-    // presentation tail over ≤ 40 rows BY CONSTRUCTION (2 × top-20): one
-    // coalesced partition, window + sort run in a single stage with no
-    // exchange and no range-sampling job (the Elbow bounded-frame rule)
-    topHubs.unionByName(topAuth).repartition(1)
+    topHubs.unionByName(topAuth)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("kind")).orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("kind"), col("rank"), col("id"), col("score"))
-      .sortWithinPartitions(col("kind"), col("rank"))
+      .orderBy(col("kind"), col("rank"))
   }
 
   /** S09 — RANGE (radius) SEARCH: every corpus vector within cosine ≥ 0.25

@@ -409,6 +409,76 @@ object Probe {
     tj("g06_full")(MiningQueries.g06LabelProp(spark, sfDir))
     tj("g08_full")(ProfileQueries.g08LinkPrediction(spark, sfDir))
     tj("g09_full")(ProfileQueries.g09Hits(spark, sfDir))
+    // V2: r9-style rounds (eager AQE ckpts + broadcast max) over eC/eP builds
+    tj("g09_v2_r9rounds") {
+      val S = 1000000L
+      def base1() = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      val eC = graft.core.Materialize.dedupedPartitionedCheckpoint(
+        base1(), keys = Seq("c"), dedupeKeys = Seq("c", "p"))
+      val eP = graft.core.Materialize.partitionedCheckpoint(eC, "p")
+      var h = eC.select(col("c")).dropDuplicates("c").select(col("c"), lit(S).as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to 3) {
+        val a0 = eC.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("s"))
+        val am = a0.agg(max(col("s")).as("m"))
+        a = a0.crossJoin(broadcast(am))
+          .selectExpr("p", "s * 1000000 div m AS a").localCheckpoint(true)
+        val h0 = eP.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("s"))
+        val hm = h0.agg(max(col("s")).as("m"))
+        h = h0.crossJoin(broadcast(hm))
+          .selectExpr("c", "s * 1000000 div m AS h").localCheckpoint(true)
+      }
+      val topHubs = h.selectExpr("'hub' AS kind", "c AS id", "h AS score")
+        .orderBy(col("score").desc, col("id")).limit(20)
+      val topAuth = a.selectExpr("'authority' AS kind", "p AS id", "a AS score")
+        .orderBy(col("score").desc, col("id")).limit(20)
+      topHubs.unionByName(topAuth).repartition(1)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("kind"), col("rank"), col("id"), col("score"))
+        .sortWithinPartitions(col("kind"), col("rank"))
+    }
+    // V3: literal-max + LAZY ckpts (heads force materialization anyway)
+    tj("g09_v3_lazy_literal") {
+      val S = 1000000L
+      def base1() = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      val eC = graft.core.Materialize.dedupedPartitionedCheckpoint(
+        base1(), keys = Seq("c"), dedupeKeys = Seq("c", "p"))
+      val eP = graft.core.Materialize.partitionedCheckpoint(eC, "p")
+      var h = eC.select(col("c")).dropDuplicates("c").select(col("c"), lit(S).as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to 3) {
+        val a0 = eC.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("s"))
+          .localCheckpoint(false)
+        val am = a0.agg(max(col("s"))).head().getLong(0)
+        a = a0.selectExpr("p", s"s * 1000000 div ${am}L AS a")
+        val h0 = eP.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("s"))
+          .localCheckpoint(false)
+        val hm = h0.agg(max(col("s"))).head().getLong(0)
+        h = h0.selectExpr("c", s"s * 1000000 div ${hm}L AS h")
+      }
+      val topHubs = h.selectExpr("'hub' AS kind", "c AS id", "h AS score")
+        .orderBy(col("score").desc, col("id")).limit(20)
+      val topAuth = a.selectExpr("'authority' AS kind", "p AS id", "a AS score")
+        .orderBy(col("score").desc, col("id")).limit(20)
+      topHubs.unionByName(topAuth).repartition(1)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("kind"), col("rank"), col("id"), col("score"))
+        .sortWithinPartitions(col("kind"), col("rank"))
+    }
     // variant: lazy ckpts + broadcast-crossJoin rounds + orderBy tail
     tj("g09_lazy_variant") {
       val S = 1000000L
