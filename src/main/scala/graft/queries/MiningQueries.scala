@@ -342,7 +342,13 @@ object MiningQueries {
     * prior round per downstream branch). */
   def g05Kcore(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    var e = doubledEdgesFused(s, d, "u")
+    // doubledEdges(coPurchaseEdges), not doubledEdgesFused: measured
+    // in-session (round 10) 3.73 vs 4.08 s. The peel rounds re-cluster on
+    // BOTH u and v every round, so the fused build's single-exchange
+    // dedupe buys g05 nothing downstream, and deduping the un-doubled
+    // half (distinct before explode) is the cheaper shuffle here.
+    // (g04/g06/g08, whose rounds stay on ONE key, keep the fused builder.)
+    var e = doubledEdges(coPurchaseEdges(s, d), "u")
     for (_ <- 1 to 3) {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))

@@ -403,6 +403,22 @@ object Probe {
       println(f"PROBEJ s06_action                       ${(t2-t1)/1e9}%.2f s")
       tj("s06_full")(graft.queries.LlmQueries.s06AnnGraph(spark, sfDir))
     }
+    // g05 builder A/B (fused AQE-off vs r9-style)
+    tj("g05_current")(MiningQueries.g05Kcore(spark, sfDir))
+    tj("g05_r9_builder") {
+      val k = 3
+      var e = MiningQueries.doubledEdges(MiningQueries.coPurchaseEdges(spark, sfDir), "u")
+      for (_ <- 1 to 3) {
+        val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("u"))
+        e = e.join(surv, Seq("u"))
+          .join(surv.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("u"), col("v")).localCheckpoint(false)
+      }
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
+        .select(col("u").as("vertex"), col("deg_in_core"))
+        .orderBy(col("vertex"))
+    }
     // full declared queries with job/stage counts (round-10 audit)
     tj("g03_full")(MiningQueries.g03BfsHops(spark, sfDir))
     tj("g04_full")(MiningQueries.g04PageRank(spark, sfDir))
