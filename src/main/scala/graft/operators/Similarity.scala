@@ -84,12 +84,17 @@ object Similarity {
   }
 
   /** The engine's canonical sequential-fold dot against one plane pulled
-    * from a planes literal — MUST mirror VectorFunctions.dot exactly
-    * (zip_with double-cast product, left fold from 0.0) so bucket/
-    * fingerprint bits agree with the unrolled formulation and the oracle. */
+    * from a planes literal — the native [[graft.plans.DotProductExpr]]
+    * kernel, whose eval is the SAME left-to-right double fold from 0.0 as
+    * VectorFunctions.dot (bit-identical — its scaladoc and specs pin it),
+    * so bucket/fingerprint bits agree with the unrolled formulation and
+    * the oracle. Native beats the HOF formulation specifically INSIDE the
+    * transform/aggregate loops used here: lambda-HOF expressions are
+    * interpreted per element (2 lambda calls per dim per plane), the
+    * kernel is one compiled tight loop per plane (measured: the s06
+    * bucket+fingerprint projection dominated its runtime). */
   private def planeDot(vec: Column, plane: Column): Column =
-    aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dotProduct(vec, plane)
 
   // ------------------------------------------------------------------- IVF
   //

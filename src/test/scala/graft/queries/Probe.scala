@@ -402,6 +402,8 @@ object Probe {
       println(f"PROBEJ s06_construct                    ${(t1-t0)/1e9}%.2f s")
       println(f"PROBEJ s06_action                       ${(t2-t1)/1e9}%.2f s")
       tj("s06_full")(graft.queries.LlmQueries.s06AnnGraph(spark, sfDir))
+      // in-session variants: which materialization mode wins for the hops?
+      tj("s06_again")(graft.queries.LlmQueries.s06AnnGraph(spark, sfDir))
     }
     // g05 builder A/B (fused AQE-off vs r9-style)
     tj("g05_current")(MiningQueries.g05Kcore(spark, sfDir))
