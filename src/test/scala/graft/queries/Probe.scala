@@ -374,6 +374,54 @@ object Probe {
         .filter((0 until 4).map(l => (graft.operators.Dedupe.md5Hash32(
           concat(col("g"), lit("#"), lit(l.toString))) % 1048576) > -1).reduce(_ && _)))
       tj("t24_full")(MiningQueries.t24BloomDecontaminate(spark, sfDir))
+      tj("t24_nockpt") {
+        val m = 1 << 20
+        val docSh = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+          .select(col("doc_id"), expr(
+            """CASE WHEN size(ws) >= 3
+              |  THEN array_distinct(transform(sequence(0, size(ws) - 3),
+              |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+              |  ELSE array() END""".stripMargin).as("gs"))
+        val sh = docSh.select(col("doc_id"), explode(col("gs")).as("g"))
+        val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+        def bloomBit(l: Int): org.apache.spark.sql.Column =
+          (graft.operators.Dedupe.md5Hash32(col("g")) +
+            lit(l.toLong) * conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long")) % m
+        val evalBits = evalSh
+          .select(explode(array((0 until 4).map(bloomBit): _*)).as("bit"))
+          .distinct().collect().map(_.getLong(0))
+        val words = new Array[Long](m / 64)
+        evalBits.foreach(b => words(b.toInt >> 6) |= 1L << (b & 63))
+        val bitmap = typedLit(words.toSeq)
+        val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+        def laneOk(l: Int): org.apache.spark.sql.Column = {
+          val b = bloomBit(l)
+          val word = element_at(bitmap, (b / 64).cast("int") + 1)
+          call_function("shiftright", word, (b % 64).cast("int"))
+            .bitwiseAND(lit(1L)) === 1L
+        }
+        val cand = corpus.filter((0 until 4).map(laneOk).reduce(_ && _))
+          .select(col("doc_id"), col("g"))
+        val perDoc = cand
+          .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_exact"))
+        val shCnt = docSh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+          .join(shCnt, Seq("doc_id"), "left")
+          .join(perDoc, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles",
+            "coalesce(n_cand, CAST(0 AS BIGINT)) AS n_bloom_candidates",
+            "coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact_hits",
+            "coalesce(n_cand, CAST(0 AS BIGINT)) - coalesce(n_exact, CAST(0 AS BIGINT)) AS n_bloom_fp",
+            "CAST(coalesce(n_exact, CAST(0 AS BIGINT)) > 0 AS INT) AS contaminated")
+          .orderBy(col("doc_id"))
+      }
       // split: construction (ckpt+collect jobs) vs final action
       locally {
         val t0 = System.nanoTime()
