@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.SketchQueries.queries ++
       graft.queries.ProfileQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.SelectionQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.SketchQueries.oracle ++
       graft.queries.ProfileQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.OpsQueries.oracle
+      graft.queries.OpsQueries.oracle ++
+      graft.queries.SelectionQueries.oracle
 }

@@ -224,66 +224,66 @@ object ProfileQueries {
   }
 
   /** G09 — HITS (Kleinberg 1999) over the bipartite customer↔part
-    * purchase graph, in SCALED-BIGINT arithmetic: hubs are customers,
+    * purchase graph, EXACT-INTEGER power iteration: hubs are customers,
     * authorities are parts; 3 mutual-reinforcement rounds
-    * (a = Σ h over edges, h = Σ a over edges), each side re-scaled to
-    * max = 10¹² with a truncating integer div so the fixpoint prefix is
-    * hash-exact cross-engine (g04's discipline — float HITS folds in
-    * engine-dependent order and can never hash-match). Output: top-20
-    * hubs and top-20 authorities. Completes the graph family's ranking
-    * axis: g04 ranks within one vertex set, this ranks two roles against
-    * each other — the "best buyers vs most-bought parts" dual.
+    * (a = Σ h over edges, h = Σ a over edges) run UN-normalized in
+    * BIGINT — the updates are linear, so per-round re-scaling only
+    * rescales, and ONE truncating normalization of each side to 10⁶ at
+    * the end reports the same ranking with none of the per-round
+    * truncation noise (rounds 1–10 used a per-round `s·10⁶ div max`
+    * re-scale, whose truncation is an arithmetic artifact, not HITS —
+    * redefined in round 11 with the oracle updated in lockstep; the old
+    * form also paid 2 scalar-subquery jobs + a checkpoint per half-round,
+    * which was the whole cost of the query at local[32]). h₀ = 1 makes
+    * round 1's authority pass collapse to the in-degree count — the
+    * algebraic round-1 specialization, g06's trick. Output: top-20 hubs
+    * and top-20 authorities at scale 10⁶. Completes the graph family's
+    * ranking axis: g04 ranks within one vertex set, this ranks two roles
+    * against each other — the "best buyers vs most-bought parts" dual.
     *
-    * Headroom scope: the re-scale product s·10⁶ with s ≤ deg·10⁶ stays
-    * in BIGINT to deg ≈ 9·10⁶ buyers of ONE part; past that the scale
-    * constant must drop a decade (10¹² would overflow the product at
-    * deg ≈ 9, which is why the constant is 10⁶ here, not g04's 10¹² —
-    * g04 never multiplies two scaled quantities). The shape is
-    * size-independent.
+    * Headroom scope: each half-round multiplies magnitudes by ~avg-degree;
+    * measured maxima at sf0.1 are a₃ ≈ 1.1·10⁸, h₃ ≈ 6.5·10⁹ — 10⁹×
+    * BIGINT headroom. The sums widen to DECIMAL(38,0) (dq10's discipline)
+    * when 6 half-rounds of degree products approach 2⁶³ — that is the
+    * named widen path, the shape is size-independent.
     *
-    * Scale: the edge frame is checkpointed once (6 consumers across the
-    * rounds); each round is two edge-keyed equi-joins + two map-side-
-    * combinable sum aggs + two 1-row max broadcasts; top-20 each side is
-    * TakeOrdered, never a global sort. See the in-method note for the
-    * round-10 redesigns that were measured and rejected. */
+    * Scale: the edge frame is checkpointed once (all six traversals read
+    * it); the six half-rounds are ONE unbroken lineage — edge-keyed
+    * equi-join + map-side-combinable sum agg each, no scalar subquery
+    * and no checkpoint inside the loop (a frame consumed by both a
+    * broadcast subquery and the main lineage must be materialized first
+    * — so the ONLY such frames, final a₃/h₃ feeding their max and their
+    * top-20, are the two lazy checkpoints); top-20 each side is
+    * TakeOrdered, never a global sort. */
   def g09Hits(s: SparkSession, d: String): DataFrame = {
-    val S = 1000000L
-    // Round-10 postscript: three redesigns of this query (per-join-key
-    // partitioning-retaining edge checkpoints, driver-literal rescale
-    // maxes, lazy vs eager vs static round checkpoints) were each
-    // measured AGAINST this r9 shape in back-to-back fresh sessions —
-    // and the r9 shape won every time (4.3 s vs 5.1-6.2 s at sf0.1).
-    // The in-session job counts said the redesigns should win (25-35
-    // jobs vs ~45); the wall clock said otherwise: AQE's adaptive
-    // stage-jobs here pipeline better than fewer, strictly-serialized
-    // static jobs. Kept as measured; the scale posture (edge frame
-    // checkpointed once, entity-sized score frames never broadcast by
-    // the logical plan, TakeOrdered tails) is unchanged.
-    val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+    // Raw scans: the first op is the orderkey shuffle join, so the fixture
+    // fan-out would be a wasted pass (Tables.tableRaw contract). A
+    // p-partitioned AQE-off dedupedPartitionedCheckpoint was measured
+    // HERE at 3.0-4.1 s vs this shape's 2.7-3.1 — the static checkpoint
+    // jobs cost more than the four p-side exchanges they elide (g05's
+    // rejection repeats on the bipartite frame); plain AQE distinct kept.
+    val e = tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(tableRaw(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true) // every round's two joins read this frame
-    var h = e.select(col("c")).distinct().select(col("c"), lit(S).as("h"))
-    var a: DataFrame = null
-    for (_ <- 1 to 3) {
-      val a0 = e.join(h, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("s"))
-      val am = a0.agg(max(col("s")).as("m"))
-      a = a0.crossJoin(broadcast(am))
-        .selectExpr("p", "s * 1000000 div m AS a")
-        .localCheckpoint(true)
-      val h0 = e.join(a, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("s"))
-      val hm = h0.agg(max(col("s")).as("m"))
-      h = h0.crossJoin(broadcast(hm))
-        .selectExpr("c", "s * 1000000 div m AS h")
-        .localCheckpoint(true)
+      .localCheckpoint(true) // all six half-round joins read this frame
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("s")) // h0=1 ⇒ in-degree
+    val h1 = e.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
+    val a2 = e.join(h1, Seq("c")).groupBy(col("p")).agg(sum(col("s")).as("s"))
+    val h2 = e.join(a2, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
+    val a3 = e.join(h2, Seq("c")).groupBy(col("p")).agg(sum(col("s")).as("s"))
+      .localCheckpoint(false) // h3's join + the authority max/top-20
+    val h3 = e.join(a3, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
+      .localCheckpoint(false) // the hub max + top-20
+    def top(df: DataFrame, kind: String, idCol: String): DataFrame = {
+      val m = df.agg(max(col("s")).as("m"))
+      df.crossJoin(broadcast(m))
+        .selectExpr(s"'$kind' AS kind", s"$idCol AS id",
+          "s * 1000000 div m AS score")
+        .orderBy(col("score").desc, col("id")).limit(20)
     }
-    val topHubs = h.selectExpr("'hub' AS kind", "c AS id", "h AS score")
-      .orderBy(col("score").desc, col("id")).limit(20)
-    val topAuth = a.selectExpr("'authority' AS kind", "p AS id", "a AS score")
-      .orderBy(col("score").desc, col("id")).limit(20)
-    topHubs.unionByName(topAuth)
+    top(h3, "hub", "c").unionByName(top(a3, "authority", "p"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("kind")).orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("kind"), col("rank"), col("id"), col("score"))
@@ -862,41 +862,40 @@ object ProfileQueries {
          SELECT seed, CAST(rn AS BIGINT) AS rank, cand AS predicted, cn, ra_bp
          FROM ranked WHERE rn <= 10 ORDER BY seed, rank""",
     "g09_hits" -> {
-      val S = "1000000"
-      // 3 unrolled rounds; h0 = S for every customer, each side re-scaled
-      // to max = S with truncating // after its sum.
-      val rounds = (1 to 3).map { r =>
-        val hPrev = if (r == 1) "h0" else s"h${r - 1}"
-        s"""a${r}0 AS MATERIALIZED (
-           |  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS s
-           |  FROM e JOIN $hPrev h ON h.c = e.c GROUP BY e.p
-           |), am$r AS (SELECT max(s) AS m FROM a${r}0
-           |), a$r AS MATERIALIZED (
-           |  SELECT p, s * $S // am$r.m AS a FROM a${r}0, am$r
-           |), h${r}0 AS MATERIALIZED (
-           |  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS s
-           |  FROM e JOIN a$r a ON a.p = e.p GROUP BY e.c
-           |), hm$r AS (SELECT max(s) AS m FROM h${r}0
-           |), h$r AS MATERIALIZED (
-           |  SELECT c, s * $S // hm$r.m AS h FROM h${r}0, hm$r
-           |)""".stripMargin
-      }.mkString(",\n")
-      // MATERIALIZED hints: each round frame feeds two consumers; without
-      // them DuckDB re-inlines the whole prefix per reference (measured
-      // 38 s -> 0.3 s at sf0.1). Semantically identical.
+      // 3 un-normalized exact-integer rounds (h0 = 1 ⇒ a1 = in-degree),
+      // one truncating 10^6 normalization per side at the end — the
+      // round-11 redefinition mirrored from the engine. MATERIALIZED
+      // hints: each round frame feeds the next join; without them DuckDB
+      // re-inlines the whole prefix per reference (measured 38 s -> 0.3 s
+      // at sf0.1). Semantically identical.
       s"""WITH e AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-          ), h0 AS (
-            SELECT DISTINCT c, CAST($S AS BIGINT) AS h FROM e
-          ),
-          $rounds,
-          th AS (
-            SELECT 'hub' AS kind, c AS id, h AS score FROM h3
-            ORDER BY score DESC, id LIMIT 20
+          ), a1 AS MATERIALIZED (
+            SELECT p, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY p
+          ), h1 AS MATERIALIZED (
+            SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
+            FROM e JOIN a1 a ON a.p = e.p GROUP BY e.c
+          ), a2 AS MATERIALIZED (
+            SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
+            FROM e JOIN h1 h ON h.c = e.c GROUP BY e.p
+          ), h2 AS MATERIALIZED (
+            SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
+            FROM e JOIN a2 a ON a.p = e.p GROUP BY e.c
+          ), a3 AS MATERIALIZED (
+            SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
+            FROM e JOIN h2 h ON h.c = e.c GROUP BY e.p
+          ), h3 AS MATERIALIZED (
+            SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
+            FROM e JOIN a3 a ON a.p = e.p GROUP BY e.c
+          ), am AS (SELECT max(s) AS m FROM a3
+          ), hm AS (SELECT max(s) AS m FROM h3
+          ), th AS (
+            SELECT 'hub' AS kind, c AS id, s * 1000000 // hm.m AS score
+            FROM h3, hm ORDER BY score DESC, id LIMIT 20
           ), ta AS (
-            SELECT 'authority' AS kind, p AS id, a AS score FROM a3
-            ORDER BY score DESC, id LIMIT 20
+            SELECT 'authority' AS kind, p AS id, s * 1000000 // am.m AS score
+            FROM a3, am ORDER BY score DESC, id LIMIT 20
           ), u AS (
             SELECT * FROM th UNION ALL SELECT * FROM ta
           )

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.operators.{Dedupe, GlobalRank}
+
+/** Round-11 data-selection / physical-layout decision surface: the queries
+  * that decide WHICH data enters a training run and HOW it should be laid
+  * out on disk — importance-weighted selection (DSIR), sample-based
+  * approximate query answers with measured error, the min-max data-skipping
+  * audit behind a sort/z-order decision, and the vocabulary coverage curve
+  * behind a tokenizer vocab-size decision. Catalog rules as everywhere:
+  * deterministic order, exact integer arithmetic for every reported ratio
+  * (`div` + explicit scale constants), the floor-log₂ `length(bin(x))−1`
+  * basis where a probability log is needed (t37's discipline — exact and
+  * engine-identical where a float log never hashes).
+  */
+object SelectionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val B = 256  // hashed-feature bucket count (DSIR's "hashed n-grams")
+
+  /** Fixed-point log₂ with 1/16 resolution, pure integer + one IEEE-exact
+    * 2^msb: ilog16(x) = 16·msb + ⌊x·16 / 2^msb⌋ − 16 where
+    * msb = ⌊log₂ x⌋ = length(bin(x))−1 — the linear-interpolation mantissa
+    * refinement of t37's floor-log₂ basis (floor alone is too coarse for a
+    * likelihood RATIO: two near-equal distributions would round every
+    * bucket weight to 0). Max interpolation error ≈ 0.086 log₂ units;
+    * `power(2, msb)` is IEEE-exact for integral exponents ≤ 53 so both
+    * engines compute the identical BIGINT. Valid for 1 ≤ x < 2⁵⁹ (the
+    * x·16 intermediate must fit BIGINT — boundary pinned in spec). */
+  private def ilog16(x: String): String = {
+    val msb = s"(length(bin($x)) - 1)"
+    s"(16 * $msb + ($x) * 16 div CAST(power(2, $msb) AS BIGINT) - 16)"
+  }
+
+  /** T41 — DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document in
+    * the raw pool by how much it resembles a target domain — here the
+    * `lang = 'en'` slice stands in for the target corpus — using the
+    * paper's hashed n-gram features (unigrams AND word bigrams) bucketed
+    * by b = md5₃₂(feature) mod 256, add-one-smoothed bucket counts on both
+    * distributions, and the log-likelihood ratio
+    * score(d) = Σ_b c_d(b)·[log₂(c_t(b)+1) − log₂(c_r(b)+1)
+    *                        + log₂(T_r+B) − log₂(T_t+B)]
+    * in the 1/16-resolution [[ilog16]] basis (production DSIR uses float
+    * logs; the fixed-point form ranks by the same signal and hashes
+    * cross-engine). Output: the top-25 pool documents DSIR would select,
+    * with source/lang/feature count — the selection artifact a mix
+    * designer inspects before resampling (t39/t22/t25 then execute the
+    * mix). Scores are in 1/16-log₂ units; near-zero means the pool doc is
+    * distributionally indistinguishable from the target — the honest
+    * reading on this fixture, whose langs share one word distribution.
+    *
+    * Scale shape: ONE corpus explode of the concatenated feature array →
+    * one (doc, bucket)-keyed map-combinable hash agg, materialized once
+    * for its two consumers (the 256-row bucket model AND the score join —
+    * the model is derived FROM the per-doc frame, and a frame consumed by
+    * both a broadcast side and the main lineage must be materialized
+    * first, g09's rule); the bucket model is 256 rows BY CONSTRUCTION —
+    * broadcast is bounded at any corpus size, unlike a vocabulary join
+    * (t11's no-broadcast rule does not apply: hashing fixes the domain);
+    * top-25 is TakeOrdered, never a global sort. */
+  def t41DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(concat(
+          filter(Dedupe.words(col("text")), w => length(w) > 0),
+          Dedupe.shingles(col("text"), 2))).as("f"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (Dedupe.md5Hash32(col("f")) % B).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // bucket model + score join both read this
+    val bt = perDoc.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("ct"))
+    val tot = bt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val wk = bt.crossJoin(broadcast(tot))
+      .selectExpr("b",
+        s"""CAST(${ilog16("ct + 1")} - ${ilog16("cr + 1")}
+           |   + ${ilog16(s"tr + $B")} - ${ilog16(s"tt + $B")} AS BIGINT) AS wb""".stripMargin)
+    perDoc.join(broadcast(wk), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("c")).as("n_features"), sum(expr("c * wb")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** Q83 — SAMPLE-BASED APPROXIMATE AGGREGATION with measured error
+    * (BlinkDB/online-aggregation distilled to its deterministic core): a
+    * 1-in-16 hash sample of lineitem answers the per-returnflag revenue
+    * sum, and the report puts the estimate NEXT TO the exact answer and
+    * the realized error in bp — the calibration artifact that decides
+    * whether a 6 % sample is good enough for a dashboard before anyone
+    * trusts it at 100 TB. The sample predicate is a content hash of the
+    * row key (md5₃₂(orderkey-linenumber) mod 16 = 0), so the sample is
+    * reproducible across runs and engines — never `rand()`. Money enters
+    * as exact cents; the estimate is 16·Σ_sample with integer scale-up.
+    *
+    * Scale shape: ONE narrow scan + one map-side-combinable hash agg
+    * computes population and sample sides together as conditional
+    * aggregates — the estimate costs zero extra passes. (In production
+    * the sample side runs ALONE on 1/16 of the data for the speedup; the
+    * audit form here exists to measure the error that choice buys.)
+    * BIGINT cent sums hold to ~10¹² rows × 10⁷ cents; past that the
+    * accumulator widens to DECIMAL(38,0), dq10's discipline. */
+  def q83AqpEstimate(s: SparkSession, d: String): DataFrame =
+    tableRaw(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (Dedupe.md5Hash32(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))) % 16).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("true_cents"),
+        coalesce(sum(when(col("h") === 0, 1L)), lit(0L)).as("n_sample"),
+        (coalesce(sum(when(col("h") === 0, col("cents"))), lit(0L)) * 16)
+          .as("est_cents"))
+      .withColumn("err_bp",
+        expr("abs(est_cents - true_cents) * 10000 div true_cents"))
+      .orderBy(col("l_returnflag"))
+
+  /** P05 — MIN-MAX DATA-SKIPPING AUDIT (the decision artifact behind a
+    * sort/z-order): documents group into 64-row "files" under two layouts
+    * — ingest order (file = doc_id div 64, what the writer produced) and
+    * clustered (files cut from the exact global (n_chars, doc_id) order —
+    * what OPTIMIZE ZORDER / a sort rewrite would produce) — and for each
+    * layout × threshold the report says how many files a `n_chars ≥ K`
+    * predicate skips on min-max stats alone, and how many rows the
+    * surviving files force a scan of. Delta/Iceberg data skipping is
+    * exactly this arithmetic at file-footer scale; the spread between the
+    * two layouts is the measured value of re-clustering, read BEFORE
+    * paying for the rewrite (q60's z-order curve is the multi-column
+    * sibling; this is the single-column audit that says whether to run it).
+    *
+    * Scale shape: per layout one file-keyed map-combinable agg over a
+    * narrow 2-column projection (the clustered layout's rank comes from
+    * [[GlobalRank]] — a range shuffle, never a SinglePartition window);
+    * the per-file stats frame is rows/64 — file-count-sized, as in the
+    * real system where it IS the table metadata — and the 3-row threshold
+    * grid replicates that stats frame, not the data. Matching-row counts
+    * ride the same agg as conditional sums. */
+  def p05SkippingIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thresholds = Seq(200L, 300L, 400L)
+    val grid = thresholds.toDF("threshold")
+    val base = documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("sz"))
+    val ingest = base.withColumn("file", expr("doc_id div 64"))
+    val clustered = GlobalRank
+      .withGlobalRank(base, Seq(col("sz"), col("doc_id")), "rank")
+      .withColumn("file", expr("(rank - 1) div 64")).drop("rank")
+    def audit(layout: String, df: DataFrame): DataFrame =
+      df.groupBy(col("file"))
+        .agg(count(lit(1)).as("cnt"), max(col("sz")).as("fmax"))
+        .crossJoin(broadcast(grid))
+        .join(
+          df.crossJoin(broadcast(grid)).filter(col("sz") >= col("threshold"))
+            .groupBy(col("file"), col("threshold"))
+            .agg(count(lit(1)).as("matched")),
+          Seq("file", "threshold"), "left")
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_files"),
+          coalesce(sum(when(col("fmax") < col("threshold"), 1L)), lit(0L))
+            .as("files_skipped"),
+          sum(when(col("fmax") >= col("threshold"), col("cnt"))
+            .otherwise(0L)).as("rows_scanned"),
+          sum(coalesce(col("matched"), lit(0L))).as("rows_matching"))
+        .selectExpr(s"'$layout' AS layout", "threshold", "n_files",
+          "files_skipped", "rows_scanned", "rows_matching",
+          "files_skipped * 10000 div n_files AS skip_bp")
+    audit("ingest", ingest)
+      .unionByName(audit("clustered", clustered))
+      .orderBy(col("layout"), col("threshold"))
+  }
+
+  /** T42 — VOCABULARY COVERAGE CURVE over word-bigram types: what
+    * fraction of corpus bigram occurrences the top-k bigram vocabulary
+    * covers, at k = 50 / 200 / 800 — the vocab-size decision artifact of
+    * tokenizer/phrase-table design (coverage_bp's complement is the
+    * fallback rate a merge vocabulary of that size eats; the knee of this
+    * curve is where adding merge units stops paying, t33/t38's axis).
+    * Bigram types rather than the 31-word fixture unigram vocabulary so
+    * the curve has an actual knee to read (≈900 types here); frequencies
+    * rank by (count desc, bigram) — exact, deterministic, the Zipf mass
+    * integrated rather than assumed (t27 fits the exponent).
+    *
+    * Scale shape: one corpus explode → bigram-keyed map-combinable count
+    * agg (vocabulary-sized output), exact global rank via [[GlobalRank]]'s
+    * range shuffle (never a SinglePartition window, and the vocab frame is
+    * never broadcast — t11's rule), then the 3-row size grid replicates
+    * the VOCAB frame into one 3-group agg. */
+  def t42VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sizes = Seq(50L, 200L, 800L).toDF("vocab_size")
+    val wc = documents(s, d)
+      .select(explode(Dedupe.shingles(col("text"), 2)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = GlobalRank.withGlobalRank(
+      wc, Seq(col("cnt").desc, col("w")), "rnk")
+    val tot = ranked.agg(sum(col("cnt")).as("total_ngrams"),
+      count(lit(1)).as("n_vocab"))
+    ranked.crossJoin(broadcast(sizes))
+      .groupBy(col("vocab_size"))
+      .agg(coalesce(sum(when(col("rnk") <= col("vocab_size"), col("cnt"))),
+        lit(0L)).as("covered_ngrams"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("vocab_size", "n_vocab", "covered_ngrams", "total_ngrams",
+        "covered_ngrams * 10000 div total_ngrams AS coverage_bp")
+      .orderBy(col("vocab_size"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t41_dsir_weights" -> t41DsirWeights,
+    "q83_aqp_estimate" -> q83AqpEstimate,
+    "p05_skipping_index" -> p05SkippingIndex,
+    "t42_vocab_coverage" -> t42VocabCoverage)
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val wordsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val md5Sql = (v: String) =>
+    s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
+  private val ilog16Sql = (x: String) =>
+    s"""(16 * (length(bin($x)) - 1)
+       | + ($x) * 16 // CAST(power(2, length(bin($x)) - 1) AS BIGINT)
+       | - 16)""".stripMargin
+  private val bigramSql =
+    "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
+
+  val oracle: Map[String, String] = Map(
+    "t41_dsir_weights" ->
+      s"""WITH tw AS (
+            SELECT doc_id, source, lang, ${md5Sql("f")} % $B AS b
+            FROM (SELECT doc_id, source, lang,
+                         unnest(list_concat(
+                           list_filter(w, x -> length(x) > 0),
+                           $bigramSql)) AS f
+                  FROM (SELECT doc_id, source, lang, $wordsSql AS w
+                        FROM documents) t0) t
+          ), pd AS (
+            SELECT doc_id, source, lang, b, count(*) AS c
+            FROM tw GROUP BY doc_id, source, lang, b
+          ), bt AS (
+            SELECT b, sum(c) AS cr,
+                   coalesce(sum(c) FILTER (WHERE lang = 'en'), 0) AS ct
+            FROM pd GROUP BY b
+          ), tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bt
+          ), wk AS (
+            SELECT b, ${ilog16Sql("ct + 1")} - ${ilog16Sql("cr + 1")}
+                      + ${ilog16Sql(s"tr + $B")} - ${ilog16Sql(s"tt + $B")} AS wb
+            FROM bt, tot
+          )
+          SELECT p.doc_id, p.source, p.lang,
+                 CAST(sum(p.c) AS BIGINT) AS n_features,
+                 CAST(sum(p.c * wk.wb) AS BIGINT) AS score
+          FROM pd p JOIN wk USING (b)
+          GROUP BY p.doc_id, p.source, p.lang
+          ORDER BY score DESC, p.doc_id LIMIT 25""",
+    "q83_aqp_estimate" ->
+      s"""WITH base AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                   ${md5Sql(
+               "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}
+                     % 16 AS h
+            FROM lineitem
+          )
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(cents) AS BIGINT) AS true_cents,
+                 CAST(coalesce(count(*) FILTER (WHERE h = 0), 0) AS BIGINT)
+                   AS n_sample,
+                 CAST(coalesce(sum(cents) FILTER (WHERE h = 0), 0) * 16
+                   AS BIGINT) AS est_cents,
+                 CAST(abs(coalesce(sum(cents) FILTER (WHERE h = 0), 0) * 16
+                          - sum(cents)) * 10000 // sum(cents) AS BIGINT)
+                   AS err_bp
+          FROM base GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p05_skipping_index" ->
+      """WITH base AS (
+            SELECT doc_id, coalesce(n_chars, 0) AS sz FROM documents
+          ), lay AS (
+            SELECT 'ingest' AS layout, doc_id // 64 AS f, sz FROM base
+            UNION ALL
+            SELECT 'clustered' AS layout,
+                   (row_number() OVER (ORDER BY sz, doc_id) - 1) // 64 AS f, sz
+            FROM base
+          ), grid AS (SELECT unnest([200, 300, 400]) AS threshold
+          ), files AS (
+            SELECT layout, f, count(*) AS cnt, max(sz) AS fmax
+            FROM lay GROUP BY layout, f
+          ), matched AS (
+            SELECT layout, f, threshold, count(*) AS m
+            FROM lay, grid WHERE sz >= threshold GROUP BY layout, f, threshold
+          )
+          SELECT fi.layout, CAST(g.threshold AS BIGINT) AS threshold,
+                 CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(coalesce(sum(CASE WHEN fi.fmax < g.threshold THEN 1 END), 0)
+                   AS BIGINT) AS files_skipped,
+                 CAST(sum(CASE WHEN fi.fmax >= g.threshold THEN fi.cnt
+                          ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(sum(coalesce(ma.m, 0)) AS BIGINT) AS rows_matching,
+                 CAST(coalesce(sum(CASE WHEN fi.fmax < g.threshold THEN 1 END), 0)
+                   * 10000 // count(*) AS BIGINT) AS skip_bp
+          FROM files fi CROSS JOIN grid g
+          LEFT JOIN matched ma
+            ON ma.layout = fi.layout AND ma.f = fi.f AND ma.threshold = g.threshold
+          GROUP BY fi.layout, g.threshold
+          ORDER BY fi.layout, threshold""",
+    "t42_vocab_coverage" ->
+      s"""WITH wc AS (
+            SELECT bg, count(*) AS cnt
+            FROM (SELECT unnest($bigramSql) AS bg
+                  FROM (SELECT $wordsSql AS w FROM documents) t0) t
+            GROUP BY bg
+          ), r AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, bg) AS rnk FROM wc
+          ), tot AS (
+            SELECT sum(cnt) AS total, count(*) AS n_vocab FROM wc
+          )
+          SELECT CAST(k AS BIGINT) AS vocab_size,
+                 CAST(n_vocab AS BIGINT) AS n_vocab,
+                 CAST(coalesce(sum(cnt) FILTER (WHERE rnk <= k), 0) AS BIGINT)
+                   AS covered_ngrams,
+                 CAST(total AS BIGINT) AS total_ngrams,
+                 CAST(coalesce(sum(cnt) FILTER (WHERE rnk <= k), 0) * 10000
+                   // total AS BIGINT) AS coverage_bp
+          FROM r, tot, (SELECT unnest([50, 200, 800]) AS k) g
+          GROUP BY k, total, n_vocab ORDER BY vocab_size""")
+}

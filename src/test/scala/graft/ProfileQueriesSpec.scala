@@ -174,17 +174,18 @@ class ProfileQueriesSpec extends SparkSpec {
     val edges = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).collect()
       .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1)))).distinct
+    // round-11 semantics: 3 UN-normalized exact rounds (h0 = 1), one
+    // truncating 10^6 normalization per side at the end
     val S = BigInt(1000000)
-    var h = edges.map(_._1).distinct.map(_ -> S).toMap
+    var h = edges.map(_._1).distinct.map(_ -> BigInt(1)).toMap
     var a = Map.empty[Long, BigInt]
     for (_ <- 1 to 3) {
-      val a0 = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
-      val am = a0.values.max
-      a = a0.view.mapValues(s0 => s0 * S / am).toMap
-      val h0 = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
-      val hm = h0.values.max
-      h = h0.view.mapValues(s0 => s0 * S / hm).toMap
+      a = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      h = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
     }
+    val am = a.values.max; val hm = h.values.max
+    a = a.view.mapValues(s0 => s0 * S / am).toMap
+    h = h.view.mapValues(s0 => s0 * S / hm).toMap
     def top20(m: Map[Long, BigInt]) =
       m.toSeq.sortBy { case (id, s0) => (-s0, id) }.take(20)
     val expHubs = top20(h); val expAuth = top20(a)

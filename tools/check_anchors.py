@@ -58,9 +58,22 @@ def survey_sections():
     return sec2, rows
 
 
+def source_catalog():
+    """Query ids declared in the source `queries` maps — the fallback for
+    rows added AFTER the newest correctness snapshot (a brand-new query is
+    not yet in CORRECTNESS_r*.json; a typo'd id is in neither and still
+    fails)."""
+    ids = set()
+    for path in glob.glob(os.path.join(ROOT, "src/main/scala/graft/queries/*.scala")):
+        ids.update(re.findall(r'"([a-z]+\d+[a-z0-9_]*)"\s*->', open(path).read()))
+    return ids
+
+
 def main():
     corr_file, corr = newest_correctness()
     catalog = sorted(corr)
+    src_catalog = source_catalog()
+    pending = []
     sec2, rows = survey_sections()
     fails = []
 
@@ -76,7 +89,12 @@ def main():
         for qid in qids:
             hits = [k for k in catalog if k == qid or k.startswith(qid + "_")]
             if not hits:
-                fails.append(f"{rid}: query id {qid!r} resolves to no catalog key")
+                src_hits = [k for k in src_catalog
+                            if k == qid or k.startswith(qid + "_")]
+                if src_hits:
+                    pending.extend(src_hits)  # newer than the snapshot
+                else:
+                    fails.append(f"{rid}: query id {qid!r} resolves to no catalog key")
                 continue
             # >1 hit is legitimate (q21 covers both chunker variants) —
             # every resolved key must be green
@@ -104,6 +122,9 @@ def main():
 
     print(f"checked {len(rows)} section-2.10 rows + {n_anchors} file:line "
           f"anchors against {os.path.basename(corr_file)} ({len(catalog)} queries)")
+    if pending:
+        print(f"note: {sorted(set(pending))} declared in source but newer "
+              f"than the correctness snapshot — greenness unchecked")
     if fails:
         print("\n".join("FAIL " + f for f in fails))
         sys.exit(1)
