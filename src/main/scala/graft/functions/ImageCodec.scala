@@ -150,6 +150,24 @@ object ImageCodec {
       Array[Byte](0xFF.toByte, 0xD9.toByte)
   }
 
+  /** JPEG with a REAL DQT segment: SOI + APP0/JFIF + DQT (8-bit table 0,
+    * the 64 entries in transmission order) + SOF0 + EOI — the
+    * header-complete shape [[graft.functions.JpegDecoder.quantTable0]]
+    * reads back byte-for-byte. */
+  def jpegBytesWithDqt(w: Int, h: Int, table: Array[Int]): Array[Byte] = {
+    require(table.length == 64 && table.forall(v => v >= 1 && v <= 255),
+      "8-bit DQT needs 64 values in 1..255")
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16b(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array[Byte](0xFF.toByte, 0xDB.toByte) ++ be16b(2 + 1 + 64) ++
+      Array[Byte](0x00) ++ table.map(_.toByte)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16b(17) ++
+      Array[Byte](8) ++ be16b(h) ++ be16b(w) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
   /** GIF89a: header + logical screen descriptor + trailer. Total size = 14. */
   def gifBytes(w: Int, h: Int): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16b(w) ++ le16b(h) ++

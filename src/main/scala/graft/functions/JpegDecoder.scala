@@ -24,6 +24,55 @@ object JpegDecoder {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
+  /** Read quantization table 0 from a JPEG's DQT segment(s) WITHOUT
+    * decoding any entropy data — the header-only walk behind the
+    * m14 quality estimate (a thumbnail of the full [[decodeRgb]] marker
+    * loop: segments are length-prefixed, so the walk touches ~100 bytes
+    * of a multi-MB file; at 100 TB this is the plan-don't-decode
+    * discipline of m12/m15/m17 applied to JPEG). Returns the 64 entries
+    * in TRANSMISSION (zigzag) order — the sum-based quality estimator is
+    * order-invariant, and keeping raw order makes the synth round-trip a
+    * byte identity. 16-bit (Pq=1) tables are supported; a missing table
+    * 0, a malformed segment, or EOI-before-DQT returns None. */
+  def quantTable0(bytes: Array[Byte]): Option[Array[Int]] = try {
+    if (bytes == null || bytes.length < 4 ||
+      u8(bytes, 0) != 0xFF || u8(bytes, 1) != 0xD8) return None
+    var p = 2
+    while (p + 3 < bytes.length) {
+      if (u8(bytes, p) != 0xFF) return None
+      var q = p
+      while (q + 1 < bytes.length && u8(bytes, q + 1) == 0xFF) q += 1
+      val m = u8(bytes, q + 1)
+      if (m == 0xD9 || m == 0xDA) return None // EOI/SOS: no table 0 seen
+      val len = be16(bytes, q + 2)
+      if (len < 2 || q + 2 + len > bytes.length) return None
+      val seg = q + 4
+      val segEnd = q + 2 + len
+      if (m == 0xDB) {
+        var i = seg
+        while (i < segEnd) {
+          val pq = u8(bytes, i) >> 4
+          val tq = u8(bytes, i) & 15
+          if (tq > 3 || pq > 1) return None
+          val step = if (pq == 0) 1 else 2
+          if (i + 1 + 64 * step > segEnd) return None
+          if (tq == 0) {
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(k) = if (pq == 0) u8(bytes, i + 1 + k) else be16(bytes, i + 1 + 2 * k)
+              k += 1
+            }
+            return Some(t)
+          }
+          i += 1 + 64 * step
+        }
+      }
+      p = segEnd
+    }
+    None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,

@@ -213,11 +213,69 @@ object SelectionQueries {
       .orderBy(col("vocab_size"))
   }
 
+  /** JPEG Annex K.1 luminance quantization table (the libjpeg base table
+    * every quality-scaled encoder starts from), natural order. */
+  private val JpegBaseLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** M14 — JPEG QUALITY ESTIMATE from the real DQT header (the
+    * recompression-quality signal of an image-corpus curation pass:
+    * heavily requantized web images are the blurry/blocky tail a vision
+    * training set wants flagged, and the quantization table says so from
+    * ~100 header bytes — no pixel decoded, m12/m15/m17's
+    * plan-don't-decode discipline). Fixture JPEGs carry a REAL DQT built
+    * with libjpeg's own quality scaling (scale = 5000/q below 50 else
+    * 200−2q; t = clamp₁₋₂₅₅((base·scale+50)/100)) at per-doc quality
+    * q = 5 + (doc_id·7 mod 91); the engine walks the marker stream with
+    * [[graft.functions.JpegDecoder.quantTable0]] and inverts the scaling
+    * from the table SUM (ImageMagick's estimator, integer-exact here):
+    * scale_est = round(100·Σt/Σbase), est_q = (200−scale_est)/2 above
+    * 100 else 5000/scale_est. Output: doc counts per estimated-quality
+    * decade — the corpus quality histogram. The oracle recomputes the
+    * table from the synthesis arithmetic and never parses a JPEG, so the
+    * DQT walk is proven end-to-end (the m-family oracle rule).
+    *
+    * Scale shape: synthesis + parse + 64-element sum fold are ONE narrow
+    * per-row projection; only the ≤10-row decade histogram shuffles
+    * (map-side-combinable agg). */
+  def m14JpegQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{ImageCodec, JpegDecoder}
+    val sumBase = JpegBaseLuma.sum
+    val mk = udf { (docId: Long) =>
+      val q = (5 + (docId * 7) % 91).toInt
+      val scale = if (q < 50) 5000 / q else 200 - 2 * q
+      val t = JpegBaseLuma.map(b => math.max(1, math.min(255, (b * scale + 50) / 100)))
+      ImageCodec.jpegBytesWithDqt(64, 48, t)
+    }
+    val qt = udf { (payload: Array[Byte]) =>
+      JpegDecoder.quantTable0(payload).orNull
+    }
+    documents(s, d)
+      .select(col("doc_id"), qt(mk(col("doc_id"))).as("t"))
+      .filter(col("t").isNotNull)
+      .selectExpr("aggregate(t, 0L, (a, x) -> a + x) AS sum_t")
+      .selectExpr(s"(100 * sum_t + ${sumBase / 2}) div $sumBase AS scale_est")
+      .selectExpr("""CASE WHEN scale_est <= 100 THEN (200 - scale_est) div 2
+                    |     ELSE 5000 div scale_est END AS est_q""".stripMargin)
+      .groupBy(expr("est_q div 10").as("est_decade"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("est_q")).as("min_q"), max(col("est_q")).as("max_q"))
+      .orderBy(col("est_decade"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t41_dsir_weights" -> t41DsirWeights,
     "q83_aqp_estimate" -> q83AqpEstimate,
     "p05_skipping_index" -> p05SkippingIndex,
-    "t42_vocab_coverage" -> t42VocabCoverage)
+    "t42_vocab_coverage" -> t42VocabCoverage,
+    "m14_jpeg_quality" -> m14JpegQuality)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -329,5 +387,30 @@ object SelectionQueries {
                  CAST(coalesce(sum(cnt) FILTER (WHERE rnk <= k), 0) * 10000
                    // total AS BIGINT) AS coverage_bp
           FROM r, tot, (SELECT unnest([50, 200, 800]) AS k) g
-          GROUP BY k, total, n_vocab ORDER BY vocab_size""")
+          GROUP BY k, total, n_vocab ORDER BY vocab_size""",
+    "m14_jpeg_quality" -> {
+      val sumBase = JpegBaseLuma.sum
+      s"""WITH sc AS (
+            SELECT doc_id,
+                   CASE WHEN 5 + (doc_id * 7) % 91 < 50
+                        THEN 5000 // (5 + (doc_id * 7) % 91)
+                        ELSE 200 - 2 * (5 + (doc_id * 7) % 91) END AS scale
+            FROM documents
+          ), st AS (
+            SELECT doc_id,
+                   sum(GREATEST(1, LEAST(255, (bv * scale + 50) // 100))) AS sum_t
+            FROM sc, (SELECT unnest([${JpegBaseLuma.mkString(", ")}]) AS bv) b
+            GROUP BY doc_id
+          ), est AS (
+            SELECT CASE WHEN se <= 100 THEN (200 - se) // 2
+                        ELSE 5000 // se END AS est_q
+            FROM (SELECT doc_id, (100 * sum_t + ${sumBase / 2}) // $sumBase AS se
+                  FROM st) t
+          )
+          SELECT CAST(est_q // 10 AS BIGINT) AS est_decade,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(est_q) AS BIGINT) AS min_q,
+                 CAST(max(est_q) AS BIGINT) AS max_q
+          FROM est GROUP BY est_decade ORDER BY est_decade"""
+    })
 }

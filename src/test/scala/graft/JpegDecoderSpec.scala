@@ -113,4 +113,23 @@ class JpegDecoderSpec extends SparkSpec {
       JpegDecoder.decodeRgb(m) // fuzz: no throw
     }
   }
+
+  test("quantTable0: synth round-trip is a byte identity; ImageIO JPEGs yield a table; junk refused") {
+    import graft.functions.ImageCodec
+    val table = Array.tabulate(64)(i => 1 + (i * 3) % 255)
+    val bytes = ImageCodec.jpegBytesWithDqt(64, 48, table)
+    assert(JpegDecoder.quantTable0(bytes).map(_.toSeq).contains(table.toSeq))
+    // a REAL encoder's DQT is readable through the same walk, and lower
+    // quality must not shrink the quantizers (sum is monotone-ish)
+    val hi = JpegDecoder.quantTable0(writeJpeg(gradient(16, 16), 0.9f))
+    val lo = JpegDecoder.quantTable0(writeJpeg(gradient(16, 16), 0.3f))
+    assert(hi.isDefined && lo.isDefined)
+    assert(lo.get.sum > hi.get.sum, "coarser quality must mean bigger quantizers")
+    // refusals: no DQT before SOS/EOI, junk, truncation — None, never a throw
+    assert(JpegDecoder.quantTable0(ImageCodec.jpegBytes(8, 8, 4)).isEmpty)
+    assert(JpegDecoder.quantTable0(null).isEmpty)
+    assert(JpegDecoder.quantTable0(Array[Byte](1, 2, 3)).isEmpty)
+    for (cut <- Seq(4, 10, bytes.length / 2, bytes.length - 2))
+      JpegDecoder.quantTable0(bytes.take(cut)) // no throw
+  }
 }

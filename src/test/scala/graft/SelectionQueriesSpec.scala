@@ -133,6 +133,30 @@ class SelectionQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m14: quality histogram recounts from the synthesis formulas (never parsing a JPEG)") {
+    val baseLuma = Array(
+      16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+    val sumBase = baseLuma.sum
+    val ids = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val estQ = ids.map { id =>
+      val q = (5 + (id * 7) % 91).toInt
+      val scale = if (q < 50) 5000 / q else 200 - 2 * q
+      val sumT = baseLuma.map(b => math.max(1, math.min(255, (b * scale + 50) / 100))).sum
+      val se = (100L * sumT + sumBase / 2) / sumBase
+      if (se <= 100) (200 - se) / 2 else 5000 / se
+    }
+    val expected = estQ.groupBy(_ / 10).toSeq.sortBy(_._1).map { case (dec, qs) =>
+      (dec, qs.length.toLong, qs.min, qs.max)
+    }
+    val got = SelectionQueries.m14JpegQuality(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("t42: driver-side bigram coverage recount reproduces the curve exactly") {
     val texts = spark.read.parquet(sf() + "/documents.parquet")
       .select("text").collect().map(_.getString(0))
