@@ -270,12 +270,55 @@ object SelectionQueries {
       .orderBy(col("est_decade"))
   }
 
+  /** DQ13 — DIFFERENTIALLY-PRIVATE COUNT RELEASE, audited (the
+    * geometric mechanism of Ghosh–Roughgarden–Sundararajan 2009 in its
+    * sign-magnitude form, with EXACT INTEGER sampling): per
+    * (segment, nation) class — dq11's quasi-identifier pair — the
+    * released count is max(0, n + s·G) where G ~ Geometric(1/2) on
+    * {0,1,…} and s = ±1, both read STRAIGHT OFF THE BITS of the class's
+    * md5: sign = bit 0; G = the run of consecutive 1-bits from bit 1
+    * (P(run = k) = 2^−(k+1) EXACTLY, because md5 bits are uniform — the
+    * one distribution whose inverse-CDF sampling is pure bit arithmetic,
+    * so the noise is deterministic, engine-identical, and hashable,
+    * where a float Laplace inverse-CDF never is). The run length
+    * collapses to integer algebra: x ⊕ (x+1) masks the low m+1 bits ⇒
+    * m = ⌊log₂((x⊕(x+1))+1)⌋ − 1, t37's bin() basis again. Privacy
+    * budget of this mechanism: adjacent-probability ratio is 4 at zero
+    * and 2 elsewhere ⇒ ε = ln 4 ≈ 1.39 per released count. Output keeps
+    * the true count and |error| NEXT TO the release — the utility-audit
+    * form (q83's framing): a production release drops those columns;
+    * this artifact is what decides whether ε = ln 4 counts are usable.
+    * Deterministic seeding by class key doubles as the real-world
+    * "consistent release" property (re-running the release cannot leak
+    * fresh noise — the one-draw-per-statistic rule of DP deployment).
+    *
+    * Scale shape: customer scan ⋈ broadcast nation dim → one
+    * QI-keyed map-combinable count agg (report bounded by the QI
+    * domain); the noise is a narrow per-ROW projection on the
+    * class-count frame, never data-sized. */
+  def dq13DpRelease(s: SparkSession, d: String): DataFrame =
+    tableRaw(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("segment"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("h", Dedupe.md5Hash32(concat(col("segment"), lit("|"), col("nation"))))
+      .withColumn("noise", expr(
+        """CAST((CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) *
+          |(length(bin(((h div 2) ^ (h div 2 + 1)) + 1)) - 2) AS BIGINT)""".stripMargin))
+      .withColumn("released", greatest(expr("n_true + noise"), lit(0L)))
+      .withColumn("abs_err", abs(col("released") - col("n_true")))
+      .drop("h")
+      .orderBy(col("segment"), col("nation"))
+
   val queries: Map[String, Q] = Map(
     "t41_dsir_weights" -> t41DsirWeights,
     "q83_aqp_estimate" -> q83AqpEstimate,
     "p05_skipping_index" -> p05SkippingIndex,
     "t42_vocab_coverage" -> t42VocabCoverage,
-    "m14_jpeg_quality" -> m14JpegQuality)
+    "m14_jpeg_quality" -> m14JpegQuality,
+    "dq13_dp_release" -> dq13DpRelease)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -412,5 +455,27 @@ object SelectionQueries {
                  CAST(min(est_q) AS BIGINT) AS min_q,
                  CAST(max(est_q) AS BIGINT) AS max_q
           FROM est GROUP BY est_decade ORDER BY est_decade"""
-    })
+    },
+    "dq13_dp_release" ->
+      s"""WITH cls AS (
+            SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+                   count(*) AS n_true
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2
+          ), nz AS (
+            SELECT segment, nation, n_true,
+                   ${md5Sql("segment || '|' || nation")} AS h
+            FROM cls
+          ), noised AS (
+            SELECT segment, nation, n_true,
+                   CAST((CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) *
+                        (length(bin(xor(h // 2, h // 2 + 1) + 1)) - 2)
+                     AS BIGINT) AS noise
+            FROM nz
+          )
+          SELECT segment, nation, CAST(n_true AS BIGINT) AS n_true, noise,
+                 CAST(GREATEST(n_true + noise, 0) AS BIGINT) AS released,
+                 CAST(abs(GREATEST(n_true + noise, 0) - n_true) AS BIGINT)
+                   AS abs_err
+          FROM noised ORDER BY segment, nation""")
 }

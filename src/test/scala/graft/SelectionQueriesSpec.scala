@@ -157,6 +157,47 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("dq13: bit-geometric noise recounts from md5 bits; the xor run-length formula matches a loop") {
+    // the closed form m = flog2((x ^ (x+1)) + 1) - 1 vs a literal bit loop
+    def trailingOnesLoop(x: Long): Int = {
+      var m = 0; var v = x
+      while ((v & 1L) == 1L) { m += 1; v >>= 1 }
+      m
+    }
+    def trailingOnesFormula(x: Long): Int =
+      63 - java.lang.Long.numberOfLeadingZeros((x ^ (x + 1)) + 1) - 1
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10000) {
+      val x = rnd.nextLong() & 0x7FFFFFFFL
+      assert(trailingOnesFormula(x) == trailingOnesLoop(x), s"x=$x")
+    }
+    // full driver recount of the released table
+    val got = SelectionQueries.dq13DpRelease(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.nonEmpty)
+    val cust = spark.read.parquet(sf() + "/customer.parquet")
+      .select("c_mktsegment", "c_nationkey").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val nat = spark.read.parquet(sf() + "/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val counts = cust.map { case (seg, nk) => (seg, nat(nk)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.length == counts.size)
+    got.foreach { case ((seg, nation), (nTrue, noise, released, absErr)) =>
+      assert(nTrue == counts((seg, nation)))
+      val h = md5h32(s"$seg|$nation")
+      val expNoise = (if ((h & 1L) == 1L) 1 else -1) * trailingOnesLoop(h >> 1)
+      assert(noise == expNoise, s"($seg,$nation)")
+      assert(released == math.max(0L, nTrue + noise) && absErr == math.abs(released - nTrue))
+    }
+    // geometric(1/2) sanity: on this fixture's ~125 classes, about half
+    // the draws must be zero-noise (loose 3-sigma band)
+    val zeros = got.count(_._2._2 == 0L)
+    assert(zeros > got.length / 4 && zeros < got.length * 3 / 4)
+  }
+
   test("t42: driver-side bigram coverage recount reproduces the curve exactly") {
     val texts = spark.read.parquet(sf() + "/documents.parquet")
       .select("text").collect().map(_.getString(0))
