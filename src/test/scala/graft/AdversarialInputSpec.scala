@@ -54,7 +54,12 @@ class AdversarialInputSpec extends SparkSpec {
     "t21_token_shards", "t22_domain_mix", "t24_bloom_decontaminate",
     "t25_mix_execute", "dq01_expectations", "t26_bigram_surprisal",
     "t27_zipf_profile", "t28_rake_keywords", "dq06_quarantine_profile",
-    "p01_pipeline")
+    "p01_pipeline",
+    // round-11 selection family: t41's feature explode must survive the
+    // null/empty/CJK rows, p05/t42's GlobalRank the tiny 7-row corpus
+    // (fewer rows than range partitions), m14 the arbitrary doc_ids
+    "t41_dsir_weights", "p05_skipping_index", "t42_vocab_coverage",
+    "m14_jpeg_quality")
 
   docQueries.foreach { name =>
     test(s"$name survives the adversarial corpus") {
