@@ -21,6 +21,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("text"), "ORC scan reads pruned-away columns")
   }
 
+  test("schema evolution: mergeSchema unions generations; old files read null; pushdown survives") {
+    // A 100 TB table is written over months by evolving jobs: gen-1 files
+    // lack columns gen-2 added. The lakehouse contract is (a) one read
+    // over both generations yields the UNION schema with nulls for
+    // missing columns, (b) a filter on a gen-2 column still reaches the
+    // scan, (c) the default non-merging read keeps working (it serves
+    // whichever schema it samples — callers who need the union MUST ask).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftevo").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.mode("append").parquet(dir) // generation 1
+    Seq((3L, "c", 10L), (4L, "d", 20L)).toDF("id", "payload", "score")
+      .write.mode("append").parquet(dir) // generation 2 adds `score`
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "payload", "score"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(10L), 4L -> Some(20L)),
+      "gen-1 rows must surface the evolved column as null, gen-2 keep values")
+    // the evolved column's predicate pushes into the scan (gen-1 files
+    // are skipped by footer stats, not by a post-scan filter)
+    val plan = merged.filter(col("score") > 15L).select(col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("score"),
+      s"evolved-column predicate lost pushdown:\n${plan.take(1500)}")
+    // counting on the evolved column ignores gen-1 (SQL null semantics)
+    assert(merged.agg(count(col("score"))).head().getLong(0) == 2L)
+  }
+
   test("JSONL round-trip with explicit schema preserves content") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString + "/t"
