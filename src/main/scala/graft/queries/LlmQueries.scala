@@ -1250,8 +1250,12 @@ object LlmQueries {
   /** s03 oracle: recompute the seeded-centroid IVF index in SQL (centroids =
     * 8 lowest-id vectors; assignment/probes by cosine with part tie-break)
     * and search it — mirrors seededCentroids + assignToCentroids + searchIvf. */
-  private def s03Sql: String =
-    s"""WITH cent AS (
+  /** IVF build CTEs (seeded centroids + nearest-centroid assignment),
+    * ending in `assigned(id, v, part)` — shared by the s03 search oracle
+    * and the s15 balance-audit oracle so build semantics cannot drift
+    * (the lpaCtes/dupAssignedCtes rule). */
+  private[queries] def ivfBuildCtes: String =
+    s"""cent AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
                  embedding AS cvec
           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t
@@ -1262,7 +1266,10 @@ object LlmQueries {
                      ORDER BY ${cosSql("a.embedding", "c.cvec")} DESC, c.part) AS rn
             FROM embeddings a CROSS JOIN cent c) s
           WHERE rn = 1
-        ), probes AS (
+        )"""
+
+  private def s03Sql: String =
+    s"""WITH $ivfBuildCtes, probes AS (
           SELECT qid, qv, part FROM (
             SELECT q.qid, q.qv, c.part,
                    row_number() OVER (PARTITION BY q.qid

@@ -312,13 +312,54 @@ object SelectionQueries {
       .drop("h")
       .orderBy(col("segment"), col("nation"))
 
+  /** S15 — IVF INDEX BALANCE AUDIT (the MAINTAIN verb completing the ANN
+    * lifecycle: s03 BUILDs and QUERIES, s12 TUNEs probes, s14 tunes
+    * dimensions, d27 tunes bands — nothing yet says WHEN the index has
+    * degraded): per-partition vector counts of the s03 IVF assignment
+    * plus the balance factor max·nparts/total in milli (1000 = perfectly
+    * balanced) and the FAISS-folklore re-train trigger balance > 2× —
+    * inserts drift a quantizer trained on yesterday's distribution, hot
+    * partitions grow until nProbe recall collapses, and THIS artifact is
+    * the scheduled check that catches it. Empty partitions are reported
+    * (wasted probes), via a left join from the centroid set. The oracle
+    * interpolates the SAME [[LlmQueries.ivfBuildCtes]] chain s03
+    * declares, so the audited assignment cannot drift from the index
+    * (the lpaCtes shared-CTE rule).
+    *
+    * Scale shape: the assignment is the index's own build artifact
+    * (corpus-scan + 8-row broadcast centroid argmax — s03's plan); the
+    * audit adds ONE part-keyed map-combinable count agg (output = nparts
+    * rows) + a 1-row totals broadcast. */
+  def s15IvfBalance(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = embeddings(s, d)
+    val cent = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), 8)
+    val assigned = Similarity.assignToCentroids(emb, col("vec_id"), col("embedding"), cent)
+    val per = assigned.groupBy(col("part")).agg(count(lit(1)).as("n_vecs"))
+    val full = cent.select(col("part"))
+      .join(per, Seq("part"), "left")
+      .select(col("part").cast("long").as("part"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = full.agg(sum(col("n_vecs")).as("total"),
+      max(col("n_vecs")).as("mx"), count(lit(1)).as("np"),
+      coalesce(sum(when(col("n_vecs") === 0L, 1L)), lit(0L)).as("ne"))
+    full.crossJoin(broadcast(tot))
+      .selectExpr("part", "n_vecs",
+        "n_vecs * 10000 div total AS share_bp",
+        "mx * np * 1000 div total AS balance_milli",
+        "ne AS n_empty",
+        "CAST(CASE WHEN mx * np * 1000 div total > 2000 THEN 1 ELSE 0 END AS BIGINT) AS retrain")
+      .orderBy(col("part"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t41_dsir_weights" -> t41DsirWeights,
     "q83_aqp_estimate" -> q83AqpEstimate,
     "p05_skipping_index" -> p05SkippingIndex,
     "t42_vocab_coverage" -> t42VocabCoverage,
     "m14_jpeg_quality" -> m14JpegQuality,
-    "dq13_dp_release" -> dq13DpRelease)
+    "dq13_dp_release" -> dq13DpRelease,
+    "s15_ivf_balance" -> s15IvfBalance)
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -477,5 +518,23 @@ object SelectionQueries {
                  CAST(GREATEST(n_true + noise, 0) AS BIGINT) AS released,
                  CAST(abs(GREATEST(n_true + noise, 0) - n_true) AS BIGINT)
                    AS abs_err
-          FROM noised ORDER BY segment, nation""")
+          FROM noised ORDER BY segment, nation""",
+    "s15_ivf_balance" ->
+      s"""WITH ${LlmQueries.ivfBuildCtes}, per AS (
+            SELECT c.part, count(a.id) AS n_vecs
+            FROM cent c LEFT JOIN assigned a ON a.part = c.part
+            GROUP BY c.part
+          ), tot AS (
+            SELECT sum(n_vecs) AS total, max(n_vecs) AS mx,
+                   count(*) AS np,
+                   coalesce(sum(CASE WHEN n_vecs = 0 THEN 1 END), 0) AS ne
+            FROM per
+          )
+          SELECT CAST(part AS BIGINT) AS part, CAST(n_vecs AS BIGINT) AS n_vecs,
+                 CAST(n_vecs * 10000 // total AS BIGINT) AS share_bp,
+                 CAST(mx * np * 1000 // total AS BIGINT) AS balance_milli,
+                 CAST(ne AS BIGINT) AS n_empty,
+                 CAST(CASE WHEN mx * np * 1000 // total > 2000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS retrain
+          FROM per, tot ORDER BY part""")
 }

@@ -198,6 +198,25 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(zeros > got.length / 4 && zeros < got.length * 3 / 4)
   }
 
+  test("s15: balance audit conserves the corpus and its formulas are self-consistent") {
+    val rows = SelectionQueries.s15IvfBalance(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 8, "one row per IVF partition, empties included")
+    val nCorpus = spark.read.parquet(sf() + "/embeddings.parquet").count()
+    val total = rows.map(_._2).sum
+    assert(total == nCorpus, "every vector must be assigned exactly once")
+    val mx = rows.map(_._2).max
+    val balance = mx * rows.length * 1000 / total
+    rows.foreach { case (part, n, shareBp, balMilli, nEmpty, retrain) =>
+      assert(shareBp == n * 10000 / total)
+      assert(balMilli == balance, s"part $part")
+      assert(nEmpty == rows.count(_._2 == 0L))
+      assert(retrain == (if (balance > 2000) 1L else 0L))
+    }
+    assert(balance >= 1000, "max cannot be below the mean")
+  }
+
   test("t42: driver-side bigram coverage recount reproduces the curve exactly") {
     val texts = spark.read.parquet(sf() + "/documents.parquet")
       .select("text").collect().map(_.getString(0))
