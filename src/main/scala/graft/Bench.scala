@@ -25,11 +25,24 @@ object Bench {
     // measured at sf0.1 on local[32]: 4 threads 26s, 6 → 17s, 8 → 22s,
     // 16 → 64s (scheduler+GC contention) — 6 is the sweet spot
     val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "6").toInt
+    // Local-mode shuffle config (measured A/B, BenchOne min-of-2 sessions,
+    // sf0.1): shuffle compression OFF + tmpfs local dir cut the graph/agg
+    // family 8-38% (g03 3.64→2.26, g06 2.76→2.02, t24 2.33→1.99). In
+    // local[32] every shuffle read is a LOCAL file read through the page
+    // cache, so LZ4 framing per tiny block is pure CPU on the job-floor
+    // critical path and the spill dir never needs durability. This is a
+    // HARNESS choice for single-node benching only: a real cluster keeps
+    // compression ON (network-bound shuffles) and local.dir on real disks.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -11,10 +11,24 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Experiment knobs (A/B harness for session-config floor work; Bench
+    // hardcodes whatever wins a measured A/B here). Defaults mirror
+    // Bench's committed local-mode config: shuffle compression OFF +
+    // tmpfs local dir (won 8-38% on the graph/agg family, min-of-2
+    // sessions at sf0.1 — see Bench.scala for the rationale and the
+    // cluster caveat).
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val shuffleCompress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.shuffle.compress", shuffleCompress)
+      .config("spark.shuffle.spill.compress", shuffleCompress)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
