@@ -1,9 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.operators.{Dedupe, GlobalRank}
+import graft.plans.SampledGramHashes
+import graft.plans.VectorExpressions.dotProduct
 
 /** Round-11 data-selection / physical-layout decision surface: the queries
   * that decide WHICH data enters a training run and HOW it should be laid
@@ -352,7 +354,313 @@ object SelectionQueries {
       .orderBy(col("part"))
   }
 
+  // ------------------------------------------------- exact Lloyd k-means
+
+  private val KmK = 10       // clusters (the fixture carries 10 latent labels)
+  private val KmRounds = 3   // Lloyd refinement rounds (unrolled in the oracle)
+  private val KmScale = 1024d   // 2^10: float→fixed-point scaling is EXACT
+  private val KmOffset = 1024d  // shift to non-negative (translation-invariant L2)
+
+  /** Quantized embeddings: q_d = round(x_d·2^10) + 2^10 — integral,
+    * non-negative (for |x| ≤ 1), held as array<double> so the native
+    * [[dotProduct]] kernel applies. Exactness chain: ·2^10 is a pure
+    * exponent shift (no mantissa rounding, float OR double), round()
+    * ties-away-from-zero in both engines, and every downstream product
+    * (≤ 2^22) / 64-term sum (≤ 2^28) / distance (≤ 2^28) is an integer
+    * below 2^53 — bit-exact in IEEE double with NO fold-order contract
+    * needed (integer addition commutes; the float-cosine queries need
+    * the index-order fold rule, this family doesn't). */
+  private def kmQuantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * KmScale) + lit(KmOffset)).as("qv"))
+
+  /** argmin-L2 assignment against a driver-side centroid array. The
+    * centroid set is index metadata — bounded by k, never data-sized — so
+    * it inlines as literals and the assignment is a narrow shuffle-free
+    * map over the corpus (s03's assignToCentroids shape): per centroid,
+    * d² = v·v + c·c − 2·v·c through the native dot kernel, then
+    * least(struct(d², part)) = argmin with lowest-part tie-break. */
+  private def kmAssign(vq: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val vnorm = dotProduct(col("qv"), col("qv"))
+    val scored = cents.map { case (p, cv) =>
+      val cl = array(cv.toIndexedSeq.map(lit(_)): _*)
+      val c2 = cv.map(x => x * x).sum // ints ≤ 2^22 squared, 64-term sum: exact
+      struct((vnorm - dotProduct(col("qv"), cl) * 2d + lit(c2)).as("d2"),
+        lit(p).as("part"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
+    vq.select(col("vec_id"), col("qv"),
+      best.getField("part").as("part"),
+      best.getField("d2").cast("long").as("d2"))
+  }
+
+  /** Lloyd's algorithm, exact fixed-point form: init = the k lowest-id
+    * vectors (s03's seeding), then [[KmRounds]] rounds of
+    * assign → integer-mean centroid update (per-dimension
+    * ⌊Σq_d / n⌋ — floor division on non-negative BIGINTs, identical in
+    * both engines), empty clusters keeping their previous centroid.
+    * Returns the FINAL assignment (vec_id, qv, part, d2 vs the round-3
+    * centroids) and those centroids.
+    *
+    * Scale shape per round: one narrow assignment map (centroids are
+    * broadcast-sized literals) + one (part, dim)-keyed map-combinable
+    * agg whose output is k·dim rows — METADATA-sized, so the driver
+    * collect is bounded regardless of corpus size (GlobalRank's
+    * offset-collect rule). Rounds are driver-sequenced like every
+    * iterative op here (g04/g06), but each round is one job — no
+    * checkpoint needed because round N+1's assignment re-reads only the
+    * original quantized frame (materialized once) and k·dim literals,
+    * never round N's lineage. */
+  private def kmFit(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double])]) = {
+    val vq = kmQuantized(s, d).localCheckpoint(false) // init + R rounds + final all read it
+    var cents: Array[(Int, Array[Double])] =
+      vq.orderBy(col("vec_id")).limit(KmK).collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).toArray)
+      }
+    for (_ <- 1 to KmRounds) {
+      val upd = kmAssign(vq, cents)
+        .select(col("part"), posexplode(col("qv")))
+        .groupBy(col("part"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("cnt"))
+        .collect() // k·dim rows by construction
+      val byPart = upd.groupBy(_.getInt(0))
+      cents = cents.map { case (p, old) =>
+        byPart.get(p) match {
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { r => next(r.getInt(1)) = (r.getLong(2) / r.getLong(3)).toDouble }
+            (p, next)
+          case None => (p, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    (kmAssign(vq, cents), cents)
+  }
+
+  /** S16 — EXACT FIXED-POINT LLOYD K-MEANS over the embedding corpus (the
+    * clustering pass of SemDeDup/D4-style semantic curation — Abbas et al.
+    * 2023, Tirumala et al. 2023 — and the trained upgrade of s03's seeded
+    * IVF quantizer): k = 10, 3 refinement rounds, everything in the
+    * 2^10 fixed-point basis so assignments, inertia and centroids are
+    * INTEGER-exact and hash-identical cross-engine (spark.ml's KMeans
+    * float path never is — s03 keeps it driver-side for that reason; this
+    * query IS the oracle-checkable training loop). Output per cluster:
+    * size, inertia (Σd² vs final centroids), and the centroid L1 mass —
+    * the audit row a curation pass reads before trusting the partition
+    * (s15 then watches it drift). Empty clusters are reported with their
+    * frozen centroid, not dropped.
+    *
+    * Scale shape: see [[kmFit]] — per round one narrow map + one
+    * metadata-sized agg; the final stats agg is k rows. */
+  def s16KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = kmFit(s, d)
+    import s.implicits._
+    val cdf = cents.map { case (p, cv) => (p, cv.sum.toLong) }
+      .toSeq.toDF("part", "c_l1")
+    cdf.join( // centroid frame drives: empty clusters stay reported
+      assigned.groupBy(col("part"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia")),
+      Seq("part"), "left")
+      .select(col("part").cast("long").as("part"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("c_l1"))
+      .orderBy(col("part"))
+  }
+
+  /** S17 — D4-STYLE PROTOTYPE/OUTLIER PRUNING on the s16 clustering
+    * (Tirumala et al. 2023: after SemDeDup, drop the most PROTOTYPICAL
+    * points — nearest the centroid, where semantic near-duplicates pile
+    * up — and the farthest OUTLIERS, which are noise): per cluster the
+    * closest ⌈n/10⌉ vectors are flagged 'proto' and the farthest ⌈n/20⌉
+    * (that aren't already proto) 'outlier'; the output IS the pruned
+    * list (part, vec_id, d², action) — the reviewable drop set, not just
+    * counts, so the oracle hash pins the per-cluster RANKING itself.
+    * Shares [[kmFit]] with s16 (and the oracle shares `kmeansCtes`), so
+    * the pruned set can never drift from the clustering it claims to
+    * prune — the lpaCtes/ivfBuildCtes rule.
+    *
+    * Scale shape: ranks come from ONE [[GlobalRank]] range shuffle over
+    * (part, d², vec_id) — never a k-partition window, which would funnel
+    * the corpus through k tasks — with per-cluster offsets/sizes from a
+    * k-row collected agg (metadata-sized); descending rank is derived as
+    * n+1−rank from the same total order, so one shuffle serves both
+    * ends. */
+  def s17D4Prune(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) = kmFit(s, d)
+    val base = assigned.select(col("vec_id"), col("part"), col("d2"))
+    val counts = base.groupBy(col("part")).agg(count(lit(1)).as("nc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val parts = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      parts.zip(parts.scanLeft(0L)((a, p) => a + counts(p)).init).toMap
+    val ranked = GlobalRank
+      .withGlobalRank(base, Seq(col("part"), col("d2"), col("vec_id")), "grnk")
+      .withColumn("rna", col("grnk") - element_at(typedLit(offsets), col("part")))
+      .withColumn("nc", element_at(typedLit(counts), col("part")))
+      .drop("grnk")
+    ranked
+      .withColumn("proto", col("rna") <= expr("(nc + 9) div 10"))
+      .withColumn("outlier",
+        !col("proto") && col("rna") > col("nc") - expr("(nc + 19) div 20"))
+      .filter(col("proto") || col("outlier"))
+      .select(col("part").cast("long").as("part"), col("vec_id"), col("d2"),
+        when(col("proto"), lit("proto")).otherwise(lit("outlier")).as("action"))
+      .orderBy(col("part"), col("vec_id"))
+  }
+
+  // ------------------------------------------------- URL canonicalization
+
+  /** Deterministic messy-URL synthesis: five variants per document (case
+    * games, :80 default port, www prefix, utm_* tracking params, unsorted
+    * param order, fragments) over a shared (source, doc_id div 7) page
+    * identity — so canonicalization provably collapses them. Synthesized
+    * in-query because `documents` carries no URL column (m14's
+    * fixture-synthesis pattern); the oracle re-synthesizes from the same
+    * arithmetic. */
+  private def t43SyntheticUrl: Column = {
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/doc/"), expr("CAST(doc_id div 7 AS STRING)"))
+    val idp = expr("CAST(doc_id % 3 AS STRING)")
+    val v = col("doc_id") % 5
+    when(v === 0, concat(lit("http://"), host, path))
+      .when(v === 1, concat(lit("HTTP://"), upper(host), lit(":80"), path, lit("/")))
+      .when(v === 2, concat(lit("http://www."), host, path,
+        lit("?utm_source=feed&utm_medium=rss")))
+      .when(v === 3, concat(lit("http://"), host, path,
+        lit("?id="), idp, lit("&utm_campaign=x#frag")))
+      .otherwise(concat(lit("http://"), host, lit(":80"), path,
+        lit("?utm_medium=rss&id="), idp))
+  }
+
+  /** T43 — URL CANONICALIZATION DEDUPE (the CCNet/FineWeb pre-pass: a
+    * crawl's first dedupe key is the canonical URL, long before any
+    * content hash): lowercase scheme+host, strip the :80 default port and
+    * the www. prefix, drop the fragment, strip trailing slashes (non-root),
+    * remove utm_* tracking params and SORT the survivors — then group by
+    * the canonical form. Output: the top-15 most-duplicated canonical
+    * URLs with raw-count, distinct-form count, and first doc — the
+    * syndication/mirror report (d28 says where CONTENT duplication comes
+    * from; this says where the crawler burned fetches on the same page).
+    * Every step is a plain regexp/string op with the IDENTICAL pattern in
+    * both engines (no lookahead — RE2-safe).
+    *
+    * Scale shape: synthesis + parse + canonicalize are one narrow
+    * codegen'd per-row projection; ONE canonical-keyed map-combinable agg;
+    * top-15 is TakeOrdered. */
+  /** The canonicalization itself, as a composable DataFrame stage over a
+    * `url` column (appends `canonical`) — exposed so the spec can drive it
+    * on crafted adversarial URLs independent of the query's synthesis. */
+  def withCanonicalUrl(df: DataFrame): DataFrame =
+    df
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("rest",
+        regexp_replace(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://", ""))
+      .withColumn("hostport", regexp_extract(col("rest"), "^[^/?#]*", 0))
+      .withColumn("host",
+        regexp_replace(regexp_replace(lower(col("hostport")), ":80$", ""),
+          "^www\\.", ""))
+      .withColumn("tail", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("path1",
+        regexp_replace(regexp_extract(col("tail"), "^[^?#]*", 0), "/+$", ""))
+      .withColumn("path",
+        when(length(col("path1")) === 0, lit("/")).otherwise(col("path1")))
+      .withColumn("qs", regexp_extract(col("tail"), "\\?([^#]*)", 1))
+      .withColumn("keep", array_join(array_sort(
+        filter(split(col("qs"), "&"),
+          p => length(p) > 0 && !p.startsWith("utm_"))), "&"))
+      .withColumn("canonical", concat(col("scheme"), lit("://"), col("host"),
+        col("path"),
+        when(length(col("keep")) > 0, concat(lit("?"), col("keep")))
+          .otherwise(lit(""))))
+      .drop("scheme", "rest", "hostport", "host", "tail", "path1", "path", "qs", "keep")
+
+  def t43UrlCanonical(s: SparkSession, d: String): DataFrame =
+    withCanonicalUrl(
+      documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", t43SyntheticUrl))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_forms"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("n_raw").desc, col("canonical"))
+      .limit(15)
+
+  // --------------------------------------------------- MOSS winnowing
+
+  private val WinK = 8 // k-gram width (chars)
+  private val WinW = 4 // winnowing window (k-grams)
+  private val WinP28 = 268435456L // 2^28: h field offset in the window encoding
+  private val WinP26 = 67108864L  // 2^26: position field width (docs < 64M chars)
+
+  /** T44 — WINNOWING FINGERPRINTS (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS algorithm — the local-plagiarism / template-reuse detector d12's
+    * Manber sampling can't give: winnowing GUARANTEES every shared run of
+    * k+w−1 = 11 chars yields at least one shared fingerprint, while mod-p
+    * sampling can miss arbitrarily long overlaps): per document, hash all
+    * 8-char grams (the [[SampledGramHashes]] kernel at mod 1 — the md5₃₂
+    * d12 oracle spelling), then each window of 4 consecutive gram hashes
+    * selects its minimum with RIGHTMOST tie-break, encoded arithmetically
+    * as min(h·2^28 + (w−j)·2^26 + pos) so one integer min is the whole
+    * argmin — no structs, engine-identical. Fingerprint = (hash, position)
+    * deduped per doc. Output per source: doc count, total selected
+    * fingerprints, distinct gram hashes, hashes shared by ≥ 2 docs, and
+    * the shared fraction in bp — the within-feed boilerplate score.
+    *
+    * Scale shape: gram hashing runs in the native kernel (one md5 per
+    * window — THE cost at corpus scale); the winnow itself is O(chars·w)
+    * per row, narrow; the per-doc frame is materialized once for its two
+    * consumers (totals + the hash-explode, g09's rule); aggs are
+    * (source)- and (source, hash)-keyed and map-combinable. */
+  /** Winnowed fingerprint ids of a text column: array of DISTINCT
+    * fid = h·2^26 + position (1-based gram position), h = md5₃₂ of the
+    * 8-char gram. Exposed so the spec can drive the MOSS guarantee on
+    * crafted strings. Decode uses shifts/masks, never `/` (double
+    * division is inexact past 2^53 and the window encoding reaches
+    * 2^60): window argmin key = h·2^28 + (w−j)·2^26 + pos, then
+    * h = e >> 28, pos = e & (2^26−1). */
+  def winnowFids(text: Column): Column = {
+    val hs = SampledGramHashes(text, WinK, 1)
+    val wins = when(size(hs) >= WinW,
+      transform(sequence(lit(1), size(hs) - WinW + 1),
+        p => array_min(transform(sequence(lit(1), lit(WinW)),
+          j => element_at(hs, (p + j - 1).cast("int")) * WinP28 +
+            (lit(WinW) - j).cast("long") * WinP26 + (p + j - 1).cast("long")))))
+      .otherwise(array().cast("array<long>"))
+    array_distinct(transform(wins,
+      e => shiftright(e, 28) * WinP26 + e.bitwiseAND(lit(WinP26 - 1))))
+  }
+
+  def t44Winnowing(s: SparkSession, d: String): DataFrame = {
+    val pd = documents(s, d)
+      .select(col("doc_id"), col("source"), winnowFids(col("text")).as("fids"))
+      .select(col("doc_id"), col("source"), size(col("fids")).as("n_sel"),
+        array_distinct(transform(col("fids"), f => shiftright(f, 26))).as("hset"))
+      .localCheckpoint(false) // totals agg + hash explode both read this
+    val a = pd.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_sel")).as("total_sel"))
+    val b = pd.select(col("source"), explode(col("hset")).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hashes"),
+        coalesce(sum(when(col("nd") >= 2, 1L)), lit(0L)).as("n_shared"))
+    a.join(b, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_sel"),
+        coalesce(col("n_hashes"), lit(0L)).as("n_hashes"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_bp",
+        expr("n_shared * 10000 div greatest(n_hashes, 1L)"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s16_kmeans_refine" -> s16KmeansRefine,
+    "s17_d4_prune" -> s17D4Prune,
+    "t43_url_canonical" -> t43UrlCanonical,
+    "t44_winnowing" -> t44Winnowing,
     "t41_dsir_weights" -> t41DsirWeights,
     "q83_aqp_estimate" -> q83AqpEstimate,
     "p05_skipping_index" -> p05SkippingIndex,
@@ -373,7 +681,186 @@ object SelectionQueries {
   private val bigramSql =
     "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
 
+  /** Integer L2² between two BIGINT lists — order-independent (integer
+    * addition), so no fold-order contract is needed. */
+  private def kmDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Shared Lloyd-k-means CTE chain mirroring [[kmFit]] exactly —
+    * quantize → seed c0 → 3× (assign aN → integer-mean update cN, empty
+    * clusters coalescing to the previous centroid) → final assignment
+    * `a4(vec_id, part, d2)` against `c3(part, cv)`. Interpolated by BOTH
+    * the s16 and s17 oracles so the pruned set cannot drift from the
+    * clustering (the lpaCtes/ivfBuildCtes rule). */
+  private[queries] def kmeansCtes: String = {
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (
+            SELECT vec_id, qv, part FROM (
+              SELECT v.vec_id, v.qv, c.part,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${kmDistSql("v.qv", "c.cv")}, c.part) AS rn
+              FROM vq v CROSS JOIN $cent c) s
+            WHERE rn = 1
+          )"""
+    def updateCtes(n: Int) =
+      s"""c${n}n AS (
+            SELECT part, list(cd ORDER BY pos) AS cv FROM (
+              SELECT a.part, p.pos,
+                     CAST(sum(a.qv[p.pos]) // count(*) AS BIGINT) AS cd
+              FROM a$n a,
+                   LATERAL (SELECT unnest(generate_series(1, len(a.qv))) AS pos) p
+              GROUP BY a.part, p.pos) t
+            GROUP BY part
+          ), c$n AS (
+            SELECT c.part, coalesce(n.cv, c.cv) AS cv
+            FROM c${n - 1} c LEFT JOIN c${n}n n USING (part)
+          )"""
+    s"""vq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1024) + 1024 AS BIGINT)) AS qv
+          FROM embeddings
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
+                 qv AS cv
+          FROM (SELECT vec_id, qv FROM vq ORDER BY vec_id LIMIT $KmK) t
+        ), ${assignCte("a1", "c0")}, ${updateCtes(1)},
+        ${assignCte("a2", "c1")}, ${updateCtes(2)},
+        ${assignCte("a3", "c2")}, ${updateCtes(3)},
+        a4 AS (
+          SELECT vec_id, part, d2 FROM (
+            SELECT dd.vec_id, dd.part, dd.d2,
+                   row_number() OVER (PARTITION BY dd.vec_id
+                     ORDER BY dd.d2, dd.part) AS rn
+            FROM (SELECT v.vec_id, c.part, ${kmDistSql("v.qv", "c.cv")} AS d2
+                  FROM vq v CROSS JOIN c3 c) dd) s
+          WHERE rn = 1
+        )"""
+  }
+
+  private val t43UrlSql =
+    """CASE doc_id % 5
+         WHEN 0 THEN 'http://' || source || '.example.com/doc/' || CAST(doc_id // 7 AS VARCHAR)
+         WHEN 1 THEN 'HTTP://' || upper(source || '.example.com') || ':80/doc/' || CAST(doc_id // 7 AS VARCHAR) || '/'
+         WHEN 2 THEN 'http://www.' || source || '.example.com/doc/' || CAST(doc_id // 7 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+         WHEN 3 THEN 'http://' || source || '.example.com/doc/' || CAST(doc_id // 7 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x#frag'
+         ELSE 'http://' || source || '.example.com:80/doc/' || CAST(doc_id // 7 AS VARCHAR) || '?utm_medium=rss&id=' || CAST(doc_id % 3 AS VARCHAR)
+       END"""
+
   val oracle: Map[String, String] = Map(
+    "s16_kmeans_refine" ->
+      s"""WITH $kmeansCtes, per AS (
+            SELECT part, count(*) AS n, sum(d2) AS inertia FROM a4 GROUP BY part
+          )
+          SELECT CAST(c.part AS BIGINT) AS part,
+                 CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+                 CAST(coalesce(p.inertia, 0) AS BIGINT) AS inertia,
+                 CAST(list_sum(c.cv) AS BIGINT) AS c_l1
+          FROM c3 c LEFT JOIN per p USING (part)
+          ORDER BY part""",
+    "s17_d4_prune" ->
+      s"""WITH $kmeansCtes, r AS (
+            SELECT vec_id, part, d2,
+                   row_number() OVER (PARTITION BY part
+                     ORDER BY d2, vec_id) AS rna,
+                   count(*) OVER (PARTITION BY part) AS nc
+            FROM a4
+          )
+          SELECT CAST(part AS BIGINT) AS part, CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(d2 AS BIGINT) AS d2,
+                 CASE WHEN rna <= (nc + 9) // 10 THEN 'proto'
+                      ELSE 'outlier' END AS action
+          FROM r
+          WHERE rna <= (nc + 9) // 10
+             OR (rna > nc - (nc + 19) // 20 AND rna > (nc + 9) // 10)
+          ORDER BY part, vec_id""",
+    "t43_url_canonical" ->
+      s"""WITH raw AS (
+            SELECT doc_id, source, $t43UrlSql AS url FROM documents
+          ), p1 AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            FROM raw
+          ), p2 AS (
+            SELECT doc_id, url, scheme, rest,
+                   regexp_extract(rest, '^[^/?#]*') AS hostport
+            FROM p1
+          ), p3 AS (
+            SELECT doc_id, url, scheme,
+                   regexp_replace(regexp_replace(lower(hostport), ':80$$', ''),
+                                  '^www\\.', '') AS host,
+                   substr(rest, length(hostport) + 1) AS tail
+            FROM p2
+          ), p4 AS (
+            SELECT doc_id, url, scheme, host,
+                   CASE WHEN length(regexp_replace(regexp_extract(tail, '^[^?#]*'),
+                                                   '/+$$', '')) = 0 THEN '/'
+                        ELSE regexp_replace(regexp_extract(tail, '^[^?#]*'),
+                                            '/+$$', '') END AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(tail, '\\?([^#]*)', 1), '&'),
+                       p -> length(p) > 0 AND NOT starts_with(p, 'utm_'))),
+                     '&') AS keep
+            FROM p3
+          ), canon AS (
+            SELECT doc_id, url,
+                   scheme || '://' || host || path ||
+                   CASE WHEN length(keep) > 0 THEN '?' || keep ELSE '' END AS canonical
+            FROM p4
+          )
+          SELECT canonical, CAST(count(*) AS BIGINT) AS n_raw,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+                 CAST(min(doc_id) AS BIGINT) AS first_doc
+          FROM canon GROUP BY canonical
+          ORDER BY n_raw DESC, canonical LIMIT 15""",
+    "t44_winnowing" ->
+      s"""WITH hsx AS (
+            SELECT doc_id, source,
+                   list(CAST(concat('0x', substr(md5(substr(text, i.i, $WinK)), 1, 8))
+                             AS BIGINT) ORDER BY i.i) AS hs
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, length(text) - ${WinK - 1}))
+                          AS i) i
+            WHERE length(text) >= $WinK
+            GROUP BY doc_id, source
+          ), win AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(hs) >= $WinW THEN
+                     list_distinct(list_transform(
+                       list_transform(generate_series(1, len(hs) - ${WinW - 1}),
+                         p -> list_min(list_transform(generate_series(1, $WinW),
+                           j -> hs[p + j - 1] * $WinP28 +
+                                ($WinW - j) * $WinP26 + (p + j - 1)))),
+                       e -> (e // $WinP28) * $WinP26 + (e % $WinP26)))
+                   ELSE CAST([] AS BIGINT[]) END AS fids
+            FROM hsx
+          ), pd AS (
+            SELECT d.doc_id, d.source,
+                   coalesce(len(w.fids), 0) AS n_sel,
+                   coalesce(list_distinct(list_transform(w.fids, f -> f // $WinP26)),
+                            CAST([] AS BIGINT[])) AS hset
+            FROM documents d LEFT JOIN win w ON w.doc_id = d.doc_id
+          ), a AS (
+            SELECT source, count(*) AS n_docs, sum(n_sel) AS total_sel
+            FROM pd GROUP BY source
+          ), hx AS (
+            SELECT source, h, count(*) AS nd
+            FROM (SELECT source, unnest(hset) AS h FROM pd) t
+            GROUP BY source, h
+          ), b AS (
+            SELECT source, count(*) AS n_hashes,
+                   coalesce(sum(CASE WHEN nd >= 2 THEN 1 END), 0) AS n_shared
+            FROM hx GROUP BY source
+          )
+          SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+                 CAST(a.total_sel AS BIGINT) AS total_sel,
+                 CAST(coalesce(b.n_hashes, 0) AS BIGINT) AS n_hashes,
+                 CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
+                 CAST(coalesce(b.n_shared, 0) * 10000
+                      // GREATEST(coalesce(b.n_hashes, 0), 1) AS BIGINT) AS shared_bp
+          FROM a LEFT JOIN b ON b.source = a.source
+          ORDER BY a.source""",
     "t41_dsir_weights" ->
       s"""WITH tw AS (
             SELECT doc_id, source, lang, ${md5Sql("f")} % $B AS b

@@ -238,4 +238,220 @@ class SelectionQueriesSpec extends SparkSpec {
     // coverage is monotone in vocab size
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
   }
+
+  // ---- s16/s17: independent plain-Scala Lloyd ----
+
+  /** Round-half-away-from-zero — Spark's round() and DuckDB's round()
+    * semantics (Scala's Math.round is half-UP, which differs for
+    * negatives, so it must not be used here). */
+  private def roundAway(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  private def lloydRef(): (Map[Int, (Long, Long)], Array[Array[Long]]) = {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => (roundAway(x.toDouble * 1024d) + 1024d).toLong))
+    }
+    q.foreach { case (id, qs) =>
+      qs.foreach(x => assert(x >= 0 && x <= 2048,
+        s"quantized component out of the documented [0, 2048] band (vec $id)"))
+    }
+    var cents: Array[Array[Long]] = q.take(10).map(_._2.clone())
+    // carries the quantized vector through so the update never re-looks-up
+    def assign(): Array[(Long, Array[Long], Int, Long)] = q.map { case (id, qs) =>
+      var bp = -1; var bd = Long.MaxValue
+      cents.zipWithIndex.foreach { case (c, p) =>
+        var dd = 0L
+        var i = 0
+        while (i < qs.length) { val df = qs(i) - c(i); dd += df * df; i += 1 }
+        if (dd < bd) { bd = dd; bp = p } // strict < ⇒ lowest-part tie-break
+      }
+      (id, qs, bp, bd)
+    }
+    for (_ <- 1 to 3) {
+      val a = assign()
+      val next = cents.map(_.clone())
+      a.groupBy(_._3).foreach { case (p, rows) =>
+        val n = rows.length.toLong
+        (0 until 64).foreach { i =>
+          next(p)(i) = rows.map(_._2(i)).sum / n
+        }
+      }
+      cents = next
+    }
+    val fin = assign()
+    val stats = fin.groupBy(_._3).map { case (p, rows) =>
+      p -> (rows.length.toLong, rows.map(_._4).sum)
+    }
+    (stats, cents)
+  }
+
+  test("s16: plain-Scala Lloyd recount reproduces sizes, inertia and centroid mass") {
+    val (stats, cents) = lloydRef()
+    val got = SelectionQueries.s16KmeansRefine(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    got.foreach { case (p, n, inertia, cl1) =>
+      val (en, ei) = stats.getOrElse(p.toInt, (0L, 0L))
+      assert(n == en, s"cluster $p size")
+      assert(inertia == ei, s"cluster $p inertia")
+      assert(cl1 == cents(p.toInt).sum, s"cluster $p centroid mass")
+    }
+    assert(got.map(_._2).sum == 500L, "every vector lands in exactly one cluster")
+  }
+
+  test("s17: the pruned set is exactly the per-cluster rank formula over s16's assignment") {
+    val (stats, cents) = lloydRef()
+    // re-derive the full final assignment ranks
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => (roundAway(x.toDouble * 1024d) + 1024d).toLong)))
+    val fin = vecs.map { case (id, qs) =>
+      var bp = -1; var bd = Long.MaxValue
+      cents.zipWithIndex.foreach { case (c, p) =>
+        var dd = 0L; var i = 0
+        while (i < qs.length) { val df = qs(i) - c(i); dd += df * df; i += 1 }
+        if (dd < bd) { bd = dd; bp = p }
+      }
+      (id, bp, bd)
+    }
+    val expected = fin.groupBy(_._2).toSeq.flatMap { case (p, rows) =>
+      val n = rows.length
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val t1 = (n + 9) / 10; val t2 = (n + 19) / 20
+      sorted.zipWithIndex.collect {
+        case ((id, _, d2), i) if i < t1 => (p.toLong, id, d2, "proto")
+        case ((id, _, d2), i) if i >= n - t2 => (p.toLong, id, d2, "outlier")
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SelectionQueries.s17D4Prune(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    assert(stats.nonEmpty) // lloydRef agreement already pinned in s16's test
+  }
+
+  // ---- t43: canonicalization on crafted adversarial URLs ----
+
+  test("t43: canonical form strips port/www/utm/fragment/case and collapses variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://example.com/a/b",
+      "HTTP://EXAMPLE.COM:80/a/b",            // case + default port
+      "http://www.example.com/a/b/",          // www + trailing slash
+      "http://example.com/a/b?utm_source=x",  // tracking param only
+      "http://example.com/a/b#frag",          // fragment
+      "http://example.com/a/b?z=1&a=2",       // params need sorting
+      "http://example.com/a/b?a=2&utm_medium=y&z=1", // mixed
+      "http://example.com",                   // empty path → /
+      "http://example.com/",                  // root slash → /
+      "http://example.com:8080/a"             // NON-default port survives
+    ).toDF("url")
+    val got = SelectionQueries.withCanonicalUrl(urls)
+      .select("canonical").collect().map(_.getString(0))
+    assert(got.take(5).toSet == Set("http://example.com/a/b"))
+    assert(got(5) == "http://example.com/a/b?a=2&z=1")
+    assert(got(6) == "http://example.com/a/b?a=2&z=1")
+    assert(got(7) == "http://example.com/")
+    assert(got(8) == "http://example.com/")
+    assert(got(9) == "http://example.com:8080/a")
+  }
+
+  test("t43: driver-side java.net.URI recount agrees on the fixture's synthetic corpus") {
+    // independent parser: java.net.URI, not the engine's regex chain
+    def canonRef(u: String): String = {
+      val uri = java.net.URI.create(u)
+      val scheme = uri.getScheme.toLowerCase
+      var host = uri.getHost.toLowerCase // URI drops :80? no — getPort below
+      if (host.startsWith("www.")) host = host.stripPrefix("www.")
+      val port = uri.getPort
+      val hostPort = if (port == -1 || port == 80) host else s"$host:$port"
+      val path0 = Option(uri.getRawPath).getOrElse("").replaceAll("/+$", "")
+      val path = if (path0.isEmpty) "/" else path0
+      val keep = Option(uri.getRawQuery).getOrElse("").split("&")
+        .filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted.mkString("&")
+      s"$scheme://$hostPort$path" + (if (keep.nonEmpty) s"?$keep" else "")
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val urls = docs.map { case (id, src) =>
+      val base = s"$src.example.com"
+      val path = s"/doc/${id / 7}"
+      val idp = id % 3
+      (id % 5) match {
+        case 0 => s"http://$base$path"
+        case 1 => s"HTTP://${base.toUpperCase}:80$path/"
+        case 2 => s"http://www.$base$path?utm_source=feed&utm_medium=rss"
+        case 3 => s"http://$base$path?id=$idp&utm_campaign=x#frag"
+        case _ => s"http://$base:80$path?utm_medium=rss&id=$idp"
+      }
+    }
+    val grouped = urls.map(canonRef).zip(docs.map(_._1)).zip(urls)
+      .map { case ((c, id), u) => (c, id, u) }
+      .groupBy(_._1).map { case (c, rows) =>
+        (c, rows.length.toLong, rows.map(_._3).distinct.length.toLong,
+          rows.map(_._2).min)
+      }.toSeq.sortBy(r => (-r._2, r._1)).take(15)
+    val got = SelectionQueries.t43UrlCanonical(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == grouped)
+  }
+
+  // ---- t44: the MOSS winnowing guarantee ----
+
+  private def winnowRef(text: String, k: Int = 8, w: Int = 4): Set[(Long, Int)] = {
+    if (text.length < k) return Set.empty
+    val hs = (0 to text.length - k).map(i => md5h32(text.substring(i, i + k)))
+    if (hs.length < w) return Set.empty
+    (0 to hs.length - w).flatMap { p =>
+      // min hash, RIGHTMOST tie-break
+      val j = (0 until w).minBy(j => (hs(p + j), -(p + j)))
+      Some((hs(p + j), p + j + 1)) // 1-based position, matching the engine
+    }.toSet
+  }
+
+  test("t44: winnowing guarantee — an 11-char shared run always yields a shared fingerprint hash") {
+    import spark.implicits._
+    // adversarial pair: different prefixes/suffixes, one shared 16-char core
+    val core = "the shared core!"
+    val a = s"alpha prefix $core omega"
+    val b = s"Zz$core##differenttail"
+    val df = Seq(a, b).toDF("text")
+      .select(SelectionQueries.winnowFids(org.apache.spark.sql.functions.col("text")).as("f"))
+    val fids = df.collect().map(_.getSeq[Long](0).toSet)
+    val hashesA = fids(0).map(_ >> 26)
+    val hashesB = fids(1).map(_ >> 26)
+    assert(hashesA.intersect(hashesB).nonEmpty,
+      "MOSS guarantee: shared run of >= k+w-1 chars must share a fingerprint")
+    // and the engine agrees with the independent Scala winnow on both docs
+    assert(fids(0) == winnowRef(a).map { case (h, pos) => h * 67108864L + pos })
+    assert(fids(1) == winnowRef(b).map { case (h, pos) => h * 67108864L + pos })
+  }
+
+  test("t44: per-source stats recount on the fixture corpus") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (_, src, text) =>
+      val fp = winnowRef(text)
+      (src, fp.size.toLong, fp.map(_._1))
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, rows) =>
+      // per-doc DISTINCT hashes, counted across the source's docs
+      val byHash = rows.flatMap(r => r._3.toSeq.distinct)
+        .groupBy(identity).map { case (h, o) => h -> o.length }
+      val nHashes = byHash.size.toLong
+      val nShared = byHash.count(_._2 >= 2).toLong
+      (src, rows.length.toLong, rows.map(_._2).sum, nHashes, nShared,
+        nShared * 10000 / math.max(nHashes, 1L))
+    }.toSeq.sortBy(_._1)
+    val got = SelectionQueries.t44Winnowing(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
 }
