@@ -617,22 +617,13 @@ object SelectionQueries {
     * (source)- and (source, hash)-keyed and map-combinable. */
   /** Winnowed fingerprint ids of a text column: array of DISTINCT
     * fid = h·2^26 + position (1-based gram position), h = md5₃₂ of the
-    * 8-char gram. Exposed so the spec can drive the MOSS guarantee on
-    * crafted strings. Decode uses shifts/masks, never `/` (double
-    * division is inexact past 2^53 and the window encoding reaches
-    * 2^60): window argmin key = h·2^28 + (w−j)·2^26 + pos, then
-    * h = e >> 28, pos = e & (2^26−1). */
-  def winnowFids(text: Column): Column = {
-    val hs = SampledGramHashes(text, WinK, 1)
-    val wins = when(size(hs) >= WinW,
-      transform(sequence(lit(1), size(hs) - WinW + 1),
-        p => array_min(transform(sequence(lit(1), lit(WinW)),
-          j => element_at(hs, (p + j - 1).cast("int")) * WinP28 +
-            (lit(WinW) - j).cast("long") * WinP26 + (p + j - 1).cast("long")))))
-      .otherwise(array().cast("array<long>"))
-    array_distinct(transform(wins,
-      e => shiftright(e, 28) * WinP26 + e.bitwiseAND(lit(WinP26 - 1))))
-  }
+    * 8-char gram — the fused native kernel
+    * ([[graft.plans.WinnowedFingerprints]], whose scaladoc carries the
+    * composable HOF contract the DuckDB oracle still runs; the HOF
+    * spelling measured 31 s at sf0.1, the kernel ~1 s). Exposed so the
+    * spec can drive the MOSS guarantee on crafted strings. */
+  def winnowFids(text: Column): Column =
+    graft.plans.WinnowedFingerprints(text, WinK, WinW)
 
   def t44Winnowing(s: SparkSession, d: String): DataFrame = {
     val pd = documents(s, d)
