@@ -647,7 +647,70 @@ object SelectionQueries {
       .orderBy(col("source"))
   }
 
+  /** T45 — INTERPOLATED KNESER–NEY bigram surprisal, exact-integer form
+    * (Kneser & Ney 1995; Chen & Goodman 1998 found it the strongest
+    * n-gram smoothing — t35's stupid backoff is the cheap web-scale
+    * stand-in, THIS is the model a perplexity-based quality filter
+    * actually wants): with discount d = 3/4,
+    *   p(w|u) = max(c(uw)−d, 0)/c(u) + d·N₁₊(u·)/c(u) · N₁₊(·w)/T
+    * — the continuation counts N₁₊ are the whole point: "Francisco" is
+    * frequent but follows only "San", so its UNIGRAM weight must be its
+    * distinct-left-context count, not its frequency. Multiplying through
+    * by 4·c(u)·T clears every denominator:
+    *   num = max(4c(uw)−3, 0)·T + 3·N₁₊(u·)·N₁₊(·w),  den = 4·c(u)·T
+    * (num ≤ den, both ≥ 1 on observed bigrams), and the surprisal is
+    * ilog16(den) − ilog16(num) in 1/16-log₂ units — integer-exact and
+    * hash-identical cross-engine, no float log anywhere. Output per
+    * source: bigram mass, singleton share (the novelty rate), total and
+    * mean surprisal in milli-bits — the corpus-fluency ranking a mix
+    * designer reads next to t34's divergence. BIGINT headroom: den ≤
+    * 4·c(u)·T needs c(u)·T < 2⁶⁰; past ~10⁹ contexts × 10⁹ types the
+    * accumulators widen to DECIMAL(38), dq10's discipline.
+    *
+    * Scale shape: ONE corpus explode → (source,u,w)-keyed map-combinable
+    * agg, materialized for its two consumers (model build + score join,
+    * g09's rule); every model frame (c(uw), u-stats, w-stats) is
+    * VOCAB-sized and flows through hash aggs/joins, never broadcast
+    * (t11's rule) — only the 1-row type total broadcasts; the score join
+    * is vocab-sized ⋈ vocab-sized on (u,w). */
+  def t45KneserNey(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(col("source"),
+        expr("""filter(split(trim(lower(coalesce(text, ''))), '\\s+'),
+               |       x -> length(x) > 0)""".stripMargin).as("ws"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |    i -> struct(element_at(ws, i) AS u, element_at(ws, i + 1) AS w))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("source"), col("p.u").as("u"), col("p.w").as("w"))
+      .groupBy(col("source"), col("u"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // model build + score join both read this
+    val cuw = occ.groupBy(col("u"), col("w")).agg(sum(col("c")).as("cuw"))
+      .localCheckpoint(false) // u-stats, w-stats, T and the score frame
+    val ustats = cuw.groupBy(col("u"))
+      .agg(sum(col("cuw")).as("cu"), count(lit(1)).as("n1u"))
+    val wstats = cuw.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val tot = cuw.agg(count(lit(1)).as("tt"))
+    val scored = cuw.join(ustats, Seq("u")).join(wstats, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("u", "w", "cuw",
+        "greatest(4 * cuw - 3, 0L) * tt + 3 * n1u * n1w AS num",
+        "4 * cu * tt AS den")
+      .selectExpr("u", "w", "cuw",
+        s"CAST(${ilog16("den")} - ${ilog16("num")} AS BIGINT) AS s16")
+    occ.join(scored, Seq("u", "w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        coalesce(sum(when(col("cuw") === 1L, col("c"))), lit(0L)).as("n_singleton"),
+        sum(expr("c * s16")).as("sum_s16"))
+      .withColumn("mean_milli_bits",
+        expr("sum_s16 * 1000 div (16 * n_bigrams)"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t45_kneser_ney" -> t45KneserNey,
     "s16_kmeans_refine" -> s16KmeansRefine,
     "s17_d4_prune" -> s17D4Prune,
     "t43_url_canonical" -> t43UrlCanonical,
@@ -739,6 +802,41 @@ object SelectionQueries {
        END"""
 
   val oracle: Map[String, String] = Map(
+    "t45_kneser_ney" ->
+      s"""WITH tok AS (
+            SELECT source, list_filter($wordsSql, x -> length(x) > 0) AS w
+            FROM documents
+          ), occ AS (
+            SELECT source, u, w2, count(*) AS c FROM (
+              SELECT source, w[i.i] AS u, w[i.i + 1] AS w2
+              FROM tok,
+                   LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+              WHERE len(w) >= 2) t
+            GROUP BY source, u, w2
+          ), cuw AS (
+            SELECT u, w2, CAST(sum(c) AS BIGINT) AS cuw FROM occ GROUP BY u, w2
+          ), us AS (
+            SELECT u, CAST(sum(cuw) AS BIGINT) AS cu, count(*) AS n1u
+            FROM cuw GROUP BY u
+          ), wst AS (
+            SELECT w2, count(*) AS n1w FROM cuw GROUP BY w2
+          ), tot AS (SELECT count(*) AS tt FROM cuw
+          ), sc AS (
+            SELECT c2.u, c2.w2, c2.cuw,
+                   ${ilog16Sql("CAST(4 * cu * tt AS BIGINT)")}
+                   - ${ilog16Sql(
+               "CAST(GREATEST(4 * cuw - 3, 0) * tt + 3 * n1u * n1w AS BIGINT)")}
+                     AS s16
+            FROM cuw c2 JOIN us USING (u) JOIN wst USING (w2), tot
+          )
+          SELECT o.source, CAST(sum(o.c) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(sum(CASE WHEN sc.cuw = 1 THEN o.c END), 0)
+                   AS BIGINT) AS n_singleton,
+                 CAST(sum(o.c * sc.s16) AS BIGINT) AS sum_s16,
+                 CAST(sum(o.c * sc.s16) * 1000 // (16 * sum(o.c)) AS BIGINT)
+                   AS mean_milli_bits
+          FROM occ o JOIN sc ON sc.u = o.u AND sc.w2 = o.w2
+          GROUP BY o.source ORDER BY o.source""",
     "s16_kmeans_refine" ->
       s"""WITH $kmeansCtes, per AS (
             SELECT part, count(*) AS n, sum(d2) AS inertia FROM a4 GROUP BY part

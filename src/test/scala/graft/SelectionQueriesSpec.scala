@@ -239,6 +239,43 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
   }
 
+  test("t45: plain-Scala Kneser-Ney recount; probabilities stay in (0, 1]") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val occ = scala.collection.mutable.Map
+      .empty[(String, String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, text) =>
+      val ws = wordsOf(text).filter(_.nonEmpty)
+      if (ws.length >= 2) ws.sliding(2).foreach { p =>
+        occ((src, p(0), p(1))) += 1
+      }
+    }
+    val cuw = occ.groupBy { case ((_, u, w), _) => (u, w) }
+      .map { case (k, m) => k -> m.values.sum }
+    val cu = cuw.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val n1u = cuw.groupBy(_._1._1).map { case (u, m) => u -> m.size.toLong }
+    val n1w = cuw.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val tt = cuw.size.toLong
+    val s16 = cuw.map { case ((u, w), c) =>
+      val num = math.max(4 * c - 3, 0L) * tt + 3 * n1u(u) * n1w(w)
+      val den = 4 * cu(u) * tt
+      assert(num >= 1 && num <= den, s"KN probability out of (0,1] at ($u,$w)")
+      (u, w) -> (ilog16Ref(den) - ilog16Ref(num))
+    }
+    val expected = occ.toSeq.groupBy(_._1._1).map { case (src, rows) =>
+      val n = rows.map(_._2).sum
+      val nSingle = rows.filter { case ((_, u, w), _) => cuw((u, w)) == 1L }
+        .map(_._2).sum
+      val sumS = rows.map { case ((_, u, w), c) => c * s16((u, w)) }.sum
+      (src, n, nSingle, sumS, sumS * 1000 / (16 * n))
+    }.toSeq.sortBy(_._1)
+    val got = SelectionQueries.t45KneserNey(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   // ---- s16/s17: independent plain-Scala Lloyd ----
 
   /** Round-half-away-from-zero — Spark's round() and DuckDB's round()
