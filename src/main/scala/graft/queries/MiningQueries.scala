@@ -323,6 +323,57 @@ object MiningQueries {
       .orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
   }
 
+  /** G11 — PERSONALIZED PAGERANK from a seed set (the recommendation form
+    * of g04: teleport returns to the SEEDS, not everywhere, so rank mass
+    * concentrates in the seeds' neighborhoods — "parts relevant to THIS
+    * catalog slice", the candidate generator behind co-purchase
+    * recommendations at one structural level deeper than g08's common
+    * neighbors): 3 rounds, damping 0.85, ranks in scaled BIGINT (p·10¹²,
+    * g04's basis — float PPR never hash-checks; truncating `div` is
+    * bit-identical cross-engine). Teleport per seed = (15·⌊S/|seeds|⌋)
+    * div 100 every round — seeds keep their restart mass even when no
+    * walk returns (the full-outer step), which is what separates PPR
+    * from a truncated BFS-weighted count. Output: top-25 (TakeOrdered,
+    * never a global sort).
+    *
+    * Shape per round: identical to g04 (ranks ⋈ u-clustered edge
+    * checkpoint ⋈ degrees, shuffle-hash hints, one dst-sum exchange) plus
+    * a full-outer with the seed frame whose contrib side arrives already
+    * partitioned on v from the sum agg (exchange-reuse, no extra
+    * shuffle). The rank frame starts SEED-sized and grows by one
+    * neighborhood hop per round — strictly cheaper than g04's
+    * vertex-sized rounds. Seed-set rule: |part|/500 — bounded the same
+    * way as g03/g07's sources (a production run personalizing over an
+    * unbounded seed list drops nothing: every join here is already
+    * key-partitioned, never broadcast). */
+  def g11PersonalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000000L // rank scale: p × 10^12, g04's basis
+    val e = doubledEdgesFused(s, d, "u")
+    val deg = graft.core.Materialize.checkpointRetainingPartitioning(
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val seeds = part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("v"))
+      .localCheckpoint(false) // count + every round's outer join read it
+    val nSeeds = seeds.count()
+    val p0 = S / nSeeds
+    val tele = (15L * p0) / 100
+    var p = seeds.select(col("v"), lit(p0).as("p"))
+    for (_ <- 1 to 3) {
+      val contrib = e
+        .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+        .join(deg.hint("shuffle_hash"), Seq("u"))
+        .select(col("v"), expr("p div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sm"))
+      p = contrib
+        .join(seeds.withColumn("is_seed", lit(1)), Seq("v"), "full_outer")
+        .select(col("v"),
+          (when(col("is_seed").isNotNull, lit(tele)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(sm, 0L)) div 100")).as("p"))
+    }
+    p.orderBy(col("p").desc, col("v")).limit(25)
+      .select(col("v"), col("p").as("rank_scaled"))
+  }
+
   /** G05 — bounded-round k-CORE PEEL (k = 3) of the co-purchase graph:
     * repeatedly drop vertices with degree < k and the edges touching
     * them. The k-core is the standard dense-subgraph screen (spam/bot
@@ -848,6 +899,7 @@ object MiningQueries {
     "g03_bfs_hops" -> g03BfsHops,
     "g07_weighted_paths" -> g07WeightedPaths,
     "g04_pagerank" -> g04PageRank,
+    "g11_ppr" -> g11PersonalizedPagerank,
     "g05_kcore" -> g05Kcore,
     "t13_contamination" -> t13Contamination,
     "t24_bloom_decontaminate" -> t24BloomDecontaminate,
@@ -1224,6 +1276,38 @@ object MiningQueries {
            FROM c3, nn
          )
          SELECT v, CAST(p AS BIGINT) AS rank_scaled FROM p3 ORDER BY v""",
+    "g11_ppr" -> {
+      // same chain as g04 with seed-restricted init + per-round teleport;
+      // rounds composed programmatically so the three copies cannot drift
+      val tele = "(15 * (1000000000000 // (SELECT n FROM ns))) // 100"
+      def round(n: Int) =
+        s"""c$n AS (
+           SELECT e.v, CAST(sum(p${n - 1}.p // d.deg) AS BIGINT) AS sm
+           FROM e JOIN p${n - 1} ON p${n - 1}.v = e.u JOIN deg d ON d.u = e.u
+           GROUP BY e.v
+         ), p$n AS (
+           SELECT coalesce(c.v, sd.v) AS v,
+                  (CASE WHEN sd.v IS NOT NULL THEN $tele ELSE 0 END)
+                  + (85 * coalesce(c.sm, 0)) // 100 AS p
+           FROM c$n c FULL OUTER JOIN sd ON sd.v = c.v
+         )"""
+      s"""WITH eu AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         ), e AS (
+           SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu
+         ), deg AS (
+           SELECT u, count(*) AS deg FROM e GROUP BY u
+         ), sd AS (
+           SELECT p_partkey AS v FROM part WHERE p_partkey % 500 = 0
+         ), ns AS (SELECT count(*) AS n FROM sd
+         ), p0 AS (
+           SELECT sd.v, 1000000000000 // ns.n AS p FROM sd, ns
+         ), ${round(1)}, ${round(2)}, ${round(3)}
+         SELECT v, CAST(p AS BIGINT) AS rank_scaled FROM p3
+         ORDER BY p DESC, v LIMIT 25"""
+    },
     "g03_bfs_hops" ->
       """WITH RECURSIVE e AS (
            SELECT u, v FROM (

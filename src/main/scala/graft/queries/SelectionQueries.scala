@@ -709,7 +709,44 @@ object SelectionQueries {
       .orderBy(col("source"))
   }
 
+  /** S18 — SEMANTIC CONTAMINATION AUDIT (the embedding-space half of
+    * decontamination: t13/t24 catch n-gram overlap between train and
+    * eval, but a PARAPHRASED eval item shares no 8-gram — its nearest
+    * train neighbor in embedding space is how it gets caught; the
+    * protocol of the GPT-3/PaLM contamination appendices upgraded to
+    * dense retrieval): for every held-out eval vector (vec_id % 50 = 0,
+    * t07's content-hash-split discipline — never rand()), the exact
+    * nearest train vector by cosine, reported as (eval_id, nn_train_id,
+    * cos_milli, contaminated @ ≥ 0.950) — the per-item evidence list a
+    * release review reads, not just a rate.
+    *
+    * Scale shape: the EVAL set is a fixed benchmark artifact — bounded
+    * by construction, not corpus-scaled — so it broadcasts and the train
+    * side stays a narrow scan (one pass, no shuffle); per-eval argmax is
+    * max(struct(score, −id)) — one map-combinable agg, g08's argmax
+    * rule, never a corpus-wide window. Cosine runs in the native kernel;
+    * floor(score·1000) is deterministic cross-engine under the
+    * index-order fold contract (s01's rule). */
+  def s18SemanticContamination(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val ev = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("eval_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("score"))
+      .filter(col("score").isNotNull) // zero-norm vectors can't contaminate
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("score"), (-col("vec_id")).as("nid"))).as("m"))
+      .selectExpr("eval_id", "-m.nid AS nn_train_id",
+        "CAST(floor(m.score * 1000) AS BIGINT) AS cos_milli")
+      .withColumn("contaminated", (col("cos_milli") >= 950).cast("int"))
+      .orderBy(col("eval_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_semantic_contamination" -> s18SemanticContamination,
     "t45_kneser_ney" -> t45KneserNey,
     "s16_kmeans_refine" -> s16KmeansRefine,
     "s17_d4_prune" -> s17D4Prune,
@@ -801,7 +838,33 @@ object SelectionQueries {
          ELSE 'http://' || source || '.example.com:80/doc/' || CAST(doc_id // 7 AS VARCHAR) || '?utm_medium=rss&id=' || CAST(doc_id % 3 AS VARCHAR)
        END"""
 
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
+
   val oracle: Map[String, String] = Map(
+    "s18_semantic_contamination" ->
+      s"""WITH ev AS (
+            SELECT vec_id AS eval_id, embedding AS qv
+            FROM embeddings WHERE vec_id % 50 = 0
+          ), sc AS (
+            SELECT e.eval_id, t.vec_id,
+                   ${cosSql("t.embedding", "e.qv")} AS score
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 50 <> 0) t
+            CROSS JOIN ev e
+          ), r AS (
+            SELECT eval_id, vec_id, score,
+                   row_number() OVER (PARTITION BY eval_id
+                     ORDER BY score DESC, vec_id) AS rn
+            FROM sc WHERE score IS NOT NULL
+          )
+          SELECT eval_id, vec_id AS nn_train_id,
+                 CAST(floor(score * 1000) AS BIGINT) AS cos_milli,
+                 CAST(CASE WHEN floor(score * 1000) >= 950 THEN 1 ELSE 0 END
+                   AS INTEGER) AS contaminated
+          FROM r WHERE rn = 1 ORDER BY eval_id""",
     "t45_kneser_ney" ->
       s"""WITH tok AS (
             SELECT source, list_filter($wordsSql, x -> length(x) > 0) AS w

@@ -276,6 +276,36 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("s18: driver-side exact-NN recount; eval side covered; train side only") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ev = vecs.filter(_._1 % 50 == 0)
+    val tr = vecs.filter(_._1 % 50 != 0)
+    // index-order left fold in double — the engine/oracle parity contract
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = ev.map { case (eid, qv) =>
+      val (nid, score) = tr.map { case (tid, tv) => (tid, cos(tv, qv)) }
+        .minBy { case (tid, sc) => (-sc, tid) }
+      val milli = math.floor(score * 1000).toLong
+      (eid, nid, milli, if (milli >= 950) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = SelectionQueries.s18SemanticContamination(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1) == ev.map(_._1).sorted.toSeq, "every eval item is audited")
+    assert(got.forall(_._2 % 50 != 0), "neighbors come from the train side only")
+  }
+
   // ---- s16/s17: independent plain-Scala Lloyd ----
 
   /** Round-half-away-from-zero — Spark's round() and DuckDB's round()
