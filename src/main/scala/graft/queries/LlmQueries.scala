@@ -43,6 +43,74 @@ object LlmQueries {
       .localCheckpoint(false)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D29 — INCREMENTAL DEDUPE: today's batch against the historical
+    * corpus (the daily-crawl reality every corpus-wide d-family query
+    * skips: production dedupe is "what of TODAY is new?", run against a
+    * store of yesterday's fingerprints, never a full-corpus self-join).
+    * History = content-hash bucket < 80 of doc_id (t07's split
+    * discipline — deterministic, never rand()); per batch document the
+    * verdict, in precedence order: `dup_exact_hist` (normalized-text md5
+    * seen in history), `dup_near_hist` (≥ 8/16 minhash lanes agree with
+    * some history doc — d01's signature family and threshold, found
+    * through the band index), `dup_in_batch` (exact dup of an
+    * earlier-id batch doc — first-wins, q07's rule), else `net_new`.
+    * Output per source: batch size and the four class counts — the
+    * ingest-gate report a crawl operator reads every morning.
+    *
+    * Scale shape: the history "fingerprint store" stays corpus-sized —
+    * the exact check is a hash semi-join and the near check an LSH BAND
+    * equi-join (batch side × history side, never all-pairs, never
+    * broadcast); signatures come from [[Dedupe.minhashSignatures]]'s
+    * one-agg form, computed ONCE for both sides; verification touches
+    * only banded candidates. In production the history side is the
+    * persisted signature table and only the batch side is computed —
+    * the plan here is that join with the store inlined. */
+  def d29IncrementalDedupe(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (Sampling.hashBucket(col("doc_id")) < 80).as("is_hist"),
+        Dedupe.md5Hash32(trim(lower(col("text")))).as("thash"))
+      .localCheckpoint(false) // split flag + text hash feed four branches
+    val sig = Dedupe.minhashSignatures(documents(s, d), col("doc_id"), col("text"))
+    val banded = Dedupe.bandKeys(sig, 16, 4)
+      .join(base.select(col("doc_id").as("id"), col("is_hist")), Seq("id"))
+    val candNear = banded.filter(!col("is_hist"))
+      .select(col("id").as("bid"), col("band_idx"), col("band_key"))
+      .join(banded.filter(col("is_hist"))
+        .select(col("id").as("hid"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("bid"), col("hid")).distinct()
+    val nearVerified = candNear
+      .join(sig.select(col("id").as("bid"), col("sig").as("sa")), Seq("bid"))
+      .join(sig.select(col("id").as("hid"), col("sig").as("sb")), Seq("hid"))
+      .filter(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)) >= 8"))
+      .select(col("bid")).distinct()
+    val batch = base.filter(!col("is_hist"))
+    val exactHist = batch
+      .join(base.filter(col("is_hist")).select(col("thash")).distinct(),
+        Seq("thash"), "left_semi")
+      .select(col("doc_id"))
+    val firstInBatch = batch.groupBy(col("thash")).agg(min(col("doc_id")).as("first_id"))
+    batch
+      .join(exactHist.withColumn("f_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearVerified.withColumnRenamed("bid", "doc_id")
+        .withColumn("f_near", lit(1)), Seq("doc_id"), "left")
+      .join(firstInBatch, Seq("thash"))
+      .withColumn("cls",
+        when(col("f_exact").isNotNull, "dup_exact_hist")
+          .when(col("f_near").isNotNull, "dup_near_hist")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("net_new"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum(when(col("cls") === "dup_exact_hist", 1L)), lit(0L)).as("n_exact_hist"),
+        coalesce(sum(when(col("cls") === "dup_near_hist", 1L)), lit(0L)).as("n_near_hist"),
+        coalesce(sum(when(col("cls") === "dup_in_batch", 1L)), lit(0L)).as("n_dup_in_batch"),
+        coalesce(sum(when(col("cls") === "net_new", 1L)), lit(0L)).as("n_net_new"))
+      .orderBy(col("source"))
+  }
+
   /** D25 — the SAME pair set as d03, found by PPJoin-style prefix
     * filtering ([[Dedupe.prefixFilterJaccardPairs]]): only each doc's
     * (1−τ)·sz+1 globally-rarest tokens enter the candidate index instead
@@ -956,6 +1024,7 @@ object LlmQueries {
     "t25_mix_execute" -> t25MixExecute,
     "t22_domain_mix" -> t22DomainMix,
     "d01_minhash_lsh" -> d01MinhashLsh,
+    "d29_incremental_dedupe" -> d29IncrementalDedupe,
     "d02_simhash" -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d25_prefix_filter" -> d25PrefixFilter,
@@ -1006,7 +1075,11 @@ object LlmQueries {
     s"CAST(concat('0x', substr(md5($v), 1, 8)) AS BIGINT)"
 
   /** MinHash signature SQL — same (a,b) family as Dedupe.hashFamily(16). */
-  private val minhashSql: String = {
+  /** Shared minhash-signature CTE chain ending in `sig(doc_id, sig)` —
+    * the identical 16-lane family as `Dedupe.hashFamily(16)`. Interpolated
+    * by BOTH the d01 pair oracle and the d29 incremental-dedupe oracle so
+    * signature semantics cannot drift (the lpaCtes/ivfBuildCtes rule). */
+  private val sigCtes: String = {
     val fam = Dedupe.hashFamily(16)
     val shingle =
       s"""list_transform(generate_series(1, len(w) - 2),
@@ -1015,13 +1088,17 @@ object LlmQueries {
     val sigEntries = fam.map { case (a, b) =>
       s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
-    s"""WITH w0 AS (
+    s"""w0 AS (
           SELECT doc_id, $wordsSql AS w FROM documents
         ), hh AS (
           SELECT doc_id, $base AS h FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
         ), sig AS (
           SELECT doc_id, $sigEntries AS sig FROM hh
-        ), banded AS (
+        )"""
+  }
+
+  private val minhashSql: String = {
+    s"""WITH $sigCtes, banded AS (
           SELECT doc_id, sig, b.band_idx,
                  array_to_string(sig[band_idx * 4 + 1 : band_idx * 4 + 4], ':') AS band_key
           FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS band_idx) b
@@ -1447,6 +1524,53 @@ object LlmQueries {
                       AS BIGINT) AS share_bp
           FROM rk, lo ORDER BY source""",
     "d01_minhash_lsh" -> minhashSql,
+    "d29_incremental_dedupe" ->
+      s"""WITH $sigCtes, b0 AS (
+            SELECT doc_id, source,
+                   (${md5HashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80) AS is_hist,
+                   ${md5HashSql("trim(lower(text))")} AS thash
+            FROM documents
+          ), banded AS (
+            SELECT s.doc_id, s.sig, b.band_idx,
+                   array_to_string(s.sig[b.band_idx * 4 + 1 : b.band_idx * 4 + 4], ':')
+                     AS band_key,
+                   b0.is_hist
+            FROM sig s JOIN b0 ON b0.doc_id = s.doc_id,
+                 LATERAL (SELECT unnest([0,1,2,3]) AS band_idx) b
+          ), cand AS (
+            SELECT DISTINCT a.doc_id AS bid, h.doc_id AS hid
+            FROM banded a JOIN banded h
+              ON a.band_idx = h.band_idx AND a.band_key = h.band_key
+            WHERE NOT a.is_hist AND h.is_hist
+          ), nearv AS (
+            SELECT DISTINCT c.bid
+            FROM cand c JOIN sig sa ON sa.doc_id = c.bid
+                        JOIN sig sb ON sb.doc_id = c.hid
+            WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) >= 8
+          ), hh2 AS (
+            SELECT DISTINCT thash FROM b0 WHERE is_hist
+          ), fb AS (
+            SELECT thash, min(doc_id) AS first_id
+            FROM b0 WHERE NOT is_hist GROUP BY thash
+          ), cls AS (
+            SELECT b.doc_id, b.source,
+                   CASE WHEN b.thash IN (SELECT thash FROM hh2) THEN 'dup_exact_hist'
+                        WHEN b.doc_id IN (SELECT bid FROM nearv) THEN 'dup_near_hist'
+                        WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
+                        ELSE 'net_new' END AS cls
+            FROM b0 b JOIN fb ON fb.thash = b.thash
+            WHERE NOT b.is_hist
+          )
+          SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+                 CAST(coalesce(sum(CASE WHEN cls = 'dup_exact_hist' THEN 1 END), 0)
+                   AS BIGINT) AS n_exact_hist,
+                 CAST(coalesce(sum(CASE WHEN cls = 'dup_near_hist' THEN 1 END), 0)
+                   AS BIGINT) AS n_near_hist,
+                 CAST(coalesce(sum(CASE WHEN cls = 'dup_in_batch' THEN 1 END), 0)
+                   AS BIGINT) AS n_dup_in_batch,
+                 CAST(coalesce(sum(CASE WHEN cls = 'net_new' THEN 1 END), 0)
+                   AS BIGINT) AS n_net_new
+          FROM cls GROUP BY source ORDER BY source""",
     "d02_simhash" -> simhashSql,
     "t18_familiarity" ->
       s"""WITH toks AS (

@@ -130,4 +130,60 @@ class DedupeSpec extends SparkSpec {
     assert(out.head.getAs[Double]("containment") == 1.0)
     assert(out.head.getAs[Long]("sz_min") == 4L)
   }
+
+  test("d29: driver-side incremental-dedupe recount; classes partition the batch") {
+    val P = 2147483647L
+    def md5h32(s: String): Long = {
+      val dd = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dd.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val fam = Dedupe.hashFamily(16) // the pinned (a,b) constants are data
+    def sigOf(text: String): Option[Seq[Long]] = {
+      val w = text.trim.toLowerCase.split("\\s+")
+      if (w.length < 3) return None
+      val hs = w.sliding(3).map(g => md5h32(g.mkString(" ")) % P).toSeq
+      Some(fam.map { case (a, b) => hs.map(x => (x * a + b) % P).min })
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val isHist = docs.map { case (id, _, _) => id -> (md5h32(id.toString) % 100 < 80) }.toMap
+    val thash = docs.map { case (id, _, t) => id -> md5h32(t.trim.toLowerCase) }.toMap
+    val sigs = docs.flatMap { case (id, _, t) => sigOf(t).map(id -> _) }.toMap
+    def bandsOf(sig: Seq[Long]): Seq[(Int, String)] =
+      (0 until 4).map(b => b -> sig.slice(b * 4, b * 4 + 4).mkString(":"))
+    val histBands = sigs.filter { case (id, _) => isHist(id) }
+      .toSeq.flatMap { case (id, sg) => bandsOf(sg).map(bk => bk -> id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val histHashes = docs.collect { case (id, _, _) if isHist(id) => thash(id) }.toSet
+    val batch = docs.filter { case (id, _, _) => !isHist(id) }
+    val firstIn = batch.groupBy { case (id, _, _) => thash(id) }
+      .map { case (h, rows) => h -> rows.map(_._1).min }
+    val expected = batch.map { case (id, src, _) =>
+      val nearHit = sigs.get(id).exists { sg =>
+        bandsOf(sg).flatMap(histBands.getOrElse(_, Nil)).distinct.exists { hid =>
+          sigs(hid).zip(sg).count { case (x, y) => x == y } >= 8
+        }
+      }
+      val cls =
+        if (histHashes(thash(id))) "dup_exact_hist"
+        else if (nearHit) "dup_near_hist"
+        else if (id != firstIn(thash(id))) "dup_in_batch"
+        else "net_new"
+      (src, cls)
+    }.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.length.toLong,
+        rows.count(_._2 == "dup_exact_hist").toLong,
+        rows.count(_._2 == "dup_near_hist").toLong,
+        rows.count(_._2 == "dup_in_batch").toLong,
+        rows.count(_._2 == "net_new").toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.LlmQueries.d29IncrementalDedupe(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the four classes partition every batch row
+    got.foreach { case (_, n, a, b, c, d) => assert(a + b + c + d == n) }
+  }
 }
