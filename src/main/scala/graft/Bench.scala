@@ -33,21 +33,41 @@ object Bench {
     // critical path and the spill dir never needs durability. This is a
     // HARNESS choice for single-node benching only: a real cluster keeps
     // compression ON (network-bound shuffles) and local.dir on real disks.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+    // Per-MODE session config (both directions measured, full-suite A/B in
+    // the same host window, round 11):
+    //   isolated pass — shuffle compression OFF + tmpfs spill: one query
+    //     at a time leaves cores idle, per-block LZ4 framing is pure CPU
+    //     on the job-floor critical path (262.2 -> 228.2 s isolated sum);
+    //   concurrent pass — compression ON + disk spill: six queries'
+    //     uncompressed shuffles at once saturate memory bandwidth and the
+    //     wall REGRESSES under the isolated-pass config (99.4 s vs 134.3).
+    // Each metric is measured under the config a deployment of that mode
+    // would actually choose; the session restart between passes is ~10 s
+    // and the JVM-wide codegen cache survives it. Env overrides exist
+    // only for controlled A/Bs; the defaults ARE the committed config.
+    // Cluster caveat unchanged: a real network-bound cluster keeps
+    // compression on everywhere.
+    def buildSession(compress: Boolean, tmpfs: Boolean): SparkSession = {
+      val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (tmpfs && new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
         else System.getProperty("java.io.tmpdir"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      val c = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", compress.toString)
+      val sess = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.shuffle.compress", c)
+        .config("spark.shuffle.spill.compress", c)
+        .config("spark.local.dir", localDir)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sess.sparkContext.setLogLevel("WARN")
+      sess
+    }
+    var spark = buildSession(compress = false, tmpfs = true)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -137,6 +157,10 @@ object Bench {
       pool.shutdown()
       ((System.nanoTime() - t0) / 1e9, failed)
     }
+    // swap to the concurrent-mode session (see the config note above);
+    // codegen caches are JVM-wide and survive, so the walls stay warm
+    try spark.stop() catch { case _: Throwable => () }
+    spark = buildSession(compress = true, tmpfs = false)
     val passes = Seq(suiteWallOnce(), suiteWallOnce())
     val clean = passes.filter(_._2 == 0).map(_._1)
     // -1 sentinel (like the isolated pass) when no pass completed cleanly
