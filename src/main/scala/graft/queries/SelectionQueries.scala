@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.operators.{Dedupe, GlobalRank}
@@ -745,7 +746,71 @@ object SelectionQueries {
       .orderBy(col("eval_id"))
   }
 
+  /** S19 — MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe that built the largest public parallel
+    * corpora): candidate translation pairs between the en and de slices
+    * scored by the RATIO margin — cos(x,y) normalized by the mean of
+    * each side's k-NN cosines (k = 4) — because absolute cosine is
+    * uncalibrated across hubness regions: a hub vector scores high
+    * against EVERYTHING, and dividing by its neighborhood mean is what
+    * makes scores comparable corpus-wide. Forward mining: each en doc
+    * nominates its best-margin de doc; global top-20 nominations
+    * reported with cos and margin in milli.
+    *
+    * Float discipline: the k-NN mean folds the 4 cosines in RANK order
+    * from a rank-sorted array (collect_list → array_sort(struct(rk,c))
+    * → left fold ÷ 4.0) — the q48/q80 identical-fold contract; an
+    * unordered AVG of doubles would be engine-order-dependent and never
+    * hash. margin = c·2/(ax+ay) and the ·1000 floors are then
+    * deterministic on identical doubles.
+    *
+    * Scale shape: the pair frame is |en|·|de| EXACT cosine via the
+    * native kernel — the declared-semantics baseline, s01's posture
+    * (production mines through the s02/s03 ANN index for the k-NN and
+    * candidate steps; the margin arithmetic is unchanged); it is
+    * materialized ONCE for its three consumers (both k-NN means + the
+    * margin join, g09's rule); per-side k-NN is a key-partitioned
+    * window; top-20 is TakeOrdered. */
+  def s19BitextMining(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.VectorExpressions.cosineSim
+    def side(lang: String, idc: String, vc: String): DataFrame =
+      documents(s, d).filter(col("lang") === lang)
+        .select(col("doc_id").as(idc))
+        .join(embeddings(s, d), col(idc) === col("vec_id"))
+        .select(col(idc), col("embedding").as(vc))
+    val pairs = side("en", "xid", "xv")
+      .crossJoin(side("de", "yid", "yv"))
+      .select(col("xid"), col("yid"), cosineSim(col("xv"), col("yv")).as("c"))
+      .filter(col("c").isNotNull)
+      .localCheckpoint(false) // both k-NN means + the margin join read this
+    def kAvg(key: String, other: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col("c").desc, col(other))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+        .groupBy(col(key))
+        .agg((expr(
+          "aggregate(array_sort(collect_list(struct(rk, c))), CAST(0.0 AS DOUBLE), (a, x) -> a + x.c)")
+          / 4.0).as(out))
+    }
+    // forward top-1 per x as ONE partial-aggregable argmax (g08's rule —
+    // max(struct(margin, −yid, payload)) replaces a third 1.5M-row
+    // window sort; the k-NN mean frames are side-sized so AQE broadcasts
+    // them and the margin projection rides the checkpoint blocks)
+    pairs
+      .join(kAvg("xid", "yid", "ax"), Seq("xid"))
+      .join(kAvg("yid", "xid", "ay"), Seq("yid"))
+      .withColumn("margin", col("c") * 2.0 / (col("ax") + col("ay")))
+      .groupBy(col("xid"))
+      .agg(max(struct(col("margin"), (-col("yid")).as("ny"), col("c"))).as("m"))
+      .select(col("xid"), (-col("m.ny")).as("yid"),
+        col("m.c").as("c"), col("m.margin").as("margin"))
+      .orderBy(col("margin").desc, col("xid")).limit(20)
+      .selectExpr("xid", "yid",
+        "CAST(floor(c * 1000) AS BIGINT) AS cos_milli",
+        "CAST(floor(margin * 1000) AS BIGINT) AS margin_milli")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s19_bitext_mining" -> s19BitextMining,
     "s18_semantic_contamination" -> s18SemanticContamination,
     "t45_kneser_ney" -> t45KneserNey,
     "s16_kmeans_refine" -> s16KmeansRefine,
@@ -844,6 +909,46 @@ object SelectionQueries {
     s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) / (${normSql(a)} * ${normSql(b)}))"
 
   val oracle: Map[String, String] = Map(
+    "s19_bitext_mining" ->
+      s"""WITH xs AS (
+            SELECT d.doc_id AS xid, e.embedding AS xv
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.lang = 'en'
+          ), ys AS (
+            SELECT d.doc_id AS yid, e.embedding AS yv
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.lang = 'de'
+          ), pr0 AS (
+            SELECT xid, yid, ${cosSql("xv", "yv")} AS c FROM xs CROSS JOIN ys
+          ), pr AS (
+            SELECT * FROM pr0 WHERE c IS NOT NULL
+          ), axs AS (
+            SELECT xid, list_reduce(list(c ORDER BY rk), (a, b) -> a + b) / 4.0 AS ax
+            FROM (SELECT xid, c,
+                         row_number() OVER (PARTITION BY xid
+                           ORDER BY c DESC, yid) AS rk
+                  FROM pr) t
+            WHERE rk <= 4 GROUP BY xid
+          ), ays AS (
+            SELECT yid, list_reduce(list(c ORDER BY rk), (a, b) -> a + b) / 4.0 AS ay
+            FROM (SELECT yid, c,
+                         row_number() OVER (PARTITION BY yid
+                           ORDER BY c DESC, xid) AS rk
+                  FROM pr) t
+            WHERE rk <= 4 GROUP BY yid
+          ), sc AS (
+            SELECT p.xid, p.yid, p.c, p.c * 2.0 / (axs.ax + ays.ay) AS margin
+            FROM pr p JOIN axs USING (xid) JOIN ays USING (yid)
+          ), top1 AS (
+            SELECT xid, yid, c, margin,
+                   row_number() OVER (PARTITION BY xid
+                     ORDER BY margin DESC, yid) AS rn
+            FROM sc
+          )
+          SELECT xid, yid, CAST(floor(c * 1000) AS BIGINT) AS cos_milli,
+                 CAST(floor(margin * 1000) AS BIGINT) AS margin_milli
+          FROM top1 WHERE rn = 1
+          ORDER BY margin DESC, xid LIMIT 20""",
     "s18_semantic_contamination" ->
       s"""WITH ev AS (
             SELECT vec_id AS eval_id, embedding AS qv

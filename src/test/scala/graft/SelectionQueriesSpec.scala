@@ -306,6 +306,53 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(got.forall(_._2 % 50 != 0), "neighbors come from the train side only")
   }
 
+  test("s19: driver-side margin-mining recount (rank-order folds, forward top-1, global top-20)") {
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val langs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val xs = vecs.filter { case (id, _) => langs.get(id).contains("en") }
+    val ys = vecs.filter { case (id, _) => langs.get(id).contains("de") }
+    val c = (for ((xid, xv) <- xs; (yid, yv) <- ys)
+      yield (xid, yid) -> cosRef(xv, yv)).toMap
+    def kAvg(keys: Seq[Long], others: Seq[Long], key: (Long, Long) => (Long, Long)): Map[Long, Double] =
+      keys.map { k =>
+        val ranked = others.map(o => (o, c(key(k, o))))
+          .sortBy { case (o, sc) => (-sc, o) }.take(4)
+        k -> ranked.foldLeft(0.0) { case (a, (_, sc)) => a + sc } / 4.0
+      }.toMap
+    val ax = kAvg(xs.map(_._1).toSeq, ys.map(_._1).toSeq, (x, y) => (x, y))
+    val ay = kAvg(ys.map(_._1).toSeq, xs.map(_._1).toSeq, (y, x) => (x, y))
+    val nominations = xs.map(_._1).map { xid =>
+      val (yid, cc, mg) = ys.map(_._1).map { yid =>
+        val cc = c((xid, yid))
+        (yid, cc, cc * 2.0 / (ax(xid) + ay(yid)))
+      }.minBy { case (yid, _, mg) => (-mg, yid) }
+      (xid, yid, cc, mg)
+    }
+    val expected = nominations.sortBy { case (xid, _, _, mg) => (-mg, xid) }.take(20)
+      .map { case (xid, yid, cc, mg) =>
+        (xid, yid, math.floor(cc * 1000).toLong, math.floor(mg * 1000).toLong)
+      }.toSeq
+    val got = SelectionQueries.s19BitextMining(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1).distinct.length == got.length,
+      "forward mining: one nomination per en doc")
+  }
+
   // ---- s16/s17: independent plain-Scala Lloyd ----
 
   /** Round-half-away-from-zero — Spark's round() and DuckDB's round()
