@@ -372,9 +372,14 @@ object SelectionQueries {
     * needed (integer addition commutes; the float-cosine queries need
     * the index-order fold rule, this family doesn't). */
   private def kmQuantized(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * KmScale) + lit(KmOffset)).as("qv"))
+    embeddings(s, d)
+      .filter(col("embedding").isNotNull) // null vectors can't cluster; a
+      // no-op on the fixture, defined behavior on adversarial corpora
+      // (zero-NORM vectors are fine: the L2 basis has no zero-norm
+      // failure mode, unlike the cosine family)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * KmScale) + lit(KmOffset)).as("qv"))
 
   /** argmin-L2 assignment against a driver-side centroid array. The
     * centroid set is index metadata — bounded by k, never data-sized — so
@@ -875,7 +880,7 @@ object SelectionQueries {
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1024) + 1024 AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ), c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
                  qv AS cv

@@ -59,7 +59,14 @@ class AdversarialInputSpec extends SparkSpec {
     // null/empty/CJK rows, p05/t42's GlobalRank the tiny 7-row corpus
     // (fewer rows than range partitions), m14 the arbitrary doc_ids
     "t41_dsir_weights", "p05_skipping_index", "t42_vocab_coverage",
-    "m14_jpeg_quality")
+    "m14_jpeg_quality",
+    // round-11 session-2 family: t43's URL parse on arbitrary ids/sources,
+    // t44's winnow kernel on null/empty/1-char/20k-char texts, t45's KN
+    // model on a 7-row corpus (singleton-heavy), d29's band join when one
+    // side of the split may be EMPTY, s19's margin folds when a side has
+    // fewer than k neighbors
+    "t43_url_canonical", "t44_winnowing", "t45_kneser_ney",
+    "d29_incremental_dedupe", "s19_bitext_mining")
 
   docQueries.foreach { name =>
     test(s"$name survives the adversarial corpus") {
@@ -84,7 +91,10 @@ class AdversarialInputSpec extends SparkSpec {
     spark.read.parquet(sf() + "/documents.parquet")
       .write.mode("overwrite").parquet(s"$vdir/documents.parquet")
     for (name <- Seq("s01_ann_brute_force", "q13_topk_cosine", "q13_topk_l2",
-      "d04_embedding_near_dup", "s02_ann_lsh", "s06_ann_graph")) {
+      "d04_embedding_near_dup", "s02_ann_lsh", "s06_ann_graph",
+      // round-11: Lloyd/prune on null+zero-norm vectors (L2 basis — zero
+      // norm is a VALID point there), NN contamination audit likewise
+      "s16_kmeans_refine", "s17_d4_prune", "s18_semantic_contamination")) {
       val rows = SparkEntry.queries(name)(spark, vdir).collect()
       val nan = rows.exists(r => (0 until r.length).exists(i =>
         !r.isNullAt(i) && r.get(i).isInstanceOf[Double] &&
