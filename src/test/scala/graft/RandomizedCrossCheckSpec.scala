@@ -294,4 +294,135 @@ class RandomizedCrossCheckSpec extends SparkSpec {
       assert(got == expect, s"seed=$seed")
     }
   }
+
+  // ---- round-11 kernels ----
+
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("winnowing kernel == brute-force reference on random texts; MOSS guarantee on planted overlaps") {
+    import org.apache.spark.sql.functions.col
+    def winnowRef(text: String, k: Int = 8, w: Int = 4): Set[Long] = {
+      if (text.length < k) return Set.empty
+      val hs = (0 to text.length - k).map(i => md5h32(text.substring(i, i + k)))
+      if (hs.length < w) return Set.empty
+      (0 to hs.length - w).map { p =>
+        val j = (0 until w).minBy(j => (hs(p + j), -(p + j)))
+        hs(p + j) * 67108864L + (p + j + 1)
+      }.toSet
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new Random(500 + seed)
+      val alpha = "abcde " // tiny alphabet → many hash ties → tie-break exercised
+      def randText(n: Int): String =
+        (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val core = randText(15) // planted shared run >= k+w-1 = 11
+      val texts = Seq(
+        randText(rnd.nextInt(200)),
+        randText(40) + core + randText(40),
+        randText(7),  // below one gram
+        randText(10), // grams but below one window
+        core + randText(25))
+      val df = texts.toDF("text")
+        .select(graft.queries.SelectionQueries.winnowFids(col("text")).as("f"))
+      val got = df.collect().map(_.getSeq[Long](0).toSet)
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == winnowRef(t), s"seed=$seed text='${t.take(30)}…'")
+      }
+      val shared = got(1).map(_ >> 26).intersect(got(4).map(_ >> 26))
+      assert(shared.nonEmpty, s"seed=$seed: planted 15-char overlap must share a fingerprint")
+    }
+  }
+
+  test("fixed-point Lloyd == driver recurrence on random planted clusters (3 seeded trials)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(600 + seed)
+      val dim = 8; val n = 40
+      val centers = Array.fill(3)(Array.fill(dim)(rnd.nextFloat() * 0.8f - 0.4f))
+      val vecs = (0 until n).map { i =>
+        val c = centers(i % 3)
+        (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq, i % 3)
+      }
+      val dir = tmp()
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // driver reference — the spec-local mirror of kmFit's arithmetic
+      def away(x: Double) = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      val q = vecs.map { case (id, v, _) =>
+        (id, v.map(x => (away(x.toDouble * 1024d) + 1024d).toLong).toArray)
+      }.sortBy(_._1)
+      var cents = q.take(10).map(_._2.clone()).toArray
+      def assign() = q.map { case (id, qs) =>
+        var bp = -1; var bd = Long.MaxValue
+        cents.zipWithIndex.foreach { case (c, p) =>
+          var dd = 0L; var i = 0
+          while (i < qs.length) { val df0 = qs(i) - c(i); dd += df0 * df0; i += 1 }
+          if (dd < bd) { bd = dd; bp = p }
+        }
+        (id, qs, bp, bd)
+      }
+      for (_ <- 1 to 3) {
+        val a = assign()
+        val next = cents.map(_.clone())
+        a.groupBy(_._3).foreach { case (p, rows) =>
+          (0 until dim).foreach { i =>
+            next(p)(i) = rows.map(_._2(i)).sum / rows.length
+          }
+        }
+        cents = next
+      }
+      val fin = assign()
+      val expect = (0 until 10).map { p =>
+        val rows = fin.filter(_._3 == p)
+        (p.toLong, rows.length.toLong, rows.map(_._4).sum, cents(p).sum)
+      }
+      val got = graft.queries.SelectionQueries.s16KmeansRefine(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("URL canonicalizer == java.net.URI reference on a random messy-URL grammar") {
+    import org.apache.spark.sql.functions.col
+    def canonRef(u: String): String = {
+      val uri = java.net.URI.create(u)
+      var host = uri.getHost.toLowerCase.stripPrefix("www.")
+      val port = uri.getPort
+      val hostPort = if (port == -1 || port == 80) host else s"$host:$port"
+      val path0 = Option(uri.getRawPath).getOrElse("").replaceAll("/+$", "")
+      val path = if (path0.isEmpty) "/" else path0
+      val keep = Option(uri.getRawQuery).getOrElse("").split("&")
+        .filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted.mkString("&")
+      s"${uri.getScheme.toLowerCase}://$hostPort$path" +
+        (if (keep.nonEmpty) s"?$keep" else "")
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new Random(700 + seed)
+      val urls = (1 to 60).map { _ =>
+        val scheme = if (rnd.nextBoolean()) "http" else "HTTP"
+        val www = if (rnd.nextBoolean()) "www." else ""
+        val host = s"host${rnd.nextInt(5)}.example.com"
+        val port = rnd.nextInt(3) match {
+          case 0 => ""; case 1 => ":80"; case _ => ":8443"
+        }
+        val segs = (0 until rnd.nextInt(3)).map(_ => s"p${rnd.nextInt(9)}")
+        val path = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
+        val slash = if (rnd.nextBoolean()) "/" else ""
+        val params = rnd.shuffle(List("utm_source=x", s"id=${rnd.nextInt(3)}",
+          "utm_medium=y", s"z=${rnd.nextInt(2)}").take(rnd.nextInt(5)))
+        val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+        val frag = if (rnd.nextBoolean()) "#sec" else ""
+        s"$scheme://$www${if (rnd.nextBoolean()) host.toUpperCase else host}$port$path$slash$query$frag"
+      }
+      val got = graft.queries.SelectionQueries
+        .withCanonicalUrl(urls.toDF("url")).select(col("canonical"))
+        .collect().map(_.getString(0))
+      urls.zip(got).foreach { case (u, g) =>
+        assert(g == canonRef(u), s"seed=$seed url=$u")
+      }
+    }
+  }
 }
