@@ -10,6 +10,66 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("t43: canonicalization is one scan + one agg + TakeOrdered") {
+    val p = plan("t43_url_canonical")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"canonicalization re-scans documents:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 degraded to a full sort:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected join in a pure projection+agg plan:\n${p.take(2000)}")
+  }
+
+  test("t44: the fused winnowing kernel is in the plan — the 29x-slower HOF spelling is not") {
+    // the declared query materializes the per-doc frame (the kernel runs
+    // at checkpoint-build time), so pin the pre-checkpoint projection
+    import org.apache.spark.sql.functions.col
+    val p = graft.core.Tables.documents(spark, sf())
+      .select(graft.queries.SelectionQueries.winnowFids(col("text")).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("winnowed_fingerprints"),
+      s"native winnow kernel missing from the plan:\n${p.take(2000)}")
+    assert(!p.contains("array_min(transform("),
+      s"interpreted HOF winnow crept back:\n${p.take(2000)}")
+  }
+
+  test("s18: eval side broadcasts (bounded benchmark artifact); argmax is a partial agg, not a window") {
+    val p = plan("s18_semantic_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval-side broadcast lost:\n${p.take(2000)}")
+    assert(p.contains("partial_max"),
+      s"per-eval argmax lost map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"argmax degraded to a window:\n${p.take(2000)}")
+  }
+
+  test("s19: exactly the two k-NN rank windows — nomination stays an argmax agg") {
+    val p = plan("s19_bitext_mining")
+    // "Window [" counts the window operators themselves, not the
+    // WindowGroupLimit pushdowns the rk<=4 filter legitimately earns
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected exactly 2 window operators (k-NN ranks):\n${p.take(3000)}")
+    assert(p.contains("partial_max"),
+      s"nomination argmax lost map-side combine:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-20 degraded to a full sort:\n${p.take(2000)}")
+  }
+
+  test("d29: the exact history check is a semi-join; verification never a product join") {
+    val p = plan("d29_incremental_dedupe")
+    assert(p.contains("LeftSemi"),
+      s"exact-history check lost its semi-join shape:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"candidate verification degraded to a product join:\n${p.take(3000)}")
+  }
+
+  test("g11: top-25 is TakeOrdered; rounds never produce a product join") {
+    val p = plan("g11_ppr")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("q81: spatial grid join stays an equi-join on the cell key — never a product join") {
     val p = plan("q81_spatial_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
