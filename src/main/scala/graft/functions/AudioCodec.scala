@@ -104,6 +104,37 @@ object AudioCodec {
     * 8-byte data chunk header + payload (+ pad byte when odd). Sample
     * bytes are a deterministic ramp keyed by `seed` so equal params give
     * byte-identical streams. */
+  /** Haitsma–Kalker-style energy-difference fingerprint (Philips 2002):
+    * 45 bits over a 16-frame × 4-band |PCM| energy grid — bit(f,b) = 1
+    * iff (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) > 0, the double
+    * difference that makes the code robust to global gain and slow
+    * energy drift. Bands here are TIME slices (slice(k) = ⌊k·64/n⌋ —
+    * a per-SAMPLE assignment, so engine and oracle can never disagree
+    * on boundary samples), not FFT sub-bands: the container has no FFT,
+    * and the bit algebra — the part the dedupe join consumes — is the
+    * real Philips scheme. Integer-exact end to end. None for
+    * unparseable/empty audio. */
+  def energyFingerprint(bytes: Array[Byte]): Option[Long] =
+    pcmSamples16(bytes).filter(_.nonEmpty).map { smp =>
+      val n = smp.length
+      val e = new Array[Long](64)
+      var k = 0
+      while (k < n) {
+        e(((k.toLong * 64) / n).toInt) += math.abs(smp(k))
+        k += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 45) {
+        val f = i / 3 + 1; val b = i % 3
+        val d = (e(f * 4 + b) - e(f * 4 + b + 1)) -
+          (e((f - 1) * 4 + b) - e((f - 1) * 4 + b + 1))
+        if (d > 0) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+
   def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
       nSamples: Int, seed: Int = 0): Array[Byte] = {
     val blockAlign = channels * (bitsPerSample / 8)

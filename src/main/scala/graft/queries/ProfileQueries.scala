@@ -657,9 +657,58 @@ object ProfileQueries {
       .orderBy(col("doc_id"), col("seg"))
   }
 
+  /** M18 — AUDIO FINGERPRINT NEAR-DUP PAIRS (the audio half of the
+    * multimodal dedupe axis — m09 catches re-encoded images, nothing yet
+    * caught re-encoded/trimmed audio): 45-bit Haitsma–Kalker
+    * energy-difference fingerprints ([[graft.functions.AudioCodec
+    * .energyFingerprint]] — the Philips double-difference bit algebra
+    * over a 16×4 energy grid, integer-exact), paired by PIGEONHOLE
+    * banding: 3 × 15-bit segments, so any pair at Hamming ≤ 2 MUST agree
+    * on a whole segment (guaranteed recall — d02/m09/q50's blocking
+    * discipline), candidates verified with exact bit_count. Fixture
+    * audio is seeded-ramp WAVs (doc_id-derived seed/length, m10's
+    * synthesis); the oracle recomputes fingerprints FROM THE SYNTHESIS
+    * ARITHMETIC — ramp byte → int16 sample → slice energy → bit — and
+    * never parses a WAV, so the engine's RIFF walk + fingerprint kernel
+    * are proven end-to-end (the m-family oracle rule).
+    *
+    * Scale shape: fingerprinting is a narrow per-row kernel; the
+    * segment join is a pure equi-join on (segment_idx, value) — never
+    * all-pairs; the fingerprint frame is materialized once for the
+    * banded explode and both verify sides. */
+  def m18AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AudioCodec
+    val mk = udf { (docId: Long, nChars: Long) =>
+      AudioCodec.wavBytes(8000, 1, 16, (nChars % 100 + 40).toInt,
+        seed = (docId % 64).toInt)
+    }
+    val fpu = udf { (b: Array[Byte]) =>
+      AudioCodec.energyFingerprint(b).map(java.lang.Long.valueOf).orNull
+    }
+    val fps = documents(s, d)
+      .select(col("doc_id"),
+        fpu(mk(col("doc_id"), coalesce(col("n_chars"), lit(0L)))).as("fp"))
+      .filter(col("fp").isNotNull)
+      .localCheckpoint(false) // banded explode + both verify sides read it
+    val banded = fps.select(col("doc_id"), col("fp"),
+      posexplode(array(
+        shiftright(col("fp"), 0).bitwiseAND(lit(32767L)),
+        shiftright(col("fp"), 15).bitwiseAND(lit(32767L)),
+        shiftright(col("fp"), 30).bitwiseAND(lit(32767L)))).as(Seq("s", "seg")))
+    banded.as("a").join(banded.as("b"),
+        col("a.s") === col("b.s") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.fp ^ b.fp) AS BIGINT)").as("hamming"))
+      .distinct() // a pair may agree on several segments
+      .filter(col("hamming") <= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "m18_audio_fingerprint" -> m18AudioFingerprint,
     "t29_lexical_diversity" -> t29LexicalDiversity,
     "t30_sentence_stats" -> t30SentenceStats,
     "t31_readability" -> t31Readability,
@@ -684,6 +733,55 @@ object ProfileQueries {
     s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
 
   val oracle: Map[String, String] = Map(
+    "m18_audio_fingerprint" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(coalesce(n_chars, 0) % 100 + 40 AS BIGINT) AS n,
+                  CAST(doc_id % 64 AS BIGINT) AS seed
+           FROM documents
+         ), en0 AS (
+           -- ramp byte j = (seed + j) mod 256; sample k = signed int16 of
+           -- little-endian bytes (2k, 2k+1); slice(k) = (k*64) // n
+           SELECT doc_id, (kk.k * 64) // n AS sl,
+                  sum(abs(CASE WHEN ((seed + 2 * kk.k) % 256)
+                                    + ((seed + 2 * kk.k + 1) % 256) * 256 >= 32768
+                               THEN ((seed + 2 * kk.k) % 256)
+                                    + ((seed + 2 * kk.k + 1) % 256) * 256 - 65536
+                               ELSE ((seed + 2 * kk.k) % 256)
+                                    + ((seed + 2 * kk.k + 1) % 256) * 256 END)) AS e
+           FROM base,
+                LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) kk
+           GROUP BY doc_id, sl
+         ), grid AS (
+           SELECT b.doc_id, g.sl, coalesce(en0.e, 0) AS e
+           FROM base b
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS sl) g
+           LEFT JOIN en0 ON en0.doc_id = b.doc_id AND en0.sl = g.sl
+         ), ev AS (
+           SELECT doc_id, list(e ORDER BY sl) AS ee FROM grid GROUP BY doc_id
+         ), fps AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(1, 45), i ->
+                    CASE WHEN (ee[((i-1)//3 + 1) * 4 + ((i-1)%3) + 1]
+                               - ee[((i-1)//3 + 1) * 4 + ((i-1)%3) + 2])
+                            - (ee[((i-1)//3) * 4 + ((i-1)%3) + 1]
+                               - ee[((i-1)//3) * 4 + ((i-1)%3) + 2]) > 0
+                         THEN CAST(1 AS BIGINT) << (i - 1)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+           FROM ev
+         ), banded AS (
+           SELECT doc_id, fp, ss.s AS s,
+                  CASE ss.s WHEN 0 THEN fp & 32767
+                            WHEN 1 THEN (fp >> 15) & 32767
+                            ELSE (fp >> 30) & 32767 END AS seg
+           FROM fps, (SELECT unnest([0, 1, 2]) AS s) ss
+         )
+         SELECT id_a, id_b, hamming FROM (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.s = b.s AND a.seg = b.seg AND a.doc_id < b.doc_id) t
+         WHERE hamming <= 2 ORDER BY id_a, id_b""",
     "t29_lexical_diversity" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($wordsSql) AS w FROM documents

@@ -65,4 +65,43 @@ class AudioCodecSpec extends AnyFunSuite {
     // a PNG is not a WAV
     assert(AudioCodec.parse(graft.functions.ImageCodec.pngBytes(4, 4, 0)).isEmpty)
   }
+
+  test("energyFingerprint: independent bit-formula recount on crafted samples") {
+    // header from the synth, data replaced with chosen samples → full
+    // control of the energy grid; n = 64 makes slice(k) = k exactly
+    val n = 64
+    val wav = AudioCodec.wavBytes(8000, 1, 16, n, seed = 0)
+    val samples = Array.tabulate(n)(k => (k * 37) % 200 - 100) // signed, mixed
+    for (k <- 0 until n) {
+      val v = samples(k) & 0xFFFF
+      wav(44 + 2 * k) = (v & 0xFF).toByte
+      wav(44 + 2 * k + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    // independent reference: per-slice energies then the Philips bits
+    val e = samples.map(s => math.abs(s).toLong) // slice(k) = k at n = 64
+    var ref = 0L
+    for (i <- 0 until 45) {
+      val f = i / 3 + 1; val b = i % 3
+      val d = (e(f * 4 + b) - e(f * 4 + b + 1)) -
+        (e((f - 1) * 4 + b) - e((f - 1) * 4 + b + 1))
+      if (d > 0) ref |= 1L << i
+    }
+    assert(AudioCodec.energyFingerprint(wav).contains(ref))
+    // identical audio → identical fingerprint (hamming 0 is the exact-dup case)
+    val wav2 = wav.clone()
+    assert(AudioCodec.energyFingerprint(wav2) == AudioCodec.energyFingerprint(wav))
+  }
+
+  test("pigeonhole recall: any fingerprint pair at hamming <= 2 shares a 15-bit segment") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val fp = rnd.nextLong() & ((1L << 45) - 1)
+      val flips = rnd.nextInt(3) // 0, 1 or 2 bit flips
+      var other = fp
+      for (_ <- 0 until flips) other ^= 1L << rnd.nextInt(45)
+      val segs = (f: Long) => Seq(f & 32767L, (f >> 15) & 32767L, (f >> 30) & 32767L)
+      assert(segs(fp).zip(segs(other)).exists { case (a, b) => a == b },
+        f"hamming<=2 pair lost by banding: $fp%x vs $other%x")
+    }
+  }
 }
