@@ -266,12 +266,20 @@ object Similarity {
     * generation stays an equi-join on (table, bucket) — the only join shape
     * that survives 100 TB; the corpus fans out ×nTables (small constant).
     */
+  /** The multi-table sign-LSH signature set: array of (tbl, bucket) structs,
+    * table t bucketing on `nPlanes` hyperplane signs from seed `seed0 + t`.
+    * Shared by [[approxTopKByCosine]] and the s19 bitext candidate gate so
+    * every LSH consumer hashes into the SAME index family (and every DuckDB
+    * oracle reproduces it from the same embedded plane literals). */
+  def lshTables(v: Column, dim: Int, nPlanes: Int, nTables: Int,
+      seed0: Long = 42L): Column = array((0 until nTables).map { t =>
+    struct(lit(t).as("tbl"), lshBucket(v, dim, nPlanes, seed = seed0 + t).as("bucket"))
+  }: _*)
+
   def approxTopKByCosine(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
       nTables: Int = 4): DataFrame = {
-    def tables(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(v, dim, nPlanes, seed = 42L + t).as("bucket"))
-    }: _*)
+    def tables(v: Column): Column = lshTables(v, dim, nPlanes, nTables)
     val bucketed = corpus
       .select(id.as("id"), vec.as("v"), explode(tables(vec)).as("tb"))
       .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

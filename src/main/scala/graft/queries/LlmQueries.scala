@@ -1154,7 +1154,7 @@ object LlmQueries {
     * hyperplanes as Similarity.lshBucket, embedded as double literals, with
     * the identical sequential-fold projection — so buckets agree bit-for-bit
     * with the Spark side. */
-  private def lshBucketSql(v: String, dim: Int, nPlanes: Int, seed: Long): String =
+  private[queries] def lshBucketSql(v: String, dim: Int, nPlanes: Int, seed: Long): String =
     Similarity.lshPlanes(dim, nPlanes, seed).map { p =>
       val lst = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_reduce(list_transform(list_zip($v, $lst), pp -> CAST(pp[1] AS DOUBLE) * pp[2]), (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END)"

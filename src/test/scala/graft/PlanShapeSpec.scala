@@ -55,6 +55,18 @@ class PlanShapeSpec extends SparkSpec {
       s"global top-20 degraded to a full sort:\n${p.take(2000)}")
   }
 
+  test("s19: candidate generation is the LSH bucket equi-join — never a product join") {
+    // the round-12 contract: the |en|x|de| cross join is gone; candidates
+    // come through the s02 sign-LSH tables as an equi-join on (tbl, bucket)
+    // (pinned on the pre-checkpoint frame — the checkpoint hides it)
+    val p = graft.queries.SelectionQueries.s19CandidatePairs(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"bitext candidate stage degraded to a product join:\n${p.take(3000)}")
+    assert(p.contains("bucket"),
+      s"LSH bucket key missing from the candidate join:\n${p.take(3000)}")
+  }
+
   test("d29: the exact history check is a semi-join; verification never a product join") {
     val p = plan("d29_incremental_dedupe")
     assert(p.contains("LeftSemi"),

@@ -306,7 +306,7 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(got.forall(_._2 % 50 != 0), "neighbors come from the train side only")
   }
 
-  test("s19: driver-side margin-mining recount (rank-order folds, forward top-1, global top-20)") {
+  test("s19: driver-side margin-mining recount (LSH-gated candidates, rank-order folds, forward top-1, global top-20) + exact-formulation retention") {
     def cosRef(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -317,6 +317,18 @@ class SelectionQueriesSpec extends SparkSpec {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // the engine's LSH tables mirrored driver-side: sign of the SAME
+    // left-to-right double fold against Similarity.lshPlanes(64, 3, 42+t)
+    val planes = (0 until 4).map(t =>
+      graft.operators.Similarity.lshPlanes(64, 3, 42L + t))
+    def bucket(v: Array[Float], t: Int): String =
+      planes(t).map { p =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * p(i); i += 1 }
+        if (s >= 0) "1" else "0"
+      }.mkString
+    def collides(a: Array[Float], b: Array[Float]): Boolean =
+      (0 until 4).exists(t => bucket(a, t) == bucket(b, t))
     val langs = spark.read.parquet(sf() + "/documents.parquet")
       .select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -325,32 +337,59 @@ class SelectionQueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val xs = vecs.filter { case (id, _) => langs.get(id).contains("en") }
     val ys = vecs.filter { case (id, _) => langs.get(id).contains("de") }
+    // both formulations share the same exact pairwise cosines …
     val c = (for ((xid, xv) <- xs; (yid, yv) <- ys)
       yield (xid, yid) -> cosRef(xv, yv)).toMap
-    def kAvg(keys: Seq[Long], others: Seq[Long], key: (Long, Long) => (Long, Long)): Map[Long, Double] =
-      keys.map { k =>
-        val ranked = others.map(o => (o, c(key(k, o))))
-          .sortBy { case (o, sc) => (-sc, o) }.take(4)
-        k -> ranked.foldLeft(0.0) { case (a, (_, sc)) => a + sc } / 4.0
-      }.toMap
-    val ax = kAvg(xs.map(_._1).toSeq, ys.map(_._1).toSeq, (x, y) => (x, y))
-    val ay = kAvg(ys.map(_._1).toSeq, xs.map(_._1).toSeq, (y, x) => (x, y))
-    val nominations = xs.map(_._1).map { xid =>
-      val (yid, cc, mg) = ys.map(_._1).map { yid =>
-        val cc = c((xid, yid))
-        (yid, cc, cc * 2.0 / (ax(xid) + ay(yid)))
-      }.minBy { case (yid, _, mg) => (-mg, yid) }
-      (xid, yid, cc, mg)
+    // … and differ only in the candidate set: full product vs LSH-gated
+    val fullCand: Set[(Long, Long)] = c.keySet
+    val gateCand: Set[(Long, Long)] =
+      (for ((xid, xv) <- xs; (yid, yv) <- ys if collides(xv, yv))
+        yield (xid, yid)).toSet
+    assert(gateCand.subsetOf(fullCand) && gateCand.nonEmpty)
+
+    def mine(cand: Set[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      def kAvg(grp: Map[Long, Seq[(Long, Double)]]): Map[Long, Double] =
+        grp.map { case (k, lst) =>
+          k -> lst.sortBy { case (o, sc) => (-sc, o) }.take(4)
+            .foldLeft(0.0) { case (a, (_, sc)) => a + sc } / 4.0
+        }
+      val ax = kAvg(cand.toSeq.map { case (x, y) => (x, (y, c((x, y)))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+      val ay = kAvg(cand.toSeq.map { case (x, y) => (y, (x, c((x, y)))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+      val nominations = cand.groupBy(_._1).toSeq.map { case (xid, ps) =>
+        val (yid, cc, mg) = ps.toSeq.map { case (_, yid) =>
+          val cc = c((xid, yid))
+          (yid, cc, cc * 2.0 / (ax(xid) + ay(yid)))
+        }.minBy { case (yid, _, mg) => (-mg, yid) }
+        (xid, yid, cc, mg)
+      }
+      nominations.sortBy { case (xid, _, _, mg) => (-mg, xid) }.take(20)
+        .map { case (xid, yid, cc, mg) =>
+          (xid, yid, math.floor(cc * 1000).toLong, math.floor(mg * 1000).toLong)
+        }
     }
-    val expected = nominations.sortBy { case (xid, _, _, mg) => (-mg, xid) }.take(20)
-      .map { case (xid, yid, cc, mg) =>
-        (xid, yid, math.floor(cc * 1000).toLong, math.floor(mg * 1000).toLong)
-      }.toSeq
+    val expected = mine(gateCand)
     val got = SelectionQueries.s19BitextMining(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected)
     assert(got.map(_._1).distinct.length == got.length,
       "forward mining: one nomination per en doc")
+    // retention vs the exact-cross-join formulation (measured on this
+    // fixture — the blocking-quality audit the gate ships with; isotropic
+    // embeddings are the worst case for ANY gating, see the scaladoc)
+    val exactTop = mine(fullCand).map(r => (r._1, r._2)).toSet
+    val gateTop = got.map(r => (r._1, r._2)).toSet
+    val kept = (exactTop & gateTop).size
+    info(s"s19 gate: |cand| = ${gateCand.size}/${fullCand.size} " +
+      f"(${gateCand.size.toDouble / fullCand.size}%.3f), " +
+      s"exact-top-20 retention = $kept/20")
+    // measured on this fixture: 9/20 at 0.419 candidate fraction — the
+    // isotropy ceiling (the top-20 is denominator-sensitive: missing ANY
+    // true top-4 neighbor shifts a k-NN mean and reshuffles the ranking;
+    // on real bitext embeddings, where translation pairs sit far above
+    // the random-cosine band, the same gate retains ~everything)
+    assert(kept >= 8, s"gate retention collapsed below the measured floor (got $kept)")
   }
 
   // ---- s16/s17: independent plain-Scala Lloyd ----
