@@ -195,8 +195,24 @@ object Bench {
         s""""oracle_sec":${fmt3(both.map(oracleTimes).sum)},""" +
         s""""oracle_heavy_sec":${fmt3(heavy.map(oracleTimes).sum)},""" +
         s""""spark_heavy_sec":${fmt3(heavy.map(sparkByName).sum)}"""
+    // Per-mode session config, recorded so the published ratio's
+    // measurement conditions are auditable from the artifact alone (the
+    // DuckDB denominator is measured once under tools/time_oracle.py's
+    // fixed config; the two Spark passes deliberately differ — see the
+    // config note at the top).
+    def modeJson(compress: Boolean, tmpfs: Boolean): String = {
+      val localDir =
+        if (tmpfs && new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+        else System.getProperty("java.io.tmpdir")
+      s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
+        s""""shuffle_compress":${sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", compress.toString)},""" +
+        s""""local_dir":"$localDir","aqe":true}"""
+    }
+    val configFields =
+      s""""config_isolated":${modeJson(compress = false, tmpfs = true)},""" +
+        s""""config_concurrent":${modeJson(compress = true, tmpfs = false)}"""
     val detailJson =
-      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,"sf":"$sfDir","queries":$detail}"""
+      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")
     // Sidecar with FULL per-query precision: the stdout line keeps only the
     // slowest queries (the 2000-char recording window), so the durable

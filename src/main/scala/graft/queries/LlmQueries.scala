@@ -70,7 +70,11 @@ object LlmQueries {
     val base = documents(s, d)
       .select(col("doc_id"), col("source"),
         (Sampling.hashBucket(col("doc_id")) < 80).as("is_hist"),
-        Dedupe.md5Hash32(trim(lower(col("text")))).as("thash"))
+        // null text coalesces to '' BEFORE hashing: a null thash would be
+        // silently dropped by the inner join with firstInBatch (null keys
+        // never match) and vanish from n_batch — every batch row must
+        // receive a verdict (the documented four-class partition)
+        Dedupe.md5Hash32(trim(lower(coalesce(col("text"), lit(""))))).as("thash"))
       .localCheckpoint(false) // split flag + text hash feed four branches
     val sig = Dedupe.minhashSignatures(documents(s, d), col("doc_id"), col("text"))
     val banded = Dedupe.bandKeys(sig, 16, 4)
@@ -1528,7 +1532,7 @@ object LlmQueries {
       s"""WITH $sigCtes, b0 AS (
             SELECT doc_id, source,
                    (${md5HashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80) AS is_hist,
-                   ${md5HashSql("trim(lower(text))")} AS thash
+                   ${md5HashSql("trim(lower(coalesce(text, '')))")} AS thash
             FROM documents
           ), banded AS (
             SELECT s.doc_id, s.sig, b.band_idx,

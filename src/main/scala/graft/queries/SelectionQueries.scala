@@ -379,7 +379,15 @@ object SelectionQueries {
       // failure mode, unlike the cosine family)
       .select(col("vec_id"),
         transform(col("embedding"),
-          x => round(x.cast("double") * KmScale) + lit(KmOffset)).as("qv"))
+          // clamp to the documented [0, 2048] band: the integer-mean
+          // update relies on non-negative values for Spark's truncating
+          // Long division to agree with DuckDB's flooring `//`; an
+          // embedding component with |x| > 1 would otherwise diverge
+          // cross-engine SILENTLY (oracle clamps identically — parity by
+          // construction, a no-op on the fixture, spec-pinned)
+          x => greatest(lit(0d),
+            least(lit(2d * KmOffset),
+              round(x.cast("double") * KmScale) + lit(KmOffset)))).as("qv"))
 
   /** argmin-L2 assignment against a driver-side centroid array. The
     * centroid set is index metadata — bounded by k, never data-sized — so
@@ -634,7 +642,13 @@ object SelectionQueries {
   def t44Winnowing(s: SparkSession, d: String): DataFrame = {
     val pd = documents(s, d)
       .select(col("doc_id"), col("source"), winnowFids(col("text")).as("fids"))
-      .select(col("doc_id"), col("source"), size(col("fids")).as("n_sel"),
+      // null-text docs pin to n_sel = 0 independent of the ANSI/legacy
+      // size(null) config (ANSI yields null — which would propagate
+      // through sum() and diverge from the oracle's coalesce-to-0 path on
+      // an all-null-text source; legacy yields -1, which coalesce would
+      // NOT catch — hence the explicit null test)
+      .select(col("doc_id"), col("source"),
+        when(col("fids").isNull, lit(0)).otherwise(size(col("fids"))).as("n_sel"),
         array_distinct(transform(col("fids"), f => shiftright(f, 26))).as("hset"))
       .localCheckpoint(false) // totals agg + hash explode both read this
     val a = pd.groupBy(col("source"))
@@ -916,7 +930,8 @@ object SelectionQueries {
     s"""vq AS (
           SELECT vec_id,
                  list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) * 1024) + 1024 AS BIGINT)) AS qv
+                   x -> greatest(0, least(2048,
+                     CAST(round(CAST(x AS DOUBLE) * 1024) + 1024 AS BIGINT)))) AS qv
           FROM embeddings WHERE embedding IS NOT NULL
         ), c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS part,
