@@ -36,15 +36,35 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_JOBS=true adds a scheduling-unit count per timed run —
+    // at local[32] the per-job floor (~0.05-0.1 s each) predicts wall
+    // better than data volume (NOTES round-10 lesson), so "how many jobs
+    // does this query schedule" is the first diagnostic for a floor-bound
+    // query.
+    val countJobs = sys.env.getOrElse("SPARK_GRAFT_JOBS", "false").toBoolean
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    if (countJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageSubmitted(st: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stages.incrementAndGet()
+      })
     args.foreach { name =>
       run(name) // warm-up
+      val j0 = jobs.get; val s0 = stages.get
       val times = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         run(name)
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"BENCHONE $name%-28s min2=${times.min}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      val jtail = if (countJobs) {
+        Thread.sleep(200)
+        f"  jobs=${(jobs.get - j0) / 2}  stages=${(stages.get - s0) / 2}"
+      } else ""
+      println(f"BENCHONE $name%-28s min2=${times.min}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}$jtail")
     }
     spark.stop()
   }

@@ -554,7 +554,11 @@ object MiningQueries {
       // explode are narrow, so the per-doc candidate aggregate and both
       // final joins inherit the clustering and insert no exchange
     val sh = docSh.select(col("doc_id"), explode(col("gs")).as("g"))
+    // eager checkpoint: the eval shingle set (bounded — benchmark-sized)
+    // feeds TWO actions (the bit-table collect below and the exact-tier
+    // broadcast join), so without it the explode+distinct runs twice
     val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      .localCheckpoint(true)
     // Round-10: the Bloom BIT TABLE is collected to the driver and folded
     // back as ONE array-of-longs literal (m/64 = 16 Ki longs = 128 KiB,
     // bounded BY CONSTRUCTION no matter how big the eval suite grows —
@@ -596,11 +600,13 @@ object MiningQueries {
       .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_exact"))
-    // narrow: the per-doc array IS the distinct-shingle set (no aggregate)
+    // narrow: the per-doc array IS the distinct-shingle set (no aggregate),
+    // and docSh already covers EVERY document (built from an unfiltered
+    // scan), so it IS the output spine — the old extra documents re-scan +
+    // left join added a third corpus scan for rows shCnt always had
     val shCnt = docSh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
-    documents(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
-      .join(shCnt, Seq("doc_id"), "left")
+    shCnt
       .join(perDoc, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles",
@@ -609,6 +615,11 @@ object MiningQueries {
         "coalesce(n_cand, CAST(0 AS BIGINT)) - coalesce(n_exact, CAST(0 AS BIGINT))" +
           " AS n_bloom_fp",
         "CAST(coalesce(n_exact, CAST(0 AS BIGINT)) > 0 AS INT) AS contaminated")
+      // d03's sort-sampling rule: everything from the doc_id-clustered
+      // checkpoint to here is narrow or exchange-free, so without a
+      // materialization the range sort's sampling pass re-executes the
+      // whole per-shingle md5 probe (measured 2.37 → 1.5 s at sf0.1)
+      .localCheckpoint(false)
       .orderBy(col("doc_id"))
   }
 

@@ -25,6 +25,9 @@ object SketchQueries {
   private def md5Word2(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 9, 8), 16, 10).cast("long")
 
+  /** md5Word2 for test-scope probes (ProbeHll) — same expression. */
+  private[queries] def probeMd5Word2(c: org.apache.spark.sql.Column) = md5Word2(c)
+
   /** D11 — HyperLogLog cardinality of the order-key stream, fully
     * deterministic.
     *
@@ -457,29 +460,47 @@ object SketchQueries {
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
       .groupBy(col("ym"), col("bucket")).agg(max(col("rho")).as("r"))
-      .localCheckpoint(false) // ≤ m·|months| rows, 3 consumers in one action
-    // any month with data has register rows, so months come from the
-    // (tiny) register table, not another corpus scan
-    val months = regs.select(col("ym")).distinct()
-    val grid = months.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
-    val cum = grid.join(regs, Seq("ym", "bucket"), "left")
-      .withColumn("rc", max(col("r")).over(
+    // Round-12 fusion (the r11 verdict's HLL-grid-floor item): the dense
+    // months×buckets grid + carry-forward window + per-month agg is
+    // replaced by REGISTER-CHANGE DELTAS — the cumulative estimator's sum
+    // Σ_b 2^(32−rc(b,M)) only moves when some bucket's running max moves,
+    // so each regs row contributes d_sp = 2^(32−r) − 2^(32−prev) (prev =
+    // running max of its bucket over earlier months, 0-contribution rows
+    // kept so every observed month stays in the output) and d_nb = 1 on
+    // first sight. One window over the ≤ m·|months| regs frame, ONE
+    // union agg shared with the first-seen exact audit, one global
+    // cumulative window — same integers, same oracle, ~half the jobs
+    // (measured 16 → 9 at sf0.1, 1.76 → ~1.1 s). Every quantity is exact
+    // BIGINT arithmetic: deltas are differences of exact powers of two,
+    // cumulative sums of exact deltas telescope to the exact register sum.
+    val ev = regs
+      .withColumn("prev", max(col("r")).over(
         Window.partitionBy(col("bucket")).orderBy(col("ym"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("rc").isNotNull) // bucket not yet seen by month M = still empty
-    val est = cum.groupBy(col("ym"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - rc)")).as("sp"),
-        count(lit(1)).as("nb"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("ym"),
+        expr("""CASE WHEN prev IS NULL THEN shiftleft(CAST(1 AS BIGINT), 32 - r)
+               |     WHEN r > prev THEN shiftleft(CAST(1 AS BIGINT), 32 - r)
+               |                        - shiftleft(CAST(1 AS BIGINT), 32 - prev)
+               |     ELSE CAST(0 AS BIGINT) END""".stripMargin).as("d_sp"),
+        when(col("prev").isNull, lit(1L)).otherwise(lit(0L)).as("d_nb"),
+        lit(0L).as("d_new"))
+    val firstSeen = base.groupBy(col("w")).agg(min(col("ym")).as("ym"))
+      .groupBy(col("ym")).agg(count(lit(1)).as("nw"))
+      .select(col("ym"), lit(0L).as("d_sp"), lit(0L).as("d_nb"),
+        col("nw").as("d_new"))
+    val wcum = Window.orderBy(col("ym"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(firstSeen)
+      .groupBy(col("ym"))
+      .agg(sum(col("d_sp")).as("sp_d"), sum(col("d_nb")).as("nb_d"),
+        sum(col("d_new")).as("new_d"))
+      .withColumn("sp", sum(col("sp_d")).over(wcum))
+      .withColumn("nb", sum(col("nb_d")).over(wcum))
+      .withColumn("exact_cum", sum(col("new_d")).over(wcum))
       .selectExpr("ym",
         "(718273 * (CAST(281474976710656 AS BIGINT) div " +
-          "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_cum")
-    val newPerMonth = base.groupBy(col("w")).agg(min(col("ym")).as("fym"))
-      .groupBy(col("fym")).agg(count(lit(1)).as("nw"))
-    val exact = months.join(newPerMonth.withColumnRenamed("fym", "ym"), Seq("ym"), "left")
-      .withColumn("exact_cum", sum(coalesce(col("nw"), lit(0L))).over(
-        Window.orderBy(col("ym")).rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("ym"), col("exact_cum"))
-    est.join(exact, Seq("ym"))
+          "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_cum",
+        "exact_cum")
       .selectExpr("ym", "est_cum", "exact_cum",
         "CASE WHEN exact_cum = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE abs(est_cum - exact_cum) * 10000 div exact_cum END AS err_bp")
@@ -521,28 +542,42 @@ object SketchQueries {
         when(col("wd") === 0, lit(32))
           .otherwise(lit(33) - length(bin(col("wd")))).as("rho"))
       .groupBy(col("mi"), col("bucket")).agg(max(col("rho")).as("r"))
-      .localCheckpoint(false)
-    // CALENDAR-dense month spine (min..max), not just observed months —
-    // on a gappy calendar "trailing 3 grid rows" would silently span
-    // more than 3 real months (the q51 day-spine lesson, month tier)
-    val months = regs.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("mi"))
-    val grid = months.crossJoin(broadcast(regs.select(col("bucket")).distinct()))
-    val win = grid.join(regs, Seq("mi", "bucket"), "left")
-      .withColumn("rw", max(col("r")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("mi")).rowsBetween(-2, 0)))
-      .filter(col("rw").isNotNull)
-    val est = win.groupBy(col("mi"))
+    // Round-12 fusion (the r11 verdict's HLL-grid-floor item): the dense
+    // month spine + carry-forward window is replaced by EXPLODE-TO-
+    // TARGETS — a register row at month mi serves exactly the windows
+    // ending at mi, mi+1, mi+2, so the bounded window max is a plain
+    // (target, bucket) max agg over the 3×-exploded regs frame. The month
+    // axis stays a LINEAR index (year·12 + month) and the trailing-3
+    // semantics stays CALENDAR-dense by construction: a target month with
+    // no register in its trailing window simply has no rows (the old grid
+    // produced rw = NULL there and filtered it — same output set). Only
+    // targets hanging PAST the last real month need trimming, done with a
+    // global max over the ~|months| agg frame ('real' marks offset-0
+    // rows). Kills the spine agg + explode + broadcast grid join + window
+    // (measured 14 → 9 jobs, 1.84 → ~1.2 s at sf0.1); same integers, same
+    // oracle.
+    val win = regs
+      .select(col("bucket"), col("r"), col("mi").as("smi"),
+        explode(expr("array(mi, mi + 1, mi + 2)")).as("tmi"))
+      .groupBy(col("tmi"), col("bucket"))
+      .agg(max(col("r")).as("rw"),
+        max(when(col("smi") === col("tmi"), 1).otherwise(0)).as("real"))
+    val est = win.groupBy(col("tmi"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - rw)")).as("sp"),
-        count(lit(1)).as("nb"))
-      .selectExpr("mi",
+        count(lit(1)).as("nb"), max(col("real")).as("realm"))
+      .withColumn("hi", max(when(col("realm") === 1, col("tmi"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("tmi") <= col("hi"))
+      .selectExpr("tmi AS mi",
         "(718273 * (CAST(281474976710656 AS BIGINT) div " +
           "(sp + (256 - nb) * CAST(4294967296 AS BIGINT)))) div 1000000 AS est_win")
     // exact: each (key, month) occurrence covers target months mi..mi+2;
-    // distinct (key, target) then count per target — one hash agg
+    // distinct (key, target) then count per target — one hash agg (the
+    // base is w-clustered, so the distinct inserts no exchange); targets
+    // past the last real month are trimmed by the inner join with the
+    // already-bounded est frame
     val exact = li.select(col("w"), explode(expr("array(mi, mi + 1, mi + 2)")).as("tmi"))
       .distinct()
-      .join(months.withColumnRenamed("mi", "tmi"), Seq("tmi"))
       .groupBy(col("tmi")).agg(count(lit(1)).as("exact_win"))
       .withColumnRenamed("tmi", "mi")
     est.join(exact, Seq("mi"))
