@@ -431,16 +431,38 @@ object Dedupe {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup candidate pairs. Round-12 (the r11
+    * verdict's d04 item): the caller's block is COMPOSED with the s02
+    * multi-table sign-LSH bucketing BY DEFAULT — a pair is a candidate
+    * iff it shares the caller block AND collides in at least one of the
+    * `nTables` seeded hash tables — so the O(Σ block²) bound holds by
+    * construction instead of depending on caller discipline (nothing in
+    * the old API stopped a caller passing a corpus-sized block; now even
+    * that degrades to the LSH bucket join, the only all-pairs shape that
+    * survives 100 TB). The caller block still composes semantics (e.g.
+    * "same label only"); callers that genuinely need exhaustive
+    * within-block pairs should go through the exact s01-style scan
+    * knowing its cost. Deterministic seeded planes — the DuckDB oracle
+    * replays the buckets from embedded literals (the s19/s02 rule). */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
-      block: Column, minCosine: Double): DataFrame = {
+      block: Column, minCosine: Double, dim: Int = 64,
+      nPlanes: Int = 3, nTables: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
     val base = df.select(id.as("id"), vec.as("v"), block.as("blk"))
-    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("blk"))
-    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("blk"))
-    a.join(b, Seq("blk"))
+      .select(col("id"), col("v"), col("blk"),
+        explode(graft.operators.Similarity.lshTables(col("v"), dim, nPlanes,
+          nTables)).as("tb"))
+      .select(col("id"), col("v"), col("blk"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("blk"), col("tbl"), col("bucket"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("blk"), col("tbl"), col("bucket"))
+    a.join(b, Seq("blk", "tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct() // a pair may collide in several tables (s02's rule)
   }
 }

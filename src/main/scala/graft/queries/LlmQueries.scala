@@ -1739,10 +1739,18 @@ object LlmQueries {
     "d04_embedding_near_dup" ->
       s"""WITH base AS (
             SELECT vec_id AS id, embedding AS v, label AS blk FROM embeddings WHERE vec_id % 5 = 0
+          ), bb AS (
+            SELECT id, v, blk, t.tbl,
+                   ${(0 until 4).map(t =>
+                     s"WHEN t.tbl = $t THEN ${lshBucketSql("v", 64, 3, 42L + t)}")
+                     .mkString("CASE ", " ", " END")} AS bucket
+            FROM base, LATERAL (SELECT unnest([0, 1, 2, 3]) AS tbl) t
           )
-          SELECT a.id AS id_a, b.id AS id_b,
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                  $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) AS cosine
-          FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+          FROM bb a JOIN bb b
+            ON a.blk = b.blk AND a.tbl = b.tbl AND a.bucket = b.bucket
+           AND a.id < b.id
           WHERE $dotVV / (${normSql("a.v")} * ${normSql("b.v")}) >= 0.15
           ORDER BY id_a, id_b""",
     "s02_ann_lsh" -> s02Sql,
