@@ -29,9 +29,15 @@ object ShortestPaths {
     * @param seeds  source vertices, column (node)
     * @return (node, hops) — min hop count from any seed, hops ∈ [0, maxHops]
     */
-  def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    hopsOnDoubled(doubled(edges.select(col("u"), col("v"))), seeds, maxHops)
+
+  /** [[hops]] over an ALREADY-doubled, u-clustered edge frame (e.g. the
+    * memoized MiningQueries.doubledEdgesFused artifact) — round 12: lets
+    * the BFS share one persisted edge materialization with the rest of
+    * the graph family instead of re-doubling per query. */
+  def hopsOnDoubled(dir: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val dir = doubled(edges.select(col("u"), col("v")))
 
     // Round-10 shape: every per-hop frame is a partitioning-RETAINING
     // checkpoint on the vertex key, so hop r+1's expansion join reads
@@ -107,7 +113,16 @@ object ShortestPaths {
     * @return (node, dist) — min weighted distance from any seed over
     *         paths of ≤ `rounds` edges; unreached vertices absent
     */
-  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    weightedDistancesOnDoubled(
+      doubled(edges.select(col("u"), col("v"), col("w"))), seeds, rounds)
+
+  /** [[weightedDistances]] over an ALREADY-doubled, u-clustered (u, v, w)
+    * frame — round 12, same sharing rationale as [[hopsOnDoubled]]; a
+    * narrow weight projection over the shared artifact retains its
+    * clustering. */
+  def weightedDistancesOnDoubled(dirIn: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     // Constraint propagation is disabled around the relaxation loop: the
     // (checkpoint → join → self-union → re-checkpoint) shape trips a
@@ -118,12 +133,12 @@ object ShortestPaths {
     // in-loop actions is semantically free; the conf is restored in
     // `finally`, and the returned frame is a checkpoint-rooted LogicalRDD
     // whose (empty) constraint snapshot is already taken.
-    val spark = edges.sparkSession
+    val spark = dirIn.sparkSession
     val key = "spark.sql.constraintPropagation.enabled"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try {
-      val dir = doubled(edges.select(col("u"), col("v"), col("w")))
+      val dir = dirIn
 
       // lazy per-round checkpoints (round-9 job-floor fix): lineage is
       // still cut at every round — localCheckpoint(false) wraps the round
