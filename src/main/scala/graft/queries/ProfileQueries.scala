@@ -526,6 +526,10 @@ object ProfileQueries {
     val hashed = documents(s, d)
       .select(col("doc_id"), dh(mk(col("doc_id"))).as("sv"))
       .filter(col("sv").isNotNull)
+      // both sides of the banded self-join read this — without the
+      // materialization each side re-runs the PNG encode+decode kernel
+      // (the whole cost of this query) once more
+      .localCheckpoint(false)
     val banded = hashed.select(col("doc_id"), col("sv"),
       posexplode(col("sv")).as(Seq("s", "seg")))
     banded.as("a").join(banded.as("b"),

@@ -66,27 +66,34 @@ object SelectionQueries {
     * (t11's no-broadcast rule does not apply: hashing fixes the domain);
     * top-25 is TakeOrdered, never a global sort. */
   def t41DsirWeights(s: SparkSession, d: String): DataFrame = {
-    val perDoc = documents(s, d)
+    // Round-12: the old shape aggregated (doc, bucket) counts first —
+    // a ~features-sized exchange with weak map-side combine (docs×256
+    // keys) — but neither consumer needs that granularity up front: the
+    // bucket model is a 256-row agg straight over the features (strong
+    // map-side combine), and the score is Σ_f w(b(f)) = Σ_b c·w(b), so
+    // the per-doc agg happens AFTER the broadcast weight join where the
+    // combine collapses to one row per doc. The feature frame (the
+    // expensive tokenize+md5 kernel) is materialized once for both.
+    // Identical integers, same oracle.
+    val feats = documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
         explode(concat(
           filter(Dedupe.words(col("text")), w => length(w) > 0),
           Dedupe.shingles(col("text"), 2))).as("f"))
       .select(col("doc_id"), col("source"), col("lang"),
         (Dedupe.md5Hash32(col("f")) % B).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
       .localCheckpoint(false) // bucket model + score join both read this
-    val bt = perDoc.groupBy(col("b"))
-      .agg(sum(col("c")).as("cr"),
-        coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("ct"))
+    val bt = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        coalesce(sum(when(col("lang") === "en", 1L)), lit(0L)).as("ct"))
     val tot = bt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val wk = bt.crossJoin(broadcast(tot))
       .selectExpr("b",
         s"""CAST(${ilog16("ct + 1")} - ${ilog16("cr + 1")}
            |   + ${ilog16(s"tr + $B")} - ${ilog16(s"tt + $B")} AS BIGINT) AS wb""".stripMargin)
-    perDoc.join(broadcast(wk), Seq("b"))
+    feats.join(broadcast(wk), Seq("b"))
       .groupBy(col("doc_id"), col("source"), col("lang"))
-      .agg(sum(col("c")).as("n_features"), sum(expr("c * wb")).as("score"))
+      .agg(count(lit(1)).as("n_features"), sum(col("wb")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(25)
   }
