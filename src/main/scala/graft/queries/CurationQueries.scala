@@ -562,7 +562,9 @@ object CurationQueries {
     * the report rides the dedupe pass it audits; nothing new shuffles
     * at corpus scale. */
   def p03DedupImpact(s: SparkSession, d: String): DataFrame = {
-    val assigned = LlmQueries.d05DupClusters(s, d)
+    // round 12: reads the shared d05 cluster-assignment artifact (pre-
+    // sort) — the report rides the dedupe pass it audits, literally
+    val assigned = LlmQueries.d05Assigned(s, d)
       .select(col("doc_id"), (col("is_canonical") === 1).as("keep"))
     val tok = documents(s, d).select(col("doc_id"), col("source"),
       graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))

@@ -38,10 +38,38 @@ object LlmQueries {
     * expensive array_intersect scan, so an unmaterialized sort pays it
     * twice (measured 5.6 s vs 3.0 s unsorted at sf0.1). */
   def d03NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedupe.ngramJaccardPairs(documents(s, d), col("doc_id"), col("text"),
-      col("source"), minJaccard = 0.8)
-      .localCheckpoint(false)
-      .orderBy(col("id_a"), col("id_b"))
+    jaccardPairs08(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** Round-12: the 0.8-Jaccard pair table is ONE persisted artifact —
+    * d16's scaladoc already states the posture ("a dedupe pass at 100 TB
+    * runs both off ONE tokenization"); d03 (the pair report), d05 and d10
+    * (both cluster passes) and p03 (the impact report, via d05) all read
+    * the same materialization instead of re-running the shingle join.
+    * Memoized per (application, sf dir), eager checkpoint — the
+    * kmFit/doubledEdgesFused lifecycle. d25 deliberately does NOT share
+    * it: its point is that a different algorithm (prefix filtering)
+    * reaches the identical pair set. */
+  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), DataFrame]
+  private def cachedFrame(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    artifactCache.computeIfAbsent((s.sparkContext.applicationId, d, tag),
+      _ => build)
+
+  private[queries] def jaccardPairs08(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "jp08") {
+      graft.core.Materialize.checkpointRetainingPartitioning(
+        Dedupe.ngramJaccardPairs(documents(s, d), col("doc_id"), col("text"),
+          col("source"), minJaccard = 0.8))
+    }
+
+  /** The d05 cluster assignment (pre-sort) as a shared artifact — p03's
+    * impact report composes exactly this frame. */
+  private[queries] def d05Assigned(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "d05a") {
+      graft.core.Materialize.checkpointRetainingPartitioning(
+        dupClustersAssigned(ConnectedComponents.run(_))(s, d))
+    }
 
   /** D29 — INCREMENTAL DEDUPE: today's batch against the historical
     * corpus (the daily-crawl reality every corpus-wide d-family query
@@ -144,7 +172,7 @@ object LlmQueries {
     * cluster size and a canonical-representative flag. This is the full
     * dedup story: pairs → clusters → keep one doc per cluster. */
   def d05DupClusters(s: SparkSession, d: String): DataFrame =
-    dupClustersVia(ConnectedComponents.run(_))(s, d)
+    d05Assigned(s, d).orderBy(col("doc_id"))
 
   /** D10 — the same duplicate clusters through the O(log n)-round
     * large-star/small-star components ([[ConnectedComponents.runStar]]);
@@ -154,11 +182,13 @@ object LlmQueries {
     dupClustersVia(ConnectedComponents.runStar(_))(s, d)
 
   private def dupClustersVia(cc: DataFrame => DataFrame)(
+      s: SparkSession, d: String): DataFrame =
+    dupClustersAssigned(cc)(s, d).orderBy(col("doc_id"))
+
+  private def dupClustersAssigned(cc: DataFrame => DataFrame)(
       s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = Dedupe.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-      col("source"), minJaccard = 0.8)
-      .select(col("id_a"), col("id_b"))
+    val pairs = jaccardPairs08(s, d).select(col("id_a"), col("id_b"))
     val comp = cc(pairs)
     val assigned = docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -168,7 +198,6 @@ object LlmQueries {
     assigned.join(sizes, "cluster")
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).cast("int").as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 
   /** Cross-corpus line dedupe profile: per document, how many non-empty
