@@ -334,13 +334,27 @@ object Similarity {
     * Returns (qid, id, score, rank) with EXACT cosine scores (the rerank
     * is exact over the visited candidate set — only WHICH candidates were
     * visited is approximate). */
-  def graphSearchTopK(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 2,
-      m: Int = 6, beamWidth: Int = 3): DataFrame = {
-    val base = corpus.select(id.as("id"), vec.as("v"))
-    def tables(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(v, dim, nPlanes, seed = 42L + t).as("bucket"))
-    }: _*)
+  /** BUILD: the deterministic k-NN graph index + the corpus bucket table
+    * — the persisted HNSW-family artifact (a graph index is built at
+    * add() time and only WALKED per query). Memoized per (application,
+    * corpus plan, params) with eager checkpoints, the
+    * kmFit/pqDecodedCorpus lifecycle. Returns (edges(src, dst),
+    * buckets(tbl, bucket, id)). */
+  private val graphIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]
+
+  def graphAnnIndex(corpus: DataFrame, id: Column, vec: Column,
+      dim: Int, nPlanes: Int, nTables: Int, m: Int): (DataFrame, DataFrame) = {
+    val key = Seq(corpus.sparkSession.sparkContext.applicationId,
+      corpus.queryExecution.analyzed.semanticHash(),
+      id.toString, vec.toString, dim, nPlanes, nTables, m).mkString("#")
+    graphIdxCache.computeIfAbsent(key, _ =>
+      buildGraphAnnIndex(corpus, id, vec, dim, nPlanes, nTables, m))
+  }
+
+  private def buildGraphAnnIndex(corpus: DataFrame, id: Column, vec: Column,
+      dim: Int, nPlanes: Int, nTables: Int, m: Int): (DataFrame, DataFrame) = {
+    def tables(v: Column): Column = lshTables(v, dim, nPlanes, nTables)
     // 64-bit sign fingerprint (seed 41, disjoint from the bucket seeds):
     // computed once per vector, 8 bytes through the pair join. Same
     // literal-planes HOF loop as lshBucket (round 10): identical bits —
@@ -387,6 +401,21 @@ object Similarity {
       knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       "src")
+    // the corpus bucket table (entry-point probes) is part of the index
+    // artifact too — fp/v pruned, one narrow build job
+    val buckets = graft.core.Materialize.checkpointRetainingPartitioning(
+      corpus.select(id.as("id"), explode(tables(vec)).as("tb"))
+        .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+          col("id")))
+    (edges, buckets)
+  }
+
+  def graphSearchTopK(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 2,
+      m: Int = 6, beamWidth: Int = 3): DataFrame = {
+    val base = corpus.select(id.as("id"), vec.as("v"))
+    val (edges, bucketTable) =
+      graphAnnIndex(corpus, id, vec, dim, nPlanes, nTables, m)
     val qs = queries.select(col("qid"), col("qv"))
     // entry points: MULTI-PROBE — the query's own bucket in every table
     // plus every Hamming-1 neighbor bucket (one sign flipped). A near
@@ -414,7 +443,7 @@ object Similarity {
         (col("b0") +: (1 to nPlanes).map(f => flip(col("b0"), f))): _*)).as("bucket"))
       .distinct()
     val entries = broadcast(qb)
-      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("cid")),
+      .join(bucketTable.select(col("tbl"), col("bucket"), col("id").as("cid")),
         Seq("tbl", "bucket"))
       .select(col("qid"), col("cid")).distinct()
     // candidate/beam frames are ≤ queries×visited rows — broadcast them so
