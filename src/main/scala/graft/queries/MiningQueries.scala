@@ -399,11 +399,12 @@ object MiningQueries {
   def g05Kcore(s: SparkSession, d: String): DataFrame = {
     val k = 3
     // doubledEdges(coPurchaseEdges), not doubledEdgesFused: measured
-    // in-session (round 10) 3.73 vs 4.08 s. The peel rounds re-cluster on
-    // BOTH u and v every round, so the fused build's single-exchange
-    // dedupe buys g05 nothing downstream, and deduping the un-doubled
-    // half (distinct before explode) is the cheaper shuffle here.
-    // (g04/g06/g08, whose rounds stay on ONE key, keep the fused builder.)
+    // in-session (round 10) 3.73 vs 4.08 s, RE-MEASURED round 12 after
+    // the fused frame became the free memoized artifact — still no win
+    // (2.44-2.48 vs 2.38-2.41 min-of-2): the peel rounds re-cluster on
+    // BOTH u and v every round, so which builder seeds them is noise;
+    // the per-query doubledEdges ckpt now reads the memoized und frame
+    // anyway. (g04/g06/g08, whose rounds stay on ONE key, use fused.)
     var e = doubledEdges(coPurchaseEdges(s, d), "u")
     for (_ <- 1 to 3) {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
