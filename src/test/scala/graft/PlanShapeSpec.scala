@@ -67,6 +67,24 @@ class PlanShapeSpec extends SparkSpec {
       s"LSH bucket key missing from the candidate join:\n${p.take(3000)}")
   }
 
+  test("round-12 artifacts: s16/s17/d03/d05 read session-persisted builds, not rebuilt lineage") {
+    // the build-once/read-many contract: after the artifact exists (first
+    // invocation builds it), the query's own plan is rooted at the
+    // checkpointed scan — no Lloyd rounds / shingle joins re-planned
+    def p(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.queryExecution.executedPlan.toString
+    }
+    Seq("s16_kmeans_refine", "s17_d4_prune", "d03_ngram_jaccard",
+      "d05_dup_clusters").foreach { name =>
+      val plan = p(name)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name no longer reads its persisted artifact:\n${plan.take(2000)}")
+      assert(!plan.contains("posexplode") && !plan.contains("Generate"),
+        s"$name re-plans its build stage:\n${plan.take(2000)}")
+    }
+  }
+
   test("d29: the exact history check is a semi-join; verification never a product join") {
     val p = plan("d29_incremental_dedupe")
     assert(p.contains("LeftSemi"),
