@@ -103,6 +103,24 @@ class AdversarialInputSpec extends SparkSpec {
     }
   }
 
+  test("d29: every batch row receives a verdict — null text included (round-12 fix)") {
+    // the r11 advisory scenario: a null-text batch row used to get a null
+    // thash and vanish from n_batch through the firstInBatch inner join;
+    // now text coalesces to '' before hashing, so the four classes
+    // partition EVERY batch row of the adversarial corpus
+    val out = SparkEntry.queries("d29_incremental_dedupe")(spark, dir).collect()
+    val nBatch = out.map(_.getAs[Long]("n_batch")).sum
+    val classed = out.map(r => r.getAs[Long]("n_exact_hist") +
+      r.getAs[Long]("n_near_hist") + r.getAs[Long]("n_dup_in_batch") +
+      r.getAs[Long]("n_net_new")).sum
+    val batchRows = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
+      .count()
+    assert(nBatch == batchRows,
+      s"batch rows dropped from the report: n_batch=$nBatch, corpus=$batchRows")
+    assert(classed == nBatch, "the four classes do not partition the batch")
+  }
+
   test("chunkers cover the 20k-char single line completely") {
     val rows = SparkEntry.queries("q21_chunk_fixed")(spark, dir)
       .filter(col("doc_id") === 5L).collect()
