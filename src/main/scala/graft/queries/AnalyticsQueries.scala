@@ -25,6 +25,12 @@ object AnalyticsQueries {
     * subtotal-nulls (first grouping column = most significant bit — the
     * SQL-standard convention DuckDB shares). */
   def q27Cube(s: SparkSession, d: String): DataFrame =
+    // Round-12 measured rejection: pre-aggregating to (rf, ls, orderkey)
+    // before the cube (smaller Expand input) was 1.93-2.28 s vs this
+    // shape's 1.56-1.78 min-of-2 at sf0.1 — the extra triple-keyed
+    // exchange costs more than the Expand rows it saves (the distinct
+    // triple is ~comparable to lineitem here). Single Expand + two-phase
+    // distinct agg kept.
     lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
