@@ -468,6 +468,27 @@ object MiningQueries {
     graphCache.computeIfAbsent((s.sparkContext.applicationId, d, tag),
       _ => build)
 
+  /** The per-document DISTINCT word-trigram shingle table (doc_id,
+    * gs array<string>) — the ONE tokenization the dedupe/decontamination
+    * family reads (d16's posture), memoized per (application, sf dir)
+    * with a doc_id-clustered eager checkpoint. Shared by t24 (Bloom-
+    * tiered decontamination), t13 (exact decontamination) and d09 (the
+    * sketch-accuracy audit): per-doc array_distinct + explode equals the
+    * old per-consumer explode + global distinct because doc_id is part
+    * of the pair key. Tokenizer identical to d03's (lower, trim,
+    * whitespace split, empty tokens filtered). */
+  private[queries] def docShingles(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "docsh3") {
+      graft.core.Materialize.partitionedCheckpoint(
+        documents(s, d).select(col("doc_id"),
+          expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(ws) >= 3
+            |  THEN array_distinct(transform(sequence(0, size(ws) - 3),
+            |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+            |  ELSE array() END""".stripMargin).as("gs")), "doc_id")
+    }
+
   private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "und") {
       graft.core.Materialize.checkpointRetainingPartitioning(
@@ -570,14 +591,7 @@ object MiningQueries {
     // dedupe data that never left its row; now the dedupe is narrow, the
     // checkpoint materializes per-doc ARRAYS with zero exchanges, and
     // n_shingles falls out as size(gs) instead of a count aggregate.
-    val docSh = graft.core.Materialize.partitionedCheckpoint(
-      documents(s, d).select(col("doc_id"),
-        expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(ws) >= 3
-          |  THEN array_distinct(transform(sequence(0, size(ws) - 3),
-          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
-          |  ELSE array() END""".stripMargin).as("gs")), "doc_id")
+    val docSh = docShingles(s, d)
       // doc_id-clustered partitioning-retaining ckpt: the probe filter and
       // explode are narrow, so the per-doc candidate aggregate and both
       // final joins inherit the clustering and insert no exchange
@@ -660,14 +674,12 @@ object MiningQueries {
     * decontamination shape. Tokenizer identical to d03's (lower, trim,
     * whitespace split). */
   def t13Contamination(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(col("doc_id"),
-      expr("""filter(split(trim(lower(text)), '\\s+'), w -> length(w) > 0)""").as("ws"))
-    val sh = toks.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ws) >= 3
-          |  THEN transform(sequence(0, size(ws) - 3),
-          |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-          |  ELSE array() END""".stripMargin)).as("g"))
-      .distinct()
+    // round 12: reads the shared per-doc distinct-shingle artifact
+    // ([[docShingles]] — same tokenizer, same 3-gram window; the per-doc
+    // array_distinct + explode IS the old explode + global distinct,
+    // since doc_id is part of the key)
+    val sh = docShingles(s, d)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
     val evalSet = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val train = sh.filter(col("doc_id") % 97 =!= 0)
     val ov = train.join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("g"), "left")
@@ -848,10 +860,13 @@ object MiningQueries {
     val docs = documents(s, d)
     val cands = Dedupe.minhashLshPairs(docs, col("doc_id"), col("text"),
       minAgree = 0.0)
-    val sh = docs.select(col("doc_id"),
-      explode(Dedupe.shingles(col("text"), 3)).as("g")).distinct()
-      .localCheckpoint(false) // both join sides below re-read it
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // round 12: the shared docShingles artifact (identical (doc, g) set —
+    // Dedupe.shingles' un-filtered tokenizer only differs on texts with
+    // < 3 words, where both produce the empty array); sizes are a narrow
+    // projection of the per-doc arrays, no aggregate
+    val sh = docShingles(s, d).select(col("doc_id"), explode(col("gs")).as("g"))
+    val sizes = docShingles(s, d)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     val inter = cands.select(col("id_a"), col("id_b"))
       .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
