@@ -43,6 +43,26 @@ object Triangles {
     * and this operator's own lineage checkpoint (the caller's blocks
     * already serve the multi-consumer reads). The contract is the
     * caller's to honor; the default stays safe. */
+  /** Round-12: the degree table and the per-edge closer sets are the
+    * triangle census's derived artifacts — g01 (global stats) and g02
+    * (per-vertex coefficients) both read them, and re-running the
+    * orientation + wedge-intersection join per query was the d05/p03
+    * situation again. Memoized per (application, edges plan,
+    * assumeNormalized) with eager partitioning-retaining checkpoints. */
+  private val coreCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]
+  private def coreShared(edges: DataFrame,
+      assumeNormalized: Boolean): (DataFrame, DataFrame) = {
+    val key = Seq(edges.sparkSession.sparkContext.applicationId,
+      edges.queryExecution.analyzed.semanticHash(), assumeNormalized)
+      .mkString("#")
+    coreCache.computeIfAbsent(key, _ => {
+      val (_, deg, closers) = core(edges, assumeNormalized)
+      (graft.core.Materialize.checkpointRetainingPartitioning(deg),
+        graft.core.Materialize.checkpointRetainingPartitioning(closers))
+    })
+  }
+
   private def core(edges: DataFrame, assumeNormalized: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val Seq(c0, c1) = edges.columns.toSeq.take(2)
     // normalize: undirected (u < v), no self-loops, no duplicate edges;
@@ -97,7 +117,7 @@ object Triangles {
     * so the stats side adds a single 1-row aggregate to the triangle
     * pipeline instead of two extra corpus passes. */
   def stats(edges: DataFrame, assumeNormalized: Boolean = false): DataFrame = {
-    val (_, deg, closers) = core(edges, assumeNormalized)
+    val (deg, closers) = coreShared(edges, assumeNormalized)
     val graphStats = deg.agg(count(lit(1)).as("n_vertices"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"))
     val nTris = closers
@@ -113,7 +133,7 @@ object Triangles {
     * over the (already bounded) closer sets, exact integers until the
     * single final division. */
   def perVertex(edges: DataFrame, assumeNormalized: Boolean = false): DataFrame = {
-    val (_, deg, closers) = core(edges, assumeNormalized)
+    val (deg, closers) = coreShared(edges, assumeNormalized)
     // ONE generate pass per closer row (a 3-way union would re-execute the
     // whole closer pipeline once per branch): the edge endpoints get |W|
     // each, every closing vertex gets 1
