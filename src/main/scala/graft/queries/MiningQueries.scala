@@ -129,7 +129,16 @@ object MiningQueries {
     * ordering they immediately destroy. Semantics are g06's exactly — the
     * shared [[lpaCtes]] oracle chain keeps the two declared queries
     * provably in sync. */
-  private[queries] def lpaAssign(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lpaAssign(s: SparkSession, d: String): DataFrame =
+    // round 12: the 3-round assignment is the community artifact g06
+    // (the assignment report) and g10 (the modularity audit) both read —
+    // memoized like d05Assigned/p03, the same shared-CTE pairing
+    cachedFrame(s, d, "lpa3") {
+      graft.core.Materialize.checkpointRetainingPartitioning(
+        lpaAssignBuild(s, d))
+    }
+
+  private def lpaAssignBuild(s: SparkSession, d: String): DataFrame = {
     // partitioned on v — the per-round join key (e.v = lab.vertex); the
     // fused builder dedupes and clusters in the same shuffle (round 10)
     val e = doubledEdgesFused(s, d, "v")
