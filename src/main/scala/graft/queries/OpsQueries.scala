@@ -455,13 +455,14 @@ object OpsQueries {
     * bounded by Σ df² over shingle selectivity, never n² in docs. Truth
     * set for d27's band sweep and the pair source for d28's cross-source
     * overlap matrix. */
-  private def shingleJaccardTruth(docs: DataFrame): DataFrame = {
-    import graft.operators.Dedupe
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(
-        Dedupe.shingles(col("text"), 3))).as("sh"))
-      .localCheckpoint(false) // sizes + self-join
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+  private def shingleJaccardTruth(s: SparkSession, d: String): DataFrame = {
+    // round 12: reads the shared per-doc distinct-shingle artifact
+    // (MiningQueries.docShingles — identical (doc, sh) set, see d09's
+    // equivalence note); sizes become a narrow array-size projection
+    val tok = graft.queries.MiningQueries.docShingles(s, d)
+      .select(col("doc_id"), explode(col("gs")).as("sh"))
+    val sizes = graft.queries.MiningQueries.docShingles(s, d)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     tok.select(col("doc_id").as("id_a"), col("sh"))
       .join(tok.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -476,7 +477,7 @@ object OpsQueries {
     import graft.operators.Dedupe
     val docs = documents(s, d)
     val sig = Dedupe.minhashSignatures(docs, col("doc_id"), col("text"))
-    val truth = shingleJaccardTruth(docs)
+    val truth = shingleJaccardTruth(s, d)
       .localCheckpoint(false) // joined against each config
     val nTruthDf = truth.agg(count(lit(1)).as("n_truth")) // 1-row broadcast
     val configs = Seq(8, 4, 2)
@@ -623,7 +624,7 @@ object OpsQueries {
     // consumers (two pair-side joins + the per-source denominator) —
     // without it the table is re-scanned per consumer
     val src = docs.select(col("doc_id"), col("source")).localCheckpoint(false)
-    val pairs = shingleJaccardTruth(docs)
+    val pairs = shingleJaccardTruth(s, d)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
       .selectExpr("least(src_a, src_b) AS source_a",
