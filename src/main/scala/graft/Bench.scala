@@ -69,10 +69,32 @@ object Bench {
     }
     var spark = buildSession(compress = false, tmpfs = true)
 
+    // The recorded measurement conditions come from the LIVE session conf
+    // (not re-derived defaults): env overrides like SPARK_GRAFT_LOCAL_DIR
+    // are honored by buildSession, and an audit field that can disagree
+    // with the session it describes is worse than none.
+    def liveConfJson(sess: SparkSession): String = {
+      def g(k: String) = sess.conf.get(k, "unset")
+      s"""{"master":"${sess.sparkContext.master}",""" +
+        s""""shuffle_partitions":${g("spark.sql.shuffle.partitions")},""" +
+        s""""shuffle_compress":${g("spark.shuffle.compress")},""" +
+        s""""local_dir":"${sess.sparkContext.getConf.get("spark.local.dir", "unset")}",""" +
+        s""""aqe":${g("spark.sql.adaptive.enabled")}}"""
+    }
+    val configIsolated = liveConfJson(spark)
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warm-up: JIT, codegen cache, parquet footers.
+    // Warm-up: JIT, codegen cache, parquet footers — and every memoized
+    // build artifact (signature tables, kmFit, graph/PQ indexes) gets
+    // built HERE, before the clock starts. That is the intended
+    // production posture (build once, amortize across the session), but
+    // it means the per-query isolated numbers are MARGINAL costs; the
+    // build side of the ledger is captured by ArtifactRegistry and
+    // published below as artifact:<tag> line items so the amortization
+    // is auditable instead of invisible (round-12 verdict, item 1).
+    graft.core.ArtifactRegistry.resetTimings()
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
@@ -96,6 +118,12 @@ object Bench {
       name -> sec
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Build-cost snapshot for the isolated session: everything the warm-up
+    // (or a first timed run) paid to materialize memoized artifacts. Self
+    // time per tag — nested builds are not double-counted.
+    val artifactBuilds = graft.core.ArtifactRegistry.buildSeconds
+    val buildTotal = artifactBuilds.values.sum
+    graft.core.ArtifactRegistry.resetTimings() // concurrent session re-pays its own
 
     // ---- DuckDB-oracle denominator (round-10 judge task) --------------
     // tools/time_oracle.py writes ORACLE_TIMES.json (min-of-2 DuckDB
@@ -129,6 +157,14 @@ object Bench {
     val ratioAgg = ratio(both)
     val heavy = both.filter(oracleTimes(_) >= 0.5)
     val ratioHeavy = ratio(heavy)
+    // The with-builds ratio charges every artifact build to the numerator:
+    // (Σ isolated + Σ builds) / Σ oracle. The DuckDB denominator pays full
+    // recompute per query, so THIS is the apples-to-apples aggregate; the
+    // 2× contract must hold on it too.
+    val oracleSumBoth = both.map(oracleTimes).sum
+    val ratioAggWithBuilds =
+      if (both.isEmpty || oracleSumBoth <= 0) -1.0
+      else (both.map(sparkByName).sum + buildTotal) / oracleSumBoth
 
     // Concurrent suite pass: all queries submitted to a fixed pool on the
     // shared session; FAIR scheduling interleaves their jobs so scheduling
@@ -161,6 +197,7 @@ object Bench {
     // codegen caches are JVM-wide and survive, so the walls stay warm
     try spark.stop() catch { case _: Throwable => () }
     spark = buildSession(compress = true, tmpfs = false)
+    val configConcurrent = liveConfJson(spark)
     val passes = Seq(suiteWallOnce(), suiteWallOnce())
     val clean = passes.filter(_._2 == 0).map(_._1)
     // -1 sentinel (like the isolated pass) when no pass completed cleanly
@@ -195,24 +232,24 @@ object Bench {
         s""""oracle_sec":${fmt3(both.map(oracleTimes).sum)},""" +
         s""""oracle_heavy_sec":${fmt3(heavy.map(oracleTimes).sum)},""" +
         s""""spark_heavy_sec":${fmt3(heavy.map(sparkByName).sum)}"""
-    // Per-mode session config, recorded so the published ratio's
-    // measurement conditions are auditable from the artifact alone (the
+    // Per-mode session config, recorded from the LIVE sessions (the
     // DuckDB denominator is measured once under tools/time_oracle.py's
     // fixed config; the two Spark passes deliberately differ — see the
     // config note at the top).
-    def modeJson(compress: Boolean, tmpfs: Boolean): String = {
-      val localDir =
-        if (tmpfs && new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
-        else System.getProperty("java.io.tmpdir")
-      s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
-        s""""shuffle_compress":${sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", compress.toString)},""" +
-        s""""local_dir":"$localDir","aqe":true}"""
-    }
     val configFields =
-      s""""config_isolated":${modeJson(compress = false, tmpfs = true)},""" +
-        s""""config_concurrent":${modeJson(compress = true, tmpfs = false)}"""
+      s""""config_isolated":$configIsolated,"config_concurrent":$configConcurrent"""
+    // artifact:<tag> line items — the build side of the memoization
+    // ledger. `build_total_sec` is what the isolated session paid during
+    // warm-up to materialize every shared artifact; the with-builds ratio
+    // adds it to the aggregate numerator.
+    val buildsJson = artifactBuilds.toSeq.sortBy(-_._2)
+      .map { case (t, v) => "\"artifact:" + t + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val buildFields =
+      s""""artifact_builds":$buildsJson,"build_total_sec":${fmt3(buildTotal)},""" +
+        s""""ratio_aggregate_with_builds":${fmt3(ratioAggWithBuilds)}"""
     val detailJson =
-      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$configFields,"sf":"$sfDir","queries":$detail}"""
+      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")
     // Sidecar with FULL per-query precision: the stdout line keeps only the
     // slowest queries (the 2000-char recording window), so the durable
@@ -228,7 +265,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = results.size - keep.size
       val omitField = if (omit > 0) s""","omitted":$omit""" else ""
-      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_with_builds":${fmt3(ratioAggWithBuilds)},"build_total_sec":${fmt(buildTotal)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
     }
     // the line carries the slowest 20 (what a bench reader needs at a
     // glance — per-query floors and outliers); the sidecar has everything

@@ -1,0 +1,91 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Session-scoped memoization of build artifacts (persisted signature
+  * tables, fitted clusterings, graph edge materializations, PQ codes …)
+  * with per-build wall-clock accounting.
+  *
+  * Replaces the per-file `ConcurrentHashMap.computeIfAbsent` caches of
+  * rounds 11-12, for two reasons:
+  *
+  * 1. **The CHM contract.** Several builds depend on other cached
+  *    artifacts (d05's clusters read the 0.8-Jaccard pair table, LPA
+  *    reads the doubled-edge frame, the sketch register table reads the
+  *    month-key base). `computeIfAbsent`'s mapping function must not
+  *    update the same map — a nested absent key hashing into the outer
+  *    key's bin throws IllegalStateException("Recursive update"). The
+  *    old code only avoided this because each dependency pair happened
+  *    to live in different maps or bins; with per-run applicationId in
+  *    every key, bin placement is luck. Here the pattern is
+  *    get → per-key lock → re-check → build: the store itself is only
+  *    touched by plain get/put, so a build may freely request other
+  *    artifacts (dependencies are acyclic — jp08→d05a, und→lpa3,
+  *    mkbase→mkregs — so the per-key locks cannot deadlock).
+  *
+  * 2. **Auditable amortization.** "First query in a session pays the
+  *    build" is the production posture, but a benchmark that warms up
+  *    on the same session hides every build from every measured number
+  *    (round-12 verdict, item 1). Each build's wall-clock is recorded
+  *    per tag — SELF time only: a parent build's number excludes time
+  *    spent inside nested `cached` builds, so the per-tag seconds sum
+  *    to total build cost without double counting. [[graft.Bench]]
+  *    snapshots [[buildSeconds]] after the isolated pass and publishes
+  *    `artifact:<tag>` line items, `build_total_sec`, and
+  *    `ratio_aggregate_with_builds` in BENCH_DETAIL.
+  */
+object ArtifactRegistry {
+
+  private val store = new ConcurrentHashMap[Any, AnyRef]()
+  private val locks = new ConcurrentHashMap[Any, AnyRef]()
+  // tag -> accumulated self-seconds across builds (appId lives in the
+  // store key, not here: Bench resets timings at session start, so the
+  // snapshot it reads is exactly the builds its own session paid for)
+  private val buildSelf = new ConcurrentHashMap[String, java.lang.Double]()
+  // per-thread stack of child-time accumulators for nested builds
+  private val childTime = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+  }
+
+  /** Memoized `build` under `key`; `tag` names the artifact in the bench
+    * accounting (stable across runs — no appId/dir in the tag). */
+  def cached[V <: AnyRef](key: Any, tag: String)(build: => V): V = {
+    val k = (tag, key)
+    val hit = store.get(k)
+    if (hit != null) hit.asInstanceOf[V]
+    else {
+      val lock = locks.computeIfAbsent(k, _ => new Object)
+      lock.synchronized {
+        val again = store.get(k)
+        if (again != null) again.asInstanceOf[V]
+        else {
+          val stack = childTime.get()
+          stack.push(Array(0.0))
+          val t0 = System.nanoTime()
+          val v =
+            try build
+            finally {
+              val elapsed = (System.nanoTime() - t0) / 1e9
+              val nested = stack.pop()(0)
+              buildSelf.merge(tag, Double.box(math.max(0.0, elapsed - nested)),
+                (a, b) => Double.box(a + b))
+              val parent = stack.peek()
+              if (parent != null) parent(0) += elapsed
+            }
+          store.put(k, v)
+          v
+        }
+      }
+    }
+  }
+
+  /** Per-tag build self-seconds accumulated since the last
+    * [[resetTimings]] (artifacts themselves stay cached). */
+  def buildSeconds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildSelf.forEach((k, v) => b += (k -> v.doubleValue()))
+    b.result()
+  }
+
+  def resetTimings(): Unit = buildSelf.clear()
+}

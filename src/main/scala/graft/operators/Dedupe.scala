@@ -36,10 +36,16 @@ object Dedupe {
   def words(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** `n`-gram word shingles of a text column (space-joined). Empty array when
-    * the text has fewer than `n` words.
+    * the text has fewer than `n` words. Empty tokens are dropped before
+    * shingling (round 13): `trim` strips only spaces, so a tab/newline-
+    * prefixed text would otherwise contribute a leading "" token and
+    * produce shingles the filtered docShingles tokenization does not —
+    * with the filter the two tokenizations are identical by construction,
+    * not just on fixtures without such texts. Oracle SQL that replicates
+    * this shingle construction applies the same list_filter.
     */
   def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+    val ws = filter(words(text), w => length(w) > lit(0))
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - lit(n)),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
@@ -110,7 +116,7 @@ object Dedupe {
     val key = Seq(df.sparkSession.sparkContext.applicationId,
       df.queryExecution.analyzed.semanticHash(),
       id.toString, text.toString, shingleN, k).mkString("#")
-    sigCache.computeIfAbsent(key, _ => {
+    graft.core.ArtifactRegistry.cached(key, "minhash_sig") {
       val fam = hashFamily(k)
       val exploded = df
         .select(id.as("id"), explode(shingles(text, shingleN)).as("sh"))
@@ -123,11 +129,8 @@ object Dedupe {
           .agg(laneMins.head, laneMins.tail: _*)
           .select(col("id"),
             array((0 until k).map(i => col(s"__m$i")): _*).as("sig")))
-    })
+    }
   }
-
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
   /** LSH banding of a signature frame: (id, sig, band_idx, band_key) with
     * k/bands rows per band key. */

@@ -340,15 +340,12 @@ object Similarity {
     * corpus plan, params) with eager checkpoints, the
     * kmFit/pqDecodedCorpus lifecycle. Returns (edges(src, dst),
     * buckets(tbl, bucket, id)). */
-  private val graphIdxCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame)]
-
   def graphAnnIndex(corpus: DataFrame, id: Column, vec: Column,
       dim: Int, nPlanes: Int, nTables: Int, m: Int): (DataFrame, DataFrame) = {
     val key = Seq(corpus.sparkSession.sparkContext.applicationId,
       corpus.queryExecution.analyzed.semanticHash(),
       id.toString, vec.toString, dim, nPlanes, nTables, m).mkString("#")
-    graphIdxCache.computeIfAbsent(key, _ =>
+    graft.core.ArtifactRegistry.cached(key, "graph_ann_index")(
       buildGraphAnnIndex(corpus, id, vec, dim, nPlanes, nTables, m))
   }
 
@@ -527,9 +524,6 @@ object Similarity {
     * checkpoint — the kmFit/doubledEdgesFused lifecycle — so s05 and s08
     * (which share the same codebook and corpus) read ONE encode instead
     * of each re-running the subspace argmin per query. */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    String, DataFrame]
-
   def pqDecodedCorpus(corpus: DataFrame, id: Column, vec: Column,
       codebook: DataFrame, m: Int): DataFrame = {
     val key = Seq(
@@ -537,7 +531,7 @@ object Similarity {
       corpus.queryExecution.analyzed.semanticHash(),
       codebook.queryExecution.analyzed.semanticHash(),
       id.toString, vec.toString, m).mkString("#")
-    pqCache.computeIfAbsent(key, _ => {
+    graft.core.ArtifactRegistry.cached(key, "pq_codes") {
       val base = corpus.select(id.as("id"), vec.as("v"))
       val cb = codebook
         .withColumn("j", explode(expr(s"sequence(0, ${m - 1})")))
@@ -560,7 +554,7 @@ object Similarity {
           .agg(collect_list(struct(col("j"), col("cs"))).as("parts"))
           .select(col("id"),
             expr("flatten(transform(array_sort(parts), x -> x.cs))").as("dv")))
-    })
+    }
   }
 
   def pqTopKByCosine(corpus: DataFrame, id: Column, vec: Column,

@@ -49,18 +49,16 @@ object Triangles {
     * orientation + wedge-intersection join per query was the d05/p03
     * situation again. Memoized per (application, edges plan,
     * assumeNormalized) with eager partitioning-retaining checkpoints. */
-  private val coreCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame)]
   private def coreShared(edges: DataFrame,
       assumeNormalized: Boolean): (DataFrame, DataFrame) = {
     val key = Seq(edges.sparkSession.sparkContext.applicationId,
       edges.queryExecution.analyzed.semanticHash(), assumeNormalized)
       .mkString("#")
-    coreCache.computeIfAbsent(key, _ => {
+    graft.core.ArtifactRegistry.cached(key, "triangle_core") {
       val (_, deg, closers) = core(edges, assumeNormalized)
       (graft.core.Materialize.checkpointRetainingPartitioning(deg),
         graft.core.Materialize.checkpointRetainingPartitioning(closers))
-    })
+    }
   }
 
   private def core(edges: DataFrame, assumeNormalized: Boolean): (DataFrame, DataFrame, DataFrame) = {

@@ -49,12 +49,10 @@ object LlmQueries {
     * kmFit/doubledEdgesFused lifecycle. d25 deliberately does NOT share
     * it: its point is that a different algorithm (prefix filtering)
     * reaches the identical pair set. */
-  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), DataFrame]
   private def cachedFrame(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
-    artifactCache.computeIfAbsent((s.sparkContext.applicationId, d, tag),
-      _ => build)
+    graft.core.ArtifactRegistry.cached(
+      (s.sparkContext.applicationId, d), tag)(build)
 
   private[queries] def jaccardPairs08(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "jp08") {
@@ -1122,7 +1120,8 @@ object LlmQueries {
       s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
     s"""w0 AS (
-          SELECT doc_id, $wordsSql AS w FROM documents
+          SELECT doc_id, list_filter($wordsSql, x -> length(x) > 0) AS w
+          FROM documents
         ), hh AS (
           SELECT doc_id, $base AS h FROM (SELECT doc_id, w FROM w0 WHERE len(w) >= 3) t
         ), sig AS (

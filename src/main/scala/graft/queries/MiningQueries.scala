@@ -470,12 +470,10 @@ object MiningQueries {
     * the edge table once (the reference's own Dagster design persists
     * every asset) and each analysis query reads it, instead of each query
     * re-running the fact-table self-join + distinct. */
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), DataFrame]
   private def cachedFrame(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
-    graphCache.computeIfAbsent((s.sparkContext.applicationId, d, tag),
-      _ => build)
+    graft.core.ArtifactRegistry.cached(
+      (s.sparkContext.applicationId, d), tag)(build)
 
   /** The per-document DISTINCT word-trigram shingle table (doc_id,
     * gs array<string>) — the ONE tokenization the dedupe/decontamination
@@ -840,17 +838,23 @@ object MiningQueries {
     // shuffle ONCE at write time, then every subsequent join on the
     // bucket key is co-located"); re-writing them per invocation timed
     // the build, not the co-located join the layout buys
+    // table names embed the sf-dir hash: the memo key is (application,
+    // dir) but the catalog is session-global — fixed names would let a
+    // second sf dir overwrite the tables while the first dir's cache
+    // entry still vouches for them, silently joining the wrong data
+    val dirTag = f"${d.hashCode & 0x7fffffff}%x"
+    val (liTbl, oTbl) = (s"graft_b_lineitem_$dirTag", s"graft_b_orders_$dirTag")
     cachedFrame(s, d, "q43_buckets") {
       Sinks.writeBucketed(
         lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
-        "graft_b_lineitem", "l_orderkey", nBuckets = 8, sortCol = Some("l_orderkey"))
+        liTbl, "l_orderkey", nBuckets = 8, sortCol = Some("l_orderkey"))
       Sinks.writeBucketed(
         orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_b_orders", "o_orderkey", nBuckets = 8, sortCol = Some("o_orderkey"))
-      s.table("graft_b_lineitem") // any frame; the cache records the writes
+        oTbl, "o_orderkey", nBuckets = 8, sortCol = Some("o_orderkey"))
+      s.table(liTbl) // any frame; the cache records the writes
     }
-    val li = s.table("graft_b_lineitem")
-    val o = s.table("graft_b_orders")
+    val li = s.table(liTbl)
+    val o = s.table(oTbl)
     li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
@@ -869,10 +873,12 @@ object MiningQueries {
     val docs = documents(s, d)
     val cands = Dedupe.minhashLshPairs(docs, col("doc_id"), col("text"),
       minAgree = 0.0)
-    // round 12: the shared docShingles artifact (identical (doc, g) set —
-    // Dedupe.shingles' un-filtered tokenizer only differs on texts with
-    // < 3 words, where both produce the empty array); sizes are a narrow
-    // projection of the per-doc arrays, no aggregate
+    // round 12: the shared docShingles artifact; round 13: the (doc, g)
+    // set is identical BY CONSTRUCTION now that Dedupe.shingles filters
+    // empty tokens like docShingles does (r12's equivalence argument held
+    // only on fixtures without tab/newline-prefixed texts — pinned by
+    // DedupeSpec's whitespace-prefix case); sizes are a narrow projection
+    // of the per-doc arrays, no aggregate
     val sh = docShingles(s, d).select(col("doc_id"), explode(col("gs")).as("g"))
     val sizes = docShingles(s, d)
       .select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
@@ -1002,7 +1008,8 @@ object MiningQueries {
       s"list_min(list_transform(h, x -> (x * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
     s"""WITH w0 AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                     x -> length(x) > 0) AS w
           FROM documents
         ), hh AS (
           SELECT doc_id, $base AS h

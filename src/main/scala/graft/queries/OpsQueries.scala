@@ -744,7 +744,11 @@ object OpsQueries {
     "p04_compaction_plan" -> p04CompactionPlan,
     "q80_holt_forecast" -> q80HoltForecast)
 
-  private val d2xWords = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  // empty tokens filtered to match Dedupe.shingles (round 13): trim strips
+  // only spaces, so tab/newline-prefixed text would otherwise shingle a
+  // leading "" token on one side only
+  private val d2xWords =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
   private val d2xShingle =
     s"""list_transform(generate_series(1, len(w) - 2),
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"""

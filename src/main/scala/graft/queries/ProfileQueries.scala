@@ -923,7 +923,8 @@ object ProfileQueries {
     },
     "d26_repeated_spans" ->
       s"""WITH w0 AS (
-            SELECT doc_id, $wordsSql AS w FROM documents
+            SELECT doc_id, list_filter($wordsSql, x -> length(x) > 0) AS w
+            FROM documents
           ), g AS (
             SELECT doc_id,
                    unnest(CASE WHEN len(w) >= 8
@@ -1142,7 +1143,7 @@ object ProfileQueries {
     "dq08_split_leakage" -> {
       val bktSql = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
       s"""WITH w0 AS (
-            SELECT doc_id, $wordsSql AS w,
+            SELECT doc_id, list_filter($wordsSql, x -> length(x) > 0) AS w,
                    CASE WHEN $bktSql < 80 THEN 'train'
                         WHEN $bktSql < 90 THEN 'val'
                         ELSE 'test' END AS split

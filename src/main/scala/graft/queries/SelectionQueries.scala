@@ -442,11 +442,9 @@ object SelectionQueries {
     * artifact. Memoized per (SparkContext application, sf dir) with the
     * final assignment eagerly checkpointed — the in-session equivalent of
     * the parquet the build job would leave next to the vector table. */
-  private val kmFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (DataFrame, Array[(Int, Array[Double])])]
-
   private def kmFit(s: SparkSession, d: String): (DataFrame, Array[(Int, Array[Double])]) =
-    kmFitCache.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+    graft.core.ArtifactRegistry.cached(
+      (s.sparkContext.applicationId, d), "km_fit") {
       val vq = kmQuantized(s, d).localCheckpoint(false) // init + R rounds + final all read it
       var cents: Array[(Int, Array[Double])] =
         vq.orderBy(col("vec_id")).limit(KmK).collect().zipWithIndex.map { case (r, i) =>
@@ -475,7 +473,7 @@ object SelectionQueries {
       // read the artifact instead of re-fitting
       (kmAssign(vq, cents).select(col("vec_id"), col("part"), col("d2"))
         .localCheckpoint(true), cents)
-    })
+    }
 
   /** S16 — EXACT FIXED-POINT LLOYD K-MEANS over the embedding corpus (the
     * clustering pass of SemDeDup/D4-style semantic curation — Abbas et al.
@@ -1219,10 +1217,9 @@ object SelectionQueries {
       s"""WITH tw AS (
             SELECT doc_id, source, lang, ${md5Sql("f")} % $B AS b
             FROM (SELECT doc_id, source, lang,
-                         unnest(list_concat(
-                           list_filter(w, x -> length(x) > 0),
-                           $bigramSql)) AS f
-                  FROM (SELECT doc_id, source, lang, $wordsSql AS w
+                         unnest(list_concat(w, $bigramSql)) AS f
+                  FROM (SELECT doc_id, source, lang,
+                               list_filter($wordsSql, x -> length(x) > 0) AS w
                         FROM documents) t0) t
           ), pd AS (
             SELECT doc_id, source, lang, b, count(*) AS c
@@ -1297,7 +1294,8 @@ object SelectionQueries {
       s"""WITH wc AS (
             SELECT bg, count(*) AS cnt
             FROM (SELECT unnest($bigramSql) AS bg
-                  FROM (SELECT $wordsSql AS w FROM documents) t0) t
+                  FROM (SELECT list_filter($wordsSql, x -> length(x) > 0) AS w
+                        FROM documents) t0) t
             GROUP BY bg
           ), r AS (
             SELECT cnt, row_number() OVER (ORDER BY cnt DESC, bg) AS rnk FROM wc

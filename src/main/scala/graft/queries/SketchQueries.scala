@@ -442,12 +442,10 @@ object SketchQueries {
     * sf dir), the kmFit lifecycle; duplicates within a month change
     * neither a max-rho register nor a min-month, so the dedupe is free
     * semantics and md5 runs once per distinct pair. */
-  private val sketchCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), DataFrame]
   private def cachedFrame(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
-    sketchCache.computeIfAbsent((s.sparkContext.applicationId, d, tag),
-      _ => build)
+    graft.core.ArtifactRegistry.cached(
+      (s.sparkContext.applicationId, d), tag)(build)
 
   private def monthKeyBase(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "mkbase") {

@@ -41,6 +41,19 @@ class DedupeSpec extends SparkSpec {
     assert(got == Seq(Seq("a b c", "b c d"), Seq()))
   }
 
+  test("shingles ignores a leading tab/newline (trim strips only spaces)") {
+    import spark.implicits._
+    // trim() removes spaces but NOT \t or \n, so split would yield a
+    // leading "" token; shingles must filter it — the same tokenization
+    // as MiningQueries.docShingles, by construction (round-13 fix for the
+    // r12 advisory: the two truth sets must not diverge on such texts)
+    val df = Seq("\ta b c d", "\na b c d", "a b c d").toDF("s")
+    val got = df.select(Dedupe.shingles(col("s"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq("a b c", "b c d"),
+      Seq("a b c", "b c d")))
+  }
+
   test("minhash signature is deterministic and identical for identical text") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
