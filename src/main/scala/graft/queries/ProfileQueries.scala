@@ -227,69 +227,84 @@ object ProfileQueries {
 
   /** G09 — HITS (Kleinberg 1999) over the bipartite customer↔part
     * purchase graph, EXACT-INTEGER power iteration: hubs are customers,
-    * authorities are parts; 3 mutual-reinforcement rounds
-    * (a = Σ h over edges, h = Σ a over edges) run UN-normalized in
-    * BIGINT — the updates are linear, so per-round re-scaling only
-    * rescales, and ONE truncating normalization of each side to 10⁶ at
-    * the end reports the same ranking with none of the per-round
-    * truncation noise (rounds 1–10 used a per-round `s·10⁶ div max`
-    * re-scale, whose truncation is an arithmetic artifact, not HITS —
-    * redefined in round 11 with the oracle updated in lockstep; the old
-    * form also paid 2 scalar-subquery jobs + a checkpoint per half-round,
-    * which was the whole cost of the query at local[32]). h₀ = 1 makes
-    * round 1's authority pass collapse to the in-degree count — the
-    * algebraic round-1 specialization, g06's trick. Output: top-20 hubs
-    * and top-20 authorities at scale 10⁶. Completes the graph family's
-    * ranking axis: g04 ranks within one vertex set, this ranks two roles
-    * against each other — the "best buyers vs most-bought parts" dual.
+    * authorities are parts; 3 SIMULTANEOUS mutual-reinforcement rounds
+    * (aₖ = Σ hₖ₋₁ over edges AND hₖ = Σ aₖ₋₁ over edges, both from the
+    * PREVIOUS iterate — power iteration on the symmetric block matrix
+    * [[0,E],[Eᵀ,0]], the parallel formulation of Kleinberg's I/O
+    * operations) run UN-normalized in BIGINT, with ONE truncating
+    * normalization of each side to 10⁶ at the end (the round-11
+    * no-per-round-truncation rule, unchanged). Round-13 redefinition
+    * (oracle + spec in lockstep, like round 11's): the alternating
+    * Gauss-Seidel form keyed every half-round by the OTHER side, so the
+    * edge frame re-shuffled 6 times and the lineage was 6 sequential
+    * join+agg stages; the simultaneous form keys EVERY round by the same
+    * (side, vertex) composite over a doubled edge frame, so the edges
+    * shuffle ONCE at build and a round is ONE union-keyed join+agg —
+    * 3 rounds, half the sequential depth. Both are textbook HITS; the
+    * simultaneous form is the one a 1000-executor deployment runs,
+    * because per-round latency, not row volume, is an iterative graph
+    * job's bottleneck. All-ones seeds on BOTH sides make round 1
+    * collapse to the per-side degree count — one agg, no join (g06's
+    * algebraic round-1 specialization). Output: top-20 hubs and top-20
+    * authorities at scale 10⁶, ranked by raw integer score.
     *
-    * Headroom scope: each half-round multiplies magnitudes by ~avg-degree;
-    * measured maxima at sf0.1 are a₃ ≈ 1.1·10⁸, h₃ ≈ 6.5·10⁹ — 10⁹×
-    * BIGINT headroom. The sums widen to DECIMAL(38,0) (dq10's discipline)
-    * when 6 half-rounds of degree products approach 2⁶³ — that is the
-    * named widen path, the shape is size-independent.
+    * Headroom scope: each round multiplies magnitudes by ~avg-degree;
+    * 3 rounds of degree products (vs the old form's 5/6) sit ~10¹³ at
+    * sf0.1 — 10⁵× BIGINT headroom. The sums widen to DECIMAL(38,0)
+    * (dq10's discipline) when degree³ approaches 2⁶³ — the named widen
+    * path; the shape is size-independent.
     *
-    * Scale: the edge frame is checkpointed once (all six traversals read
-    * it); the six half-rounds are ONE unbroken lineage — edge-keyed
-    * equi-join + map-side-combinable sum agg each, no scalar subquery
-    * and no checkpoint inside the loop (a frame consumed by both a
-    * broadcast subquery and the main lineage must be materialized first
-    * — so the ONLY such frames, final a₃/h₃ feeding their max and their
-    * top-20, are the two lazy checkpoints); top-20 each side is
-    * TakeOrdered, never a global sort. */
+    * Scale: the doubled edge frame is hash-partitioned on (side, vertex)
+    * and checkpointed ONCE (Materialize.partitionedCheckpoint); every
+    * round's join reads it co-located with no exchange, and the round
+    * agg keys on the same composite, so the only per-round shuffle is
+    * the map-side-combined vertex-sized aggregate (at bench scale AQE
+    * runtime-sizes the score side to a broadcast instead — the g08
+    * posture: no hint, the 100 TB plan keeps the co-partitioned join).
+    * Top-20 each side is TakeOrdered, never a global sort. */
   def g09Hits(s: SparkSession, d: String): DataFrame = {
     // Raw scans: the first op is the orderkey shuffle join, so the fixture
-    // fan-out would be a wasted pass (Tables.tableRaw contract). A
-    // p-partitioned AQE-off dedupedPartitionedCheckpoint was measured
-    // HERE at 3.0-4.1 s vs this shape's 2.7-3.1 — the static checkpoint
-    // jobs cost more than the four p-side exchanges they elide (g05's
-    // rejection repeats on the bipartite frame); plain AQE distinct kept.
+    // fan-out would be a wasted pass (Tables.tableRaw contract).
     val e = tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(tableRaw(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true) // all six half-round joins read this frame
-    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("s")) // h0=1 ⇒ in-degree
-    val h1 = e.join(a1, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
-    val a2 = e.join(h1, Seq("c")).groupBy(col("p")).agg(sum(col("s")).as("s"))
-    val h2 = e.join(a2, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
-    val a3 = e.join(h2, Seq("c")).groupBy(col("p")).agg(sum(col("s")).as("s"))
-      .localCheckpoint(false) // h3's join + the authority top-20
-    val h3 = e.join(a3, Seq("p")).groupBy(col("c")).agg(sum(col("s")).as("s"))
-    // Round-12 (the r11 verdict's untried lever): the per-side max is NOT
-    // a separate scalar agg + broadcast join — score = s·10⁶ div max(s)
-    // is MONOTONE in s, so the top-20 BY RAW s (TakeOrdered) already
-    // contains the max as its own first row, and the normalization runs
-    // as a 20-row window over the union. Kills 2 agg jobs, 2 broadcast
-    // joins and h3's checkpoint (its only consumer is now the
-    // TakeOrdered). Ranking basis is the raw integer s (finer than the
-    // truncated score — ties only where HITS itself ties), mirrored in
-    // the oracle. Measured: 2.33 → see NOTES A/B.
-    def top(df: DataFrame, kind: String, idCol: String): DataFrame =
-      df.select(lit(kind).as("kind"), col(idCol).as("id"), col("s"))
+    // one row per (edge, direction): 'h'ub side sends to 'a'uthority and
+    // vice versa — the union key (side, vertex) is what lets all three
+    // rounds reuse ONE partitioning (the doubledEdgesFused trick).
+    // inline(), not union-of-two-selects: a union re-executes the
+    // orders⋈lineitem+distinct prefix once PER BRANCH; the generator
+    // doubles rows in the same pass. (Fusing the dedupe into the
+    // partitioning shuffle — dedupedPartitionedCheckpoint on the doubled
+    // frame — was measured WORSE, 2.4 → 3.3 s: the pre-distinct double
+    // ships 2× rows through a combine-less repartition, while distinct's
+    // own exchange is map-side combined before doubling.)
+    val ed = graft.core.Materialize.partitionedCheckpoint(
+      e.select(inline(array(
+        struct(lit("h").as("sside"), col("c").as("src"),
+          lit("a").as("dside"), col("p").as("dst")),
+        struct(lit("a").as("sside"), col("p").as("src"),
+          lit("h").as("dside"), col("c").as("dst"))))),
+      "sside", "src")
+    // round 1 from all-ones seeds = per-side degree count (no join)
+    var sc = ed.groupBy(col("dside"), col("dst"))
+      .agg(count(lit(1)).as("s"))
+      .select(col("dside").as("sside"), col("dst").as("src"), col("s"))
+    for (_ <- 2 to 3)
+      sc = ed.join(sc, Seq("sside", "src"))
+        .groupBy(col("dside"), col("dst"))
+        .agg(sum(col("s")).as("s"))
+        .select(col("dside").as("sside"), col("dst").as("src"), col("s"))
+    val fin = sc.localCheckpoint(false) // both per-side TakeOrdereds read it
+    // per-side max folded into TakeOrdered (round 12): score = s·10⁶ div
+    // max(s) is monotone in s, so the top-20 by raw s already contains
+    // the max as its first row; normalization is a 40-row window.
+    def top(side: String, kind: String): DataFrame =
+      fin.filter(col("sside") === side)
+        .select(lit(kind).as("kind"), col("src").as("id"), col("s"))
         .orderBy(col("s").desc, col("id")).limit(20)
-    top(h3, "hub", "c").unionByName(top(a3, "authority", "p"))
+    top("h", "hub").unionByName(top("a", "authority"))
       .withColumn("m", max(col("s")).over(Window.partitionBy(col("kind"))))
       .withColumn("score", expr("s * 1000000 div m"))
       .withColumn("rank", row_number().over(
@@ -973,32 +988,33 @@ object ProfileQueries {
          SELECT seed, CAST(rn AS BIGINT) AS rank, cand AS predicted, cn, ra_bp
          FROM ranked WHERE rn <= 10 ORDER BY seed, rank""",
     "g09_hits" -> {
-      // 3 un-normalized exact-integer rounds (h0 = 1 ⇒ a1 = in-degree),
-      // one truncating 10^6 normalization per side at the end — the
-      // round-11 redefinition mirrored from the engine. MATERIALIZED
-      // hints: each round frame feeds the next join; without them DuckDB
-      // re-inlines the whole prefix per reference (measured 38 s -> 0.3 s
-      // at sf0.1). Semantically identical.
+      // 3 un-normalized exact-integer SIMULTANEOUS rounds (round-13
+      // redefinition, engine in lockstep): aK from h(K-1) AND hK from
+      // a(K-1) — power iteration on the block matrix [[0,E],[E^T,0]];
+      // all-ones seeds on both sides make round 1 the per-side degree.
+      // One truncating 10^6 normalization per side at the end (round-11
+      // rule, unchanged). MATERIALIZED hints: each round frame feeds the
+      // next join; without them DuckDB re-inlines the whole prefix per
+      // reference (measured 38 s -> 0.3 s at sf0.1).
       s"""WITH e AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           ), a1 AS MATERIALIZED (
             SELECT p, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY p
           ), h1 AS MATERIALIZED (
-            SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
-            FROM e JOIN a1 a ON a.p = e.p GROUP BY e.c
+            SELECT c, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY c
           ), a2 AS MATERIALIZED (
             SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
             FROM e JOIN h1 h ON h.c = e.c GROUP BY e.p
           ), h2 AS MATERIALIZED (
             SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
-            FROM e JOIN a2 a ON a.p = e.p GROUP BY e.c
+            FROM e JOIN a1 a ON a.p = e.p GROUP BY e.c
           ), a3 AS MATERIALIZED (
             SELECT e.p, CAST(sum(h.s) AS BIGINT) AS s
             FROM e JOIN h2 h ON h.c = e.c GROUP BY e.p
           ), h3 AS MATERIALIZED (
             SELECT e.c, CAST(sum(a.s) AS BIGINT) AS s
-            FROM e JOIN a3 a ON a.p = e.p GROUP BY e.c
+            FROM e JOIN a2 a ON a.p = e.p GROUP BY e.c
           ), am AS (SELECT max(s) AS m FROM a3
           ), hm AS (SELECT max(s) AS m FROM h3
           ), th AS (

@@ -174,14 +174,17 @@ class ProfileQueriesSpec extends SparkSpec {
     val edges = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).collect()
       .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1)))).distinct
-    // round-11 semantics: 3 UN-normalized exact rounds (h0 = 1), one
-    // truncating 10^6 normalization per side at the end
+    // round-13 semantics: 3 UN-normalized exact SIMULTANEOUS rounds
+    // (all-ones seeds on both sides; aK from h(K-1) AND hK from a(K-1) —
+    // power iteration on [[0,E],[E^T,0]]), one truncating 10^6
+    // normalization per side at the end
     val S = BigInt(1000000)
     var h = edges.map(_._1).distinct.map(_ -> BigInt(1)).toMap
-    var a = Map.empty[Long, BigInt]
+    var a = edges.map(_._2).distinct.map(_ -> BigInt(1)).toMap
     for (_ <- 1 to 3) {
-      a = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
-      h = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val an = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val hn = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      a = an; h = hn
     }
     val am = a.values.max; val hm = h.values.max
     a = a.view.mapValues(s0 => s0 * S / am).toMap
