@@ -254,7 +254,8 @@ object Bench {
     // Committed here per the r12 verdict so the artifact, not a NOTES
     // archaeology, carries the floor.
     val floorsJson =
-      """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized"}"""
+      """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized",""" +
+        """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob"}"""
     val detailJson =
       s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")

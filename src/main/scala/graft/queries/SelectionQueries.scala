@@ -824,7 +824,13 @@ object SelectionQueries {
     * IVF to exploit), so the exact cross join is the only formulation
     * that reproduces itself, and it is quadratic. The spec measures what
     * the gate keeps (pair-cosine equality with the exact frame; top-20
-    * overlap floor) on the fixture.
+    * overlap floor) on the fixture. Round-13 config-robustness sweep
+    * (SelectionQueriesSpec "s19 gate robustness", 3 configs × 2 regimes):
+    * isotropic fixture 4×3 → frac .42/ret 9/20, 8×3 → .66/17, 8×4 →
+    * .42/10; clustered synthetic bitext 4×3 → .65/19, 8×3 → .81/20,
+    * 8×4 → .63/20. The shipped 4×3 keeps the production (clustered)
+    * regime near-fully at ~2/3 the candidate volume; 8×3 is the measured
+    * quality-upgrade knob if anisotropy ever matters more than cost.
     *
     * Scale shape: candidate generation is an equi-join on (tbl, bucket)
     * — the only join shape that survives 100 TB; the pair frame shrinks

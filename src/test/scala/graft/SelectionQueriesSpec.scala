@@ -392,6 +392,140 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(kept >= 8, s"gate retention collapsed below the measured floor (got $kept)")
   }
 
+  test("s19 gate robustness: retention/candidate-fraction sweep over LSH " +
+    "configs, isotropic fixture AND clustered synthetic (the d27 discipline)") {
+    // The round-12 gate shipped with retention measured at exactly ONE
+    // configuration on ONE (worst-case, isotropic) fixture. This sweep
+    // measures the gate at three configs on both regimes, so the 4x3
+    // choice is justified by a table, not trusted (r12 verdict item 3;
+    // reference posture: create_lancedb_index.py tunes its index).
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // exact margin-mining recount (the s19 semantics) over any candidate set
+    def mineTop(cand: Set[(Long, Long)],
+        c: Map[(Long, Long), Double]): Set[(Long, Long)] = {
+      def kAvg(grp: Map[Long, Seq[(Long, Double)]]): Map[Long, Double] =
+        grp.map { case (k, lst) =>
+          k -> lst.sortBy { case (o, sc) => (-sc, o) }.take(4)
+            .foldLeft(0.0) { case (a, (_, sc)) => a + sc } / 4.0
+        }
+      val ax = kAvg(cand.toSeq.map { case (x, y) => (x, (y, c((x, y)))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+      val ay = kAvg(cand.toSeq.map { case (x, y) => (y, (x, c((x, y)))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+      cand.groupBy(_._1).toSeq.map { case (xid, ps) =>
+        val (yid, mg) = ps.toSeq.map { case (_, yid) =>
+          (yid, c((xid, yid)) * 2.0 / (ax(xid) + ay(yid)))
+        }.minBy { case (yid, mg) => (-mg, yid) }
+        (xid, yid, mg)
+      }.sortBy { case (xid, _, mg) => (-mg, xid) }.take(20)
+        .map { case (xid, yid, _) => (xid, yid) }.toSet
+    }
+    // gate collision mirrored from Similarity.lshTables: table t uses
+    // lshPlanes(dim, nPlanes, 42 + t) — larger nTables EXTENDS the seed
+    // sequence, so candidate sets are nested along the tables axis
+    def gate(xs: Seq[(Long, Array[Float])], ys: Seq[(Long, Array[Float])],
+        dim: Int, nTables: Int, nPlanes: Int): Set[(Long, Long)] = {
+      val planes = (0 until nTables).map(t =>
+        graft.operators.Similarity.lshPlanes(dim, nPlanes, 42L + t))
+      def bucket(v: Array[Float], t: Int): String =
+        planes(t).map { p =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * p(i); i += 1 }
+          if (s >= 0) "1" else "0"
+        }.mkString
+      (for ((xid, xv) <- xs; (yid, yv) <- ys
+            if (0 until nTables).exists(t => bucket(xv, t) == bucket(yv, t)))
+        yield (xid, yid)).toSet
+    }
+    def sweep(tag: String, xs: Seq[(Long, Array[Float])],
+        ys: Seq[(Long, Array[Float])], dim: Int): Map[(Int, Int), (Int, Double)] = {
+      val c = (for ((xid, xv) <- xs; (yid, yv) <- ys)
+        yield (xid, yid) -> cosRef(xv, yv)).toMap
+      val exactTop = mineTop(c.keySet, c)
+      Seq((4, 3), (8, 3), (8, 4)).map { case (nt, np) =>
+        val g = gate(xs, ys, dim, nt, np)
+        val frac = g.size.toDouble / c.size
+        val kept = (mineTop(g, c) & exactTop).size
+        info(f"s19 sweep [$tag] tables=$nt planes=$np: cand frac $frac%.3f, " +
+          s"exact-top-20 retention $kept/20")
+        (nt, np) -> (kept, frac)
+      }.toMap
+    }
+
+    // regime 1: the fixture (isotropic — documented worst case for ANY gate)
+    val langs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val fx = sweep("isotropic fixture",
+      vecs.filter { case (id, _) => langs.get(id).contains("en") }.toSeq,
+      vecs.filter { case (id, _) => langs.get(id).contains("de") }.toSeq, 64)
+
+    // regime 2: clustered synthetic bitext — translation pairs sit far
+    // above the random-cosine band (5 topic clusters; de_i = en_i + noise,
+    // pair cosine ~0.95+), the regime the production recipe assumes
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val dim = 64
+    val centers = Seq.fill(5)(unit(dim))
+    val bases = (0 until 60).map { i =>
+      val ce = centers(i % 5); val nz = unit(dim)
+      ce.zip(nz).map { case (a, b) => 0.85 * a + 0.5 * b }
+    }
+    val enS = bases.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.map(_.toFloat)) }
+    val deS = bases.zipWithIndex.map { case (b, i) =>
+      val nz = unit(dim)
+      (1000L + i, b.zip(nz).map { case (a, e) => (a + 0.12 * e).toFloat })
+    }
+    val cl = sweep("clustered synthetic", enS, deS, dim)
+
+    // ---- pins (the measured table, round 13, sf0.001 fixture) ----
+    //   isotropic:  4x3 -> frac .419 ret  9 | 8x3 -> .664 ret 17 | 8x4 -> .418 ret 10
+    //   clustered:  4x3 -> frac .649 ret 19 | 8x3 -> .808 ret 20 | 8x4 -> .632 ret 20
+    // candidate volume is NESTED along the tables axis by construction
+    // (seed sequence extension), so frac(8,3) >= frac(4,3) always
+    assert(fx((8, 3))._2 >= fx((4, 3))._2 && cl((8, 3))._2 >= cl((4, 3))._2)
+    // more planes per table = finer buckets = fewer candidates
+    assert(fx((8, 4))._2 <= fx((8, 3))._2 && cl((8, 4))._2 <= cl((8, 3))._2)
+    // the curve point the gate's quality story rests on: MORE TABLES AT
+    // EQUAL PLANES buys retention on both regimes (strict per-config
+    // monotonicity in volume does not hold at near-ties — isotropic 8x4
+    // and 4x3 land at the same volume within 0.001 and swap by one pair —
+    // so the pin is the tables axis, where candidates are nested)
+    assert(fx((8, 3))._1 > fx((4, 3))._1,
+      s"more tables did not buy isotropic retention: $fx")
+    assert(cl((8, 3))._1 >= cl((4, 3))._1,
+      s"more tables lost clustered retention: $cl")
+    // per-config measured floors (generous: -1 pair of slack vs measured)
+    assert(fx((4, 3))._1 >= 8, s"isotropic floor regressed: ${fx((4, 3))}")
+    assert(fx((8, 3))._1 >= 14, s"isotropic 8x3 floor regressed: ${fx((8, 3))}")
+    assert(cl((8, 3))._1 >= 19 && cl((8, 4))._1 >= 19,
+      s"clustered high-config retention regressed: $cl")
+    // the production regime is what justifies the shipped 4x3 config:
+    // clustered pairs are retained near-fully at ~2/3 the candidate work
+    // (8x3 is the measured quality-upgrade knob: +1.6x candidates for
+    // 17/20 isotropic retention, should anisotropy matter more than cost)
+    assert(cl((4, 3))._1 >= 18,
+      s"clustered retention collapsed at the shipped config: ${cl((4, 3))}")
+    assert(cl((4, 3))._2 < 0.75,
+      s"gate prunes too little on clustered data: ${cl((4, 3))}")
+  }
+
   // ---- s16/s17: independent plain-Scala Lloyd ----
 
   /** Round-half-away-from-zero — Spark's round() and DuckDB's round()
