@@ -511,34 +511,34 @@ object LlmQueries {
 
   /** T17 — positional inverted index + phrase search: the IR primitive a
     * RAG/search stack needs beyond bag-of-words (t08/t11 can't tell
-    * "data protection" from "protection data"). Postings are
-    * (term, doc, position) rows from ONE posexplode scan; a 2-term phrase
-    * query is then a self-equi-join of the two terms' posting lists on
-    * (doc, adjacent position) — the scan never re-reads text. The probed
-    * phrase is data-derived (the globally most frequent bigram, ties
-    * broken lexicographically) so the query is meaningful at every scale
-    * factor. Per-doc hit counts come out of the join's hash aggregate;
-    * posting lists for the two probe terms are filtered BEFORE the join,
-    * so the join probes term-frequency-sized inputs, not the corpus. */
+    * "data protection" from "protection data"). The probed phrase is
+    * data-derived (the globally most frequent bigram, ties broken
+    * lexicographically) so the query is meaningful at every scale factor;
+    * per-doc hit counts are adjacent-occurrence counts.
+    *
+    * Round-13 shape (same integers, same oracle): an adjacent-position
+    * pair IS a 2-gram shingle, so the positional posting self-join —
+    * which re-ran the corpus posexplode four times and shuffled two
+    * corpus-sized posting frames per phrase — collapses to ONE
+    * [[Dedupe.shingles]] explode pass, checkpointed for its two
+    * consumers: the bigram-vocabulary hash agg (map-side combined,
+    * TakeOrdered(1) — never a global sort) and the broadcast-probe
+    * per-doc count. Tokens cannot contain whitespace, so ordering by the
+    * space-joined shingle string equals ordering by the (w1, w2) pair,
+    * and counting shingle = phrase equals counting the positional join's
+    * (pos, pos+1) matches. A production index additionally PERSISTS the
+    * posting/shingle frame — this is the query-side plan over it. */
   def t17PhraseSearch(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), posexplode(Dedupe.words(col("text"))).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0)
-    val top = toks.alias("a")
-      .join(toks.alias("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-    val pa = toks.join(broadcast(top), toks("w") === top("w1"))
-      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
-    val pb = toks.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("w").as("wb"))
-    pa.join(pb, pa("doc_id") === pb("doc_b") &&
-        pb("pos_b") === pa("pos") + 1 && pb("wb") === pa("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
+    val sh2 = documents(s, d)
+      .select(col("doc_id"), explode(Dedupe.shingles(col("text"), 2)).as("g"))
+      .localCheckpoint(false) // vocab agg + phrase probe both read this
+    val top = sh2.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(1)
+    sh2.join(broadcast(top.select(col("g"))), Seq("g"))
+      .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n_hits"))
-      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("phrase"),
-        col("n_hits"))
+      .select(col("doc_id"), col("g").as("phrase"), col("n_hits"))
+      .localCheckpoint(false) // d03's rule: the range sort must not re-probe
       .orderBy(col("doc_id"))
   }
 

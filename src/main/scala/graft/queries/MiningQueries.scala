@@ -603,29 +603,38 @@ object MiningQueries {
       // explode are narrow, so the per-doc candidate aggregate and both
       // final joins inherit the clustering and insert no exchange
     val sh = docSh.select(col("doc_id"), explode(col("gs")).as("g"))
-    // eager checkpoint: the eval shingle set (bounded — benchmark-sized)
-    // feeds TWO actions (the bit-table collect below and the exact-tier
-    // broadcast join), so without it the explode+distinct runs twice
-    val evalSh = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
-      .localCheckpoint(true)
-    // Round-10: the Bloom BIT TABLE is collected to the driver and folded
-    // back as ONE array-of-longs literal (m/64 = 16 Ki longs = 128 KiB,
-    // bounded BY CONSTRUCTION no matter how big the eval suite grows —
-    // the same move Spark's own runtime Bloom-filter join makes with its
-    // BloomFilterAggregate → literal). The corpus probe then becomes a
-    // NARROW filter — four md5 lane bits tested against the literal with
-    // shiftright/& — replacing the old explode(4 lanes) → equi-join →
-    // lane-count aggregate, which shuffled a 4×-corpus-shingle frame per
-    // run. Bit positions are unchanged (same md5 lanes, same m), so the
-    // candidate set and every output column are identical.
+    // ONE eval-side action (round 13): the distinct eval shingle set is
+    // bounded BY CONSTRUCTION (benchmarks are thousands of docs), so it
+    // collects once; the Bloom bit table is then folded on the DRIVER
+    // with the byte-identical md5 lanes (Spark's md5() is the UTF-8
+    // digest hex — same w1/w2 words, same Kirsch–Mitzenmacher positions),
+    // and the exact-tier join side is rebuilt as a LocalRelation from the
+    // same array. The r12 shape paid an eager checkpoint job PLUS a
+    // second collect action for bits that are a pure function of strings
+    // already in driver memory.
+    val evalShArr = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      .collect().map(_.getString(0))
+    // Round-10 (unchanged contract): the bit table ships back as ONE
+    // array-of-longs literal (m/64 = 16 Ki longs = 128 KiB, bounded no
+    // matter how big the eval suite grows — the same move Spark's own
+    // runtime Bloom-filter join makes). The corpus probe is a NARROW
+    // filter — four md5 lane bits against the literal.
     def bloomBit(l: Int): org.apache.spark.sql.Column =
       (Dedupe.md5Hash32(col("g")) +
         lit(l.toLong) * conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long")) % m
-    val evalBits = evalSh
-      .select(explode(array((0 until 4).map(bloomBit): _*)).as("bit"))
-      .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](m / 64)
-    evalBits.foreach(b => words(b.toInt >> 6) |= 1L << (b & 63))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    evalShArr.foreach { g =>
+      val hex = digest.digest(g.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val w1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val w2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      for (l <- 0 until 4) {
+        val b = ((w1 + l * w2) % m).toInt
+        words(b >> 6) |= 1L << (b & 63)
+      }
+    }
+    val evalSh = { import s.implicits._; evalShArr.toSeq.toDF("g") }
     // the literal stays INSIDE the filter expression (a shared constant,
     // evaluated by reference) — adding it as a withColumn would serialize
     // the 128 KiB array into every corpus row (measured 3.2 s vs 1.x s)

@@ -83,9 +83,14 @@ object SelectionQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         (Dedupe.md5Hash32(col("f")) % B).as("b"))
       .localCheckpoint(false) // bucket model + score join both read this
+    // 256-row eager checkpoint (round 13): tot and wk both derive from
+    // bt — unmaterialized, EACH re-aggregated the feature checkpoint
+    // (two extra full passes over the corpus-sized frame for a frame
+    // that is 256 rows BY CONSTRUCTION)
     val bt = feats.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         coalesce(sum(when(col("lang") === "en", 1L)), lit(0L)).as("ct"))
+      .localCheckpoint(true)
     val tot = bt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val wk = bt.crossJoin(broadcast(tot))
       .selectExpr("b",

@@ -299,13 +299,23 @@ object SketchQueries {
     // exchange across the two consumers, so the whole query is one
     // action, one fact-table scan, no checkpoints. Raw scan: the first op
     // is the key shuffle, so the fixture fan-out would be a wasted pass.
+    // the dedupe shuffle ships the two BIGINT key halves, not the concat
+    // string (round 13) — w is a function of the group key, so building
+    // it after the aggregate is free and the exchange rows shrink
     val keyed = tableRaw(s, d, "lineitem").select(
       when(col("l_linenumber") % 2 === 1, lit("A")).otherwise(lit("B")).as("side"),
-      concat(col("l_partkey").cast("string"), lit("#"),
-        col("l_suppkey").cast("string")).as("w"))
-    val base = keyed.groupBy(col("w")).agg(
+      col("l_partkey"), col("l_suppkey"))
+    // lazy checkpoint (round 13): the register chain AND the exact-count
+    // agg both consume base; the r10 comment trusted AQE stage reuse to
+    // dedupe the exchange, but the cross-join's two subtrees plan it
+    // TWICE (verified in the formatted plan — two full scan+shuffle+agg
+    // chains), so the one-shuffle story needs the materialization
+    val base = keyed.groupBy(col("l_partkey"), col("l_suppkey")).agg(
       max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
       max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
+      .select(concat(col("l_partkey").cast("string"), lit("#"),
+        col("l_suppkey").cast("string")).as("w"), col("ia"), col("ib"))
+      .localCheckpoint(false)
     val rhoed = base.select(col("ia"), col("ib"),
         (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
         md5Word2(col("w")).as("wd"))
