@@ -372,17 +372,27 @@ object MiningQueries {
     val p0 = S / nSeeds
     val tele = (15L * p0) / 100
     var p = seeds.select(col("v"), lit(p0).as("p"))
+    // Round-13 (the r12 verdict's named lever): the teleport full-outer
+    // folds INTO the contribution aggregate — seed rows ride the same
+    // union as the edge-contribution rows with a null contribution and a
+    // seed flag, so one groupBy(v) computes Σc AND seed membership and
+    // the per-round join count drops from 3 to 2. Identical integers:
+    // sum over nulls is null → coalesce 0, exactly the old full-outer's
+    // missing-contrib case.
     for (_ <- 1 to 3) {
-      val contrib = e
+      val contribRows = e
         .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
         .join(deg.hint("shuffle_hash"), Seq("u"))
-        .select(col("v"), expr("p div deg").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("sm"))
-      p = contrib
-        .join(seeds.withColumn("is_seed", lit(1)), Seq("v"), "full_outer")
+        .select(col("v"), expr("p div deg").as("c"), lit(0).as("is_seed"))
+      p = contribRows
+        .unionByName(seeds.select(col("v"),
+          lit(null).cast("long").as("c"), lit(1).as("is_seed")))
+        .groupBy(col("v"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("sm"),
+          max(col("is_seed")).as("isd"))
         .select(col("v"),
-          (when(col("is_seed").isNotNull, lit(tele)).otherwise(lit(0L)) +
-            expr("(85 * coalesce(sm, 0L)) div 100")).as("p"))
+          (when(col("isd") === 1, lit(tele)).otherwise(lit(0L)) +
+            expr("(85 * sm) div 100")).as("p"))
     }
     p.orderBy(col("p").desc, col("v")).limit(25)
       .select(col("v"), col("p").as("rank_scaled"))
