@@ -209,12 +209,26 @@ object ProfileQueries {
       .select(col("p_partkey").as("seed"))
     val hop1 = e.join(seeds, e("u") === seeds("seed"))
       .select(col("seed"), col("v").as("z"))
+      .localCheckpoint(false) // wedge join + adjacency rows both read it
     val wedges = hop1.join(ez, Seq("z")).filter(col("cand") =!= col("seed"))
-    val scored = wedges.groupBy(col("seed"), col("cand"))
-      .agg(count(lit(1)).as("cn"), sum(expr("10000 div deg")).as("ra_bp"))
-    val nonAdj = scored.join(
-      e.select(col("u").as("seed"), col("v").as("cand")),
-      Seq("seed", "cand"), "left_anti")
+    // Round-13 (the r12 verdict's named lever): the existing-edge
+    // anti-join folds INTO the wedge aggregate — hop1's rows ARE the
+    // seed-adjacency pairs, so they ride the same union as the wedge
+    // rows with an is_edge flag (g11's teleport-fold shape) and one
+    // groupBy(seed, cand) yields cn, ra AND adjacency; the post-agg
+    // left_anti shuffle join is gone. Identical integers: a kept group
+    // contains only wedge rows (any adjacency row flips max(is_edge)
+    // and drops the group, exactly the old anti-join).
+    val nonAdj = wedges
+      .select(col("seed"), col("cand"), col("deg"), lit(0).as("is_edge"))
+      .unionByName(hop1.select(col("seed"), col("z").as("cand"),
+        lit(null).cast("long").as("deg"), lit(1).as("is_edge")))
+      .groupBy(col("seed"), col("cand"))
+      .agg(sum(when(col("is_edge") === 0, 1L)).as("cn"),
+        sum(when(col("is_edge") === 0, expr("10000 div deg"))).as("ra_bp"),
+        max(col("is_edge")).as("adj"))
+      .filter(col("adj") === 0)
+      .select(col("seed"), col("cand"), col("cn"), col("ra_bp"))
     val w = Window.partitionBy(col("seed"))
       .orderBy(col("cn").desc, col("ra_bp").desc, col("cand"))
     nonAdj
