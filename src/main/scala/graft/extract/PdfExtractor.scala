@@ -40,20 +40,60 @@ object PdfExtractor {
     if (printable.isEmpty) Seq.empty else Seq(printable)
   }
 
-  /** STUB OCR — production body: tesseract over rendered page images.
-    * Deterministic fake: hex digest prefix as "recognized" text. */
-  def ocrPages(payload: Array[Byte]): String = {
+  /** CLI OCR engine — the tesseract drop-in seam (round 13, r12 verdict
+    * item 7: make the env-unblock a binary drop, not a round of work).
+    * Invokes `binary <payload-file> stdout` exactly the way the
+    * reference's extractor shells out to tesseract
+    * (resources/convertors/pdf_extractor.py:56-101 runs OCR per page
+    * image and reads the text back); non-zero exit or a missing binary
+    * degrade to "" — the fail-soft contract, OCR can only ADD text.
+    * Contract-tested against a fake tesseract script in PdfExtractorSpec
+    * so the real binary slots in with zero code change. */
+  final class CliOcr(binary: String) extends Serializable {
+    def recognize(payload: Array[Byte]): String = {
+      if (payload == null || payload.isEmpty) return ""
+      val tmp = java.nio.file.Files.createTempFile("graft-ocr", ".bin")
+      try {
+        java.nio.file.Files.write(tmp, payload)
+        val p = new ProcessBuilder(binary, tmp.toString, "stdout").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.waitFor()
+        if (p.exitValue() == 0) out.trim else ""
+      } catch { case _: Exception => "" }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** The active OCR engine: SPARK_GRAFT_TESSERACT (path to a tesseract-
+    * compatible binary) activates [[CliOcr]]; otherwise the deterministic
+    * stub (hex digest prefix as "recognized" text) keeps the plumbing
+    * tests stable. Resolved once per JVM — executors re-resolve from the
+    * same env, so the choice is cluster-consistent. */
+  private lazy val defaultOcr: Array[Byte] => String =
+    sys.env.get("SPARK_GRAFT_TESSERACT") match {
+      case Some(bin) if new java.io.File(bin).canExecute =>
+        new CliOcr(bin).recognize _
+      case _ => stubOcr _
+    }
+
+  /** STUB OCR — deterministic fake used when no binary is configured. */
+  def stubOcr(payload: Array[Byte]): String = {
     if (payload == null || payload.isEmpty) return ""
     s"[ocr:${java.util.UUID.nameUUIDFromBytes(payload).toString.take(8)}]"
   }
 
-  /** Threshold orchestration — the reference's real control flow. */
-  def extractWithOcrFallback(payload: Array[Byte]): String = {
+  def ocrPages(payload: Array[Byte]): String = defaultOcr(payload)
+
+  /** Threshold orchestration — the reference's real control flow. The
+    * `ocr` parameter is the engine seam (default: env-resolved); the
+    * golden contract test drives it with a fake tesseract binary. */
+  def extractWithOcrFallback(payload: Array[Byte],
+      ocr: Array[Byte] => String = ocrPages _): String = {
     val text = try decodePdfText(payload).mkString("\n").trim
     catch { case _: Exception => "" }
     if (text.length < OcrThreshold) {
-      val ocr = try ocrPages(payload) catch { case _: Exception => "" }
-      if (ocr.length > text.length) ocr else text
+      val o = try ocr(payload) catch { case _: Exception => "" }
+      if (o.length > text.length) o else text
     } else text
   }
 
