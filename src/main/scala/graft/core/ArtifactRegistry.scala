@@ -33,6 +33,13 @@ import java.util.concurrent.ConcurrentHashMap
   *    snapshots [[buildSeconds]] after the isolated pass and publishes
   *    `artifact:<tag>` line items, `build_total_sec`, and
   *    `ratio_aggregate_with_builds` in BENCH_DETAIL.
+  *
+  * Lifetime: entries are keyed by applicationId (callers include it in
+  * `key`), so a stopped session's frames become unreachable dead weight
+  * rather than wrong answers. That matches this JVM's lifecycles (tests,
+  * Verify, Bench — one or two sessions per process); a long-lived
+  * multi-session service would add eviction on application end before
+  * reusing this as-is.
   */
 object ArtifactRegistry {
 

@@ -528,7 +528,10 @@ object LlmQueries {
     * and counting shingle = phrase equals counting the positional join's
     * (pos, pos+1) matches. A production index additionally PERSISTS the
     * posting/shingle frame — this is the query-side plan over it. */
-  def t17PhraseSearch(s: SparkSession, d: String): DataFrame = {
+  /** t17's scored frame BEFORE the final checkpoint+sort — exposed so
+    * PlanShapeSpec can pin the one-pass shingle shape (the checkpoint
+    * hides the probe stage from the final plan, the s19 pin pattern). */
+  private[graft] def t17Scored(s: SparkSession, d: String): DataFrame = {
     val sh2 = documents(s, d)
       .select(col("doc_id"), explode(Dedupe.shingles(col("text"), 2)).as("g"))
       .localCheckpoint(false) // vocab agg + phrase probe both read this
@@ -538,9 +541,12 @@ object LlmQueries {
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n_hits"))
       .select(col("doc_id"), col("g").as("phrase"), col("n_hits"))
+  }
+
+  def t17PhraseSearch(s: SparkSession, d: String): DataFrame =
+    t17Scored(s, d)
       .localCheckpoint(false) // d03's rule: the range sort must not re-probe
       .orderBy(col("doc_id"))
-  }
 
   /** T18 — corpus-familiarity score: mean corpus frequency of a doc's
     * tokens — the rare-word/gibberish detector that needs no language

@@ -98,6 +98,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       p.take(3000))
+    // round-13 fold: the teleport full-outer is GONE — seed membership
+    // rides the contribution aggregate's union
+    assert(!p.contains("FullOuter"),
+      s"teleport full-outer crept back into the round shape:\n${p.take(3000)}")
+  }
+
+  test("g08: existing-edge anti-join folded into the wedge agg (round 13)") {
+    val p = plan("g08_link_prediction")
+    assert(!p.contains("LeftAnti"),
+      s"adjacency screen regressed to the post-agg anti-join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("g09: fused simultaneous rounds — both TakeOrdereds, no product join") {
+    val p = plan("g09_hits")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(3000))
+    // the doubled (side, vertex) frame is built ONCE as a checkpoint:
+    // every round reads ExistingRDD blocks, not a re-derived edge join
+    assert(p.contains("Scan ExistingRDD"),
+      s"doubled edge frame lost its one-shot checkpoint:\n${p.take(3000)}")
+  }
+
+  test("t17: phrase search is the one-pass shingle shape (round 13)") {
+    // pin the PRE-checkpoint frame (the final ckpt hides the probe
+    // stage from the query's own plan — the s19CandidatePairs pattern)
+    val p = graft.queries.LlmQueries.t17Scored(spark, sf())
+      .queryExecution.executedPlan.toString
+    // top-1 bigram via TakeOrdered over the vocab agg, probe via a
+    // broadcast of that single row — the positional posting self-join
+    // (two corpus-sized SortMergeJoins on doc_id) is gone
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"positional self-join crept back:\n${p.take(3000)}")
   }
 
   test("q81: spatial grid join stays an equi-join on the cell key — never a product join") {
