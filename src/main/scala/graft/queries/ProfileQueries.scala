@@ -276,24 +276,22 @@ object ProfileQueries {
     * runtime-sizes the score side to a broadcast instead — the g08
     * posture: no hint, the 100 TB plan keeps the co-partitioned join).
     * Top-20 each side is TakeOrdered, never a global sort. */
-  def g09Hits(s: SparkSession, d: String): DataFrame = {
-    // Raw scans: the first op is the orderkey shuffle join, so the fixture
-    // fan-out would be a wasted pass (Tables.tableRaw contract).
-    val e = tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(tableRaw(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+  /** The fused simultaneous-HITS kernel over a (c, p) bipartite edge
+    * frame: `rounds` simultaneous updates from all-ones seeds, returned
+    * as (sside 'h'|'a', src vertex, s raw BIGINT score). Factored out of
+    * [[g09Hits]] so RandomizedCrossCheckSpec can drive it on random
+    * bipartite graphs against a driver-side BigInt model. */
+  private[graft] def simultaneousHits(e: DataFrame, rounds: Int): DataFrame = {
     // one row per (edge, direction): 'h'ub side sends to 'a'uthority and
-    // vice versa — the union key (side, vertex) is what lets all three
+    // vice versa — the union key (side, vertex) is what lets all the
     // rounds reuse ONE partitioning (the doubledEdgesFused trick).
-    // inline(), not union-of-two-selects: a union re-executes the
-    // orders⋈lineitem+distinct prefix once PER BRANCH; the generator
-    // doubles rows in the same pass. (Fusing the dedupe into the
-    // partitioning shuffle — dedupedPartitionedCheckpoint on the doubled
-    // frame — was measured WORSE, 2.4 → 3.3 s: the pre-distinct double
-    // ships 2× rows through a combine-less repartition, while distinct's
-    // own exchange is map-side combined before doubling.)
+    // inline(), not union-of-two-selects: a union re-executes the edge
+    // frame's prefix once PER BRANCH; the generator doubles rows in the
+    // same pass. (Fusing the dedupe into the partitioning shuffle —
+    // dedupedPartitionedCheckpoint on the doubled frame — was measured
+    // WORSE, 2.4 → 3.3 s: the pre-distinct double ships 2× rows through
+    // a combine-less repartition, while distinct's own exchange is
+    // map-side combined before doubling.)
     val ed = graft.core.Materialize.partitionedCheckpoint(
       e.select(inline(array(
         struct(lit("h").as("sside"), col("c").as("src"),
@@ -305,12 +303,24 @@ object ProfileQueries {
     var sc = ed.groupBy(col("dside"), col("dst"))
       .agg(count(lit(1)).as("s"))
       .select(col("dside").as("sside"), col("dst").as("src"), col("s"))
-    for (_ <- 2 to 3)
+    for (_ <- 2 to rounds)
       sc = ed.join(sc, Seq("sside", "src"))
         .groupBy(col("dside"), col("dst"))
         .agg(sum(col("s")).as("s"))
         .select(col("dside").as("sside"), col("dst").as("src"), col("s"))
-    val fin = sc.localCheckpoint(false) // both per-side TakeOrdereds read it
+    sc
+  }
+
+  def g09Hits(s: SparkSession, d: String): DataFrame = {
+    // Raw scans: the first op is the orderkey shuffle join, so the fixture
+    // fan-out would be a wasted pass (Tables.tableRaw contract).
+    val e = tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(tableRaw(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val fin = simultaneousHits(e, rounds = 3)
+      .localCheckpoint(false) // both per-side TakeOrdereds read it
     // per-side max folded into TakeOrdered (round 12): score = s·10⁶ div
     // max(s) is monotone in s, so the top-20 by raw s already contains
     // the max as its first row; normalization is a 40-row window.

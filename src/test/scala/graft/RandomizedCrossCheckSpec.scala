@@ -425,4 +425,89 @@ class RandomizedCrossCheckSpec extends SparkSpec {
       }
     }
   }
+
+  test("fused simultaneous HITS == BigInt block-matrix model on random bipartite graphs (3 seeded trials)") {
+    import graft.queries.ProfileQueries
+    for (seed <- 1 to 3) {
+      val rnd = new Random(800 + seed)
+      val nc = 12; val np = 9
+      val edges = (for {
+        c <- 1 to nc; p <- 1 to np if rnd.nextDouble() < 0.25
+      } yield (c.toLong, (100 + p).toLong)).distinct
+      // driver model: simultaneous updates from all-ones seeds — aK from
+      // h(K-1) AND hK from a(K-1), the g09 round-13 semantics
+      val cs = edges.map(_._1).distinct
+      val ps = edges.map(_._2).distinct
+      var h = cs.map(_ -> BigInt(1)).toMap
+      var a = ps.map(_ -> BigInt(1)).toMap
+      for (_ <- 1 to 3) {
+        val an = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+        val hn = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+        a = an; h = hn
+      }
+      val got = ProfileQueries.simultaneousHits(edges.toDF("c", "p"), rounds = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), BigInt(r.getLong(2))))
+      val gotH = got.filter(_._1 == "h").map(t => t._2 -> t._3).toMap
+      val gotA = got.filter(_._1 == "a").map(t => t._2 -> t._3).toMap
+      assert(gotH == h, s"seed=$seed hub side diverged from the model")
+      assert(gotA == a, s"seed=$seed authority side diverged from the model")
+    }
+  }
+
+  test("shingles tokenization == filtered-words reference under random whitespace mangling") {
+    // the round-13 contract: Dedupe.shingles drops empty tokens, so its
+    // shingle set equals trigrams over the FILTERED word list for ANY
+    // whitespace shape (tabs, newlines, runs, leading/trailing mixes) —
+    // the docShingles-equivalence the d09/d27/d28 truth sides rest on
+    val words = Array("alpha", "beta", "gamma", "delta", "eps")
+    val ws = Array(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    for (seed <- 1 to 3) {
+      val rnd = new Random(900 + seed)
+      val texts = (1 to 40).map { _ =>
+        val n = rnd.nextInt(6)
+        val body = (0 until n).map(_ => words(rnd.nextInt(words.length)))
+          .mkString("", ws(rnd.nextInt(ws.length)), "")
+        ws(rnd.nextInt(ws.length)) + body + ws(rnd.nextInt(ws.length))
+      }
+      def ref(t: String): Seq[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      import org.apache.spark.sql.functions.col
+      val got = texts.toDF("text")
+        .select(graft.operators.Dedupe.shingles(col("text"), 3))
+        .collect().map(_.getSeq[String](0).toSeq)
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == ref(t), s"seed=$seed text=${t.replace("\n", "\\n").replace("\t", "\\t")}")
+      }
+    }
+  }
+
+  test("ArtifactRegistry: concurrent dependent-chain builds run once each, no deadlock") {
+    // the ADVICE-high regression scenario at full strength: 12 threads
+    // race a 3-deep dependency chain (outer builds middle builds inner)
+    // through the SAME registry — the old computeIfAbsent form could
+    // throw IllegalStateException("Recursive update") or deadlock here
+    import graft.core.ArtifactRegistry
+    val builds = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+    def bump(tag: String): Unit =
+      builds.merge(tag, Int.box(1), (x, y) => Int.box(x + y))
+    def chain(level: Int): String =
+      ArtifactRegistry.cached(("xc-chain", level), s"xc_l$level") {
+        bump(s"l$level")
+        Thread.sleep(20)
+        if (level == 0) "base" else chain(level - 1) + s"+l$level"
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    val res = (1 to 24).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = chain(2)
+      })
+    }.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(res.forall(_ == "base+l1+l2"))
+    assert((0 to 2).forall(l => builds.get(s"l$l") == 1),
+      s"some chain level built more than once: $builds")
+  }
 }
