@@ -55,7 +55,12 @@ object PdfExtractor {
       val tmp = java.nio.file.Files.createTempFile("graft-ocr", ".bin")
       try {
         java.nio.file.Files.write(tmp, payload)
-        val p = new ProcessBuilder(binary, tmp.toString, "stdout").start()
+        // stderr DISCARDED, not merged and not left attached: tesseract
+        // writes warnings there, and an unconsumed 64 KiB pipe buffer
+        // would block the child while we block on stdout — a deadlock;
+        // merging would pollute the recognized text
+        val p = new ProcessBuilder(binary, tmp.toString, "stdout")
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         p.waitFor()
         if (p.exitValue() == 0) out.trim else ""
