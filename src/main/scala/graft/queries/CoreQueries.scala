@@ -64,12 +64,16 @@ object CoreQueries {
 
   /** Q5 — prediction merge-back: left join + coalesce keeps prior tags where
     * no prediction exists (SURVEY J1, assets/processing/assets.py:543-558).
-    * The prediction side is small → broadcast. */
+    * No broadcast hint (round 13): the prediction side is CORPUS-derived
+    * (a filter of the embedding table), so an unconditional broadcast was
+    * the g08 bench-scale bake-in — AQE sees the runtime size and
+    * broadcasts while small, degrading to a shuffle join when a
+    * production prediction batch outgrows the threshold. */
   def q05LeftJoinCoalesce(s: SparkSession, d: String): DataFrame = {
     val preds = embeddings(s, d).filter(col("label") % 2 === 0)
       .select(col("vec_id"), concat(lit("label_"), col("label")).as("pred"))
     documents(s, d)
-      .join(broadcast(preds), col("doc_id") === col("vec_id"), "left")
+      .join(preds, col("doc_id") === col("vec_id"), "left")
       .select(col("doc_id"), coalesce(col("pred"), col("source")).as("tag"))
       .orderBy(col("doc_id"))
   }
