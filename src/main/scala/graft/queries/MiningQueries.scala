@@ -567,17 +567,28 @@ object MiningQueries {
     * edge shuffle at any scale). */
   private[queries] def doubledEdgesFused(s: SparkSession, d: String,
       key: String): DataFrame = cachedFrame(s, d, s"dbl_$key") {
-    val li = tableRaw(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("u"))
-    val b = li.select(col("ok"), col("pk").as("v")).hint("shuffle_hash")
-    graft.core.Materialize.dedupedPartitionedCheckpoint(
-      a.join(b, Seq("ok")).filter(col("u") < col("v"))
-        .select(explode(array(
-            struct(col("u").as("a"), col("v").as("b")),
-            struct(col("v").as("a"), col("u").as("b")))).as("s"))
-        .select(col("s.a").as("u"), col("s.b").as("v")),
-      keys = Seq(key), dedupeKeys = Seq("u", "v"))
+    if (key != "u")
+      // Round-13: any non-canonical key DERIVES from the u-keyed artifact
+      // — one edge-sized exchange of the already-deduped frame, instead
+      // of re-running the basket self-join + dedupe per key (the dbl_v
+      // build paid the full chain again; the ArtifactRegistry's per-key
+      // locks make this nested build legal). Same edge set, different
+      // clustering.
+      graft.core.Materialize.partitionedCheckpoint(
+        doubledEdgesFused(s, d, "u"), key)
+    else {
+      val li = tableRaw(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("u"))
+      val b = li.select(col("ok"), col("pk").as("v")).hint("shuffle_hash")
+      graft.core.Materialize.dedupedPartitionedCheckpoint(
+        a.join(b, Seq("ok")).filter(col("u") < col("v"))
+          .select(explode(array(
+              struct(col("u").as("a"), col("v").as("b")),
+              struct(col("v").as("a"), col("u").as("b")))).as("s"))
+          .select(col("s.a").as("u"), col("s.b").as("v")),
+        keys = Seq(key), dedupeKeys = Seq("u", "v"))
+    }
   }
 
   /** T24 — BLOOM-TIERED DECONTAMINATION: t13's eval-overlap screen
