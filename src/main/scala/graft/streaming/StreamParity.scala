@@ -79,7 +79,22 @@ object StreamParity {
   private def withRunToCompletionConf[T](spark: SparkSession)(body: => T): T = {
     val tuned = Seq(
       "spark.sql.streaming.minBatchesToRetain" -> "1",
-      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s")
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+      // State-store parallelism = shuffle partitions, FIXED at checkpoint
+      // creation: every stateful operator opens/commits one store per
+      // partition per micro-batch, so 32 partitions × 2 batches × N ops
+      // is the orchestration floor the TempDirs doc attributes. Stateful
+      // jobs size this to STATE VOLUME, not core count (the standard
+      // Structured Streaming sizing rule — the setting is per-checkpoint
+      // forever, so production picks it deliberately); these parity
+      // queries hold thousands of keys, where 4 stores per op is plenty.
+      // MEASURED at sf0.1 (BenchOne min-of-2): 32 -> 4 cut q52 6.3->2.5 s
+      // (two sources x two stateful sides), q26 2.9->2.0, q36 2.9->2.2,
+      // q42 3.0->2.2, q34 1.7->1.2; 2 partitions measured WORSE on q52
+      // (3.0 — too little batch parallelism), so 4 is the measured knee.
+      // Session-wide for the run's duration, restored after — same
+      // bounded-toggle caveat as Materialize's AQE flip.
+      "spark.sql.shuffle.partitions" -> "4")
     val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
