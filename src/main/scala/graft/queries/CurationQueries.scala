@@ -155,12 +155,18 @@ object CurationQueries {
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("t"),
         expr("CAST(floor(l_quantity) AS BIGINT)").as("q"))
       .groupBy(col("t")).agg(sum(col("q")).as("b"))
-    val joint = a.join(b, Seq("t")).localCheckpoint(false)
-    val stats = joint.agg(count(lit(1)).as("n"),
-      sum(col("a")).as("sa"), sum(col("b")).as("sb"))
-    val dev = joint.crossJoin(broadcast(stats))
-      .select(col("t"), (col("n") * col("a") - col("sa")).as("da"),
-        (col("n") * col("b") - col("sb")).as("db"))
+    // n/Σa/Σb as ONE whole-frame window over the joint frame (round 13):
+    // the separate stats agg + broadcast cross join re-read the joint
+    // checkpoint and cost two extra jobs; the unpartitioned window is
+    // CALENDAR-bounded (monthly rows — q72's rule), never data-bounded,
+    // so the SinglePartition exchange holds ≤ a few thousand rows a
+    // century at any corpus size
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dev = a.join(b, Seq("t"))
+      .select(col("t"),
+        (count(lit(1)).over(wAll) * col("a") - sum(col("a")).over(wAll)).as("da"),
+        (count(lit(1)).over(wAll) * col("b") - sum(col("b")).over(wAll)).as("db"))
       .localCheckpoint(false) // both sides of the lag join
     val lags = s.range(-6, 7).select(col("id").as("k"))
     dev.crossJoin(broadcast(lags))
