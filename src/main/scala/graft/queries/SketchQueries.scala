@@ -295,9 +295,9 @@ object SketchQueries {
     // a function of the key — hashing every duplicate row was wasted
     // work), and both the three register columns (A/B/union as
     // conditional maxes in a single 256-row agg) and the three exact
-    // counts read that one aggregate — AQE stage reuse dedupes its
-    // exchange across the two consumers, so the whole query is one
-    // action, one fact-table scan, no checkpoints. Raw scan: the first op
+    // counts read that one aggregate (via the round-13 checkpoint below —
+    // the original "AQE stage reuse dedupes the exchange" claim was
+    // FALSE in practice, see the ckpt note). Raw scan: the first op
     // is the key shuffle, so the fixture fan-out would be a wasted pass.
     // the dedupe shuffle ships the two BIGINT key halves, not the concat
     // string (round 13) — w is a function of the group key, so building
@@ -307,9 +307,10 @@ object SketchQueries {
       col("l_partkey"), col("l_suppkey"))
     // lazy checkpoint (round 13): the register chain AND the exact-count
     // agg both consume base; the r10 comment trusted AQE stage reuse to
-    // dedupe the exchange, but the cross-join's two subtrees plan it
-    // TWICE (verified in the formatted plan — two full scan+shuffle+agg
-    // chains), so the one-shuffle story needs the materialization
+    // dedupe the exchange across the cross-join's two subtrees, but the
+    // MEASURED A/B says the reuse is not (fully) delivered at runtime —
+    // adding this ckpt alone cut 1.64 -> ~1.3 s min-of-2 at sf0.1 — so
+    // the one-shuffle story needs the explicit materialization
     val base = keyed.groupBy(col("l_partkey"), col("l_suppkey")).agg(
       max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
       max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
