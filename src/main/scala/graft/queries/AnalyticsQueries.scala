@@ -804,6 +804,12 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .localCheckpoint(true) // read 4x: supports, both pair sides, total
     val sup = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    // r13 A/B, REJECTED: basket-agg + in-row HOF pair explode (one fewer
+    // orderkey exchange on paper) measured 2.1-2.6 s vs this shape's
+    // 1.9-2.4 in the same windows — the nested transform/filter lambdas
+    // evaluate interpreted per basket element while the self-join stays
+    // inside whole-stage codegen, and the orderkey exchange it saves is
+    // deduped by ReuseExchange anyway (same ckpt on both sides).
     val pairs = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
