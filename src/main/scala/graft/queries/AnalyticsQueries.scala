@@ -29,8 +29,14 @@ object AnalyticsQueries {
     // before the cube (smaller Expand input) was 1.93-2.28 s vs this
     // shape's 1.56-1.78 min-of-2 at sf0.1 — the extra triple-keyed
     // exchange costs more than the Expand rows it saves (the distinct
-    // triple is ~comparable to lineitem here). Single Expand + two-phase
-    // distinct agg kept.
+    // triple is ~comparable to lineitem here). Round-13 second rejection:
+    // hierarchical rollup (distinct-triple base checkpoint + the four
+    // grouping sets as separate small aggs, no Expand at all) verified
+    // identical and measured 1.80-2.01 s at 13 jobs vs this shape's
+    // 1.55-1.82 at 7 — the per-branch job floors cost more than the
+    // Expand's two-phase distinct exchange. Single Expand kept; at
+    // 100 TB the trade flips ONLY if the distinct exchange spills, and
+    // AQE's coalescing handles that without a shape change.
     lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
