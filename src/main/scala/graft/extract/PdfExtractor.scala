@@ -49,10 +49,12 @@ object PdfExtractor {
     * degrade to "" — the fail-soft contract, OCR can only ADD text.
     * Contract-tested against a fake tesseract script in PdfExtractorSpec
     * so the real binary slots in with zero code change. */
-  final class CliOcr(binary: String) extends Serializable {
+  final class CliOcr(binary: String,
+      timeoutSec: Long = CliOcr.DefaultTimeoutSec) extends Serializable {
     def recognize(payload: Array[Byte]): String = {
       if (payload == null || payload.isEmpty) return ""
       val tmp = java.nio.file.Files.createTempFile("graft-ocr", ".bin")
+      var proc: Process = null
       try {
         java.nio.file.Files.write(tmp, payload)
         // stderr DISCARDED, not merged and not left attached: tesseract
@@ -61,12 +63,39 @@ object PdfExtractor {
         // merging would pollute the recognized text
         val p = new ProcessBuilder(binary, tmp.toString, "stdout")
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        p.waitFor()
-        if (p.exitValue() == 0) out.trim else ""
-      } catch { case _: Exception => "" }
-      finally java.nio.file.Files.deleteIfExists(tmp)
+        proc = p
+        // stdout drains on its own daemon thread so a chatty child never
+        // blocks on a full pipe, while the MAIN thread only ever blocks on
+        // the bounded waitFor: a hung binary is killed (destroyForcibly),
+        // never waited on forever — a task slot must not leak into a
+        // zombie child (ADVICE r13)
+        val buf = new java.io.ByteArrayOutputStream()
+        val drain = new Thread(() => {
+          try { p.getInputStream.transferTo(buf); () }
+          catch { case _: Exception => () }
+        }, "graft-ocr-stdout")
+        drain.setDaemon(true)
+        drain.start()
+        if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          ""
+        } else {
+          drain.join(2000) // stdout closes with the child; bounded anyway
+          if (p.exitValue() == 0) new String(buf.toByteArray, "UTF-8").trim
+          else ""
+        }
+      } catch {
+        case _: Exception =>
+          if (proc != null) proc.destroyForcibly() // no orphaned child
+          ""
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
+  }
+
+  object CliOcr {
+    /** Per-page OCR is seconds, not minutes — 120 s flags a hung binary,
+      * not a slow page; fail-soft returns "" exactly like a crash. */
+    val DefaultTimeoutSec = 120L
   }
 
   /** The active OCR engine: SPARK_GRAFT_TESSERACT (path to a tesseract-

@@ -95,9 +95,19 @@ object ShortestPaths {
     * Unlike [[hops]], there is NO frontier/anti-join shortcut: a weighted
     * relaxation can IMPROVE a vertex it already reached (a longer-hop but
     * lighter path), so every round re-relaxes the full distance table.
-    * That keeps each round at exactly two shuffles over distance-table
-    * size; `localCheckpoint` truncates lineage per round (the
-    * [[ConnectedComponents.run]] discipline).
+    *
+    * Round-14 fold (the g09/g11/g08 union-keyed discipline): a round is
+    * one ZERO-exchange co-partitioned join (distance table clustered on
+    * the vertex key by the previous round's agg, edges by the shared
+    * checkpoint) + one union-keyed min-agg over relaxation rows ∪
+    * carry-forward rows — statically planned (see the in-loop note), so
+    * the fixpoint runs as ONE job with one map-side-combined exchange per
+    * round. A/B'd against a self-loop-augmented edge frame (fold the
+    * carry INTO the join by adding weight-0 loops, making each round's
+    * table single-consumer): same round cost, but the augmented frame
+    * pays a full edge-sized clustering shuffle per execution (or +0.5 s
+    * of build ledger if memoized) that this shape avoids — rejected,
+    * sf0.1 min-of-2 1.46 s vs 1.26 s same-window control-normalized.
     *
     * Depth is CAPPED at `rounds` by contract — this computes "shortest
     * distance using ≤ rounds edges", the fixed-depth semantic that is
@@ -140,24 +150,40 @@ object ShortestPaths {
     try {
       val dir = dirIn
 
-      // lazy per-round checkpoints (round-9 job-floor fix): lineage is
-      // still cut at every round — localCheckpoint(false) wraps the round
-      // in a LogicalRDD immediately — but materialization happens once,
-      // inside the final action, instead of as r eager jobs. The round's
-      // two consumers of `dist` (join side + union side) share that one
-      // materialization.
-      var dist = seeds.select(col("node")).distinct()
-        .withColumn("dist", lit(0L)).localCheckpoint(false)
-      var r = 0
-      while (r < rounds) {
-        r += 1
-        dist = dist.join(dir, dist("node") === dir("u"))
-          .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
-          .union(dist.select(col("node"), col("dist")))
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(false)
-      }
-      dist
+      // The whole fixpoint is planned STATICALLY (AQE off — the
+      // [[graft.core.Materialize]] posture, applied to a loop): every
+      // round's min-agg emits HashPartitioning(node), the rename makes it
+      // HashPartitioning(u), and the shuffle-hash hint joins it against
+      // the identically u-clustered edge checkpoint with ZERO exchange;
+      // the relaxation rows and the carry-forward rows then meet in ONE
+      // union-keyed min-agg whose exchange (map-side combined) is the
+      // round's only shuffle. Per-round lazy localCheckpoints cut lineage
+      // and let the round's two readers of `dist` (join side + carry
+      // side) share one materialization WITHOUT splitting the action:
+      // RDD dependencies flow through a lazy LogicalRDD, so the final
+      // action still runs the r rounds as one job with r stages. Under
+      // AQE the same plan ran as 13 scheduled jobs (one per stage
+      // materialization + a per-round broadcast estimate of the
+      // vertex-sized table) — measured 13 → 4 at sf0.1; at 100 TB the
+      // static co-partitioned plan is exactly the cluster shape (a
+      // vertex-sized table never broadcasts — the g04 rule).
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqePrev = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try {
+        var dist = seeds.select(col("node")).distinct()
+          .withColumn("dist", lit(0L)).localCheckpoint(false)
+        var r = 0
+        while (r < rounds) {
+          r += 1
+          dist = dist.hint("shuffle_hash").join(dir, dist("node") === dir("u"))
+            .select(dir("v").as("node"), (dist("dist") + dir("w")).as("dist"))
+            .union(dist.select(col("node"), col("dist")))
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(false)
+        }
+        dist
+      } finally spark.conf.set(aqeKey, aqePrev)
     } finally spark.conf.set(key, prev)
   }
 }
