@@ -633,16 +633,35 @@ object MiningQueries {
     // same array. The r12 shape paid an eager checkpoint job PLUS a
     // second collect action for bits that are a pure function of strings
     // already in driver memory.
+    // Round-14 (ADVICE): the collect is CAPPED at m — the limit bounds
+    // the transfer structurally (a runaway eval tier can never OOM the
+    // driver), and the require states the design contract: past m
+    // distinct shingles the m-bit filter saturates and this tiering is
+    // the wrong plan — an eval set that scales with the corpus keeps the
+    // exact tier's DISTRIBUTED distinct instead (t13's shape).
     val evalShArr = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
-      .collect().map(_.getString(0))
+      .limit(m + 1).collect().map(_.getString(0))
+    require(evalShArr.length <= m,
+      s"t24: eval tier exceeds the $m-bit Bloom capacity — use the " +
+        "distributed exact tier (t13) for corpus-scaled eval sets")
     // Round-10 (unchanged contract): the bit table ships back as ONE
     // array-of-longs literal (m/64 = 16 Ki longs = 128 KiB, bounded no
     // matter how big the eval suite grows — the same move Spark's own
     // runtime Bloom-filter join makes). The corpus probe is a NARROW
     // filter — four md5 lane bits against the literal.
+    // Round-14: ONE digest per shingle. The old filter spelled
+    // md5(g) inside every lane term (up to 8 evaluations per row — CSE
+    // does not rescue it: Catalyst splits the conjunction and re-inlines
+    // any Project alias back into the pushed-down predicates, so a
+    // w1/w2 projection is NOT a fix). Moving the digest INSIDE the
+    // explode's transform makes the generator the optimization barrier:
+    // filters on generated output cannot push below the Generate, so the
+    // hex is computed exactly once per (doc, shingle) and the lanes are
+    // substring+conv arithmetic. Measured at sf0.1 (min-of-2, normalized
+    // to a same-window g03 control — the host drifts ±30%):
+    // t24/control 0.91 → 0.70, a ~23 % relative cut.
     def bloomBit(l: Int): org.apache.spark.sql.Column =
-      (Dedupe.md5Hash32(col("g")) +
-        lit(l.toLong) * conv(substring(md5(col("g")), 9, 8), 16, 10).cast("long")) % m
+      (col("w1") + lit(l.toLong) * col("w2")) % m
     val words = new Array[Long](m / 64)
     val digest = java.security.MessageDigest.getInstance("MD5")
     evalShArr.foreach { g =>
@@ -660,7 +679,12 @@ object MiningQueries {
     // evaluated by reference) — adding it as a withColumn would serialize
     // the 128 KiB array into every corpus row (measured 3.2 s vs 1.x s)
     val bitmap = typedLit(words.toSeq)
-    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(expr("transform(gs, x -> struct(x AS g, md5(x) AS h))")).as("s"))
+      .select(col("doc_id"), col("s.g").as("g"),
+        conv(substring(col("s.h"), 1, 8), 16, 10).cast("long").as("w1"),
+        conv(substring(col("s.h"), 9, 8), 16, 10).cast("long").as("w2"))
     def laneOk(l: Int): org.apache.spark.sql.Column = {
       val b = bloomBit(l)
       val word = element_at(bitmap, (b / 64).cast("int") + 1)
