@@ -66,17 +66,28 @@ private[streaming] object TempDirs {
   */
 object StreamParity {
 
-  /** Run `body` with run-to-completion streaming conf: these parity
-    * queries start, drain one AvailableNow pass and stop, so checkpoint
-    * RETENTION work is pure overhead — keep one batch of metadata
-    * (minBatchesToRetain=1) and push the state-store maintenance thread
-    * past the query's lifetime. MEASURED at sf0.1: −0.2–0.3 s on the
-    * windowed-agg/session queries, nothing on the stream-stream join
-    * (its floor is 2-sides × 32 state tasks × 2 batches of microbatch
-    * orchestration, not retention I/O — see TempDirs doc). Session confs
-    * are restored afterwards: a caller running a RESUMABLE production
-    * stream on the same session keeps its own retention settings. */
-  private def withRunToCompletionConf[T](spark: SparkSession)(body: => T): T = {
+  /** Run `body` on an ISOLATED child session (`spark.newSession()` — own
+    * SQLConf, shared SparkContext/catalog/codegen caches) carrying the
+    * run-to-completion streaming conf: these parity queries start, drain
+    * one AvailableNow pass and stop, so checkpoint RETENTION work is pure
+    * overhead — keep one batch of metadata (minBatchesToRetain=1) and
+    * push the state-store maintenance thread past the query's lifetime.
+    * MEASURED at sf0.1: −0.2–0.3 s on the windowed-agg/session queries,
+    * nothing on the stream-stream join (its floor is 2-sides × N state
+    * tasks × 2 batches of microbatch orchestration, not retention I/O —
+    * see TempDirs doc).
+    *
+    * Why a child session and not a set/restore on the caller's (round 14,
+    * ADVICE): Bench's concurrent pass runs every query on one shared
+    * session, so a session-wide shuffle-partitions override (a) leaked
+    * into BATCH queries planned while a parity query was in flight, and
+    * (b) two overlapping parity queries raced the capture/restore and
+    * could leave the shared session stuck at 4 partitions — an
+    * interleaving-dependent wall in a repo whose committed artifact is
+    * the ratio. The child session's conf is invisible to every other
+    * query, needs no restore, and inherits all builder-time config
+    * (SparkConf) including the parquet nanos flag. */
+  private def withRunToCompletionConf[T](spark: SparkSession)(body: SparkSession => T): T = {
     val tuned = Seq(
       "spark.sql.streaming.minBatchesToRetain" -> "1",
       "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
@@ -92,16 +103,10 @@ object StreamParity {
       // (two sources x two stateful sides), q26 2.9->2.0, q36 2.9->2.2,
       // q42 3.0->2.2, q34 1.7->1.2; 2 partitions measured WORSE on q52
       // (3.0 — too little batch parallelism), so 4 is the measured knee.
-      // Session-wide for the run's duration, restored after — same
-      // bounded-toggle caveat as Materialize's AQE flip.
       "spark.sql.shuffle.partitions" -> "4")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val sess = spark.newSession()
+    tuned.foreach { case (k, v) => sess.conf.set(k, v) }
+    body(sess)
   }
 
   /** Hour-windowed per-type counts + min/max over `eventsPath`, 30-minute
@@ -111,7 +116,7 @@ object StreamParity {
     * Spark and oracle sides agree bit-for-bit (see q23). */
   def finalWindowCounts(spark: SparkSession, eventsPath: String,
       windowDur: String = "1 hour",
-      lateness: String = "30 minutes"): DataFrame = withRunToCompletionConf(spark) {
+      lateness: String = "30 minutes"): DataFrame = withRunToCompletionConf(spark) { spark =>
     val tmp = TempDirs.scratchDir("graft-streamparity")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -163,7 +168,7 @@ object StreamParity {
     * 1000` — the oracle must truncate the same way or boundary sessions
     * flip. Sessions still open at the final watermark stay in (discarded)
     * state, exactly as a live pipeline would hold them. */
-  def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
+  def finalSessions(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) { spark =>
     val gap = "30 minutes"; val lateness = "30 minutes" // fixed: the
     // duration projection below subtracts the gap as a literal
     val tmp = TempDirs.scratchDir("graft-streamsessions")
@@ -215,7 +220,7 @@ object StreamParity {
     * Scale: stream-static joins are how a 100 TB/day event stream enriches
     * against slowly-changing dimensions without stream-stream state; the
     * dim side broadcasts when small and the stream never buffers. */
-  def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
+  def staticJoinWindowCounts(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) { spark =>
     val tmp = TempDirs.scratchDir("graft-streamstatic")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -267,7 +272,7 @@ object StreamParity {
     * production scale the identical plan runs with a real trigger: state
     * is bounded by the 30-minute range + watermark, so neither side
     * buffers unboundedly. */
-  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) {
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String): DataFrame = withRunToCompletionConf(spark) { spark =>
     val tmp = TempDirs.scratchDir("graft-streamstream")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
@@ -319,7 +324,7 @@ object StreamParity {
     * invocation, which sorts arrivals by id — the emitted
     * (first_seen, dups_so_far) sequence is then exactly the batch
     * row_number over (hash ORDER BY id), which is what the oracle pins. */
-  def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = withRunToCompletionConf(spark) {
+  def dedupeWithCounts(spark: SparkSession, docsPath: String): DataFrame = withRunToCompletionConf(spark) { spark =>
     import spark.implicits._
     val tmp = TempDirs.scratchDir("graft-streamdedupe")
     val out = tmp.resolve("out").toString
@@ -369,7 +374,7 @@ object StreamParity {
     * target table is bucketed on the merge key so this join is
     * co-located and exchange-free (q43's layout argument). */
   def cdcMergeUpserts(spark: SparkSession, eventsPath: String,
-      nFiles: Int = 4): DataFrame = withRunToCompletionConf(spark) {
+      nFiles: Int = 4): DataFrame = withRunToCompletionConf(spark) { spark =>
     val tmp = TempDirs.scratchDir("graft-streamcdc")
     val ckpt = tmp.resolve("ckpt").toString
     // The nFiles-way range split IS the source layout: a production
