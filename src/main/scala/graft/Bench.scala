@@ -74,7 +74,11 @@ object Bench {
     // are honored by buildSession, and an audit field that can disagree
     // with the session it describes is worse than none.
     def liveConfJson(sess: SparkSession): String = {
-      def g(k: String) = sess.conf.get(k, "unset")
+      // fallback is the JSON literal null, NOT a bareword: shuffle_
+      // partitions/compress/aqe interpolate unquoted (they are numeric/
+      // boolean), so a missing key must still leave the artifact
+      // parseable (ADVICE r13)
+      def g(k: String) = sess.conf.getOption(k).getOrElse("null")
       s"""{"master":"${sess.sparkContext.master}",""" +
         s""""shuffle_partitions":${g("spark.sql.shuffle.partitions")},""" +
         s""""shuffle_compress":${g("spark.shuffle.compress")},""" +
@@ -253,8 +257,13 @@ object Bench {
     // remaining cost is stage-count floor at local[32], not plan shape.
     // Committed here per the r12 verdict so the artifact, not a NOTES
     // archaeology, carries the floor.
+    // Floors are EXCLUDED from the perf-weak rule by definition: a query
+    // lands here only after >=2 redesigns were measured and rejected with
+    // numbers at the site, i.e. the remaining cost is decomposed stage/
+    // job floor, not plan shape.
     val floorsJson =
       """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized",""" +
+        """"q27_cube":"CUBE distinct-agg (r14 retirement per the two recorded rejections at AnalyticsQueries.scala: r12 pre-agg 1.56-1.78s, r13 hierarchical rollup 1.80-2.01s/13 jobs vs shipped 1.55-1.82s/7): remaining cost is the Expand x two-phase countDistinct exchange + 7-job floor at sf0.1; trade flips at scale only if the distinct exchange spills, which AQE coalescing absorbs without a shape change",""" +
         """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob"}"""
     val detailJson =
       s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""

@@ -36,15 +36,17 @@ import java.util.concurrent.ConcurrentHashMap
   *
   * Lifetime: entries are keyed by applicationId (callers include it in
   * `key`), so a stopped session's frames become unreachable dead weight
-  * rather than wrong answers. That matches this JVM's lifecycles (tests,
-  * Verify, Bench — one or two sessions per process); a long-lived
-  * multi-session service would add eviction on application end before
-  * reusing this as-is.
+  * rather than wrong answers — and since round 14 not even dead weight:
+  * the first build in a session installs a listener that EVICTS every
+  * entry (and its lock) mentioning that applicationId when the
+  * application ends, so a long-lived multi-session service can reuse
+  * this as-is.
   */
 object ArtifactRegistry {
 
   private val store = new ConcurrentHashMap[Any, AnyRef]()
   private val locks = new ConcurrentHashMap[Any, AnyRef]()
+  private val evictionRegistered = ConcurrentHashMap.newKeySet[String]()
   // tag -> accumulated self-seconds across builds (appId lives in the
   // store key, not here: Bench resets timings at session start, so the
   // snapshot it reads is exactly the builds its own session paid for)
@@ -62,10 +64,24 @@ object ArtifactRegistry {
     if (hit != null) hit.asInstanceOf[V]
     else {
       val lock = locks.computeIfAbsent(k, _ => new Object)
+      val w0 = System.nanoTime()
       lock.synchronized {
         val again = store.get(k)
-        if (again != null) again.asInstanceOf[V]
-        else {
+        if (again != null) {
+          // Lost the build race: another thread materialized this
+          // artifact while we blocked on its lock. The builder's thread
+          // already charged the build to the tag; credit OUR blocked
+          // wall to the calling build's child accumulator so a parent's
+          // SELF time excludes it — otherwise the same interval lands on
+          // both tags and build_total_sec double-counts under the
+          // concurrent pass (ADVICE r13). (A wait that ends WITHOUT the
+          // value present — the builder failed — stays on the parent:
+          // rare, and conservative in the right direction.)
+          val parent = childTime.get().peek()
+          if (parent != null) parent(0) += (System.nanoTime() - w0) / 1e9
+          again.asInstanceOf[V]
+        } else {
+          autoRegisterEviction()
           val stack = childTime.get()
           stack.push(Array(0.0))
           val t0 = System.nanoTime()
@@ -84,6 +100,42 @@ object ArtifactRegistry {
         }
       }
     }
+  }
+
+  /** Install (once per application) a listener that drops this
+    * application's entries when it ends. Registered lazily from the
+    * first build on a thread with an active session — call sites need no
+    * wiring, and a registry used without any Spark session (unit tests
+    * of the cache itself) simply skips it. */
+  private def autoRegisterEviction(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      val appId = s.sparkContext.applicationId
+      if (evictionRegistered.add(appId)) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            evictApplication(appId)
+            evictionRegistered.remove(appId)
+            ()
+          }
+        })
+      }
+    }
+
+  /** Drop every artifact AND its lock whose key mentions `appId`
+    * anywhere in its (possibly nested) tuple structure — the convention
+    * every call site follows is to embed the applicationId in `key`, so
+    * this is exact, and an entry whose key does NOT name an application
+    * (none exist today) is deliberately left alone. */
+  private[graft] def evictApplication(appId: String): Unit = {
+    def mentions(x: Any): Boolean = x match {
+      case s: String => s == appId
+      case p: Product => p.productIterator.exists(mentions)
+      case _ => false
+    }
+    val dead = new java.util.ArrayList[Any]()
+    store.keySet.forEach { k => if (mentions(k)) { dead.add(k); () } }
+    dead.forEach { k => store.remove(k); locks.remove(k); () }
   }
 
   /** Per-tag build self-seconds accumulated since the last

@@ -40,6 +40,55 @@ class ArtifactRegistrySpec extends AnyFunSuite {
     assert(ArtifactRegistry.cached(("ars", "dep"), "spec_inner")("Y") == "I")
   }
 
+  test("lost build race credits blocked wall to the parent, not the tag twice") {
+    ArtifactRegistry.resetTimings()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // thread A builds the shared dep slowly; thread B's PARENT build
+    // blocks on that in-flight dep and must not charge the wait to its
+    // own tag (the r13 double-count)
+    val a = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String =
+        ArtifactRegistry.cached(("ars", "shared"), "spec_shared") {
+          gate.countDown(); Thread.sleep(300); "S"
+        }
+    })
+    gate.await()
+    Thread.sleep(30) // A is now mid-build
+    val b = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String =
+        ArtifactRegistry.cached(("ars", "parent"), "spec_parent") {
+          ArtifactRegistry.cached(("ars", "shared"), "spec_shared")("X") + "P"
+        }
+    })
+    assert(a.get() == "S" && b.get() == "SP")
+    pool.shutdown()
+    val t = ArtifactRegistry.buildSeconds
+    assert(t("spec_shared") >= 0.25, s"builder's own time stands: $t")
+    // parent blocked ~270 ms on the shared build; its SELF time must not
+    // include that interval (tags must sum without double counting)
+    assert(t("spec_parent") < 0.15, s"parent must exclude lock wait: $t")
+    ArtifactRegistry.resetTimings()
+  }
+
+  test("application-end eviction drops exactly that application's keys") {
+    def build(app: String, name: String): String =
+      ArtifactRegistry.cached((app, name), "spec_evict") { s"$app/$name" }
+    var rebuilds = 0
+    assert(build("appA", "x") == "appA/x")
+    assert(build("appA", "y") == "appA/y")
+    assert(build("appB", "x") == "appB/x")
+    ArtifactRegistry.evictApplication("appA")
+    // appB untouched (cached), appA keys rebuild
+    assert(ArtifactRegistry.cached(("appB", "x"), "spec_evict") {
+      rebuilds += 1; "NEW"
+    } == "appB/x" && rebuilds == 0)
+    assert(ArtifactRegistry.cached(("appA", "x"), "spec_evict") {
+      rebuilds += 1; "NEW"
+    } == "NEW" && rebuilds == 1)
+    ArtifactRegistry.resetTimings()
+  }
+
   test("concurrent requests for one key build exactly once") {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
