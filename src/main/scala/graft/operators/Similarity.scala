@@ -399,7 +399,15 @@ object Similarity {
         .distinct(),
       "src")
     // the corpus bucket table (entry-point probes) is part of the index
-    // artifact too — fp/v pruned, one narrow build job
+    // artifact too — fp/v pruned, one narrow build job.
+    // Round-14 rejected redesign (build-ledger hunt, ProbeS06 min-of-2 at
+    // sf0.1): materializing ONE (tbl, bucket)-clustered (id, fp) frame up
+    // front — zero-exchange self-join + this bucket table as a free
+    // projection — measured WORSE, build 2.05 → 2.68 s (warm control
+    // +10 % window noise): the extra eager checkpoint job + block I/O of
+    // the exploded corpus cost more than the duplicated narrow plane-dot
+    // pass and the ReuseExchange'd bucket shuffle it saved. The two-pass
+    // shape below stands.
     val buckets = graft.core.Materialize.checkpointRetainingPartitioning(
       corpus.select(id.as("id"), explode(tables(vec)).as("tb"))
         .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),

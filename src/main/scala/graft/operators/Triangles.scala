@@ -48,7 +48,20 @@ object Triangles {
     * (per-vertex coefficients) both read them, and re-running the
     * orientation + wedge-intersection join per query was the d05/p03
     * situation again. Memoized per (application, edges plan,
-    * assumeNormalized) with eager partitioning-retaining checkpoints. */
+    * assumeNormalized) with eager partitioning-retaining checkpoints.
+    *
+    * Round-14 rejected redesign (the build-ledger hunt, measured at
+    * sf0.1 with ProbeTri): deriving the build from the shared doubled
+    * artifacts — deg as an exchange-free agg over dbl_u, the dv
+    * annotation riding dbl_v's clustering, orientation as a filter over
+    * the doubled rows — measured WORSE: triangle_core 3.16 → 4.28 s
+    * (warm-control-normalized 3.59 → 4.05), and it drags dbl_u+dbl_v
+    * into g01's dependency set. Why: this build is already near-optimal
+    * on shuffle volume — the degree explode-shuffle is map-side combined
+    * down to VERTEX size and `e` is m rows, while every doubled-frame
+    * path must move 2m annotated rows through the orientation re-key.
+    * The residual cost is the wedge-intersection agg itself (the r13
+    * note below), which no edge-frame re-sourcing touches. */
   private def coreShared(edges: DataFrame,
       assumeNormalized: Boolean): (DataFrame, DataFrame) = {
     val key = Seq(edges.sparkSession.sparkContext.applicationId,

@@ -899,12 +899,26 @@ object MiningQueries {
     val dirTag = f"${d.hashCode & 0x7fffffff}%x"
     val (liTbl, oTbl) = (s"graft_b_lineitem_$dirTag", s"graft_b_orders_$dirTag")
     cachedFrame(s, d, "q43_buckets") {
-      Sinks.writeBucketed(
-        lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+      // Round-14 build trims: (a) raw scans — the write's first op is the
+      // bucket-aligned repartition (see writeBucketed), so the fixture
+      // fan-out would be a wasted pass (the tableRaw contract); (b) the
+      // two INDEPENDENT table writes run concurrently — FAIR scheduling
+      // overlaps the small orders write entirely inside the lineitem one.
+      // Measured at sf0.1 (ProbeQ43, same window): build 2.76 → 0.97 s
+      // (warm query unchanged, 0.53/0.51 s).
+      def writeLi(): Unit = Sinks.writeBucketed(
+        tableRaw(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
         liTbl, "l_orderkey", nBuckets = 8, sortCol = Some("l_orderkey"))
-      Sinks.writeBucketed(
-        orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      def writeO(): Unit = Sinks.writeBucketed(
+        tableRaw(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         oTbl, "o_orderkey", nBuckets = 8, sortCol = Some("o_orderkey"))
+      var oErr: Throwable = null
+      val t = new Thread(() => try writeO() catch { case e: Throwable => oErr = e })
+      t.start()
+      writeLi()
+      t.join()
+      if (oErr != null) throw oErr
       s.table(liTbl) // any frame; the cache records the writes
     }
     val li = s.table(liTbl)

@@ -39,7 +39,19 @@ object Sinks {
       if (warehouse.startsWith("file:")) new java.net.URI(warehouse).getPath
       else warehouse, name)
     if (dir.exists()) graft.core.Fs.rmTree(dir)
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    // Round-14 (build-ledger item): pre-shuffle the input to EXACTLY the
+    // bucket layout. repartition(n, col) and the bucket-id function are
+    // the same Murmur3-pmod hash, so each write task holds exactly one
+    // bucket and emits ONE file — without this, every input task writes
+    // a file per bucket it touches (32 round-robin tasks × 8 buckets =
+    // 256 files here) and the per-task (bucketId, sortCol) sort degrades
+    // to interleaved runs. The exchange is not extra work: "pay the
+    // shuffle once at write time" IS this shuffle. nBuckets stays the
+    // caller's scale knob (a cluster picks buckets ≫ cores; the fixture
+    // picks 8).
+    val aligned = df.repartition(nBuckets,
+      org.apache.spark.sql.functions.col(byCol))
+    val w = aligned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, byCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(name)
   }
