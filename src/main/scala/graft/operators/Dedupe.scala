@@ -113,13 +113,30 @@ object Dedupe {
     // "the history side is the persisted signature table"); d01, d09,
     // d27 and d29 all read ONE materialization instead of each
     // re-running the shingle explode + 16-lane min agg.
-    val key = Seq(df.sparkSession.sparkContext.applicationId,
-      df.queryExecution.analyzed.semanticHash(),
-      id.toString, text.toString, shingleN, k).mkString("#")
+    minhashSignaturesFromShingles(
+      df.select(id.as("id"), shingles(text, shingleN).as("gs")),
+      col("id"), col("gs"), k)
+  }
+
+  /** [[minhashSignatures]] over an ALREADY-shingled (id, shingle-array)
+    * frame — round 14: lets the signature build ride the corpus's ONE
+    * materialized tokenization (the d16 posture; MiningQueries.docShingles
+    * is that artifact) instead of re-scanning and re-shingling the
+    * documents. Values are IDENTICAL to the text path by construction:
+    * each lane is a MIN over the per-shingle hashes, and min() is
+    * duplicate-insensitive, so the artifact's array_distinct (and any
+    * shingle ordering) cannot change a signature — pinned in DedupeSpec.
+    * Build cost drops to explode + md5 + k affine min-lanes over DISTINCT
+    * shingles (the dominant md5/lane work also shrinks with the dedup). */
+  def minhashSignaturesFromShingles(shingled: DataFrame, id: Column,
+      gs: Column, k: Int = 16): DataFrame = {
+    val key = Seq(shingled.sparkSession.sparkContext.applicationId,
+      shingled.queryExecution.analyzed.semanticHash(),
+      id.toString, gs.toString, k).mkString("#")
     graft.core.ArtifactRegistry.cached(key, "minhash_sig") {
       val fam = hashFamily(k)
-      val exploded = df
-        .select(id.as("id"), explode(shingles(text, shingleN)).as("sh"))
+      val exploded = shingled
+        .select(id.as("id"), explode(gs).as("sh"))
         .select(col("id"), (md5Hash32(col("sh")) % MersennePrime).as("h"))
       val laneMins = fam.zipWithIndex.map { case ((a, b), i) =>
         min((col("h") * a + b) % MersennePrime).as(s"__m$i")
@@ -146,8 +163,15 @@ object Dedupe {
 
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Double = 0.5): DataFrame =
+    lshPairsFromSignatures(minhashSignatures(df, id, text, shingleN, k),
+      k, bands, minAgree)
+
+  /** The band→bucket-join→verify half of [[minhashLshPairs]], over an
+    * existing (id, sig) signature frame — callers holding the memoized
+    * signature artifact skip the shingle/signature build entirely. */
+  def lshPairsFromSignatures(sig: DataFrame, k: Int = 16, bands: Int = 4,
       minAgree: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(df, id, text, shingleN, k)
     val banded = bandKeys(sig, k, bands)
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_key"))

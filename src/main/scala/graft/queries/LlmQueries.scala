@@ -20,7 +20,11 @@ object LlmQueries {
   /** MinHash+LSH near-dup pairs over documents (3-word shingles, k=16
     * signatures, 4 bands — shingle→minhash→band→bucket-join). */
   def d01MinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedupe.minhashLshPairs(documents(s, d), col("doc_id"), col("text"))
+    // round 14: signatures from the SHARED artifact (docShingles →
+    // minhashSigShared) — one tokenization + one signature build for the
+    // whole d01/d09/d27/d29 family; values byte-identical (min-lanes are
+    // duplicate-insensitive, DedupeSpec pins it)
+    Dedupe.lshPairsFromSignatures(MiningQueries.minhashSigShared(s, d))
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs (32-bit fingerprint, Hamming <= 3, pigeonhole
@@ -102,7 +106,7 @@ object LlmQueries {
         // receive a verdict (the documented four-class partition)
         Dedupe.md5Hash32(trim(lower(coalesce(col("text"), lit(""))))).as("thash"))
       .localCheckpoint(false) // split flag + text hash feed four branches
-    val sig = Dedupe.minhashSignatures(documents(s, d), col("doc_id"), col("text"))
+    val sig = MiningQueries.minhashSigShared(s, d)
     val banded = Dedupe.bandKeys(sig, 16, 4)
       .join(base.select(col("doc_id").as("id"), col("is_hist")), Seq("id"))
     val candNear = banded.filter(!col("is_hist"))

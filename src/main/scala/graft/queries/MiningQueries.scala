@@ -506,6 +506,18 @@ object MiningQueries {
             |  ELSE array() END""".stripMargin).as("gs")), "doc_id")
     }
 
+  /** The corpus MinHash signature table, built FROM [[docShingles]] —
+    * round 14: the signature build previously re-scanned and re-shingled
+    * documents (the one remaining duplicate tokenization in the dedupe
+    * family after d16/t24/d09 unified on the shingle artifact); min-lanes
+    * are duplicate-insensitive so the artifact's distinct arrays yield
+    * byte-identical signatures (DedupeSpec pins the equality). Shared by
+    * d01, d09, d27 and d29 — the build ledger charges ONE shingle pass +
+    * one signature agg for the whole family. */
+  private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedupe.minhashSignaturesFromShingles(
+      docShingles(s, d), col("doc_id"), col("gs"))
+
   private[queries] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "und") {
       graft.core.Materialize.checkpointRetainingPartitioning(
@@ -938,8 +950,10 @@ object MiningQueries {
     * computed ONLY for candidate pairs (join through the candidate list,
     * never all-pairs), so the sketch itself bounds the audit's cost. */
   def d09SketchAccuracy(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val cands = Dedupe.minhashLshPairs(docs, col("doc_id"), col("text"),
+    // round 14: candidates from the SHARED signature artifact (built off
+    // docShingles) — the audit's sketch side and exact side now provably
+    // read one tokenization
+    val cands = Dedupe.lshPairsFromSignatures(minhashSigShared(s, d),
       minAgree = 0.0)
     // round 12: the shared docShingles artifact; round 13: the (doc, g)
     // set is identical BY CONSTRUCTION now that Dedupe.shingles filters

@@ -475,8 +475,10 @@ object OpsQueries {
 
   def d27LshTuning(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Dedupe
-    val docs = documents(s, d)
-    val sig = Dedupe.minhashSignatures(docs, col("doc_id"), col("text"))
+    // round 14: the shared signature artifact (docShingles-built) — the
+    // tuning sweep and the d01 production config provably score the SAME
+    // signatures
+    val sig = MiningQueries.minhashSigShared(s, d)
     val truth = shingleJaccardTruth(s, d)
       .localCheckpoint(false) // joined against each config
     val nTruthDf = truth.agg(count(lit(1)).as("n_truth")) // 1-row broadcast

@@ -64,6 +64,27 @@ class DedupeSpec extends SparkSpec {
     assert(sigs(0).size == 16)
   }
 
+  test("signatures from a distinct pre-shingled frame equal the text path") {
+    import spark.implicits._
+    // min-lanes are duplicate-insensitive, so signatures built over the
+    // memoized DISTINCT shingle artifact (docShingles) must be
+    // byte-identical to the raw text path — the r14 shared-signature
+    // refactor (d01/d09/d27/d29) rests on this equality
+    val df = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta"),
+      (2L, "  tab\tseparated words with  extra   spaces one two three "),
+      (3L, "short doc"), // < 3 words: empty shingle set, absent both ways
+      (4L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val fromText = Dedupe.minhashSignatures(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val shingled = df.select(col("id"),
+      array_distinct(Dedupe.shingles(col("text"), 3)).as("gs"))
+    val fromArt = Dedupe.minhashSignaturesFromShingles(shingled, col("id"), col("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fromText == fromArt)
+    assert(!fromText.contains(3L)) // sub-3-word docs have no signature
+  }
+
   test("minhashLshPairs finds exact duplicates and near-duplicates") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
