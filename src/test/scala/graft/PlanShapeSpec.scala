@@ -444,4 +444,31 @@ class PlanShapeSpec extends SparkSpec {
       s"shard manifest degraded to a global window:\n${p.take(2000)}")
     assert(p.contains("Window"), "running-sum window missing")
   }
+
+  test("minhash signatures over the shingle artifact aggregate exchange-free (r14)") {
+    // The r14 shared-signature build rides docShingles' doc_id-clustered
+    // checkpoint: Generate preserves its child's partitioning and the
+    // per-id min-lane HashAggregate's ClusteredDistribution(id) is
+    // satisfied by the checkpoint's HashPartitioning — so the signature
+    // agg must plan with ZERO exchanges above the artifact. At 100 TB
+    // this is a full corpus shuffle the text path paid and the artifact
+    // path must never re-acquire. (Same expressions as the build body —
+    // the memoized artifact itself returns an opaque checkpoint, so the
+    // pin reconstructs the pre-checkpoint plan, the t44 discipline.)
+    import org.apache.spark.sql.functions._
+    val shingled = graft.core.Materialize.partitionedCheckpoint(
+      graft.core.Tables.documents(spark, sf()).select(
+        col("doc_id").as("id"),
+        array_distinct(graft.operators.Dedupe.shingles(col("text"), 3)).as("gs")),
+      "id")
+    val p = shingled.select(col("id"), explode(col("gs")).as("sh"))
+      .select(col("id"),
+        (conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % 2147483647L).as("h"))
+      .groupBy(col("id")).agg(min(col("h")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"signature agg re-shuffles the clustered shingle artifact:\n${p.take(3000)}")
+    assert(p.contains("HashAggregate") && p.contains("partial_min"),
+      s"min-lane agg lost hash/partial form:\n${p.take(3000)}")
+  }
 }
