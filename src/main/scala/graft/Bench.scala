@@ -329,7 +329,8 @@ object Bench {
     val floorsJson =
       """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized",""" +
         """"q27_cube":"CUBE distinct-agg (r14 retirement per the two recorded rejections at AnalyticsQueries.scala: r12 pre-agg 1.56-1.78s, r13 hierarchical rollup 1.80-2.01s/13 jobs vs shipped 1.55-1.82s/7): remaining cost is the Expand x two-phase countDistinct exchange + 7-job floor at sf0.1; trade flips at scale only if the distinct exchange spills, which AQE coalescing absorbs without a shape change",""" +
-        """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob"}"""
+        """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob",""" +
+        """"artifact:triangle_core":"census BUILD floor (r14, two rejections recorded at Triangles.scala): r13 explicit-lazy-ckpt no-win 3.26 vs 3.12s; r14 derivation from the doubled edge artifacts 3.16->4.28s (every doubled path re-keys 2m annotated rows where this build moves m + a vertex-sized combined degree shuffle) - remaining cost IS the wedge-intersection agg; clean-probe build 3.3s at sf0.1 (ProbeTri)"}"""
     val detailJson =
       s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")

@@ -105,4 +105,12 @@ class ArtifactRegistrySpec extends AnyFunSuite {
     assert(got.forall(_ == "R"))
     assert(n.get() == 1)
   }
+
+  test("gc-before-build hygiene is OFF unless a bench opts in") {
+    // production callers (and Bench's concurrent pass) must get no gc
+    // side effects from a cache read or build — the flag exists solely
+    // so the ISOLATED bench pass can time builds under the same
+    // System.gc() discipline as its timed queries
+    assert(!ArtifactRegistry.gcBeforeBuild)
+  }
 }
