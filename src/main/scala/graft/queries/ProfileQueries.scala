@@ -467,7 +467,14 @@ object ProfileQueries {
     * Scale: one shingle explode → distinct (split, gram) — map-
     * combinable — then a gram-keyed self-join that only pairs rows
     * sharing a span (the d-family equi-join shape; never all-pairs) and
-    * a ≤3-row aggregate. */
+    * a ≤3-row aggregate.
+    *
+    * Measured rejection (r14, the d15 reuse discipline): lazy-ckpt'ing
+    * the gram frame before the self-join is a WASH at sf0.1 (min-of-2
+    * pairs 4.93/5.01 vs 4.73/5.30 in one session, identical rows) —
+    * unlike d15's cross-join, this equi-self-join hashes BOTH sides on
+    * the same key, so AQE's runtime exchange reuse already covers it
+    * and the checkpoint only adds a materialization job. */
   def dq08SplitLeakage(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Sampling
     val grams = documents(s, d)
