@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Derive the perf-weak list from the committed bench artifacts.
+
+The driver/judge rule, applied mechanically (the same derivation the
+round-13/14 verdicts did by hand): a query is perf-weak iff
+  - its DuckDB oracle does real work   (oracle >= 0.3 s), and
+  - the Spark side is not floor-noise  (spark  >= 1.5 s), and
+  - the ratio exceeds the contract     (spark / oracle > 2), and
+  - it is not a streaming-parity query (micro-batch start/stop floors
+    are excluded by the rule), and
+  - it is not a recorded structural floor (BENCH_DETAIL.floors — a
+    query lands there only after >= 2 redesigns were measured and
+    rejected with numbers at the site).
+
+Usage:
+  python3 tools/perf_weak.py [BENCH_DETAIL.json] [ORACLE_TIMES.json]
+
+Exit status 0 always (this is a report, not a gate); prints one line
+per offender plus a summary, so `wc -l` over the output is NOT the
+count — read the "perf-weak: N" line.
+"""
+import sys, json
+
+STREAMING = {
+    "q26_stream_window", "q34_stream_dedupe", "q36_stream_sessions",
+    "q42_stream_static_join", "q52_stream_stream_join", "q67_stream_cdc_merge",
+}
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "ORACLE_TIMES.json"
+    bench = json.load(open(bench_path))
+    oracle = {k: v for k, v in json.load(open(oracle_path)).items()
+              if not k.startswith("_") and v >= 0}
+    # floors may be keyed by query name or "artifact:<tag>"; only the
+    # query-name entries exclude queries
+    floors = {k for k in bench.get("floors", {}) if not k.startswith("artifact:")}
+
+    weak = []
+    for name, spark in sorted(bench["queries"].items()):
+        if name in STREAMING or name in floors or spark < 0:
+            continue
+        ot = oracle.get(name)
+        if ot is None or ot < 0.3 or spark < 1.5:
+            continue
+        if spark / ot > 2.0:
+            weak.append((name, spark, ot, spark / ot))
+
+    for name, sp, ot, r in sorted(weak, key=lambda x: -x[3]):
+        print(f"{name:30s} spark={sp:6.2f}s  oracle={ot:6.2f}s  ratio={r:4.1f}x")
+    print(f"perf-weak: {len(weak)}  "
+          f"(streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
+
+
+if __name__ == "__main__":
+    main()
