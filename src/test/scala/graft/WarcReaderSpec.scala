@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.WarcReader
+import org.apache.spark.sql.functions._
+
+/** WARC source (SURVEY S22): record framing, HTTP-response nesting,
+  * WET conversion records, Common Crawl's per-record concatenated gzip
+  * members, and the fail-soft contract on garbage/truncation. Fixtures
+  * are synthesized byte-exactly from the WARC/1.0 grammar so every
+  * Content-Length is computed, not hand-typed. */
+class WarcReaderSpec extends SparkSpec {
+
+  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => head ++= s"$k: $v\r\n" }
+    head ++= s"Content-Length: ${block.length}\r\n\r\n"
+    head.toString.getBytes("ISO-8859-1") ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def httpBlock(status: String, ct: String, payload: String): Array[Byte] =
+    (s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n" + payload).getBytes("ISO-8859-1")
+
+  private val html = "<html><body><p>Hello corpus world</p></body></html>"
+
+  private def fixture(): Array[Byte] =
+    record(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:aaa>",
+        "WARC-Date" -> "2026-08-16T00:00:00Z",
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft-spec\r\n".getBytes("ISO-8859-1")) ++
+    record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "<https://example.org/a>",
+        "WARC-Record-ID" -> "<urn:uuid:bbb>",
+        "WARC-Date" -> "2026-08-16T00:00:01Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+      httpBlock("200 OK", "text/html; charset=UTF-8", html)) ++
+    record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/missing",
+        "WARC-Record-ID" -> "<urn:uuid:ccc>",
+        "WARC-Date" -> "2026-08-16T00:00:02Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+      httpBlock("404 Not Found", "text/html", "<html>gone</html>")) ++
+    record(Seq("WARC-Type" -> "conversion", // the WET shape
+        "WARC-Target-URI" -> "https://example.org/a",
+        "WARC-Record-ID" -> "<urn:uuid:ddd>",
+        "WARC-Date" -> "2026-08-16T00:00:03Z",
+        "Content-Type" -> "text/plain"),
+      "Hello corpus world".getBytes("ISO-8859-1"))
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("plain WARC: all four records framed, headers and bodies exact") {
+    val rows = WarcReader.parse(fixture())
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "response", "response", "conversion"))
+    val resp = rows(1)
+    assert(resp.target_uri == "https://example.org/a") // angles stripped
+    assert(resp.record_id == "urn:uuid:bbb")
+    assert(resp.http_status.contains(200))
+    assert(resp.http_content_type == "text/html; charset=UTF-8")
+    assert(new String(resp.body, "ISO-8859-1") == html)
+    assert(rows(2).http_status.contains(404))
+    val wet = rows(3)
+    assert(wet.http_status.isEmpty && wet.content_type == "text/plain")
+    assert(new String(wet.body, "ISO-8859-1") == "Hello corpus world")
+  }
+
+  test("Common Crawl layout: one gzip member PER RECORD, concatenated") {
+    val singles = {
+      // re-frame each record separately by parsing offsets from the plain
+      // fixture: members must each hold exactly one record
+      val all = fixture()
+      val starts = Iterator.iterate(0)(i =>
+        new String(all, "ISO-8859-1").indexOf("WARC/1.0", i + 1))
+        .takeWhile(_ >= 0).toSeq
+      (starts :+ all.length).sliding(2).map { case Seq(a, b) =>
+        java.util.Arrays.copyOfRange(all, a, b)
+      }.toSeq
+    }
+    assert(singles.size == 4)
+    val gz = singles.map(gzipMember).reduce(_ ++ _)
+    assert(WarcReader.looksLikeGzip(gz))
+    val rows = WarcReader.parse(gz)
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "response", "response", "conversion"))
+    assert(rows(1).http_status.contains(200))
+  }
+
+  test("fail-soft: garbage, truncation and a corrupt gzip tail keep the parsed prefix") {
+    assert(WarcReader.parse(Array.emptyByteArray).isEmpty)
+    assert(WarcReader.parse("not a warc at all".getBytes).isEmpty)
+    // truncated mid-block: first record survives, second is dropped
+    val all = fixture()
+    val cut = java.util.Arrays.copyOfRange(all, 0, all.length - 60)
+    val rows = WarcReader.parse(cut)
+    assert(rows.nonEmpty && rows.size < 4)
+    // bad Content-Length resyncs to the next record instead of throwing
+    val bad = new String(fixture(), "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: oops")
+      .getBytes("ISO-8859-1")
+    val resynced = WarcReader.parse(bad)
+    assert(resynced.map(_.warc_type).contains("response"))
+    // corrupt gzip tail: first member decodes, the rest is dropped
+    val gz = gzipMember(all)
+    val corrupt = gz.take(gz.length / 2)
+    WarcReader.parse(corrupt) // must not throw (prefix may or may not frame)
+  }
+
+  test("Spark surface: directory scan → records → HtmlExtractor composition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.warc"), fixture())
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"), gzipMember(fixture()))
+      val ds = WarcReader.read(spark, dir.toString)
+      val rows = ds.collect()
+      assert(rows.length == 8) // 4 records x 2 files
+      assert(rows.count(_.path.endsWith("a.warc")) == 4)
+      // the ingestion pipeline the reader exists for: 200-status HTML →
+      // extracted text — WarcReader composes with HtmlExtractor exactly
+      // where the reference's crawl feeds its extractor
+      import spark.implicits._
+      val texts = ds.filter(r => r.http_status.contains(200) &&
+          r.http_content_type != null && r.http_content_type.startsWith("text/html"))
+        .map(r => graft.extract.HtmlExtractor.extractText(new String(r.body, "UTF-8")))
+        .collect()
+      assert(texts.length == 2 && texts.forall(_.contains("Hello corpus world")))
+      // narrow plan: no shuffle in scan→parse→filter
+      val p = ds.toDF().filter(col("warc_type") === "response")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"WARC parse must stay narrow:\n${p.take(2000)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("seeded mutation fuzz: corrupted payloads never throw or hang") {
+    val base = fixture()
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val truncated = mutated.take(rnd.nextInt(mutated.length + 1))
+      WarcReader.parse(truncated) // contract: returns, never throws
+    }
+  }
+}
