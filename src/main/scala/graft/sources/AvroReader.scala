@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.avro.{Schema => ASchema}
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro object-container reader — the Kafka-archive / Hive-interchange
+  * format next to L123's ORC/JSONL/CSV. Spark's external `spark-avro`
+  * module is not on this classpath, but the Apache Avro CORE library is
+  * (Spark itself depends on it), so the container format is read
+  * first-class through `DataFileReader` — block framing, sync markers,
+  * null/deflate/snappy codecs and WRITER-vs-READER schema resolution all
+  * come from the reference implementation rather than a hand parser.
+  *
+  * Semantics:
+  *  - the READER schema is taken from the first file (lexicographic) and
+  *    every other file is resolved against it — Avro's own evolution
+  *    rules (new fields with defaults, int→long promotions, reordered
+  *    fields) apply across a directory of mixed-generation files, the
+  *    L130 mergeSchema reality in Avro's native mechanism;
+  *  - types map recursively: record→struct, array→array, map→map(string,·),
+  *    enum/fixed→string/binary, union[null,X]→nullable X (any other union
+  *    is refused with a clear error — Catalyst has no tagged-union type,
+  *    and silently stringifying one corrupts downstream math);
+  *  - fail-soft per FILE: a corrupt block/tail yields the rows decoded so
+  *    far from that file (the WarcReader contract — a bad file costs its
+  *    tail, not the job).
+  *
+  * Scale shape: one file per task via `binaryFile` (the WarcReader
+  * granularity note); Avro files ARE block-splittable by sync marker, but
+  * splitting needs a real FileSystem seek path — with whole-file rows the
+  * parallelism unit is the file, which is the right grain for the
+  * many-files archive layout this reader targets. The schema read on the
+  * driver touches ONE file's HEADER, never data blocks. */
+object AvroReader {
+
+  /** The embedded writer schema of a container's header. */
+  def schemaOf(bytes: Array[Byte]): ASchema = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** Recursive Avro→Catalyst type mapping (see scaladoc for the rules). */
+  def sparkType(s: ASchema): DataType = s.getType match {
+    case ASchema.Type.BOOLEAN => BooleanType
+    case ASchema.Type.INT => IntegerType
+    case ASchema.Type.LONG => LongType
+    case ASchema.Type.FLOAT => FloatType
+    case ASchema.Type.DOUBLE => DoubleType
+    case ASchema.Type.STRING | ASchema.Type.ENUM => StringType
+    case ASchema.Type.BYTES | ASchema.Type.FIXED => BinaryType
+    case ASchema.Type.NULL => NullType
+    case ASchema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+    case ASchema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
+    case ASchema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name(), sparkType(f.schema()), nullable = true)))
+    case ASchema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filterNot(_.getType == ASchema.Type.NULL)
+      if (nonNull.size == 1) sparkType(nonNull.head)
+      else throw new IllegalArgumentException(
+        s"unsupported non-nullable union $s: Catalyst has no tagged-union type — " +
+          "restructure the schema (one field per branch) before interchange")
+    case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+  }
+
+  private def convert(v: Any, s: ASchema): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case r: GenericRecord =>
+      val rs = resolve(s, ASchema.Type.RECORD)
+      Row.fromSeq(rs.getFields.asScala.toSeq.map(fd => convert(r.get(fd.pos()), fd.schema())))
+    case a: java.util.Collection[_] =>
+      val es = resolve(s, ASchema.Type.ARRAY).getElementType
+      a.asScala.toSeq.map(convert(_, es))
+    case m: java.util.Map[_, _] =>
+      val vs = resolve(s, ASchema.Type.MAP).getValueType
+      m.asScala.map { case (k, mv) => k.toString -> convert(mv, vs) }.toMap
+    case other => other // primitives arrive as their JVM types
+  }
+
+  /** The `t`-typed branch of `s` (identity for non-unions) — values of a
+    * nullable union carry the branch's schema, not the union's. */
+  private def resolve(s: ASchema, t: ASchema.Type): ASchema =
+    if (s.getType == t) s
+    else s.getTypes.asScala.find(_.getType == t).getOrElse(s)
+
+  /** Decode one container against `readerJson`; corrupt tails keep the
+    * rows decoded so far (never a throw). */
+  def parseRows(bytes: Array[Byte], readerJson: String, st: StructType): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val reader = new ASchema.Parser().parse(readerJson)
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord](null, reader))
+      try while (r.hasNext) {
+        val rec = r.next()
+        out += Row.fromSeq(st.fields.indices.map(i =>
+          convert(rec.get(i), reader.getFields.get(i).schema())))
+      } finally r.close()
+    } catch { case _: Exception => () }
+    out.toSeq
+  }
+
+  /** Scan `dir` for Avro containers and return one DataFrame, resolved
+    * against the first (lexicographic) file's schema + a `path` column. */
+  def read(spark: SparkSession, dir: String, glob: String = "*.avro"): DataFrame = {
+    val files = FileCorpus.scan(spark, dir, glob)
+    // driver-side: ONE header read to fix the reader schema (deterministic
+    // choice — lexicographically first path)
+    val head = files.select(col("path"), col("content"))
+      .orderBy(col("path")).limit(1).collect()
+    require(head.nonEmpty, s"no files matching $glob under $dir")
+    val reader = schemaOf(head(0).getAs[Array[Byte]]("content"))
+    require(reader.getType == ASchema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${reader.getType}")
+    val readerJson = reader.toString
+    val dataType = sparkType(reader).asInstanceOf[StructType]
+    val full = StructType(StructField("path", StringType, nullable = false) +: dataType.fields)
+    import spark.implicits._
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        parseRows(b, readerJson, dataType).map(r => Row.fromSeq(p +: r.toSeq))
+      }(Encoders.row(full))
+      .toDF()
+  }
+}

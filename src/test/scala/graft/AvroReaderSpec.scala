@@ -1,0 +1,130 @@
+package graft
+
+import graft.sources.AvroReader
+import org.apache.avro.{Schema => ASchema}
+import org.apache.avro.file.{CodecFactory, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container source (SURVEY S23): container decode through the
+  * reference library (codecs included), recursive type mapping, Avro's
+  * own writer→reader schema resolution across mixed-generation files,
+  * the non-nullable-union refusal, and the fail-soft tail contract. */
+class AvroReaderSpec extends SparkSpec {
+
+  private val v1Json =
+    """{"type":"record","name":"Doc","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"title","type":["null","string"],"default":null},
+      |{"name":"score","type":"double"},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"meta","type":{"type":"map","values":"int"}},
+      |{"name":"inner","type":{"type":"record","name":"Inner","fields":[
+      |  {"name":"a","type":"int"},{"name":"b","type":"string"}]}}
+      |]}""".stripMargin
+  // generation 2 adds a defaulted field — older files must resolve
+  private val v2Json = v1Json.replace(
+    """{"name":"inner",""",
+    """{"name":"lang","type":"string","default":"und"},{"name":"inner",""")
+
+  private def rec(schema: ASchema, vals: Map[String, Any]): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    vals.foreach { case (k, v) => r.put(k, v) }
+    r
+  }
+
+  private def writeContainer(schema: ASchema, codec: CodecFactory,
+      recs: Seq[GenericRecord]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(codec)
+    w.create(schema, bos)
+    recs.foreach(w.append)
+    w.close()
+    bos.toByteArray
+  }
+
+  private def v1Records(s: ASchema): Seq[GenericRecord] = {
+    val inner = s.getField("inner").schema()
+    Seq(
+      rec(s, Map("id" -> 1L, "title" -> "alpha", "score" -> 0.5,
+        "tags" -> java.util.List.of("x", "y"),
+        "meta" -> java.util.Map.of("k", Int.box(7)),
+        "inner" -> rec(inner, Map("a" -> 3, "b" -> "in")))),
+      rec(s, Map("id" -> 2L, "title" -> null, "score" -> 1.25,
+        "tags" -> java.util.List.of(),
+        "meta" -> java.util.Map.of(),
+        "inner" -> rec(inner, Map("a" -> 4, "b" -> "ner")))))
+  }
+
+  test("type mapping: nested record/array/map, nullable union, refusals") {
+    val st = AvroReader.sparkType(new ASchema.Parser().parse(v1Json)).asInstanceOf[StructType]
+    assert(st("id").dataType == LongType)
+    assert(st("title").dataType == StringType)
+    assert(st("tags").dataType == ArrayType(StringType))
+    assert(st("meta").dataType == MapType(StringType, IntegerType))
+    assert(st("inner").dataType.isInstanceOf[StructType])
+    val tagged = """["int","string"]"""
+    intercept[IllegalArgumentException] {
+      AvroReader.sparkType(new ASchema.Parser().parse(tagged))
+    }
+  }
+
+  test("deflate + snappy containers round-trip through Spark with evolution") {
+    val v1 = new ASchema.Parser().parse(v1Json)
+    val v2 = new ASchema.Parser().parse(v2Json)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro")
+    try {
+      // first (lexicographic) file carries generation-2 schema → reader
+      // schema; the deflate file is generation-1 and must resolve (lang
+      // fills from its default)
+      val inner2 = v2.getField("inner").schema()
+      val g2 = Seq(rec(v2, Map("id" -> 3L, "title" -> "gamma", "score" -> 2.0,
+        "lang" -> "en", "tags" -> java.util.List.of("z"),
+        "meta" -> java.util.Map.of("m", Int.box(1)),
+        "inner" -> rec(inner2, Map("a" -> 5, "b" -> "v2")))))
+      java.nio.file.Files.write(dir.resolve("a_gen2.avro"),
+        writeContainer(v2, CodecFactory.snappyCodec(), g2))
+      java.nio.file.Files.write(dir.resolve("b_gen1.avro"),
+        writeContainer(v1, CodecFactory.deflateCodec(6), v1Records(v1)))
+      val df = AvroReader.read(spark, dir.toString).orderBy(col("id"))
+      val rows = df.collect()
+      assert(rows.length == 3)
+      assert(df.schema.fieldNames.toSeq ==
+        Seq("path", "id", "title", "score", "tags", "meta", "lang", "inner"))
+      // evolution: gen-1 rows resolved the defaulted field
+      assert(rows.filter(_.getAs[Long]("id") <= 2L).forall(_.getAs[String]("lang") == "und"))
+      assert(rows(2).getAs[String]("lang") == "en")
+      // values survive the full mapping
+      assert(rows(0).getAs[String]("title") == "alpha")
+      assert(rows(1).getAs[String]("title") == null)
+      assert(rows(0).getAs[scala.collection.Seq[String]]("tags") == Seq("x", "y"))
+      assert(rows(0).getAs[scala.collection.Map[String, Int]]("meta") == Map("k" -> 7))
+      assert(rows(0).getAs[org.apache.spark.sql.Row]("inner").getAs[String]("b") == "in")
+      // columnar downstream: prune + filter as usual
+      assert(df.filter(col("inner.a") >= 4).count() == 2)
+      // narrow: no shuffle from scan to filter
+      val p = df.filter(col("score") > 0).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange") || p.contains("Sort"), // orderBy above adds one
+        s"avro parse must stay narrow before the sort:\n${p.take(1500)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("fail-soft: a truncated container keeps the decoded prefix, garbage keeps nothing") {
+    val v1 = new ASchema.Parser().parse(v1Json)
+    val whole = writeContainer(v1, CodecFactory.nullCodec(), v1Records(v1))
+    val st = AvroReader.sparkType(v1).asInstanceOf[StructType]
+    assert(AvroReader.parseRows(whole, v1Json, st).size == 2)
+    val cut = whole.take(whole.length - 10)
+    val partial = AvroReader.parseRows(cut, v1Json, st)
+    assert(partial.size < 2) // tail lost, no throw
+    assert(AvroReader.parseRows("junk".getBytes, v1Json, st).isEmpty)
+  }
+}
