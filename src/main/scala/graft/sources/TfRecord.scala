@@ -1,0 +1,326 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** TFRecord + tf.Example interchange — the TRAINING-STACK handoff format:
+  * a corpus pipeline's terminal verb is "ship the selected, deduped,
+  * packed text to the trainer", and tf.data readers consume exactly this
+  * (TFRecord framing around tf.Example protos). The write side is the
+  * point; the read side closes the loop (audit what was shipped).
+  *
+  * Both layers are pure JVM from the PUBLIC specs:
+  *  - **framing** (TFRecord): per record `len:uint64-LE, masked_crc32c(len),
+  *    payload, masked_crc32c(payload)` with the TensorFlow mask
+  *    `((crc >>> 15) | (crc << 17)) + 0xa282ead8` over CRC32C
+  *    (`java.util.zip.CRC32C`). Both CRCs are VERIFIED on read; a bad or
+  *    truncated frame ends the file's parse with the records decoded so
+  *    far (the WarcReader fail-soft contract — framing has no resync
+  *    marker, so a corrupt length makes everything after it untrustworthy
+  *    by construction).
+  *  - **tf.Example** (protobuf wire subset, hand-decoded — no protobuf
+  *    runtime on this classpath, and the schema is 5 tiny messages):
+  *    Example.features(1) → Features.feature(1) = map entries
+  *    (key(1)=string, value(2)=Feature), Feature = oneof bytes_list(1) /
+  *    float_list(2) / int64_list(3), each `repeated` leaf read in BOTH
+  *    packed and unpacked encodings (writers differ; the proto3 spec
+  *    requires parsers to accept both). Unknown fields are skipped by
+  *    wire type — forward-compatible, like any proto parser.
+  *
+  * Spark surface: one `.tfrecord` file per task on read (binaryFile, the
+  * WarcReader granularity note — TFRecord is deliberately unsplittable);
+  * on write one file per PARTITION, so the upstream
+  * repartition/partitionBy chooses shard count and locality, exactly how
+  * t21's token-budget shard manifests expect to drive a writer. */
+object TfRecord {
+
+  // ------------------------------------------------------------ framing
+
+  private def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, off, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  private def leLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  private def leInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** Frame records into TFRecord bytes. */
+  def frame(records: Iterator[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val len = leLong(r.length.toLong)
+      out.write(len)
+      out.write(leInt(maskedCrc(len, 0, 8)))
+      out.write(r)
+      out.write(leInt(maskedCrc(r, 0, r.length)))
+    }
+    out.toByteArray
+  }
+
+  /** Unframe TFRecord bytes, verifying both CRCs; a bad/truncated frame
+    * keeps the records decoded so far (no resync exists by design). */
+  def unframe(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (b == null) return out.toSeq
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i + 12 <= b.length) {
+      val len = buf.getLong(i)
+      if (len < 0 || len > Int.MaxValue || i + 12 + len + 4 > b.length) return out.toSeq
+      if (buf.getInt(i + 8) != maskedCrc(b, i, 8)) return out.toSeq
+      val dataOff = i + 12
+      if (buf.getInt(dataOff + len.toInt) != maskedCrc(b, dataOff, len.toInt)) return out.toSeq
+      out += java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
+      i = dataOff + len.toInt + 4
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------- tf.Example wire
+
+  /** One decoded tf.Example: the three feature families as typed maps
+    * (a name appears in exactly one — Feature is a oneof). */
+  final case class Example(
+      bytes_features: Map[String, Seq[Array[Byte]]],
+      float_features: Map[String, Seq[Float]],
+      int64_features: Map[String, Seq[Long]])
+
+  private final class Reader(b: Array[Byte], var i: Int, val end: Int) {
+    def hasMore: Boolean = i < end
+    def varint(): Long = {
+      var v = 0L; var s = 0
+      while ({
+        val x = b(i) & 0xff; i += 1
+        v |= (x & 0x7fL) << s; s += 7
+        (x & 0x80) != 0
+      }) ()
+      v
+    }
+    def bytes(): Array[Byte] = {
+      val n = varint().toInt
+      val r = java.util.Arrays.copyOfRange(b, i, i + n); i += n; r
+    }
+    def sub(): Reader = { val n = varint().toInt; val r = new Reader(b, i, i + n); i += n; r }
+    def fixed32(): Int = {
+      val v = java.nio.ByteBuffer.wrap(b, i, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt; i += 4; v
+    }
+    def fixed64(): Long = {
+      val v = java.nio.ByteBuffer.wrap(b, i, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong; i += 8; v
+    }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint(); ()
+      case 1 => i += 8
+      case 2 => i += varint().toInt
+      case 5 => i += 4
+      case other => throw new IllegalArgumentException(s"wire type $other")
+    }
+  }
+
+  /** Decode a tf.Example payload; throws on malformed wire (callers in
+    * the Spark path wrap per record — one bad record is dropped, not a
+    * poison pill for the file). */
+  def decodeExample(payload: Array[Byte]): Example = {
+    val bytesF = Map.newBuilder[String, Seq[Array[Byte]]]
+    val floatF = Map.newBuilder[String, Seq[Float]]
+    val int64F = Map.newBuilder[String, Seq[Long]]
+    val ex = new Reader(payload, 0, payload.length)
+    while (ex.hasMore) {
+      val tag = ex.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) { // Example.features
+        val fs = ex.sub()
+        while (fs.hasMore) {
+          val ftag = fs.varint()
+          if ((ftag >> 3) == 1 && (ftag & 7) == 2) { // map entry
+            val entry = fs.sub()
+            var name = ""
+            var bl: Seq[Array[Byte]] = null
+            var fl: Seq[Float] = null
+            var il: Seq[Long] = null
+            while (entry.hasMore) {
+              val etag = entry.varint()
+              (etag >> 3, (etag & 7).toInt) match {
+                case (1, 2) => name = new String(entry.bytes(), "UTF-8")
+                case (2, 2) => // Feature
+                  val feat = entry.sub()
+                  while (feat.hasMore) {
+                    val vt = feat.varint()
+                    (vt >> 3, (vt & 7).toInt) match {
+                      case (1, 2) => // BytesList: repeated bytes value = 1
+                        val l = feat.sub()
+                        val acc = Seq.newBuilder[Array[Byte]]
+                        while (l.hasMore) {
+                          val t = l.varint()
+                          if ((t >> 3) == 1 && (t & 7) == 2) acc += l.bytes() else l.skip((t & 7).toInt)
+                        }
+                        bl = acc.result()
+                      case (2, 2) => // FloatList: repeated float = 1 (packed or not)
+                        val l = feat.sub()
+                        val acc = Seq.newBuilder[Float]
+                        while (l.hasMore) {
+                          val t = l.varint()
+                          if ((t >> 3) == 1 && (t & 7) == 2) { // packed
+                            val p = l.sub()
+                            while (p.hasMore) acc += java.lang.Float.intBitsToFloat(p.fixed32())
+                          } else if ((t >> 3) == 1 && (t & 7) == 5) {
+                            acc += java.lang.Float.intBitsToFloat(l.fixed32())
+                          } else l.skip((t & 7).toInt)
+                        }
+                        fl = acc.result()
+                      case (3, 2) => // Int64List: repeated int64 = 1 (packed or not)
+                        val l = feat.sub()
+                        val acc = Seq.newBuilder[Long]
+                        while (l.hasMore) {
+                          val t = l.varint()
+                          if ((t >> 3) == 1 && (t & 7) == 2) { // packed
+                            val p = l.sub()
+                            while (p.hasMore) acc += p.varint()
+                          } else if ((t >> 3) == 1 && (t & 7) == 0) {
+                            acc += l.varint()
+                          } else l.skip((t & 7).toInt)
+                        }
+                        il = acc.result()
+                      case (_, w) => feat.skip(w)
+                    }
+                  }
+                case (_, w) => entry.skip(w)
+              }
+            }
+            if (bl != null) bytesF += name -> bl
+            else if (fl != null) floatF += name -> fl
+            else if (il != null) int64F += name -> il
+          } else fs.skip((ftag & 7).toInt)
+        }
+      } else ex.skip((tag & 7).toInt)
+    }
+    Example(bytesF.result(), floatF.result(), int64F.result())
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def lenDelim(out: java.io.ByteArrayOutputStream, field: Int, body: Array[Byte]): Unit = {
+    writeVarint(out, (field << 3) | 2); writeVarint(out, body.length.toLong); out.write(body)
+  }
+
+  /** Encode a tf.Example (packed leaf encodings, the TF writer's form). */
+  def encodeExample(e: Example): Array[Byte] = {
+    def feature(body: java.io.ByteArrayOutputStream => Unit, listField: Int): Array[Byte] = {
+      val list = new java.io.ByteArrayOutputStream(); body(list)
+      val feat = new java.io.ByteArrayOutputStream()
+      lenDelim(feat, listField, list.toByteArray)
+      feat.toByteArray
+    }
+    val features = new java.io.ByteArrayOutputStream()
+    def entry(name: String, feat: Array[Byte]): Unit = {
+      val en = new java.io.ByteArrayOutputStream()
+      lenDelim(en, 1, name.getBytes("UTF-8"))
+      lenDelim(en, 2, feat)
+      lenDelim(features, 1, en.toByteArray)
+    }
+    // deterministic output: sorted feature names (map order must not
+    // change bytes — shipped shards should be reproducible)
+    e.bytes_features.toSeq.sortBy(_._1).foreach { case (n, vs) =>
+      entry(n, feature(l => vs.foreach(v => lenDelim(l, 1, v)), 1))
+    }
+    e.float_features.toSeq.sortBy(_._1).foreach { case (n, vs) =>
+      entry(n, feature({ l =>
+        val packed = new java.io.ByteArrayOutputStream()
+        vs.foreach { f =>
+          val bb = java.nio.ByteBuffer.allocate(4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .putInt(java.lang.Float.floatToIntBits(f))
+          packed.write(bb.array())
+        }
+        lenDelim(l, 1, packed.toByteArray)
+      }, 2))
+    }
+    e.int64_features.toSeq.sortBy(_._1).foreach { case (n, vs) =>
+      entry(n, feature({ l =>
+        val packed = new java.io.ByteArrayOutputStream()
+        vs.foreach(writeVarint(packed, _))
+        lenDelim(l, 1, packed.toByteArray)
+      }, 3))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    lenDelim(out, 1, features.toByteArray)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ Spark
+
+  final case class ExampleRow(
+      path: String,
+      bytes_features: Map[String, Seq[Array[Byte]]],
+      float_features: Map[String, Seq[Float]],
+      int64_features: Map[String, Seq[Long]])
+
+  /** Read every tf.Example from a directory of TFRecord files. A record
+    * that fails the proto decode is dropped (counted nowhere — audit
+    * with unframe() if forensics are needed); a file that fails framing
+    * keeps its decoded prefix. */
+  def readExamples(spark: SparkSession, dir: String,
+      glob: String = "*.tfrecord*"): Dataset[ExampleRow] = {
+    import spark.implicits._
+    FileCorpus.scan(spark, dir, glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        unframe(b).flatMap { payload =>
+          try {
+            val e = decodeExample(payload)
+            Some(ExampleRow(p, e.bytes_features, e.float_features, e.int64_features))
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Write one `.tfrecord` file per partition of `df` (columns
+    * bytes_features / float_features / int64_features as in
+    * [[ExampleRow]]) under `dir`. Returns the file count. Shard count and
+    * ordering are the CALLER's repartition/sortWithinPartitions — the
+    * t21 manifest discipline. `dir` must be a filesystem every executor
+    * sees (local mode, NFS/Lustre); object stores would route through a
+    * Hadoop FS stream instead — out of scope without a TFRecord
+    * datasource on this classpath, and irrelevant to the framing/proto
+    * layers above, which are the portable part. */
+  def writeExamples(df: DataFrame, dir: String): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = Seq("bytes_features", "float_features", "int64_features")
+    val normalized = cols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(
+        c match {
+          case "bytes_features" => "CAST(map() AS map<string,array<binary>>)"
+          case "float_features" => "CAST(map() AS map<string,array<float>>)"
+          case _ => "CAST(map() AS map<string,array<bigint>>)"
+        })))
+    normalized
+      .select(col("bytes_features"), col("float_features"), col("int64_features"))
+      .as[(Map[String, Seq[Array[Byte]]], Map[String, Seq[Float]], Map[String, Seq[Long]])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bytes = frame(it.map { case (bf, ff, lf) =>
+            encodeExample(Example(bf, ff, lf))
+          })
+          val f = java.nio.file.Paths.get(dir, f"part-$pid%05d.tfrecord")
+          java.nio.file.Files.write(f, bytes)
+          Iterator.single(1L)
+        }
+      }.collect().sum // not reduce(): an all-empty frame must yield 0, not throw
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.sources.TfRecord
+import graft.sources.TfRecord.{Example, ExampleRow}
+import org.apache.spark.sql.functions._
+
+/** TFRecord + tf.Example interchange (SURVEY S24): framing with verified
+  * masked CRC32C, the hand-decoded proto wire subset (packed AND
+  * unpacked leaves), corruption fail-soft, and the export→audit loop a
+  * training handoff actually runs. */
+class TfRecordSpec extends SparkSpec {
+
+  test("framing round-trips and rejects corruption at the first bad frame") {
+    val recs = Seq("alpha".getBytes, Array.emptyByteArray, ("x" * 1000).getBytes)
+    val framed = TfRecord.frame(recs.iterator)
+    val back = TfRecord.unframe(framed)
+    assert(back.map(new String(_)) == recs.map(new String(_)))
+    // flip one payload byte of record 2: records after (and including)
+    // the corruption are dropped, record 1 survives
+    val corrupt = framed.clone()
+    corrupt(12 + 5 + 4 + 12) = 'Z'.toByte
+    val kept = TfRecord.unframe(corrupt)
+    assert(kept.size == 1 && new String(kept.head) == "alpha")
+    // truncation mid-frame: same contract
+    assert(TfRecord.unframe(framed.take(framed.length - 3)).size == 2)
+    assert(TfRecord.unframe(Array.emptyByteArray).isEmpty)
+  }
+
+  test("tf.Example round-trips all three feature families, deterministically") {
+    val e = Example(
+      bytes_features = Map("text" -> Seq("hello world".getBytes("UTF-8")),
+        "spans" -> Seq("a".getBytes, "bb".getBytes)),
+      float_features = Map("quality" -> Seq(0.5f, -1.25f)),
+      int64_features = Map("tokens" -> Seq(2L, 300L, -1L), "id" -> Seq(42L)))
+    val bytes = TfRecord.encodeExample(e)
+    assert(java.util.Arrays.equals(bytes, TfRecord.encodeExample(e))) // reproducible
+    val d = TfRecord.decodeExample(bytes)
+    assert(d.bytes_features.keySet == Set("text", "spans"))
+    assert(new String(d.bytes_features("text").head, "UTF-8") == "hello world")
+    assert(d.bytes_features("spans").map(new String(_)) == Seq("a", "bb"))
+    assert(d.float_features("quality") == Seq(0.5f, -1.25f))
+    assert(d.int64_features("tokens") == Seq(2L, 300L, -1L))
+    assert(d.int64_features("id") == Seq(42L))
+  }
+
+  test("decoder accepts the UNPACKED leaf encodings other writers emit") {
+    // hand-assemble Int64List {value: 7, value: 9} unpacked (tag 0x08 per
+    // element) and FloatList {1.0} unpacked (tag 0x0d fixed32), then wrap
+    // Feature→entry→Features→Example by the wire grammar
+    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
+    val int64List = Array[Byte](0x08, 7, 0x08, 9) // unpacked varints
+    val featInts = lenDelim(3, int64List) // Feature.int64_list = 3
+    val entryA = lenDelim(1, "n".getBytes) ++ lenDelim(2, featInts)
+    val floatBits = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(java.lang.Float.floatToIntBits(1.0f)).array()
+    val floatList = Array[Byte](0x0d) ++ floatBits // unpacked fixed32
+    val featFloats = lenDelim(2, floatList) // Feature.float_list = 2
+    val entryB = lenDelim(1, "f".getBytes) ++ lenDelim(2, featFloats)
+    val features = lenDelim(1, entryA) ++ lenDelim(1, entryB)
+    val example = lenDelim(1, features)
+    val d = TfRecord.decodeExample(example)
+    assert(d.int64_features("n") == Seq(7L, 9L))
+    assert(d.float_features("f") == Seq(1.0f))
+  }
+
+  test("export→audit loop: documents → sharded tf.Examples → read back and reconcile") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf())
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .limit(200)
+      .select(
+        map(lit("text"), array(col("text").cast("binary"))).as("bytes_features"),
+        expr("CAST(map() AS map<string,array<float>>)").as("float_features"),
+        map(lit("doc_id"), array(col("doc_id"))).as("int64_features"))
+      .repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfrecord").toString
+    try {
+      val nFiles = TfRecord.writeExamples(docs, dir)
+      assert(nFiles == 3)
+      val back = TfRecord.readExamples(spark, dir)
+      assert(back.count() == 200)
+      // reconcile against the source: ids and text lengths survive
+      val shipped = back
+        .map(r => (r.int64_features("doc_id").head,
+          new String(r.bytes_features("text").head, "UTF-8").length.toLong))
+        .toDF("doc_id", "len")
+      val src = graft.core.Tables.documents(spark, sf())
+        .select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+        .limit(200)
+      assert(shipped.except(src).isEmpty && src.except(shipped).isEmpty)
+      // narrow read plan: scan → flatMap, no shuffle
+      val p = back.toDF().queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"tfrecord read must stay narrow:\n${p.take(1500)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("seeded mutation fuzz: corrupted shards never throw or hang") {
+    val base = TfRecord.frame(Seq(
+      TfRecord.encodeExample(Example(Map("t" -> Seq("abc".getBytes)), Map(), Map("i" -> Seq(1L)))),
+      TfRecord.encodeExample(Example(Map(), Map("f" -> Seq(2.0f)), Map()))).iterator)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val m = base.clone()
+      (1 to 1 + rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      val cut = m.take(rnd.nextInt(m.length + 1))
+      TfRecord.unframe(cut).foreach { payload =>
+        try TfRecord.decodeExample(payload) catch { case _: Exception => () }
+      }
+    }
+  }
+}
