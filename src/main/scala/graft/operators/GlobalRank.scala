@@ -68,6 +68,61 @@ object GlobalRank {
       .drop("__pid", "__rn")
   }
 
+  /** Exact global EXCLUSIVE prefix sum over a total order — the running-
+    * total sibling of [[withGlobalRank]], same TeraSort shape (r14, built
+    * for the t46 sequence pack): range shuffle on the sort key, one
+    * narrow local exclusive-cumsum pass, per-partition TOTALS (≤
+    * numPartitions rows) prefix-summed on the driver, global value =
+    * partition offset + local running total. The naive
+    * `SUM() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` is a
+    * SinglePartition window — the same does-not-scale shape the rank
+    * variant exists to kill.
+    *
+    * @param df       input; every row gets the sum of `valueCol` over all
+    *                 STRICTLY PRECEDING rows (first row gets 0)
+    * @param sortCols total-order columns (unique per row — include a
+    *                 tiebreaker)
+    * @param valueCol LONG column to accumulate
+    * @param outCol   name of the appended exclusive-prefix-sum column */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: Column, outCol: String = "prefix_sum"): DataFrame = {
+    Seq("__pid", "__cum", "__v", outCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — it would be silently dropped"))
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // null values accumulate as 0 (a null-valued row still occupies its
+    // position in the order, like SUM's null skipping)
+    val ranged = df.withColumn("__v", coalesce(valueCol.cast(LongType), lit(0L)))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val outSchema = StructType(ranged.schema.fields :+
+      StructField("__pid", IntegerType, nullable = false) :+
+      StructField("__cum", LongType, nullable = false))
+    val vIdx = ranged.schema.fieldIndex("__v")
+    val withLocal = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        val before = acc
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ pid :+ before)
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint(false) // totals pass + final projection share it
+    val totals = withLocal.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("__pid"))
+    withLocal
+      .withColumn(outCol, offExpr + col("__cum"))
+      .drop("__pid", "__cum", "__v")
+  }
+
   /** SQL `NTILE(k)` bucket (1-based) computed from a 1-based global rank —
     * standard remainder-first semantics: with n rows, the first `n mod k`
     * buckets hold `ceil(n/k)` rows, the rest `floor(n/k)`. Integral DIV

@@ -757,6 +757,41 @@ object SelectionQueries {
       .orderBy(col("source"))
   }
 
+  /** T46 — SEQUENCE-PACKING MANIFEST (GPT-style straddle pack): assign
+    * every document its position in the fixed-length training sequences a
+    * trainer will see — concatenate the corpus in doc_id order, split at
+    * exact L-token boundaries, documents straddle (the GPT-2/3 pretraining
+    * pack; Brown et al. 2020 §2.1 — sequences are filled to capacity and
+    * document boundaries ride an EOT token, not padding). Per doc:
+    * n_tokens (t03's regex tier — the proven cross-engine tokenizer),
+    * seq_first/seq_last (the sequence ids its tokens land in), offset
+    * within its first sequence, and the straddle flag. This is the
+    * SEQUENCE-level step between t25's shard-level mix execution and the
+    * trainer — the manifest a data loader uses to seek, and the audit for
+    * "how many docs straddle a boundary" (attention-mask hygiene).
+    *
+    * Scale shape: the naive spelling is SUM() OVER (ORDER BY doc_id) — a
+    * SinglePartition window, the canonical does-not-scale shape. The
+    * global EXCLUSIVE prefix sum rides [[GlobalRank.withGlobalPrefixSum]]
+    * (TeraSort pattern): one range shuffle, one narrow local-cumsum pass,
+    * O(partitions) totals to the driver, offset + local. All integers —
+    * boundary math is div/mod on BIGINTs, hash-exact vs the oracle's
+    * windowed CTE (DuckDB can afford the single-partition window at
+    * oracle scale; the ENGINE must not). */
+  def t46SequencePack(s: SparkSession, d: String): DataFrame = {
+    val L = 2048L
+    val toks = documents(s, d).select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    GlobalRank.withGlobalPrefixSum(toks, Seq(col("doc_id")), col("n_tokens"), "cum_before")
+      .selectExpr("doc_id", "n_tokens",
+        s"cum_before div $L AS seq_first",
+        s"(cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) div $L AS seq_last",
+        s"cum_before % $L AS offset_in_seq")
+      .withColumn("straddles",
+        expr("CAST(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S18 — SEMANTIC CONTAMINATION AUDIT (the embedding-space half of
     * decontamination: t13/t24 catch n-gram overlap between train and
     * eval, but a PARAPHRASED eval item shares no 8-gram — its nearest
@@ -903,6 +938,7 @@ object SelectionQueries {
     "s19_bitext_mining" -> s19BitextMining,
     "s18_semantic_contamination" -> s18SemanticContamination,
     "t45_kneser_ney" -> t45KneserNey,
+    "t46_sequence_pack" -> t46SequencePack,
     "s16_kmeans_refine" -> s16KmeansRefine,
     "s17_d4_prune" -> s17D4Prune,
     "t43_url_canonical" -> t43UrlCanonical,
@@ -1076,6 +1112,28 @@ object SelectionQueries {
                  CAST(CASE WHEN floor(score * 1000) >= 950 THEN 1 ELSE 0 END
                    AS INTEGER) AS contaminated
           FROM r WHERE rn = 1 ORDER BY eval_id""",
+    "t46_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) END AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+                  -- DuckDB SUM(BIGINT) is HUGEINT; cast back so every
+                  -- derived column hashes as int64 like the engine's
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM toks
+         )
+         SELECT doc_id, n_tokens,
+                cum_before // 2048 AS seq_first,
+                (cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 2048 AS seq_last,
+                cum_before % 2048 AS offset_in_seq,
+                CAST(CASE WHEN cum_before // 2048 <>
+                  (cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 2048
+                  THEN 1 ELSE 0 END AS BIGINT) AS straddles
+         FROM c ORDER BY doc_id""",
     "t45_kneser_ney" ->
       s"""WITH tok AS (
             SELECT source, list_filter($wordsSql, x -> length(x) > 0) AS w

@@ -64,4 +64,27 @@ class GlobalRankSpec extends SparkSpec {
     val df = Seq.empty[(Long, Long)].toDF("id", "k")
     assert(GlobalRank.withGlobalRank(df, Seq(col("k"), col("id"))).count() == 0L)
   }
+
+  test("exclusive prefix sum equals the SinglePartition window on a random frame") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong)).toDF("id", "v")
+    val got = GlobalRank.withGlobalPrefixSum(df, Seq(col("id")), col("v"), "ps")
+      .select(col("id"), col("ps")).as[(Long, Long)].collect().toMap
+    val expected = df
+      .withColumn("ps", coalesce(sum(col("v")).over(
+        Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), col("ps")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(0L) == 0L) // EXCLUSIVE: first row sums nothing
+  }
+
+  test("prefix sum: nulls count as zero but keep their position; empty input is empty") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "v")
+    val got = GlobalRank.withGlobalPrefixSum(df, Seq(col("id")), col("v"), "ps")
+      .select(col("id"), col("ps")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 10L))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(GlobalRank.withGlobalPrefixSum(empty, Seq(col("id")), col("v")).count() == 0L)
+  }
 }

@@ -445,6 +445,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "running-sum window missing")
   }
 
+  test("t46: the pack's running total is the TeraSort shape — no SinglePartition window") {
+    val p = plan("t46_sequence_pack")
+    assert(!p.contains("Window"),
+      s"global cumsum degraded to a window operator:\n${p.take(2000)}")
+    assert(!p.contains("SinglePartition"),
+      s"pack funnels the corpus through one task:\n${p.take(2000)}")
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      s"range shuffle missing from the prefix-sum plan:\n${p.take(2000)}")
+  }
+
   test("minhash signatures over the shingle artifact aggregate exchange-free (r14)") {
     // The r14 shared-signature build rides docShingles' doc_id-clustered
     // checkpoint: Generate preserves its child's partitioning and the
