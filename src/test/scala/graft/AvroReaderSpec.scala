@@ -117,6 +117,19 @@ class AvroReaderSpec extends SparkSpec {
     }
   }
 
+  test("seeded mutation fuzz: corrupted containers never throw or hang") {
+    val v1 = new ASchema.Parser().parse(v1Json)
+    val base = writeContainer(v1, CodecFactory.deflateCodec(1), v1Records(v1))
+    val st = AvroReader.sparkType(v1).asInstanceOf[StructType]
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val m = base.clone()
+      (1 to 1 + rnd.nextInt(8)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      val cut = m.take(rnd.nextInt(m.length + 1))
+      AvroReader.parseRows(cut, v1Json, st) // contract: returns, never throws
+    }
+  }
+
   test("fail-soft: a truncated container keeps the decoded prefix, garbage keeps nothing") {
     val v1 = new ASchema.Parser().parse(v1Json)
     val whole = writeContainer(v1, CodecFactory.nullCodec(), v1Records(v1))
