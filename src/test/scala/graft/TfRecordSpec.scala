@@ -101,6 +101,24 @@ class TfRecordSpec extends SparkSpec {
     }
   }
 
+  test("writeExamples fills absent feature-family columns with empty maps") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("v")
+      .select(map(lit("id"), array(col("v"))).as("int64_features"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfrecord-min").toString
+    try {
+      assert(TfRecord.writeExamples(df.repartition(1), dir) == 1L)
+      val back = TfRecord.readExamples(spark, dir).collect()
+      assert(back.length == 2)
+      assert(back.forall(r => r.bytes_features.isEmpty && r.float_features.isEmpty))
+      assert(back.map(_.int64_features("id").head).sorted.toSeq == Seq(1L, 2L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("seeded mutation fuzz: corrupted shards never throw or hang") {
     val base = TfRecord.frame(Seq(
       TfRecord.encodeExample(Example(Map("t" -> Seq("abc".getBytes)), Map(), Map("i" -> Seq(1L)))),
