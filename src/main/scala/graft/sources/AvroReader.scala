@@ -35,8 +35,11 @@ import scala.jdk.CollectionConverters._
   * granularity note); Avro files ARE block-splittable by sync marker, but
   * splitting needs a real FileSystem seek path — with whole-file rows the
   * parallelism unit is the file, which is the right grain for the
-  * many-files archive layout this reader targets. The schema read on the
-  * driver touches ONE file's HEADER, never data blocks. */
+  * many-files archive layout this reader targets. The driver-side schema
+  * step fetches ONE file's bytes (binaryFile has no range read) and
+  * decodes only its header; a production variant on an object store
+  * would range-GET the first kilobytes instead — same contract, cheaper
+  * transfer. */
 object AvroReader {
 
   /** The embedded writer schema of a container's header. */

@@ -67,9 +67,11 @@ class TfRecordSpec extends SparkSpec {
 
   test("export→audit loop: documents → sharded tf.Examples → read back and reconcile") {
     import spark.implicits._
+    // deterministic subset by PREDICATE, not limit() — two limit() plans
+    // could legally pick different rows, making the reconcile flaky
     val docs = graft.core.Tables.documents(spark, sf())
+      .filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-      .limit(200)
       .select(
         map(lit("text"), array(col("text").cast("binary"))).as("bytes_features"),
         expr("CAST(map() AS map<string,array<float>>)").as("float_features"),
@@ -80,16 +82,16 @@ class TfRecordSpec extends SparkSpec {
       val nFiles = TfRecord.writeExamples(docs, dir)
       assert(nFiles == 3)
       val back = TfRecord.readExamples(spark, dir)
-      assert(back.count() == 200)
       // reconcile against the source: ids and text lengths survive
       val shipped = back
         .map(r => (r.int64_features("doc_id").head,
           new String(r.bytes_features("text").head, "UTF-8").length.toLong))
         .toDF("doc_id", "len")
       val src = graft.core.Tables.documents(spark, sf())
+        .filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"),
           length(coalesce(col("text"), lit(""))).cast("long").as("len"))
-        .limit(200)
+      assert(back.count() == src.count())
       assert(shipped.except(src).isEmpty && src.except(shipped).isEmpty)
       // narrow read plan: scan → flatMap, no shuffle
       val p = back.toDF().queryExecution.executedPlan.toString
