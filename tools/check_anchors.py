@@ -78,6 +78,16 @@ def main():
     fails = []
 
     qid_re = re.compile(r"\b(dq\d+|[cdgmpqrst]\d+)\b")
+    # duplicate op-id check (r14 verdict: T27 was used twice and the
+    # query-keyed checks above could not see it)
+    seen_ids = {}
+    for cells in rows:
+        rid = cells[0]
+        if rid in seen_ids:
+            fails.append(f"{rid}: op id declared twice in §2.10 "
+                         f"(rows {seen_ids[rid]!r} and {cells[1]!r})")
+        else:
+            seen_ids[rid] = cells[1]
     for cells in rows:
         rid, qcol, srccol = cells[0], cells[-1], cells[-2]
         if qcol.strip().lower().startswith("spec"):

@@ -8,7 +8,9 @@
 #
 # Steps (each fails the script):
 #   1. sbt compile + full ScalaTest suite
-#   2. full Verify at sf0.01 + DuckDB compare (231/231 ALL MATCH)
+#   2. full Verify at sf0.01 + DuckDB compare (the compare tool's
+#      "ALL MATCH" line over the whole declared catalog — no hardcoded
+#      count here; the catalog grows)
 #   3. tools/check_anchors.py (SURVEY file:line anchors)
 #   4. [unless --no-bench] full Bench at sf0.1 -> BENCH_DETAIL.json
 #   5. tools/perf_weak.py report (informational; read the count)
