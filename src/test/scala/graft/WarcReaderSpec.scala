@@ -138,6 +138,69 @@ class WarcReaderSpec extends SparkSpec {
     }
   }
 
+  test("streaming: the first record emits long before the stream is consumed") {
+    // 4096 copies of the 4-record fixture as one ~4 MB plain WARC
+    // stream; a materializing parse reads everything before yielding
+    // row 1 — the streaming iterator may only consume its 64 KiB
+    // read-ahead buffer.
+    val reps = 4096
+    val one = fixture()
+    val total = one.length.toLong * reps
+    var consumed = 0L
+    val src = new java.io.InputStream {
+      private var rep = 0; private var off = 0
+      override def read(): Int =
+        if (rep >= reps) -1
+        else { val b = one(off) & 0xff; off += 1; consumed += 1
+          if (off == one.length) { off = 0; rep += 1 }; b }
+    }
+    val it = new WarcReader.RecordIterator("stream", src)
+    assert(it.hasNext)
+    val first = it.next()
+    assert(first.warc_type == "warcinfo")
+    assert(consumed <= 128 * 1024 && consumed < total / 10,
+      s"first record should stream out early: consumed=$consumed of $total")
+    assert(it.size == 4 * reps - 1) // the rest still parses completely
+  }
+
+  test("capped heap: a multi-hundred-MB segment parses under -Xmx64m (sub-JVM)") {
+    // Common Crawl layout at real scale: 3072 one-record gzip members,
+    // ~96 KiB inflated each (~288 MiB total). The r14 materializing
+    // parse held inflated-segment + per-record copies (~0.6 GB) and
+    // cannot run under 64 MiB; the streaming iterator holds one record.
+    val f = java.nio.file.Files.createTempFile("graft-warc-big", ".warc.gz")
+    try {
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f.toFile), 1 << 20)
+      val body = new Array[Byte](96 * 1024)
+      (0 until 3072).foreach { i =>
+        java.util.Arrays.fill(body, ('a' + i % 26).toByte)
+        val rec = record(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> s"https://example.org/doc$i",
+          "WARC-Record-ID" -> s"<urn:uuid:$i>",
+          "Content-Type" -> "text/plain"), body)
+        // close-shield: g.close() must end its Deflater (3072 native
+        // buffers otherwise) without closing the shared file stream
+        val shield = new java.io.FilterOutputStream(out) { override def close(): Unit = () }
+        val g = new java.util.zip.GZIPOutputStream(shield, 65536)
+        g.write(rec); g.close()
+      }
+      out.close()
+      val javaBin = new java.io.File(new java.io.File(
+        sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val pb = new ProcessBuilder(javaBin, "-Xmx64m",
+        "-cp", sys.props("java.class.path"),
+        "graft.WarcHeapProbe", f.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      assert(rc == 0, s"probe exited $rc:\n${outText.takeRight(2000)}")
+      assert(outText.contains(s"records=3072 body_bytes=${3072L * 96 * 1024}"),
+        s"unexpected probe output: ${outText.takeRight(500)}")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("seeded mutation fuzz: corrupted payloads never throw or hang") {
     val base = fixture()
     val rnd = new scala.util.Random(42)
