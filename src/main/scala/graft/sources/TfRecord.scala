@@ -51,17 +51,27 @@ object TfRecord {
     java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
 
-  /** Frame records into TFRecord bytes. */
+  /** Frame records into TFRecord bytes (materializing convenience over
+    * [[frameTo]] — tests and small payloads; the shard writer streams). */
   def frame(records: Iterator[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    frameTo(out, records)
+    out.toByteArray
+  }
+
+  /** Stream TFRecord frames to `out`, one record in memory at a time;
+    * returns the record count. */
+  def frameTo(out: java.io.OutputStream, records: Iterator[Array[Byte]]): Long = {
+    var n = 0L
     records.foreach { r =>
       val len = leLong(r.length.toLong)
       out.write(len)
       out.write(leInt(maskedCrc(len, 0, 8)))
       out.write(r)
       out.write(leInt(maskedCrc(r, 0, r.length)))
+      n += 1
     }
-    out.toByteArray
+    n
   }
 
   /** Unframe TFRecord bytes, verifying both CRCs; a bad/truncated frame
@@ -92,35 +102,54 @@ object TfRecord {
       float_features: Map[String, Seq[Float]],
       int64_features: Map[String, Seq[Long]])
 
+  /** Bounded wire reader: every read checks against `end`, the LOGICAL
+    * boundary of the enclosing submessage — without the checks a
+    * malformed inner length could read past its submessage into sibling
+    * bytes of the same array and produce a silently WRONG decode that
+    * the per-record fail-soft catch never sees (r14 ADVICE). Violations
+    * throw; the record is dropped, not mis-decoded. */
   private final class Reader(b: Array[Byte], var i: Int, val end: Int) {
+    require(end <= b.length, s"submessage end $end past buffer ${b.length}")
     def hasMore: Boolean = i < end
+    private def bound(n: Int): Unit =
+      if (n < 0 || i + n > end) throw new IllegalArgumentException(
+        s"wire read of $n bytes at $i crosses submessage end $end")
     def varint(): Long = {
       var v = 0L; var s = 0
       while ({
+        bound(1)
         val x = b(i) & 0xff; i += 1
         v |= (x & 0x7fL) << s; s += 7
+        if (s > 70) throw new IllegalArgumentException("varint longer than 10 bytes")
         (x & 0x80) != 0
       }) ()
       v
     }
     def bytes(): Array[Byte] = {
       val n = varint().toInt
+      bound(n)
       val r = java.util.Arrays.copyOfRange(b, i, i + n); i += n; r
     }
-    def sub(): Reader = { val n = varint().toInt; val r = new Reader(b, i, i + n); i += n; r }
+    def sub(): Reader = {
+      val n = varint().toInt
+      bound(n)
+      val r = new Reader(b, i, i + n); i += n; r
+    }
     def fixed32(): Int = {
+      bound(4)
       val v = java.nio.ByteBuffer.wrap(b, i, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt; i += 4; v
     }
     def fixed64(): Long = {
+      bound(8)
       val v = java.nio.ByteBuffer.wrap(b, i, 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong; i += 8; v
     }
     def skip(wt: Int): Unit = wt match {
       case 0 => varint(); ()
-      case 1 => i += 8
-      case 2 => i += varint().toInt
-      case 5 => i += 4
+      case 1 => bound(8); i += 8
+      case 2 => val n = varint().toInt; bound(n); i += n
+      case 5 => bound(4); i += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }
   }
@@ -289,15 +318,27 @@ object TfRecord {
     * bytes_features / float_features / int64_features as in
     * [[ExampleRow]]) under `dir`. Returns the file count. Shard count and
     * ordering are the CALLER's repartition/sortWithinPartitions — the
-    * t21 manifest discipline. `dir` must be a filesystem every executor
-    * sees (local mode, NFS/Lustre); object stores would route through a
-    * Hadoop FS stream instead — out of scope without a TFRecord
-    * datasource on this classpath, and irrelevant to the framing/proto
-    * layers above, which are the portable part. */
+    * t21 manifest discipline.
+    *
+    * r15 (the r14 verdict item): shards write through the task's Hadoop
+    * FileSystem — local paths, HDFS and object stores alike — and frames
+    * STREAM to the output (one encoded record in memory, never the whole
+    * shard). Commit protocol for retried/speculative tasks: each attempt
+    * writes `.part-NNNNN-attempt-K.tfrecord.tmp` (attempt-unique, so
+    * concurrent attempts never interleave bytes) and renames to the
+    * final name only after a successful close; a loser whose rename is
+    * refused (HDFS semantics: dest exists) deletes its temp. A POSIX
+    * local rename replaces the winner's file instead — harmless, because
+    * both attempts of a deterministic partition produce identical bytes.
+    * Either way no reader ever observes a truncated final shard. */
   def writeExamples(df: DataFrame, dir: String): Long = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val spark = df.sparkSession
     import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val cols = Seq("bytes_features", "float_features", "int64_features")
     val normalized = cols.foldLeft(df)((d, c) =>
       if (d.columns.contains(c)) d
@@ -313,12 +354,35 @@ object TfRecord {
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val bytes = frame(it.map { case (bf, ff, lf) =>
-            encodeExample(Example(bf, ff, lf))
-          })
-          val f = java.nio.file.Paths.get(dir, f"part-$pid%05d.tfrecord")
-          java.nio.file.Files.write(f, bytes)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val d = new org.apache.hadoop.fs.Path(dir)
+          // private (non-cached) FS instance so disabling the client-side
+          // .crc sidecar — TFRecord frames carry their own CRC32C per
+          // record — does not mutate the JVM-shared cached FileSystem
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            d.toUri, bcConf.value.value)
+          try {
+            fs.setWriteChecksum(false)
+            val finalPath = new org.apache.hadoop.fs.Path(d, f"part-$pid%05d.tfrecord")
+            val tmpPath = new org.apache.hadoop.fs.Path(d,
+              f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.tfrecord.tmp")
+            val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 20)
+            var ok = false
+            try {
+              frameTo(out, it.map { case (bf, ff, lf) =>
+                encodeExample(Example(bf, ff, lf))
+              })
+              out.close()
+              ok = true
+            } finally if (!ok) {
+              try out.close() catch { case _: Exception => () }
+              try fs.delete(tmpPath, false) catch { case _: Exception => () }
+            }
+            val committed = try fs.rename(tmpPath, finalPath)
+              catch { case _: Exception => false }
+            if (!committed) fs.delete(tmpPath, false) // another attempt won
+          } finally fs.close()
           Iterator.single(1L)
         }
       }.collect().sum // not reduce(): an all-empty frame must yield 0, not throw

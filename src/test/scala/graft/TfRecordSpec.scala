@@ -65,6 +65,19 @@ class TfRecordSpec extends SparkSpec {
     assert(d.float_features("f") == Seq(1.0f))
   }
 
+  test("malformed inner lengths throw instead of silently mis-decoding (bounded reader)") {
+    // Features.feature entry whose name field claims 8 bytes but the
+    // entry submessage ends after 2 — the unbounded r14 reader read the
+    // SIBLING entry's bytes as name content and accepted the wrong
+    // record; the bounded reader throws and the Spark path drops it.
+    val nameOverrun = Array[Byte](0x0a, 8, 'a', 'b')
+    val entry = Array[Byte](0x0a, nameOverrun.length.toByte) ++ nameOverrun
+    val sibling = Array[Byte](0x0a, 3, 0x0a, 1, 'z')
+    val features = entry ++ sibling
+    val example = Array[Byte](0x0a, features.length.toByte) ++ features
+    intercept[IllegalArgumentException](TfRecord.decodeExample(example))
+  }
+
   test("export→audit loop: documents → sharded tf.Examples → read back and reconcile") {
     import spark.implicits._
     // deterministic subset by PREDICATE, not limit() — two limit() plans
@@ -81,6 +94,11 @@ class TfRecordSpec extends SparkSpec {
     try {
       val nFiles = TfRecord.writeExamples(docs, dir)
       assert(nFiles == 3)
+      // commit protocol: only final shard names remain — every
+      // attempt-unique .tmp was renamed or deleted
+      val names = new java.io.File(dir).list().toSeq.sorted
+      assert(names == Seq("part-00000.tfrecord", "part-00001.tfrecord",
+        "part-00002.tfrecord"), s"unexpected shard listing: $names")
       val back = TfRecord.readExamples(spark, dir)
       // reconcile against the source: ids and text lengths survive
       val shipped = back
