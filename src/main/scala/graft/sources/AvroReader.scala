@@ -18,11 +18,14 @@ import scala.jdk.CollectionConverters._
   * come from the reference implementation rather than a hand parser.
   *
   * Semantics:
-  *  - the READER schema is taken from the first file (lexicographic) and
-  *    every other file is resolved against it — Avro's own evolution
-  *    rules (new fields with defaults, int→long promotions, reordered
-  *    fields) apply across a directory of mixed-generation files, the
-  *    L130 mergeSchema reality in Avro's native mechanism;
+  *  - the READER schema is the field-superset generation found by a
+  *    distributed header survey (see [[read]]), and every file is
+  *    resolved against it — Avro's own evolution rules (new fields with
+  *    defaults, int→long promotions, reordered fields) apply across a
+  *    directory of mixed-generation files, the L130 mergeSchema reality
+  *    in Avro's native mechanism; an UNRESOLVABLE generation (field
+  *    removed without a default) fails loudly instead of yielding zero
+  *    rows that read as an empty file;
   *  - types map recursively: record→struct, array→array, map→map(string,·),
   *    enum/fixed→string/binary, union[null,X]→nullable X (any other union
   *    is refused with a clear error — Catalyst has no tagged-union type,
@@ -35,10 +38,11 @@ import scala.jdk.CollectionConverters._
   * granularity note); Avro files ARE block-splittable by sync marker, but
   * splitting needs a real FileSystem seek path — with whole-file rows the
   * parallelism unit is the file, which is the right grain for the
-  * many-files archive layout this reader targets. The driver-side schema
-  * step fetches ONE file's bytes (binaryFile has no range read) and
-  * decodes only its header; a production variant on an object store
-  * would range-GET the first kilobytes instead — same contract, cheaper
+  * many-files archive layout this reader targets. The schema survey runs
+  * ON THE EXECUTORS (header decode per file, distinct schema strings to
+  * the driver — generations, not files, so the collect is bounded); a
+  * production variant on an object store would range-GET each file's
+  * first kilobytes instead of whole-file reads — same contract, cheaper
   * transfer. */
 object AvroReader {
 
@@ -98,40 +102,83 @@ object AvroReader {
     if (s.getType == t) s
     else s.getTypes.asScala.find(_.getType == t).getOrElse(s)
 
-  /** Decode one container against `readerJson`; corrupt tails keep the
-    * rows decoded so far (never a throw). */
+  /** Decode one container against `readerJson`. Three regimes (r15, the
+    * r14 ADVICE distinction — whole-file data loss must never look like
+    * an empty file):
+    *  - container header unreadable (garbage / corrupt magic): the file
+    *    yields nothing — corruption fail-soft, a bad file costs itself;
+    *  - header READS but the writer schema does not RESOLVE against the
+    *    reader schema (e.g. a field removed without a default): LOUD
+    *    `IllegalArgumentException` — this is a schema/configuration
+    *    event that would silently lose every row of that generation,
+    *    not a corruption event;
+    *  - mid-stream corruption after a compatible header: the rows
+    *    decoded so far (fail-soft tail, as before). */
   def parseRows(bytes: Array[Byte], readerJson: String, st: StructType): Seq[Row] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      val reader = new ASchema.Parser().parse(readerJson)
-      val r = new DataFileReader[GenericRecord](
+    val reader = new ASchema.Parser().parse(readerJson)
+    val r =
+      try new DataFileReader[GenericRecord](
         new SeekableByteArrayInput(bytes),
         new GenericDatumReader[GenericRecord](null, reader))
+      catch { case _: Exception => return Seq.empty } // not an Avro container
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val compat = org.apache.avro.SchemaCompatibility
+        .checkReaderWriterCompatibility(reader, r.getSchema)
+      if (compat.getType !=
+          org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
+        throw new IllegalArgumentException(
+          s"Avro writer schema does not resolve against the reader schema — " +
+            s"rows would be silently lost: ${compat.getResult.getIncompatibilities}")
       try while (r.hasNext) {
         val rec = r.next()
         out += Row.fromSeq(st.fields.indices.map(i =>
           convert(rec.get(i), reader.getFields.get(i).schema())))
-      } finally r.close()
-    } catch { case _: Exception => () }
+      } catch { case _: Exception => () } // mid-stream corruption: keep prefix
+    } finally r.close()
     out.toSeq
   }
 
-  /** Scan `dir` for Avro containers and return one DataFrame, resolved
-    * against the first (lexicographic) file's schema + a `path` column. */
+  /** Scan `dir` for Avro containers and return one DataFrame + a `path`
+    * provenance column. The reader schema is chosen by a distributed
+    * schema SURVEY (r15, the r14 ADVICE fix — the old "lexicographically
+    * first file" rule silently projected away newer generations' added
+    * fields whenever an old file sorted first): every file's header is
+    * decoded on the executors, the distinct writer schemas (a handful of
+    * generations, never data-sized) come back to the driver, and the one
+    * whose top-level field set CONTAINS every other's becomes the reader
+    * — Avro's evolution rules then fill the added fields' defaults for
+    * older files. No superset schema → loud error (a forked lineage
+    * needs a hand-written reader schema, not a silent guess). Files
+    * whose header does not decode are skipped by the survey and yield
+    * nothing at parse time (corruption fail-soft); files whose schema
+    * does not RESOLVE against the chosen reader fail loudly at parse
+    * time (see [[parseRows]]). */
   def read(spark: SparkSession, dir: String, glob: String = "*.avro"): DataFrame = {
     val files = FileCorpus.scan(spark, dir, glob)
-    // driver-side: ONE header read to fix the reader schema (deterministic
-    // choice — lexicographically first path)
-    val head = files.select(col("path"), col("content"))
-      .orderBy(col("path")).limit(1).collect()
-    require(head.nonEmpty, s"no files matching $glob under $dir")
-    val reader = schemaOf(head(0).getAs[Array[Byte]]("content"))
-    require(reader.getType == ASchema.Type.RECORD,
-      s"top-level Avro schema must be a record, got ${reader.getType}")
+    import spark.implicits._
+    val schemaJsons = files.select(col("content")).as[Array[Byte]]
+      .flatMap(b => try Some(schemaOf(b).toString) catch { case _: Exception => None })
+      .distinct().collect().toSeq.sorted
+    require(schemaJsons.nonEmpty,
+      s"no files with a readable Avro header matching $glob under $dir")
+    val schemas = schemaJsons.map(j => new ASchema.Parser().parse(j))
+    require(schemas.forall(_.getType == ASchema.Type.RECORD),
+      s"top-level Avro schema must be a record, got ${schemas.map(_.getType).distinct}")
+    val fieldSets = schemas.map(_.getFields.asScala.map(_.name()).toSet)
+    val reader = schemas.zip(fieldSets)
+      .filter { case (_, fs) => fieldSets.forall(_.subsetOf(fs)) }
+      .sortBy { case (s, fs) => (-fs.size, s.toString) }
+      .headOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        "no single file schema covers every other generation's fields — " +
+          s"supply an explicit reader schema; saw field sets ${fieldSets.distinct}"))
     val readerJson = reader.toString
     val dataType = sparkType(reader).asInstanceOf[StructType]
+    require(!dataType.fieldNames.contains("path"),
+      "Avro schema has a top-level field named 'path', which collides with " +
+        "the provenance column this reader prepends — rename one of them")
     val full = StructType(StructField("path", StringType, nullable = false) +: dataType.fields)
-    import spark.implicits._
     files.select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, b) =>
         parseRows(b, readerJson, dataType).map(r => Row.fromSeq(p +: r.toSeq))

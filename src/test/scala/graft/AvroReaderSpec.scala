@@ -78,18 +78,21 @@ class AvroReaderSpec extends SparkSpec {
     val v2 = new ASchema.Parser().parse(v2Json)
     val dir = java.nio.file.Files.createTempDirectory("graft-avro")
     try {
-      // first (lexicographic) file carries generation-2 schema → reader
-      // schema; the deflate file is generation-1 and must resolve (lang
-      // fills from its default)
+      // the OLDER generation sorts lexicographically FIRST — under the
+      // r14 first-file rule the reader schema would be v1 and every v2
+      // row's `lang` silently projected away (the ADVICE data-loss
+      // case); the r15 schema survey must pick v2 (field superset)
+      // regardless of file order, and the v1 file resolves against it
+      // (lang fills from its default)
       val inner2 = v2.getField("inner").schema()
       val g2 = Seq(rec(v2, Map("id" -> 3L, "title" -> "gamma", "score" -> 2.0,
         "lang" -> "en", "tags" -> java.util.List.of("z"),
         "meta" -> java.util.Map.of("m", Int.box(1)),
         "inner" -> rec(inner2, Map("a" -> 5, "b" -> "v2")))))
-      java.nio.file.Files.write(dir.resolve("a_gen2.avro"),
-        writeContainer(v2, CodecFactory.snappyCodec(), g2))
-      java.nio.file.Files.write(dir.resolve("b_gen1.avro"),
+      java.nio.file.Files.write(dir.resolve("a_gen1.avro"),
         writeContainer(v1, CodecFactory.deflateCodec(6), v1Records(v1)))
+      java.nio.file.Files.write(dir.resolve("b_gen2.avro"),
+        writeContainer(v2, CodecFactory.snappyCodec(), g2))
       val df = AvroReader.read(spark, dir.toString).orderBy(col("id"))
       val rows = df.collect()
       assert(rows.length == 3)
@@ -117,6 +120,60 @@ class AvroReaderSpec extends SparkSpec {
     }
   }
 
+  test("unresolvable generation fails LOUDLY instead of reading as an empty file") {
+    // writer removed `score` without a default → the reader (which has
+    // it, no default) cannot resolve; the r14 catch-all swallowed this
+    // into zero rows — whole-file data loss indistinguishable from an
+    // empty container. Now it throws with the incompatibility.
+    val v3Json = v1Json.replace("""{"name":"score","type":"double"},""", "")
+    val v3 = new ASchema.Parser().parse(v3Json)
+    val inner3 = v3.getField("inner").schema()
+    val g3 = Seq(rec(v3, Map("id" -> 9L, "title" -> "no-score",
+      "tags" -> java.util.List.of(), "meta" -> java.util.Map.of(),
+      "inner" -> rec(inner3, Map("a" -> 1, "b" -> "x")))))
+    val bytes = writeContainer(v3, CodecFactory.nullCodec(), g3)
+    val st = AvroReader.sparkType(new ASchema.Parser().parse(v1Json)).asInstanceOf[StructType]
+    val e = intercept[IllegalArgumentException] {
+      AvroReader.parseRows(bytes, v1Json, st)
+    }
+    assert(e.getMessage.contains("does not resolve"))
+  }
+
+  test("no superset generation and a 'path' field collision are refused with clear errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-refuse")
+    try {
+      // forked lineage: {id,a} and {id,b} — neither covers the other
+      val fa = new ASchema.Parser().parse(
+        """{"type":"record","name":"F","fields":[{"name":"id","type":"long"},{"name":"a","type":"int"}]}""")
+      val fb = new ASchema.Parser().parse(
+        """{"type":"record","name":"F","fields":[{"name":"id","type":"long"},{"name":"b","type":"int"}]}""")
+      java.nio.file.Files.write(dir.resolve("a.avro"),
+        writeContainer(fa, CodecFactory.nullCodec(), Seq(rec(fa, Map("id" -> 1L, "a" -> 2)))))
+      java.nio.file.Files.write(dir.resolve("b.avro"),
+        writeContainer(fb, CodecFactory.nullCodec(), Seq(rec(fb, Map("id" -> 1L, "b" -> 3)))))
+      val e = intercept[IllegalArgumentException](AvroReader.read(spark, dir.toString))
+      assert(e.getMessage.contains("no single file schema"))
+      // a top-level `path` field would produce duplicate columns
+      val fp = new ASchema.Parser().parse(
+        """{"type":"record","name":"P","fields":[{"name":"path","type":"string"}]}""")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-avro-path")
+      try {
+        java.nio.file.Files.write(dir2.resolve("p.avro"),
+          writeContainer(fp, CodecFactory.nullCodec(), Seq(rec(fp, Map("path" -> "/x")))))
+        val e2 = intercept[IllegalArgumentException](AvroReader.read(spark, dir2.toString))
+        assert(e2.getMessage.contains("collides"))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir2).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("seeded mutation fuzz: corrupted containers never throw or hang") {
     val v1 = new ASchema.Parser().parse(v1Json)
     val base = writeContainer(v1, CodecFactory.deflateCodec(1), v1Records(v1))
@@ -126,7 +183,12 @@ class AvroReaderSpec extends SparkSpec {
       val m = base.clone()
       (1 to 1 + rnd.nextInt(8)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
       val cut = m.take(rnd.nextInt(m.length + 1))
-      AvroReader.parseRows(cut, v1Json, st) // contract: returns, never throws
+      // contract: returns or raises ONLY the documented loud-resolution
+      // error (a flip inside a field name can yield a header that still
+      // parses but no longer resolves — that path is deliberately loud,
+      // r15); anything else (NPE, AIOOBE, hang) is a bug
+      try AvroReader.parseRows(cut, v1Json, st)
+      catch { case _: IllegalArgumentException => () }
     }
   }
 
