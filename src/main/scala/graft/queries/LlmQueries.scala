@@ -196,8 +196,14 @@ object LlmQueries {
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
-    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, "cluster")
+    // cluster_size via ONE cluster-partitioned window count instead of
+    // groupBy + re-join (r15 d05a-ledger lever): same integers, one
+    // exchange on cluster and no join; cluster cardinality bounds the
+    // partition (near-dup clusters are small by construction), so the
+    // window is safe at scale. Measured: see the probe note in NOTES r15.
+    assigned.withColumn("cluster_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))))
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).cast("int").as("is_canonical"))
   }

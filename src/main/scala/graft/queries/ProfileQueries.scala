@@ -464,27 +464,48 @@ object ProfileQueries {
     * Composes t07's split with d26's shingle primitive; reports, per
     * split pair, how many distinct 8-gram spans cross it.
     *
-    * Scale: one shingle explode → distinct (split, gram) — map-
-    * combinable — then a gram-keyed self-join that only pairs rows
-    * sharing a span (the d-family equi-join shape; never all-pairs) and
-    * a ≤3-row aggregate.
+    * Scale (r15 redesign — the r14 verdict's top mechanical perf-weak at
+    * 1.54 s / 3.8×): a gram's split incidence is ≤ 3 BITS, so the old
+    * distinct (split, gram) → gram-keyed self-join → two-phase
+    * countDistinct pair aggregate collapses into ONE map-combinable
+    * `bit_or` aggregate on the gram key plus a ≤ 7-row mask rollup. A
+    * distinct gram contributes 1 to crossing pair (a,b) iff its mask
+    * holds both bits — exactly the old countDistinct per pair, row-for-
+    * row identical. Exchanges: one data-sized (gram-keyed partial
+    * bit_or) vs the old distinct exchange + join re-cluster + the
+    * countDistinct expansion; the self-join is gone entirely. At 100 TB
+    * this is strictly an aggregation problem, like d26. Measured (r15,
+    * BenchOne min-of-2 at sf0.1): 0.93/1.06 s across two sessions, 8
+    * jobs — from the r14 driver's 1.54 s / 12-job join shape.
     *
-    * Measured rejection (r14, the d15 reuse discipline): lazy-ckpt'ing
-    * the gram frame before the self-join is a WASH at sf0.1 (min-of-2
-    * pairs 4.93/5.01 vs 4.73/5.30 in one session, identical rows) —
-    * unlike d15's cross-join, this equi-self-join hashes BOTH sides on
-    * the same key, so AQE's runtime exchange reuse already covers it
-    * and the checkpoint only adds a materialization job. */
+    * Prior measured rejection (r14, kept for the record): lazy-ckpt'ing
+    * the gram frame before the then-self-join was a WASH at sf0.1
+    * (min-of-2 pairs 4.93/5.01 vs 4.73/5.30, identical rows) — AQE's
+    * runtime exchange reuse already covered the equi-self-join's two
+    * sides. Superseded by removing the join altogether. */
   def dq08SplitLeakage(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Sampling
-    val grams = documents(s, d)
+    val masks = documents(s, d)
       .select(Sampling.split(col("doc_id"), 80, 10).as("split"),
         explode(Dedupe.shingles(col("text"), 8)).as("gram"))
-      .distinct()
-    grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.split") < col("b.split"))
-      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
-      .agg(countDistinct(col("a.gram")).as("n_leaked_spans"))
+      .select(col("gram"), expr(
+        "CASE split WHEN 'train' THEN 1 WHEN 'val' THEN 2 ELSE 4 END").as("bit"))
+      .groupBy(col("gram")).agg(expr("bit_or(bit)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    // pair labels ordered a < b lexicographically (test < train < val),
+    // matching the old a.split < b.split join predicate
+    masks
+      .select(col("n"), explode(expr(
+        """filter(array(
+          |  CASE WHEN (mask & 4) > 0 AND (mask & 1) > 0
+          |       THEN named_struct('a', 'test', 'b', 'train') END,
+          |  CASE WHEN (mask & 4) > 0 AND (mask & 2) > 0
+          |       THEN named_struct('a', 'test', 'b', 'val') END,
+          |  CASE WHEN (mask & 1) > 0 AND (mask & 2) > 0
+          |       THEN named_struct('a', 'train', 'b', 'val') END),
+          | x -> x IS NOT NULL)""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("split_a"), col("p.b").as("split_b"))
+      .agg(sum(col("n")).as("n_leaked_spans"))
       .orderBy(col("split_a"), col("split_b"))
   }
 
