@@ -34,22 +34,32 @@ import scala.jdk.CollectionConverters._
   *    far from that file (the WarcReader contract — a bad file costs its
   *    tail, not the job).
   *
-  * Scale shape: one file per task via `binaryFile` (the WarcReader
-  * granularity note); Avro files ARE block-splittable by sync marker, but
-  * splitting needs a real FileSystem seek path — with whole-file rows the
-  * parallelism unit is the file, which is the right grain for the
-  * many-files archive layout this reader targets. The schema survey runs
-  * ON THE EXECUTORS (header decode per file, distinct schema strings to
-  * the driver — generations, not files, so the collect is bounded); a
-  * production variant on an object store would range-GET each file's
-  * first kilobytes instead of whole-file reads — same contract, cheaper
-  * transfer. */
+  * Scale shape (r15 — everything STREAMS): one file per task from a
+  * listing-only scan, rows decoded one at a time off a Hadoop
+  * FileSystem stream through `DataFileStream` (task memory = one record
+  * + the codec's block buffer, any container size); the schema survey
+  * likewise opens each file's stream and reads ONLY the header (a few
+  * KB — `DataFileStream`'s constructor stops at the sync marker),
+  * distinct schema strings to the driver — generations, not files, so
+  * the collect is bounded. Avro files ARE block-splittable by sync
+  * marker; record-level splitting of one file would need seek+resync —
+  * out of scope when the parallelism unit is the file, the right grain
+  * for the many-files archive layout this reader targets. */
 object AvroReader {
 
   /** The embedded writer schema of a container's header. */
   def schemaOf(bytes: Array[Byte]): ASchema = {
     val r = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** Writer schema from a STREAM — `DataFileStream`'s constructor decodes
+    * only magic + metadata + sync marker, so the survey reads a few KB
+    * per file, never the file (r15). */
+  def schemaOfStream(in: java.io.InputStream): ASchema = {
+    val r = new org.apache.avro.file.DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
     try r.getSchema finally r.close()
   }
 
@@ -114,29 +124,62 @@ object AvroReader {
     *    not a corruption event;
     *  - mid-stream corruption after a compatible header: the rows
     *    decoded so far (fail-soft tail, as before). */
-  def parseRows(bytes: Array[Byte], readerJson: String, st: StructType): Seq[Row] = {
+  def parseRows(bytes: Array[Byte], readerJson: String, st: StructType): Seq[Row] =
+    parseRowsStream(new SeekableByteArrayInput(bytes), readerJson, st).toSeq
+
+  /** Streaming form of [[parseRows]] (r15 — the WarcReader grain
+    * discipline): rows decode ONE AT A TIME off the stream through
+    * `DataFileStream`, so task memory is one record + the codec's block
+    * buffer regardless of container size. Same three regimes: header
+    * unreadable → empty iterator; resolution incompatibility → loud
+    * throw (before any row is emitted); mid-stream corruption → the
+    * iterator ends with the rows decoded so far. The stream is closed on
+    * exhaustion or corruption (callers add task-completion cleanup for
+    * early-terminating consumers). */
+  def parseRowsStream(in: java.io.InputStream, readerJson: String,
+      st: StructType): Iterator[Row] = {
     val reader = new ASchema.Parser().parse(readerJson)
     val r =
-      try new DataFileReader[GenericRecord](
-        new SeekableByteArrayInput(bytes),
-        new GenericDatumReader[GenericRecord](null, reader))
-      catch { case _: Exception => return Seq.empty } // not an Avro container
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      val compat = org.apache.avro.SchemaCompatibility
+      try new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord](null, reader))
+      catch { case _: Exception => return Iterator.empty } // not an Avro container
+    val compat =
+      try org.apache.avro.SchemaCompatibility
         .checkReaderWriterCompatibility(reader, r.getSchema)
-      if (compat.getType !=
-          org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
-        throw new IllegalArgumentException(
-          s"Avro writer schema does not resolve against the reader schema — " +
-            s"rows would be silently lost: ${compat.getResult.getIncompatibilities}")
-      try while (r.hasNext) {
-        val rec = r.next()
-        out += Row.fromSeq(st.fields.indices.map(i =>
-          convert(rec.get(i), reader.getFields.get(i).schema())))
-      } catch { case _: Exception => () } // mid-stream corruption: keep prefix
-    } finally r.close()
-    out.toSeq
+      catch { case _: Exception => try r.close() catch { case _: Exception => () }; null }
+    if (compat == null) return Iterator.empty
+    if (compat.getType !=
+        org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE) {
+      try r.close() catch { case _: Exception => () }
+      throw new IllegalArgumentException(
+        s"Avro writer schema does not resolve against the reader schema — " +
+          s"rows would be silently lost: ${compat.getResult.getIncompatibilities}")
+    }
+    new Iterator[Row] {
+      private var pending: Row = _
+      private var done = false
+      private def finish(): Unit = {
+        done = true
+        try r.close() catch { case _: Exception => () }
+      }
+      private def advance(): Unit = {
+        try {
+          if (r.hasNext) {
+            val rec = r.next()
+            pending = Row.fromSeq(st.fields.indices.map(i =>
+              convert(rec.get(i), reader.getFields.get(i).schema())))
+          } else finish()
+        } catch { case _: Exception => finish() } // corruption: keep prefix
+      }
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("end of Avro stream")
+        val row = pending; pending = null; row
+      }
+    }
   }
 
   /** Scan `dir` for Avro containers and return one DataFrame + a `path`
@@ -155,10 +198,24 @@ object AvroReader {
     * does not RESOLVE against the chosen reader fail loudly at parse
     * time (see [[parseRows]]). */
   def read(spark: SparkSession, dir: String, glob: String = "*.avro"): DataFrame = {
-    val files = FileCorpus.scan(spark, dir, glob)
     import spark.implicits._
-    val schemaJsons = files.select(col("content")).as[Array[Byte]]
-      .flatMap(b => try Some(schemaOf(b).toString) catch { case _: Exception => None })
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    def paths = FileCorpus.scan(spark, dir, glob).select(col("path")).as[String]
+    // survey: header-only stream reads (a few KB per file), distinct
+    // schema strings to the driver — generations, not files
+    val schemaJsons = paths
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val in = hp.getFileSystem(bcConf.value.value).open(hp)
+            try Some(schemaOfStream(in).toString)
+            finally { try in.close() catch { case _: Exception => () } }
+          } catch { case _: Exception => None } // unreadable header: skipped
+        }
+      }
       .distinct().collect().toSeq.sorted
     require(schemaJsons.nonEmpty,
       s"no files with a readable Avro header matching $glob under $dir")
@@ -179,10 +236,37 @@ object AvroReader {
       "Avro schema has a top-level field named 'path', which collides with " +
         "the provenance column this reader prepends — rename one of them")
     val full = StructType(StructField("path", StringType, nullable = false) +: dataType.fields)
-    files.select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (p, b) =>
-        parseRows(b, readerJson, dataType).map(r => Row.fromSeq(p +: r.toSeq))
-      }(Encoders.row(full))
-      .toDF()
+    // rows: streamed per file through the Hadoop FS (one record in
+    // memory, r15); streams close on iterator exhaustion AND on task
+    // completion (early-terminating consumers like limit())
+    paths.mapPartitions { it =>
+      val open = new java.util.ArrayDeque[java.io.InputStream]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          open.forEach(s => try s.close() catch { case _: Exception => () })
+        })
+      it.flatMap { p =>
+        val streamOpt =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            Some(new java.io.BufferedInputStream(
+              hp.getFileSystem(bcConf.value.value).open(hp), 1 << 16))
+          } catch { case _: Exception => None } // unreadable file costs itself
+        streamOpt.iterator.flatMap { stream =>
+          open.add(stream)
+          val rows = parseRowsStream(stream, readerJson, dataType)
+          new Iterator[Row] {
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h && open.remove(stream)) {
+                try stream.close() catch { case _: Exception => () }
+              }
+              h
+            }
+            override def next(): Row = Row.fromSeq(p +: rows.next().toSeq)
+          }
+        }
+      }
+    }(Encoders.row(full)).toDF()
   }
 }

@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions.col
   *    requires parsers to accept both). Unknown fields are skipped by
   *    wire type — forward-compatible, like any proto parser.
   *
-  * Spark surface: one `.tfrecord` file per task on read (binaryFile, the
-  * WarcReader granularity note — TFRecord is deliberately unsplittable);
-  * on write one file per PARTITION, so the upstream
+  * Spark surface: one `.tfrecord` file per task on read (TFRecord is
+  * deliberately unsplittable), STREAMED from the Hadoop FileSystem —
+  * r15: a listing-only scan hands each task paths, [[unframeStream]]
+  * decodes one record at a time, and task memory is one record + stream
+  * buffers regardless of shard size (proved by TfRecordSpec's
+  * capped-heap sub-JVM probe, the WarcReader discipline); on write one
+  * file per PARTITION through the same FileSystem with an
+  * attempt-unique temp + rename commit, so the upstream
   * repartition/partitionBy chooses shard count and locality, exactly how
   * t21's token-budget shard manifests expect to drive a writer. */
 object TfRecord {
@@ -75,23 +80,64 @@ object TfRecord {
   }
 
   /** Unframe TFRecord bytes, verifying both CRCs; a bad/truncated frame
-    * keeps the records decoded so far (no resync exists by design). */
-  def unframe(b: Array[Byte]): Seq[Array[Byte]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    if (b == null) return out.toSeq
-    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var i = 0
-    while (i + 12 <= b.length) {
-      val len = buf.getLong(i)
-      if (len < 0 || len > Int.MaxValue || i + 12 + len + 4 > b.length) return out.toSeq
-      if (buf.getInt(i + 8) != maskedCrc(b, i, 8)) return out.toSeq
-      val dataOff = i + 12
-      if (buf.getInt(dataOff + len.toInt) != maskedCrc(b, dataOff, len.toInt)) return out.toSeq
-      out += java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
-      i = dataOff + len.toInt + 4
+    * keeps the records decoded so far (no resync exists by design).
+    * Materializing convenience over [[unframeStream]]. */
+  def unframe(b: Array[Byte]): Seq[Array[Byte]] =
+    if (b == null) Seq.empty
+    else unframeStream(new java.io.ByteArrayInputStream(b)).toSeq
+
+  /** Streaming unframe (r15, the WarcReader discipline applied here):
+    * one record payload in memory at a time, so a multi-GB shard streams
+    * through a task instead of being held once as file bytes and again
+    * as the payload list. Both CRCs verified per record; any framing
+    * violation, CRC mismatch, truncation or I/O error ends the iterator
+    * with the records decoded so far — TFRecord has no resync marker,
+    * so everything after a bad length is untrustworthy by construction. */
+  def unframeStream(in: java.io.InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pending: Array[Byte] = _
+      private var done = false
+
+      private def readFully(n: Int): Array[Byte] = {
+        val b = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = try in.read(b, off, n - off) catch { case _: Exception => -1 }
+          if (r < 0) return null
+          off += r
+        }
+        b
+      }
+
+      private def leIntOf(b: Array[Byte]): Int =
+        java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+
+      private def advance(): Unit = {
+        val head = readFully(12)
+        if (head == null) { done = true; return } // clean EOF or truncated header
+        val len = java.nio.ByteBuffer.wrap(head, 0, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        if (len < 0 || len > Int.MaxValue) { done = true; return }
+        if (leIntOf(java.util.Arrays.copyOfRange(head, 8, 12)) !=
+            maskedCrc(head, 0, 8)) { done = true; return }
+        val payload = readFully(len.toInt)
+        if (payload == null) { done = true; return } // truncated mid-record
+        val crc = readFully(4)
+        if (crc == null || leIntOf(crc) != maskedCrc(payload, 0, payload.length)) {
+          done = true; return
+        }
+        pending = payload
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("end of TFRecord stream")
+        val r = pending; pending = null; r
+      }
     }
-    out.toSeq
-  }
 
   // --------------------------------------------------- tf.Example wire
 
@@ -298,18 +344,62 @@ object TfRecord {
   /** Read every tf.Example from a directory of TFRecord files. A record
     * that fails the proto decode is dropped (counted nowhere — audit
     * with unframe() if forensics are needed); a file that fails framing
-    * keeps its decoded prefix. */
+    * keeps its decoded prefix.
+    *
+    * r15: STREAMS — listing-only scan (no content column), each task
+    * opens its files through the Hadoop FileSystem and unframes
+    * incrementally, so task memory is one record + stream buffers
+    * regardless of shard size (the WarcReader grain discipline; trainer
+    * shards are routinely multi-GB). An unreadable file costs itself;
+    * streams close on iterator exhaustion AND task completion. */
   def readExamples(spark: SparkSession, dir: String,
       glob: String = "*.tfrecord*"): Dataset[ExampleRow] = {
     import spark.implicits._
-    FileCorpus.scan(spark, dir, glob)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (p, b) =>
-        unframe(b).flatMap { payload =>
-          try {
-            val e = decodeExample(payload)
-            Some(ExampleRow(p, e.bytes_features, e.float_features, e.int64_features))
-          } catch { case _: Exception => None }
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    FileCorpus.scan(spark, dir, glob).select(col("path")).as[String]
+      .mapPartitions { paths =>
+        val open = new java.util.ArrayDeque[java.io.InputStream]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            open.forEach(s => try s.close() catch { case _: Exception => () })
+          })
+        paths.flatMap { p =>
+          val streamOpt =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              val fs = hp.getFileSystem(bcConf.value.value)
+              Some(new java.io.BufferedInputStream(fs.open(hp), 1 << 16))
+            } catch { case _: Exception => None } // unreadable file costs itself
+          streamOpt.iterator.flatMap { stream =>
+            open.add(stream)
+            val payloads = unframeStream(stream)
+            new Iterator[ExampleRow] {
+              private var pending: ExampleRow = _
+              private var done = false
+              private def advance(): Unit = {
+                while (pending == null && !done) {
+                  if (!payloads.hasNext) {
+                    done = true
+                    open.remove(stream)
+                    try stream.close() catch { case _: Exception => () }
+                  } else {
+                    try {
+                      val e = decodeExample(payloads.next())
+                      pending = ExampleRow(p,
+                        e.bytes_features, e.float_features, e.int64_features)
+                    } catch { case _: Exception => () } // bad record dropped
+                  }
+                }
+              }
+              override def hasNext: Boolean = { advance(); pending != null }
+              override def next(): ExampleRow = {
+                if (!hasNext) throw new NoSuchElementException
+                val r = pending; pending = null; r
+              }
+            }
+          }
         }
       }
   }

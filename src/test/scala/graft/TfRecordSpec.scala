@@ -139,6 +139,57 @@ class TfRecordSpec extends SparkSpec {
     }
   }
 
+  test("streaming unframe: first record emits after exactly its own frame bytes") {
+    val payloads = (1 to 50).map(i => Array.fill[Byte](1000 + i)(i.toByte))
+    val framed = TfRecord.frame(payloads.iterator)
+    var consumed = 0L
+    val src = new java.io.InputStream {
+      private var off = 0
+      override def read(): Int =
+        if (off >= framed.length) -1
+        else { val b = framed(off) & 0xff; off += 1; consumed += 1; b }
+    }
+    val it = TfRecord.unframeStream(src)
+    assert(it.hasNext)
+    val first = it.next()
+    assert(first.length == 1001)
+    // 8-byte length + 4-byte length CRC + payload + 4-byte payload CRC:
+    // nothing beyond the first frame was touched (no read-ahead here)
+    assert(consumed == 12 + 1001 + 4, s"consumed=$consumed")
+    assert(it.size == 49) // the rest still decodes
+  }
+
+  test("capped heap: a multi-hundred-MB shard streams under -Xmx64m (sub-JVM)") {
+    // 2048 examples x ~128 KiB bytes-feature (~256 MiB framed); the
+    // materializing unframe held the file + every payload (~0.5 GB) —
+    // unframeStream holds one record.
+    val f = java.nio.file.Files.createTempFile("graft-tfrecord-big", ".tfrecord")
+    try {
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f.toFile), 1 << 20)
+      val body = new Array[Byte](128 * 1024)
+      val n = TfRecord.frameTo(out, (0 until 2048).iterator.map { i =>
+        java.util.Arrays.fill(body, (i % 251).toByte)
+        TfRecord.encodeExample(TfRecord.Example(
+          Map("blob" -> Seq(body)), Map.empty, Map("id" -> Seq(i.toLong))))
+      })
+      out.close()
+      assert(n == 2048)
+      val javaBin = new java.io.File(new java.io.File(
+        sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val pb = new ProcessBuilder(javaBin, "-Xmx64m",
+        "-cp", sys.props("java.class.path"),
+        "graft.TfHeapProbe", f.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      assert(rc == 0, s"probe exited $rc:\n${outText.takeRight(2000)}")
+      assert(outText.contains(s"examples=2048 payload_bytes=${2048L * 128 * 1024}"),
+        s"unexpected probe output: ${outText.takeRight(500)}")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("seeded mutation fuzz: corrupted shards never throw or hang") {
     val base = TfRecord.frame(Seq(
       TfRecord.encodeExample(Example(Map("t" -> Seq("abc".getBytes)), Map(), Map("i" -> Seq(1L)))),
