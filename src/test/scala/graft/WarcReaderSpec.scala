@@ -201,6 +201,69 @@ class WarcReaderSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("cdx-indexed read: record-level addressing selects exactly the indexed members") {
+    // Common Crawl layout: one gzip member per record; the cdx sidecar
+    // carries (filename, offset, length) per record. Index a SUBSET
+    // (records 2 and 4) plus one bogus address — readIndexed must
+    // return exactly the two addressed records, byte-identical to the
+    // whole-file parse, and the bogus row must cost only itself.
+    val singles = {
+      val all = fixture()
+      val starts = Iterator.iterate(0)(i =>
+        new String(all, "ISO-8859-1").indexOf("WARC/1.0", i + 1))
+        .takeWhile(_ >= 0).toSeq
+      (starts :+ all.length).sliding(2).map { case Seq(a, b) =>
+        java.util.Arrays.copyOfRange(all, a, b)
+      }.toSeq
+    }
+    val members = singles.map(gzipMember)
+    val offsets = members.scanLeft(0L)(_ + _.length)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cdx")
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("segments"))
+      java.nio.file.Files.write(dir.resolve("segments/seg0.warc.gz"),
+        members.reduce(_ ++ _))
+      def cdxLine(i: Int): String =
+        s"""org,example)/doc$i 20260816000000 {"url": "https://example.org/doc$i", """ +
+          s""""filename": "segments/seg0.warc.gz", "offset": "${offsets(i)}", """ +
+          s""""length": "${members(i).length}", "status": "200"}"""
+      val cdx = Seq(cdxLine(1), cdxLine(3),
+        """org,example)/bogus 20260816000000 {"url": "x", "filename": "segments/seg0.warc.gz", "offset": "999999", "length": "50"}""",
+        "garbage line with no json").mkString("\n")
+      java.nio.file.Files.createDirectories(dir.resolve("index"))
+      java.nio.file.Files.write(dir.resolve("index/part.cdx"),
+        cdx.getBytes("UTF-8"))
+      val rows = WarcReader.readIndexed(spark, dir.toString,
+          dir.resolve("index").toString)
+        .collect().sortBy(_.record_id)
+      val expected = WarcReader.parse(fixture())
+      assert(rows.length == 2)
+      assert(rows.map(_.record_id).toSeq == Seq("urn:uuid:bbb", "urn:uuid:ddd"))
+      val full = expected.filter(r => Set("urn:uuid:bbb", "urn:uuid:ddd")(r.record_id))
+      rows.zip(full.sortBy(_.record_id)).foreach { case (a, b) =>
+        assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri &&
+          a.http_status == b.http_status &&
+          java.util.Arrays.equals(a.body, b.body))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("cdx line parser: address fields extracted, malformed lines skipped") {
+    import WarcReader.{parseCdxLine, CdxEntry}
+    assert(parseCdxLine(
+      """k 20260816 {"url": "u", "filename": "a/b.warc.gz", "offset": "12", "length": "34"}""")
+      .contains(CdxEntry("a/b.warc.gz", 12L, 34L)))
+    assert(parseCdxLine("""k 20260816 {"filename": "f", "offset": "x", "length": "34"}""").isEmpty)
+    assert(parseCdxLine("""k 20260816 {"offset": "12", "length": "34"}""").isEmpty)
+    assert(parseCdxLine("no json here").isEmpty)
+    assert(parseCdxLine(null).isEmpty)
+    assert(parseCdxLine("""k t {"filename": "f", "offset": "1", "length": "0"}""").isEmpty)
+  }
+
   test("seeded mutation fuzz: corrupted payloads never throw or hang") {
     val base = fixture()
     val rnd = new scala.util.Random(42)
