@@ -104,6 +104,17 @@ class PlanShapeSpec extends SparkSpec {
       s"teleport full-outer crept back into the round shape:\n${p.take(3000)}")
   }
 
+  test("dq08: leakage audit is joinless — one scan, bit_or agg, no self-join (round 15)") {
+    val p = plan("dq08_split_leakage")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"dq08 re-scans documents:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"the r15 redesign removed the gram self-join — a join is a regression:\n${p.take(2000)}")
+    assert(p.contains("bit_or"),
+      s"split-incidence mask agg missing:\n${p.take(2000)}")
+  }
+
   test("g08: existing-edge anti-join folded into the wedge agg (round 13)") {
     val p = plan("g08_link_prediction")
     assert(!p.contains("LeftAnti"),
