@@ -63,6 +63,155 @@ object AvroReader {
     try r.getSchema finally r.close()
   }
 
+  /** INVERSE mapping (r15, the write side): Catalyst→Avro. Nullable
+    * fields become `union[null, X]` with default null — which is exactly
+    * what makes the read side's evolution rules (and the superset
+    * survey) work across generations of written files. Types Avro has
+    * no loss-free spelling for (decimal, timestamp, date, non-string map
+    * keys) are REFUSED loudly: silently widening a decimal to double
+    * corrupts downstream math, the same rule as the union refusal on
+    * the read side. */
+  def avroSchema(st: StructType, recordName: String = "row"): ASchema = {
+    def sanitize(s: String): String = {
+      val cleaned = s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+      if (cleaned.isEmpty || !(cleaned.head.isLetter || cleaned.head == '_')) "f_" + cleaned
+      else cleaned
+    }
+    def field(dt: DataType, nullable: Boolean, path: String): ASchema = {
+      val base = dt match {
+        case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+        case ByteType | ShortType | IntegerType => ASchema.create(ASchema.Type.INT)
+        case LongType => ASchema.create(ASchema.Type.LONG)
+        case FloatType => ASchema.create(ASchema.Type.FLOAT)
+        case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+        case StringType => ASchema.create(ASchema.Type.STRING)
+        case BinaryType => ASchema.create(ASchema.Type.BYTES)
+        case ArrayType(et, en) => ASchema.createArray(field(et, en, path + "_item"))
+        case MapType(StringType, vt, vn) => ASchema.createMap(field(vt, vn, path + "_value"))
+        case s: StructType => record(s, path)
+        case other => throw new IllegalArgumentException(
+          s"no loss-free Avro spelling for Catalyst type $other at '$path' — " +
+            "cast it explicitly (e.g. decimal -> string or scaled long) before interchange")
+      }
+      if (nullable)
+        ASchema.createUnion(java.util.List.of(ASchema.create(ASchema.Type.NULL), base))
+      else base
+    }
+    def record(s: StructType, path: String): ASchema = {
+      val fields = new java.util.ArrayList[ASchema.Field]()
+      s.fields.foreach { f =>
+        val fs = field(f.dataType, f.nullable, path + "_" + sanitize(f.name))
+        fields.add(
+          if (f.nullable)
+            new ASchema.Field(sanitize(f.name), fs, null,
+              org.apache.avro.JsonProperties.NULL_VALUE)
+          else new ASchema.Field(sanitize(f.name), fs, null))
+      }
+      val rec = ASchema.createRecord(sanitize(path), null, "graft.interchange", false)
+      rec.setFields(fields)
+      rec
+    }
+    record(st, recordName)
+  }
+
+  /** Catalyst value → Avro generic value against the field's schema. */
+  private def toAvro(v: Any, s: ASchema): Any = {
+    if (v == null) return null
+    val branch =
+      if (s.getType == ASchema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(s)
+      else s
+    branch.getType match {
+      case ASchema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ASchema.Type.STRING => v.toString
+      case ASchema.Type.INT => v match {
+        case b: Byte => Int.box(b.toInt)
+        case sh: Short => Int.box(sh.toInt)
+        case other => other
+      }
+      case ASchema.Type.ARRAY =>
+        val es = branch.getElementType
+        val out = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e => out.add(toAvro(e, es)))
+        out
+      case ASchema.Type.MAP =>
+        val vs = branch.getValueType
+        val out = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[_, _]].foreach { case (k, mv) =>
+          out.put(k.toString, toAvro(mv, vs))
+        }
+        out
+      case ASchema.Type.RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(branch)
+        branch.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          rec.put(i, toAvro(row.get(i), f.schema()))
+        }
+        rec
+      case _ => v
+    }
+  }
+
+  /** Write one `.avro` container per partition of `df` under `dir`;
+    * returns the file count. Shard count/ordering are the caller's
+    * repartition (the TfRecord discipline), writes go through the
+    * task's Hadoop FileSystem with the attempt-unique temp + rename
+    * commit (no reader ever sees a truncated final container), and
+    * records STREAM through `DataFileWriter` one at a time. Codec:
+    * "deflate" (default), "snappy", or "null". */
+  def write(df: org.apache.spark.sql.DataFrame, dir: String,
+      recordName: String = "row", codec: String = "deflate"): Long = {
+    val schema = avroSchema(df.schema, recordName)
+    val schemaJson = schema.toString
+    val spark = df.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val d = new org.apache.hadoop.fs.Path(dir)
+        // private FS instance: Avro containers carry per-block sync
+        // markers + codec checksums; no .crc sidecars wanted
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(d.toUri, bcConf.value.value)
+        try {
+          fs.setWriteChecksum(false)
+          val finalPath = new org.apache.hadoop.fs.Path(d, f"part-$pid%05d.avro")
+          val tmpPath = new org.apache.hadoop.fs.Path(d,
+            f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.avro.tmp")
+          val sch = new ASchema.Parser().parse(schemaJson)
+          val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[GenericRecord](sch))
+          w.setCodec(codec match {
+            case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+            case "null" => org.apache.avro.file.CodecFactory.nullCodec()
+            case _ => org.apache.avro.file.CodecFactory.deflateCodec(6)
+          })
+          val out = fs.create(tmpPath, true)
+          var ok = false
+          try {
+            w.create(sch, out)
+            it.foreach(row => w.append(toAvro(row, sch).asInstanceOf[GenericRecord]))
+            w.close() // closes out
+            ok = true
+          } finally if (!ok) {
+            try w.close() catch { case _: Exception => () }
+            try fs.delete(tmpPath, false) catch { case _: Exception => () }
+          }
+          val committed = try fs.rename(tmpPath, finalPath)
+            catch { case _: Exception => false }
+          if (!committed) fs.delete(tmpPath, false) // another attempt won
+        } finally fs.close()
+        Iterator.single(1L)
+      }
+    }(Encoders.scalaLong).collect().sum
+  }
+
   /** Recursive Avro→Catalyst type mapping (see scaladoc for the rules). */
   def sparkType(s: ASchema): DataType = s.getType match {
     case ASchema.Type.BOOLEAN => BooleanType
