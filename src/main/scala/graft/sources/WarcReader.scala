@@ -379,6 +379,121 @@ object WarcReader {
       }
   }
 
+  // --------------------------------------------------- WET publishing
+
+  /** Publish a text corpus as WET shards + cdx sidecar index — the
+    * inverse verb (r15): a filtered/refined corpus re-published in the
+    * same interchange shape it was ingested from, consumable by ANY
+    * WARC reader and record-addressable through [[readIndexed]] via the
+    * emitted index. Expects columns `target_uri`, `warc_date`, `text`;
+    * writes one `part-NNNNN.warc.gz` per partition in the Common Crawl
+    * layout (one gzip member PER RECORD, so the shard is splittable by
+    * the sidecar) plus `part-NNNNN.cdx` with one CDXJ line per record.
+    * Everything streams (one record in memory); both files go through
+    * the task's Hadoop FileSystem with the attempt-unique temp + rename
+    * commit (the TfRecord protocol) — the data shard commits BEFORE its
+    * index, so a reader never sees an index entry whose member is not
+    * yet addressable. Record ids are deterministic (md5 of uri + date):
+    * re-publishing the same frame yields byte-identical shards.
+    * Returns the shard count. */
+  def writeWet(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    df.select(col("target_uri").cast("string"), col("warc_date").cast("string"),
+        col("text").cast("string"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val d = new org.apache.hadoop.fs.Path(dir)
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(d.toUri, bcConf.value.value)
+          try {
+            fs.setWriteChecksum(false)
+            val warcName = f"part-$pid%05d.warc.gz"
+            val warcFinal = new org.apache.hadoop.fs.Path(d, warcName)
+            val warcTmp = new org.apache.hadoop.fs.Path(d,
+              f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.warc.gz.tmp")
+            val cdxFinal = new org.apache.hadoop.fs.Path(d, f"part-$pid%05d.cdx")
+            val cdxTmp = new org.apache.hadoop.fs.Path(d,
+              f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.cdx.tmp")
+            val wOut = new java.io.BufferedOutputStream(fs.create(warcTmp, true), 1 << 20)
+            val cdx = new StringBuilder()
+            var offset = 0L
+            var ok = false
+            try {
+              it.foreach { case (uri0, date0, text0) =>
+                val uri = Option(uri0).getOrElse("")
+                val date = Option(date0).getOrElse("")
+                val body = Option(text0).getOrElse("").getBytes("UTF-8")
+                val rid = {
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                  val h = md.digest((uri + " " + date).getBytes("UTF-8"))
+                  val hex = h.map(b => f"$b%02x").mkString
+                  s"urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+                    s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
+                }
+                val head = ("WARC/1.0\r\n" +
+                  "WARC-Type: conversion\r\n" +
+                  s"WARC-Target-URI: <$uri>\r\n" +
+                  s"WARC-Date: $date\r\n" +
+                  s"WARC-Record-ID: <$rid>\r\n" +
+                  "Content-Type: text/plain\r\n" +
+                  s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+                // one gzip member per record (the Common Crawl layout);
+                // close-shield so closing the member ends its Deflater
+                // without closing the shard stream
+                val counting = new java.io.FilterOutputStream(wOut) {
+                  var n = 0L
+                  override def write(b: Int): Unit = { wOut.write(b); n += 1 }
+                  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+                    wOut.write(b, off, len); n += len
+                  }
+                  override def close(): Unit = () // shield
+                }
+                val g = new java.util.zip.GZIPOutputStream(counting, 65536)
+                g.write(head); g.write(body); g.write("\r\n\r\n".getBytes("ISO-8859-1"))
+                g.close()
+                val memberLen = counting.n
+                cdx.append(s"- ${date.replaceAll("[^0-9]", "")} ")
+                  .append(s"""{"url": "$uri", "filename": "$warcName", """)
+                  .append(s""""offset": "$offset", "length": "$memberLen", """)
+                  .append(s""""mime": "text/plain"}""").append('\n')
+                offset += memberLen
+              }
+              wOut.close()
+              ok = true
+            } finally if (!ok) {
+              try wOut.close() catch { case _: Exception => () }
+              try fs.delete(warcTmp, false) catch { case _: Exception => () }
+            }
+            // commit data BEFORE index; a loser (rename refused) deletes both
+            val dataCommitted = try fs.rename(warcTmp, warcFinal)
+              catch { case _: Exception => false }
+            if (!dataCommitted) fs.delete(warcTmp, false)
+            else {
+              val cOut = fs.create(cdxTmp, true)
+              var cok = false
+              try { cOut.write(cdx.toString.getBytes("UTF-8")); cOut.close(); cok = true }
+              finally if (!cok) {
+                try cOut.close() catch { case _: Exception => () }
+                try fs.delete(cdxTmp, false) catch { case _: Exception => () }
+              }
+              if (!(try fs.rename(cdxTmp, cdxFinal) catch { case _: Exception => false }))
+                fs.delete(cdxTmp, false)
+            }
+          } finally fs.close()
+          Iterator.single(1L)
+        }
+      }.collect().sum
+  }
+
   /** Scan `dir` and STREAM every matching file's records: listing-only
     * scan (column pruning keeps the bytes out of the binaryFile scan),
     * then each task opens its files through the Hadoop FileSystem —

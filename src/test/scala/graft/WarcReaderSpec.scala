@@ -264,6 +264,56 @@ class WarcReaderSpec extends SparkSpec {
     assert(parseCdxLine("""k t {"filename": "f", "offset": "1", "length": "0"}""").isEmpty)
   }
 
+  test("WET publish: corpus → sharded WET + cdx sidecar → both read paths round-trip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (s"https://example.org/doc$i", f"2026-08-16T00:00:$i%02dZ", s"text body $i"))
+      .toDF("target_uri", "warc_date", "text")
+      .repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-pub").toString
+    try {
+      val nShards = WarcReader.writeWet(docs, dir)
+      assert(nShards == 3)
+      val names = new java.io.File(dir).list().toSeq.sorted
+      assert(names == Seq("part-00000.cdx", "part-00000.warc.gz",
+        "part-00001.cdx", "part-00001.warc.gz",
+        "part-00002.cdx", "part-00002.warc.gz"), s"unexpected listing: $names")
+      // path 1: whole-file streaming read
+      val streamed = WarcReader.read(spark, dir).collect()
+      assert(streamed.length == 30)
+      assert(streamed.forall(r => r.warc_type == "conversion" &&
+        r.content_type == "text/plain"))
+      val byUri = streamed.map(r => r.target_uri -> new String(r.body, "UTF-8")).toMap
+      (0 until 30).foreach(i =>
+        assert(byUri(s"https://example.org/doc$i") == s"text body $i"))
+      // path 2: cdx-indexed record-level read returns the same rows
+      val indexed = WarcReader.readIndexed(spark, dir, dir).collect()
+      assert(indexed.length == 30)
+      assert(indexed.map(r => r.target_uri -> new String(r.body, "UTF-8")).toMap == byUri)
+      // determinism: same frame → byte-identical shard
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-wet-pub2").toString
+      try {
+        WarcReader.writeWet(docs, dir2)
+        (0 until 3).foreach { p =>
+          val a = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, f"part-$p%05d.warc.gz"))
+          val b = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir2, f"part-$p%05d.warc.gz"))
+          assert(java.util.Arrays.equals(a, b), s"shard $p not reproducible")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir2)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("seeded mutation fuzz: corrupted payloads never throw or hang") {
     val base = fixture()
     val rnd = new scala.util.Random(42)
