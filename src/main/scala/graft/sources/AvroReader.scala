@@ -255,6 +255,24 @@ object AvroReader {
     case other => other // primitives arrive as their JVM types
   }
 
+  /** Every record-field path in the schema tree, descending through
+    * records, array elements, map values and nullable-union branches —
+    * the containment domain of the read survey (r15). */
+  private[sources] def fieldPaths(s: ASchema, prefix: String = ""): Set[String] =
+    s.getType match {
+      case ASchema.Type.RECORD =>
+        s.getFields.asScala.flatMap { f =>
+          val p = if (prefix.isEmpty) f.name() else prefix + "." + f.name()
+          Set(p) ++ fieldPaths(f.schema(), p)
+        }.toSet
+      case ASchema.Type.ARRAY => fieldPaths(s.getElementType, prefix + "[]")
+      case ASchema.Type.MAP => fieldPaths(s.getValueType, prefix + "{}")
+      case ASchema.Type.UNION =>
+        s.getTypes.asScala.filterNot(_.getType == ASchema.Type.NULL)
+          .flatMap(fieldPaths(_, prefix)).toSet
+      case _ => Set.empty
+    }
+
   /** The `t`-typed branch of `s` (identity for non-unions) — values of a
     * nullable union carry the branch's schema, not the union's. */
   private def resolve(s: ASchema, t: ASchema.Type): ASchema =
@@ -371,14 +389,21 @@ object AvroReader {
     val schemas = schemaJsons.map(j => new ASchema.Parser().parse(j))
     require(schemas.forall(_.getType == ASchema.Type.RECORD),
       s"top-level Avro schema must be a record, got ${schemas.map(_.getType).distinct}")
-    val fieldSets = schemas.map(_.getFields.asScala.map(_.name()).toSet)
+    // containment over the FULL field-path tree, not top-level names
+    // (r15 review): generations that diverge inside a nested record have
+    // identical top-level sets, and picking either by a tiebreak would
+    // silently project away the other's nested fields — exactly the
+    // data-loss mode the survey exists to prevent. Paths descend through
+    // records, array elements, map values and nullable-union branches.
+    val fieldSets = schemas.map(s => fieldPaths(s))
     val reader = schemas.zip(fieldSets)
       .filter { case (_, fs) => fieldSets.forall(_.subsetOf(fs)) }
       .sortBy { case (s, fs) => (-fs.size, s.toString) }
       .headOption.map(_._1)
       .getOrElse(throw new IllegalArgumentException(
-        "no single file schema covers every other generation's fields — " +
-          s"supply an explicit reader schema; saw field sets ${fieldSets.distinct}"))
+        "no single file schema covers every other generation's fields " +
+          "(nested paths included) — supply an explicit reader schema; " +
+          s"saw field-path sets ${fieldSets.distinct}"))
     val readerJson = reader.toString
     val dataType = sparkType(reader).asInstanceOf[StructType]
     require(!dataType.fieldNames.contains("path"),

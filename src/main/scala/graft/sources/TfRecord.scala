@@ -171,14 +171,20 @@ object TfRecord {
       }) ()
       v
     }
+    /** Bound-check a length that is still a LONG — narrowing to Int
+      * before the check would let e.g. 2^32+3 masquerade as 3 and
+      * silently mis-decode inside bounds (r15 review). */
+    private def boundLen(n: Long): Int = {
+      if (n < 0 || n > end - i) throw new IllegalArgumentException(
+        s"wire length $n at $i crosses submessage end $end")
+      n.toInt
+    }
     def bytes(): Array[Byte] = {
-      val n = varint().toInt
-      bound(n)
+      val n = boundLen(varint())
       val r = java.util.Arrays.copyOfRange(b, i, i + n); i += n; r
     }
     def sub(): Reader = {
-      val n = varint().toInt
-      bound(n)
+      val n = boundLen(varint())
       val r = new Reader(b, i, i + n); i += n; r
     }
     def fixed32(): Int = {
@@ -194,7 +200,7 @@ object TfRecord {
     def skip(wt: Int): Unit = wt match {
       case 0 => varint(); ()
       case 1 => bound(8); i += 8
-      case 2 => val n = varint().toInt; bound(n); i += n
+      case 2 => i += boundLen(varint())
       case 5 => bound(4); i += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }

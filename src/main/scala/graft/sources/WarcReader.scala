@@ -90,6 +90,16 @@ object WarcReader {
     override def read(b: Array[Byte], off: Int, len: Int): Int =
       if (dead) -1
       else try in.read(b, off, len) catch { case _: Exception => dead = true; -1 }
+    // MUST delegate (r15 review): GZIPInputStream's concatenated-member
+    // detection consults available() when the inflater holds <= 26
+    // leftover bytes at a member trailer — the inherited always-0
+    // default made it read such a boundary as EOF and silently DROP
+    // every record after it (alignment-dependent across Common Crawl's
+    // one-member-per-record layout). Regression-pinned in
+    // WarcReaderSpec ("member boundary at the buffer edge").
+    override def available(): Int =
+      if (dead) 0
+      else try in.available() catch { case _: Exception => dead = true; 0 }
     override def close(): Unit = try in.close() catch { case _: Exception => () }
   }
 
@@ -328,8 +338,9 @@ object WarcReader {
     * member costs exactly that record. `warcRoot` prefixes the cdx
     * `filename` values (Common Crawl's are crawl-root-relative). */
   def readIndexed(spark: SparkSession, warcRoot: String, cdxDir: String,
-      cdxGlob: String = "*cdx*"): Dataset[WarcRow] = {
+      cdxGlob: String = "*cdx*", bucketBytes: Long = 64L << 20): Dataset[WarcRow] = {
     import spark.implicits._
+    require(bucketBytes > 0, "bucketBytes must be positive")
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -338,9 +349,13 @@ object WarcReader {
       .option("recursiveFileLookup", "true")
       .textFile(cdxDir)
       .flatMap(parseCdxLine _)
-      // cluster member addresses by file so a task reuses one open
-      // stream with forward-only seeks (offsets sorted)
-      .repartition(col("filename"))
+      // cluster member addresses by (file, ~64 MiB offset bucket): the
+      // bucket key is what actually fans ONE segment out across tasks
+      // (r15 review — keying by filename alone put a whole 1 GiB file
+      // back into one task, the very grain this reader exists to beat);
+      // within a task, sorted offsets keep seeks forward-only and the
+      // open stream reused across consecutive members of the same file
+      .repartition(col("filename"), (col("offset") / bucketBytes).cast("long"))
       .sortWithinPartitions(col("filename"), col("offset"))
       .mapPartitions { entries =>
         val open = new java.util.ArrayDeque[java.io.InputStream]()
@@ -424,13 +439,23 @@ object WarcReader {
             val cdxTmp = new org.apache.hadoop.fs.Path(d,
               f".part-$pid%05d-attempt-${tc.taskAttemptId()}%d.cdx.tmp")
             val wOut = new java.io.BufferedOutputStream(fs.create(warcTmp, true), 1 << 20)
-            val cdx = new StringBuilder()
+            // cdx lines STREAM to their own temp alongside the data temp
+            // (r15 review — a StringBuilder held the whole index on the
+            // task heap); commit ORDER below still puts data before index
+            val cOut = new java.io.BufferedOutputStream(fs.create(cdxTmp, true), 1 << 16)
             var offset = 0L
             var ok = false
             try {
               it.foreach { case (uri0, date0, text0) =>
-                val uri = Option(uri0).getOrElse("")
-                val date = Option(date0).getOrElse("")
+                // header values are LINE-structured: a CR/LF inside a
+                // scraped URI would inject header fields / terminate the
+                // block early (r15 review); control chars are stripped,
+                // and the cdx JSON additionally escapes \ and "
+                def headerSafe(s: String): String =
+                  Option(s).getOrElse("").filter(c => c >= ' ' && c != '\u007f')
+                val uri = headerSafe(uri0)
+                val date = headerSafe(date0)
+                val jsonUri = uri.replace("\\", "\\\\").replace("\"", "\\\"")
                 val body = Option(text0).getOrElse("").getBytes("UTF-8")
                 val rid = {
                   val md = java.security.MessageDigest.getInstance("MD5")
@@ -461,32 +486,30 @@ object WarcReader {
                 g.write(head); g.write(body); g.write("\r\n\r\n".getBytes("ISO-8859-1"))
                 g.close()
                 val memberLen = counting.n
-                cdx.append(s"- ${date.replaceAll("[^0-9]", "")} ")
-                  .append(s"""{"url": "$uri", "filename": "$warcName", """)
-                  .append(s""""offset": "$offset", "length": "$memberLen", """)
-                  .append(s""""mime": "text/plain"}""").append('\n')
+                cOut.write((s"- ${date.replaceAll("[^0-9]", "")} " +
+                  s"""{"url": "$jsonUri", "filename": "$warcName", """ +
+                  s""""offset": "$offset", "length": "$memberLen", """ +
+                  s""""mime": "text/plain"}""" + "\n").getBytes("UTF-8"))
                 offset += memberLen
               }
               wOut.close()
+              cOut.close()
               ok = true
             } finally if (!ok) {
               try wOut.close() catch { case _: Exception => () }
+              try cOut.close() catch { case _: Exception => () }
               try fs.delete(warcTmp, false) catch { case _: Exception => () }
+              try fs.delete(cdxTmp, false) catch { case _: Exception => () }
             }
-            // commit data BEFORE index; a loser (rename refused) deletes both
+            // commit data BEFORE index (no reader may see an index entry
+            // without its member); a loser deletes both temps
             val dataCommitted = try fs.rename(warcTmp, warcFinal)
               catch { case _: Exception => false }
-            if (!dataCommitted) fs.delete(warcTmp, false)
-            else {
-              val cOut = fs.create(cdxTmp, true)
-              var cok = false
-              try { cOut.write(cdx.toString.getBytes("UTF-8")); cOut.close(); cok = true }
-              finally if (!cok) {
-                try cOut.close() catch { case _: Exception => () }
-                try fs.delete(cdxTmp, false) catch { case _: Exception => () }
-              }
-              if (!(try fs.rename(cdxTmp, cdxFinal) catch { case _: Exception => false }))
-                fs.delete(cdxTmp, false)
+            if (!dataCommitted) {
+              fs.delete(warcTmp, false)
+              fs.delete(cdxTmp, false)
+            } else if (!(try fs.rename(cdxTmp, cdxFinal) catch { case _: Exception => false })) {
+              fs.delete(cdxTmp, false)
             }
           } finally fs.close()
           Iterator.single(1L)

@@ -153,6 +153,32 @@ class AvroReaderSpec extends SparkSpec {
         writeContainer(fb, CodecFactory.nullCodec(), Seq(rec(fb, Map("id" -> 1L, "b" -> 3)))))
       val e = intercept[IllegalArgumentException](AvroReader.read(spark, dir.toString))
       assert(e.getMessage.contains("no single file schema"))
+      // NESTED fork (r15 review): identical top-level names, divergent
+      // inner records — must also refuse, not silently pick a winner
+      // whose resolution drops the other generation's nested field
+      val dirN = java.nio.file.Files.createTempDirectory("graft-avro-nested")
+      try {
+        def nested(inner: String): ASchema = new ASchema.Parser().parse(
+          s"""{"type":"record","name":"N","fields":[{"name":"id","type":"long"},
+             |{"name":"inner","type":{"type":"record","name":"I","fields":[$inner]}}]}"""
+            .stripMargin)
+        val na = nested("""{"name":"x","type":"int"},{"name":"p","type":"int"}""")
+        val nb = nested("""{"name":"x","type":"int"},{"name":"q","type":"int"}""")
+        def innerRec(s: ASchema, vals: Map[String, Any]) =
+          rec(s.getField("inner").schema(), vals)
+        java.nio.file.Files.write(dirN.resolve("a.avro"),
+          writeContainer(na, CodecFactory.nullCodec(),
+            Seq(rec(na, Map("id" -> 1L, "inner" -> innerRec(na, Map("x" -> 1, "p" -> 2)))))))
+        java.nio.file.Files.write(dirN.resolve("b.avro"),
+          writeContainer(nb, CodecFactory.nullCodec(),
+            Seq(rec(nb, Map("id" -> 2L, "inner" -> innerRec(nb, Map("x" -> 3, "q" -> 4)))))))
+        val eN = intercept[IllegalArgumentException](AvroReader.read(spark, dirN.toString))
+        assert(eN.getMessage.contains("no single file schema"))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirN).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       // a top-level `path` field would produce duplicate columns
       val fp = new ASchema.Parser().parse(
         """{"type":"record","name":"P","fields":[{"name":"path","type":"string"}]}""")

@@ -78,6 +78,17 @@ class TfRecordSpec extends SparkSpec {
     intercept[IllegalArgumentException](TfRecord.decodeExample(example))
   }
 
+  test("overlong wire length (2^32+8) throws instead of truncating to its low 32 bits") {
+    // Regression (r15 review): `varint().toInt` BEFORE the bound check
+    // turned 4294967304 into 8, so the read passed bounds and silently
+    // decoded the wrong 8 bytes. The Long-domain check must throw.
+    val lenVarint = Array[Byte](0x88.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10)
+    val nameOverlong = Array[Byte](0x0a) ++ lenVarint ++ Array.fill[Byte](8)('a')
+    val entry = Array[Byte](0x0a, nameOverlong.length.toByte) ++ nameOverlong
+    val example = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    intercept[IllegalArgumentException](TfRecord.decodeExample(example))
+  }
+
   test("export→audit loop: documents → sharded tf.Examples → read back and reconcile") {
     import spark.implicits._
     // deterministic subset by PREDICATE, not limit() — two limit() plans

@@ -201,6 +201,39 @@ class WarcReaderSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("member boundary at the buffer edge: concatenated members survive a drip-fed stream") {
+    // Regression (r15 review): GZIPInputStream decides whether another
+    // concatenated member follows by `in.available() > 0 || remaining > 26`
+    // at each member trailer. A drip-fed source (1 byte per read) leaves
+    // the inflater with ~0 remaining at EVERY boundary, so the decision
+    // rides entirely on available() — before FailSoftStream delegated
+    // available(), this parse returned ONLY the first member's record
+    // and silently dropped the rest.
+    val singles = {
+      val all = fixture()
+      val starts = Iterator.iterate(0)(i =>
+        new String(all, "ISO-8859-1").indexOf("WARC/1.0", i + 1))
+        .takeWhile(_ >= 0).toSeq
+      (starts :+ all.length).sliding(2).map { case Seq(a, b) =>
+        java.util.Arrays.copyOfRange(all, a, b)
+      }.toSeq
+    }
+    val gz = singles.map(gzipMember).reduce(_ ++ _)
+    val drip = new java.io.InputStream {
+      private var off = 0
+      override def read(): Int =
+        if (off >= gz.length) -1 else { val b = gz(off) & 0xff; off += 1; b }
+      override def read(b: Array[Byte], o: Int, l: Int): Int = {
+        if (off >= gz.length) return -1
+        b(o) = gz(off); off += 1; 1 // one byte per call
+      }
+      override def available(): Int = gz.length - off
+    }
+    val rows = new WarcReader.RecordIterator("drip", drip).toSeq
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "response", "response", "conversion"),
+      s"concatenated members dropped at a boundary: got ${rows.map(_.warc_type)}")
+  }
+
   test("cdx-indexed read: record-level addressing selects exactly the indexed members") {
     // Common Crawl layout: one gzip member per record; the cdx sidecar
     // carries (filename, offset, length) per record. Index a SUBSET
