@@ -90,13 +90,16 @@ object WarcReader {
     override def read(b: Array[Byte], off: Int, len: Int): Int =
       if (dead) -1
       else try in.read(b, off, len) catch { case _: Exception => dead = true; -1 }
-    // MUST delegate (r15 review): GZIPInputStream's concatenated-member
-    // detection consults available() when the inflater holds <= 26
-    // leftover bytes at a member trailer — the inherited always-0
-    // default made it read such a boundary as EOF and silently DROP
-    // every record after it (alignment-dependent across Common Crawl's
-    // one-member-per-record layout). Regression-pinned in
-    // WarcReaderSpec ("member boundary at the buffer edge").
+    // Delegate available() (r15 review, verdict refined by a probe):
+    // JDK 8-era GZIPInputStream.readTrailer decided whether another
+    // concatenated member follows via `in.available() > 0 || remaining
+    // > 26`, so an always-0 available() could read a member boundary as
+    // EOF and silently drop the rest of the file. A JDK 17 probe (two
+    // members, drip-fed reads, available() == 0) decodes BOTH members —
+    // this runtime no longer depends on the heuristic — but delegating
+    // is strictly more correct and protects any runtime that still
+    // does. Concat-through-drip is regression-pinned in WarcReaderSpec
+    // ("member boundary at the buffer edge") either way.
     override def available(): Int =
       if (dead) 0
       else try in.available() catch { case _: Exception => dead = true; 0 }
