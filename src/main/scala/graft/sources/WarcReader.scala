@@ -462,7 +462,7 @@ object WarcReader {
                 val body = Option(text0).getOrElse("").getBytes("UTF-8")
                 val rid = {
                   val md = java.security.MessageDigest.getInstance("MD5")
-                  val h = md.digest((uri + " " + date).getBytes("UTF-8"))
+                  val h = md.digest((uri + "\u0000" + date).getBytes("UTF-8"))
                   val hex = h.map(b => f"$b%02x").mkString
                   s"urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
                     s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
