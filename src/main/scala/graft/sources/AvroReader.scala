@@ -257,19 +257,29 @@ object AvroReader {
 
   /** Every record-field path in the schema tree, descending through
     * records, array elements, map values and nullable-union branches —
-    * the containment domain of the read survey (r15). */
-  private[sources] def fieldPaths(s: ASchema, prefix: String = ""): Set[String] =
+    * the containment domain of the read survey (r15). A named record
+    * already on the descent path is not re-entered (r15 review: legal
+    * recursive Avro schemas — linked lists, trees — must not overflow
+    * the survey; one level of the cycle's fields is containment enough,
+    * since the recursion is by NAME and the named type's fields are
+    * already in the set). */
+  private[graft] def fieldPaths(s: ASchema, prefix: String = "",
+      visiting: Set[String] = Set.empty): Set[String] =
     s.getType match {
       case ASchema.Type.RECORD =>
-        s.getFields.asScala.flatMap { f =>
-          val p = if (prefix.isEmpty) f.name() else prefix + "." + f.name()
-          Set(p) ++ fieldPaths(f.schema(), p)
-        }.toSet
-      case ASchema.Type.ARRAY => fieldPaths(s.getElementType, prefix + "[]")
-      case ASchema.Type.MAP => fieldPaths(s.getValueType, prefix + "{}")
+        if (visiting(s.getFullName)) Set.empty
+        else {
+          val v = visiting + s.getFullName
+          s.getFields.asScala.flatMap { f =>
+            val p = if (prefix.isEmpty) f.name() else prefix + "." + f.name()
+            Set(p) ++ fieldPaths(f.schema(), p, v)
+          }.toSet
+        }
+      case ASchema.Type.ARRAY => fieldPaths(s.getElementType, prefix + "[]", visiting)
+      case ASchema.Type.MAP => fieldPaths(s.getValueType, prefix + "{}", visiting)
       case ASchema.Type.UNION =>
         s.getTypes.asScala.filterNot(_.getType == ASchema.Type.NULL)
-          .flatMap(fieldPaths(_, prefix)).toSet
+          .flatMap(fieldPaths(_, prefix, visiting)).toSet
       case _ => Set.empty
     }
 

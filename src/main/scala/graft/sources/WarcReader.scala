@@ -206,7 +206,11 @@ object WarcReader {
           if (sawEof) { finish(); return } // truncated header: prefix kept
           // else: header cap overflow — loop resyncs to the next marker
         } else {
-          val head = "WARC/" + new String(tail, "ISO-8859-1")
+          // UTF-8 per ISO 28500 (r15 review: the writer emits UTF-8
+          // headers, and decoding them as Latin-1 read non-ASCII URIs
+          // back as mojibake); ASCII headers are byte-identical, and
+          // malformed sequences degrade to replacement chars (fail-soft)
+          val head = "WARC/" + new String(tail, "UTF-8")
           val lines = head.split("\r\n")
           val h = headers(lines.drop(1))
           val lenOpt =
@@ -368,21 +372,29 @@ object WarcReader {
           })
         var curName: String = null
         var curStream: org.apache.hadoop.fs.FSDataInputStream = null
+        var curLen = 0L
         def closeCur(): Unit = if (curStream != null) {
           open.remove(curStream)
           try curStream.close() catch { case _: Exception => () }
-          curStream = null; curName = null
+          curStream = null; curName = null; curLen = 0L
         }
         entries.flatMap { e =>
           try {
             if (curName != e.filename) {
               closeCur()
               val hp = new org.apache.hadoop.fs.Path(s"$root/${e.filename}")
-              curStream = hp.getFileSystem(bcConf.value.value).open(hp)
+              val fs = hp.getFileSystem(bcConf.value.value)
+              curLen = fs.getFileStatus(hp).getLen
+              curStream = fs.open(hp)
               open.add(curStream)
               curName = e.filename
             }
-            if (e.length > Int.MaxValue) Iterator.empty
+            // the index is UNTRUSTED input: cap the allocation against the
+            // file's actual extent (r15 review — a corrupt length up to
+            // Int.MaxValue previously allocated before the read failed,
+            // an OutOfMemoryError the fail-soft catch cannot absorb)
+            if (e.offset < 0 || e.length > Int.MaxValue ||
+                e.offset + e.length > curLen) Iterator.empty
             else {
               curStream.seek(e.offset)
               val member = new Array[Byte](e.length.toInt)
@@ -448,20 +460,23 @@ object WarcReader {
             val cOut = new java.io.BufferedOutputStream(fs.create(cdxTmp, true), 1 << 16)
             var offset = 0L
             var ok = false
+            // hoisted out of the per-record loop (r15 review): one digest
+            // instance (reset per record) and one sanitizer definition
+            val md = java.security.MessageDigest.getInstance("MD5")
+            // header values are LINE-structured: a CR/LF inside a scraped
+            // URI would inject header fields / terminate the block early
+            // (r15 review); control chars are stripped, and the cdx JSON
+            // additionally escapes \ and "
+            def headerSafe(s: String): String =
+              Option(s).getOrElse("").filter(c => c >= ' ' && c != '\u007f')
             try {
               it.foreach { case (uri0, date0, text0) =>
-                // header values are LINE-structured: a CR/LF inside a
-                // scraped URI would inject header fields / terminate the
-                // block early (r15 review); control chars are stripped,
-                // and the cdx JSON additionally escapes \ and "
-                def headerSafe(s: String): String =
-                  Option(s).getOrElse("").filter(c => c >= ' ' && c != '\u007f')
                 val uri = headerSafe(uri0)
                 val date = headerSafe(date0)
                 val jsonUri = uri.replace("\\", "\\\\").replace("\"", "\\\"")
                 val body = Option(text0).getOrElse("").getBytes("UTF-8")
                 val rid = {
-                  val md = java.security.MessageDigest.getInstance("MD5")
+                  md.reset()
                   val h = md.digest((uri + "\u0000" + date).getBytes("UTF-8"))
                   val hex = h.map(b => f"$b%02x").mkString
                   s"urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
@@ -473,7 +488,7 @@ object WarcReader {
                   s"WARC-Date: $date\r\n" +
                   s"WARC-Record-ID: <$rid>\r\n" +
                   "Content-Type: text/plain\r\n" +
-                  s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+                  s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
                 // one gzip member per record (the Common Crawl layout);
                 // close-shield so closing the member ends its Deflater
                 // without closing the shard stream

@@ -251,6 +251,18 @@ class AvroReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("no loss-free Avro spelling"))
   }
 
+  test("recursive named schemas terminate the survey's field-path walk") {
+    // legal self-referential Avro (linked list) — the survey must not
+    // overflow (r15 review); one level of the cycle's fields suffices
+    // for containment because recursion is by NAME
+    val rec = new ASchema.Parser().parse(
+      """{"type":"record","name":"Node","fields":[
+        |{"name":"v","type":"long"},
+        |{"name":"next","type":["null","Node"],"default":null}]}""".stripMargin)
+    val paths = AvroReader.fieldPaths(rec)
+    assert(paths == Set("v", "next"))
+  }
+
   test("seeded mutation fuzz: corrupted containers never throw or hang") {
     val v1 = new ASchema.Parser().parse(v1Json)
     val base = writeContainer(v1, CodecFactory.deflateCodec(1), v1Records(v1))

@@ -262,6 +262,9 @@ class WarcReaderSpec extends SparkSpec {
           s""""length": "${members(i).length}", "status": "200"}"""
       val cdx = Seq(cdxLine(1), cdxLine(3),
         """org,example)/bogus 20260816000000 {"url": "x", "filename": "segments/seg0.warc.gz", "offset": "999999", "length": "50"}""",
+        // untrusted length near Int.MaxValue: must be capped against the
+        // file extent and skipped, never allocated (r15 review)
+        """org,example)/huge 20260816000000 {"url": "x", "filename": "segments/seg0.warc.gz", "offset": "0", "length": "2147483646"}""",
         "garbage line with no json").mkString("\n")
       java.nio.file.Files.createDirectories(dir.resolve("index"))
       java.nio.file.Files.write(dir.resolve("index/part.cdx"),
@@ -324,6 +327,21 @@ class WarcReaderSpec extends SparkSpec {
       val indexed = WarcReader.readIndexed(spark, dir, dir).collect()
       assert(indexed.length == 30)
       assert(indexed.map(r => r.target_uri -> new String(r.body, "UTF-8")).toMap == byUri)
+      // non-Latin-1 URI round-trips (r15 review: headers are UTF-8 per
+      // ISO 28500; the old ISO-8859-1 encode mangled it to '?????')
+      val cyrDir = java.nio.file.Files.createTempDirectory("graft-wet-cyr").toString
+      try {
+        val cyr = Seq(("https://пример.рф/x", "2026-08-16T00:00:00Z", "тело"))
+          .toDF("target_uri", "warc_date", "text").coalesce(1)
+        WarcReader.writeWet(cyr, cyrDir)
+        val r = WarcReader.read(spark, cyrDir).collect()
+        assert(r.length == 1 && r(0).target_uri == "https://пример.рф/x")
+        assert(new String(r(0).body, "UTF-8") == "тело")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(cyrDir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       // determinism: same frame → byte-identical shard
       val dir2 = java.nio.file.Files.createTempDirectory("graft-wet-pub2").toString
       try {
