@@ -86,12 +86,21 @@ object AvroReader {
         case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
         case StringType => ASchema.create(ASchema.Type.STRING)
         case BinaryType => ASchema.create(ASchema.Type.BYTES)
+        // logical types (r15): the annotations Hive/Kafka interchange
+        // actually carries — micros/days/unscaled-bytes, all loss-free
+        case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(ASchema.create(ASchema.Type.LONG))
+        case DateType => org.apache.avro.LogicalTypes.date()
+          .addToSchema(ASchema.create(ASchema.Type.INT))
+        case d: DecimalType => org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(ASchema.create(ASchema.Type.BYTES))
         case ArrayType(et, en) => ASchema.createArray(field(et, en, path + "_item"))
         case MapType(StringType, vt, vn) => ASchema.createMap(field(vt, vn, path + "_value"))
         case s: StructType => record(s, path)
         case other => throw new IllegalArgumentException(
           s"no loss-free Avro spelling for Catalyst type $other at '$path' — " +
-            "cast it explicitly (e.g. decimal -> string or scaled long) before interchange")
+            "cast it explicitly (e.g. interval -> string, or key maps by string) " +
+            "before interchange")
       }
       if (nullable)
         ASchema.createUnion(java.util.List.of(ASchema.create(ASchema.Type.NULL), base))
@@ -121,6 +130,38 @@ object AvroReader {
       if (s.getType == ASchema.Type.UNION)
         s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(s)
       else s
+    Option(branch.getLogicalType).map(_.getName) match {
+      case Some("timestamp-micros") =>
+        val i = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.Instant => t
+          case other => throw new IllegalArgumentException(
+            s"timestamp value of unexpected class ${other.getClass}")
+        }
+        return Long.box(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case Some("date") =>
+        val ld = v match {
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+          case other => throw new IllegalArgumentException(
+            s"date value of unexpected class ${other.getClass}")
+        }
+        return Int.box(Math.toIntExact(ld.toEpochDay))
+      case Some("decimal") =>
+        val scale = branch.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+          case other => throw new IllegalArgumentException(
+            s"decimal value of unexpected class ${other.getClass}")
+        }
+        // Catalyst enforces the column's scale, so setScale is exact
+        return java.nio.ByteBuffer.wrap(
+          bd.setScale(scale).unscaledValue().toByteArray)
+      case _ => ()
+    }
     branch.getType match {
       case ASchema.Type.BYTES =>
         java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
@@ -212,31 +253,81 @@ object AvroReader {
     }(Encoders.scalaLong).collect().sum
   }
 
-  /** Recursive Avro→Catalyst type mapping (see scaladoc for the rules). */
-  def sparkType(s: ASchema): DataType = s.getType match {
-    case ASchema.Type.BOOLEAN => BooleanType
-    case ASchema.Type.INT => IntegerType
-    case ASchema.Type.LONG => LongType
-    case ASchema.Type.FLOAT => FloatType
-    case ASchema.Type.DOUBLE => DoubleType
-    case ASchema.Type.STRING | ASchema.Type.ENUM => StringType
-    case ASchema.Type.BYTES | ASchema.Type.FIXED => BinaryType
-    case ASchema.Type.NULL => NullType
-    case ASchema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
-    case ASchema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
-    case ASchema.Type.RECORD =>
-      StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name(), sparkType(f.schema()), nullable = true)))
-    case ASchema.Type.UNION =>
-      val nonNull = s.getTypes.asScala.filterNot(_.getType == ASchema.Type.NULL)
-      if (nonNull.size == 1) sparkType(nonNull.head)
-      else throw new IllegalArgumentException(
-        s"unsupported non-nullable union $s: Catalyst has no tagged-union type — " +
-          "restructure the schema (one field per branch) before interchange")
-    case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+  /** Recursive Avro→Catalyst type mapping (see scaladoc for the rules).
+    * r15: LOGICAL types map to their Catalyst equivalents —
+    * timestamp-micros/-millis → TimestampType (micros internally, UTC),
+    * date → DateType, decimal(p,s) over bytes/fixed → DecimalType(p,s)
+    * — the annotations real Hive/Kafka interchange carries. Unannotated
+    * primitives keep the raw mapping. */
+  def sparkType(s: ASchema): DataType = {
+    val lt = s.getLogicalType
+    (s.getType, Option(lt).map(_.getName).orNull) match {
+      case (ASchema.Type.LONG, "timestamp-micros") | (ASchema.Type.LONG, "timestamp-millis") =>
+        TimestampType
+      case (ASchema.Type.INT, "date") => DateType
+      case (ASchema.Type.BYTES, "decimal") | (ASchema.Type.FIXED, "decimal") =>
+        val d = lt.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        DecimalType(d.getPrecision, d.getScale)
+      case _ => s.getType match {
+        case ASchema.Type.BOOLEAN => BooleanType
+        case ASchema.Type.INT => IntegerType
+        case ASchema.Type.LONG => LongType
+        case ASchema.Type.FLOAT => FloatType
+        case ASchema.Type.DOUBLE => DoubleType
+        case ASchema.Type.STRING | ASchema.Type.ENUM => StringType
+        case ASchema.Type.BYTES | ASchema.Type.FIXED => BinaryType
+        case ASchema.Type.NULL => NullType
+        case ASchema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+        case ASchema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
+        case ASchema.Type.RECORD =>
+          StructType(s.getFields.asScala.toSeq.map(f =>
+            StructField(f.name(), sparkType(f.schema()), nullable = true)))
+        case ASchema.Type.UNION =>
+          val nonNull = s.getTypes.asScala.filterNot(_.getType == ASchema.Type.NULL)
+          if (nonNull.size == 1) sparkType(nonNull.head)
+          else throw new IllegalArgumentException(
+            s"unsupported non-nullable union $s: Catalyst has no tagged-union type — " +
+              "restructure the schema (one field per branch) before interchange")
+        case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+      }
+    }
   }
 
-  private def convert(v: Any, s: ASchema): Any = v match {
+  private def convert(v: Any, s: ASchema): Any = {
+    if (v == null) return null
+    // logical-type annotations convert schema-aware, before the
+    // value-class dispatch (the raw value is a plain long/int/bytes)
+    val branch =
+      if (s.getType == ASchema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(s)
+      else s
+    Option(branch.getLogicalType).map(_.getName) match {
+      case Some("timestamp-micros") =>
+        val us = v.asInstanceOf[Long]
+        return java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case Some("timestamp-millis") =>
+        return new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Some("date") =>
+        return java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case Some("decimal") =>
+        val scale = branch.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        val unscaled = v match {
+          case bb: java.nio.ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw new IllegalArgumentException(
+            s"decimal logical type over unexpected value ${other.getClass}")
+        }
+        return new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale)
+      case _ => ()
+    }
+    convertRaw(v, s)
+  }
+
+  private def convertRaw(v: Any, s: ASchema): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString

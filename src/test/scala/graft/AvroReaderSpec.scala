@@ -244,11 +244,49 @@ class AvroReaderSpec extends SparkSpec {
 
   test("write side: loss-prone Catalyst types are refused with a clear error") {
     import org.apache.spark.sql.functions._
-    val df = spark.range(3).select(col("id").cast("decimal(10,2)").as("amount"))
+    // a non-string-keyed map has no Avro spelling (Avro map keys are
+    // strings by definition); decimals/timestamps/dates now map to
+    // logical types and are covered by the round-trip test
+    val df = spark.range(3).select(expr("map(CAST(id AS INT), 'v')").as("m"))
     val e = intercept[IllegalArgumentException] {
       AvroReader.write(df, java.nio.file.Files.createTempDirectory("graft-avro-ref").toString)
     }
     assert(e.getMessage.contains("no loss-free Avro spelling"))
+  }
+
+  test("logical types round-trip: timestamp-micros, date, decimal(p,s)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(
+      col("id"),
+      expr("timestamp_micros(id * 1000000 + 123456)").as("ts"),
+      expr("date_add(DATE'2026-01-01', CAST(id AS INT))").as("d"),
+      expr("CAST(id AS DECIMAL(10,2)) * 1.25").cast("decimal(12,2)").as("amount"),
+      when(col("id") % 2 === 0, expr("timestamp_micros(id)"))
+        .otherwise(lit(null).cast("timestamp")).as("maybe_ts"))
+      .repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-logical").toString
+    try {
+      AvroReader.write(df, dir)
+      val back = AvroReader.read(spark, dir)
+      assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      assert(back.schema("d").dataType == org.apache.spark.sql.types.DateType)
+      assert(back.schema("amount").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 2))
+      val a = df.selectExpr("id", "ts", "d", "amount", "maybe_ts")
+      val b = back.selectExpr("id", "ts", "d", "amount", "maybe_ts")
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+      // and the emitted schema is the ANNOTATED spelling other engines
+      // read (not raw longs): check the container header directly
+      val one = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val sch = AvroReader.schemaOf(java.nio.file.Files.readAllBytes(one.toPath))
+      assert(sch.toString.contains("timestamp-micros") &&
+        sch.toString.contains("\"date\"") && sch.toString.contains("decimal"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("recursive named schemas terminate the survey's field-path walk") {
