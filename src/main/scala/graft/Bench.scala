@@ -149,6 +149,21 @@ object Bench {
     } catch { case _: Throwable => () }
     val primeSec = (System.nanoTime() - tPrime0) / 1e9
 
+    // ---- load sentinel (r15 verdict item 1) ---------------------------
+    // Three consecutive rounds needed hand forensics to tell "code got
+    // slower" from "host was loaded during the window"; the artifact now
+    // carries the evidence itself. Two fixed probes (single-thread CPU
+    // kernel + a tiny fixed Spark job — graft.core.Calib), each point a
+    // median-of-3, taken at window START (here, everything warm), MIDDLE
+    // (after the isolated pass) and END (after the concurrent passes).
+    // Published raw, plus load factors vs the committed quiet-host
+    // reference constants and calibration-normalized ratios alongside
+    // the raw ones (raw stays the number of record; the calibrated pair
+    // makes a loaded window mechanically adjudicable).
+    graft.core.Calib.warmSparkJob(spark)
+    graft.core.Calib.cpuOnce() // kernel JIT
+    val calibStart = graft.core.Calib.point(spark)
+
     graft.core.ArtifactRegistry.resetTimings()
     // Ledger GC hygiene (see ArtifactRegistry.gcBeforeBuild): builds run
     // lazily inside this warm-up loop, so without the timed passes'
@@ -165,6 +180,13 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // Ledger min-of-2 (r15 verdict item 1): every build re-runs once and
+    // is charged min(first, rebuild) — the discipline the timed queries
+    // already get. A build whose first run absorbed a warm-up GC or
+    // page-cache fill (d05a read 6.5 s on the r15 driver window vs its
+    // 2.4-2.8 s clean probe) no longer carries that context into the
+    // ledger of record.
+    graft.core.ArtifactRegistry.rebuildMinOf2()
 
     // Two timed passes, min per query: a single pass is hostage to GC
     // pauses from whatever ran before (observed 1s queries spiking to 60s
@@ -184,6 +206,7 @@ object Bench {
       if (sec > 2.0) { val c = timeOnce(fn); if (c >= 0) sec = math.min(sec, c) }
       name -> sec
     }
+    val calibMiddle = graft.core.Calib.point(spark)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Build-cost snapshot for the isolated session: everything the warm-up
     // (or a first timed run) paid to materialize memoized artifacts. Self
@@ -271,6 +294,22 @@ object Bench {
     // -1 sentinel (like the isolated pass) when no pass completed cleanly
     val wall = if (clean.nonEmpty) clean.min else -1.0
     val failedMax = passes.map(_._2).max
+    // end-of-window sentinel point: the concurrent session never ran the
+    // calib job, so warm its plan before the measured runs
+    graft.core.Calib.warmSparkJob(spark)
+    val calibEnd = graft.core.Calib.point(spark)
+
+    // Load factors vs the committed quiet-host constants; the calibrated
+    // ratios divide by min(load_cpu, load_spark) — only the drift BOTH
+    // probes agree on, so normalization can understate load but never
+    // manufacture a pass (and a faster-than-reference host makes the
+    // calibrated number WORSE than raw, honest in that direction too).
+    val calibPts = Seq(calibStart, calibMiddle, calibEnd)
+    val loadCpu = graft.core.Calib.median(calibPts.map(_._1)) / graft.core.Calib.RefCpuSec
+    val loadSpark = graft.core.Calib.median(calibPts.map(_._2)) / graft.core.Calib.RefSparkSec
+    val loadFactor = math.min(loadCpu, loadSpark)
+    def calibrated(r: Double): Double =
+      if (r < 0 || loadFactor <= 0) -1.0 else r / loadFactor
 
     // ---- output ------------------------------------------------------
     // The harness records only the LAST ~2000 chars of stdout and JSON-
@@ -317,6 +356,20 @@ object Bench {
       s""""artifact_builds":$buildsJson,"build_total_sec":${fmt3(buildTotal)},""" +
         s""""prime_sec":${fmt3(primeSec)},""" +
         s""""ratio_aggregate_with_builds":${fmt3(ratioAggWithBuilds)}"""
+    // The load sentinel's raw evidence + the normalized ratios. Raw
+    // ratio_aggregate/ratio_aggregate_with_builds stay the numbers of
+    // record; these fields exist so a loaded window is adjudicable from
+    // the artifact alone (r15 verdict item 1).
+    def calibArr(sel: ((Double, Double)) => Double): String =
+      calibPts.map(p => fmt3(sel(p))).mkString("[", ",", "]")
+    val calibFields =
+      s""""calib":{"cpu_sec":${calibArr(_._1)},"spark_job_sec":${calibArr(_._2)},""" +
+        s""""ref_cpu_sec":${fmt3(graft.core.Calib.RefCpuSec)},""" +
+        s""""ref_spark_job_sec":${fmt3(graft.core.Calib.RefSparkSec)},""" +
+        s""""load_cpu":${fmt3(loadCpu)},"load_spark":${fmt3(loadSpark)},""" +
+        s""""load_factor":${fmt3(loadFactor)}},""" +
+        s""""ratio_aggregate_calibrated":${fmt3(calibrated(ratioAgg))},""" +
+        s""""ratio_with_builds_calibrated":${fmt3(calibrated(ratioAggWithBuilds))}"""
     // Documented structural floors for queries that have been redesigned
     // to their measured decomposition (probe mains in src/test): the
     // remaining cost is stage-count floor at local[32], not plan shape.
@@ -325,7 +378,11 @@ object Bench {
     // Floors are EXCLUDED from the perf-weak rule by definition: a query
     // lands here only after >=2 redesigns were measured and rejected with
     // numbers at the site, i.e. the remaining cost is decomposed stage/
-    // job floor, not plan shape.
+    // job floor, not plan shape. Excluded from the COUNT, not from
+    // scrutiny (ADVICE r15): tools/perf_weak.py re-prints every floored
+    // query's CURRENT window ratio on every run (floor-recheck lines), so
+    // a floor whose premise drifts is visible the round it happens
+    // instead of self-certified forever.
     val floorsJson =
       """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized",""" +
         """"g08_link_prediction":"seed-bounded link prediction (r15 floor per the r13 watch rule; three measured redesigns at ProfileQueries.scala: r9 one-exchange doubled-edge reuse, r12 broadcast-hint removal to AQE runtime sizing, r13 anti-join folded into the wedge aggregate): remaining cost is 9 jobs on a 0.66s oracle - deg agg + deg-carry join + seed-hop ckpt + wedge equi-join + union-keyed cn/ra/adjacency agg + WindowGroupLimit + sort; builder min-of-2 1.22/1.25s (r15 BenchOne), driver windows read 1.75/2.4 under full-suite context",""" +
@@ -333,9 +390,10 @@ object Bench {
         """"artifact:d05a":"near-dup cluster-assignment BUILD (r15, ProbeD05a clean probes 2.4-2.8s): cost = symmetrize+init over the jp08 artifact + 2-3 hash-min CC rounds (join+agg+sig-materialize each, job-floor-bound on a sub-MB pair graph) + doc-sized assignment join + cluster-window sizes + eager ckpt; r15 lever folded the sizes groupBy+re-join into ONE cluster-partitioned window count (2.80 -> 2.41-2.80, modest win, one less exchange); driver-window 5.5s reading includes warm-up-context inflation (the triangle_core pattern)",""" +
         """"q27_cube":"CUBE distinct-agg (r14 retirement per the two recorded rejections at AnalyticsQueries.scala: r12 pre-agg 1.56-1.78s, r13 hierarchical rollup 1.80-2.01s/13 jobs vs shipped 1.55-1.82s/7): remaining cost is the Expand x two-phase countDistinct exchange + 7-job floor at sf0.1; trade flips at scale only if the distinct exchange spills, which AQE coalescing absorbs without a shape change",""" +
         """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob",""" +
+        """"t41_dsir_weights":"DSIR scoring (r16 floor per the r15 watch rule, THREE measured shapes at SelectionQueries.scala: r12 (doc,bucket)-first exchange rejected; r13 256-row ckpt + broadcast weight join; r16 the verdict's own lever DELIVERED - bucket model collected to a 256-entry array literal, join and both checkpoints gone, and the A/B showed re-tokenizing both passes beats materializing the feature frame: old 2.57/1.52s 9 jobs, literal+ckpt 2.09/1.34s 6 jobs, literal+recompute 1.35/1.28s 7 jobs shipped): remaining cost is 7 jobs = two full tokenize+md5 passes (model agg + collect, score agg + TakeOrdered) on a 0.35s/5000-doc/1.5MB oracle where DuckDB pays ~5ms overhead total - pure job floor at local[32]; recheck r16 quiet 1.28-1.37s (3.7x)",""" +
         """"artifact:triangle_core":"census BUILD floor (r14, two rejections recorded at Triangles.scala): r13 explicit-lazy-ckpt no-win 3.26 vs 3.12s; r14 derivation from the doubled edge artifacts 3.16->4.28s (every doubled path re-keys 2m annotated rows where this build moves m + a vertex-sized combined degree shuffle) - remaining cost IS the wedge-intersection agg; clean-probe build 3.3s at sf0.1 (ProbeTri)"}"""
     val detailJson =
-      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
+      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,$calibFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")
     // Sidecar with FULL per-query precision: the stdout line keeps only the
     // slowest queries (the 2000-char recording window), so the durable
@@ -351,7 +409,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = results.size - keep.size
       val omitField = if (omit > 0) s""","omitted":$omit""" else ""
-      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_with_builds":${fmt3(ratioAggWithBuilds)},"build_total_sec":${fmt(buildTotal)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_with_builds":${fmt3(ratioAggWithBuilds)},"ratio_calibrated":${fmt3(calibrated(ratioAgg))},"load_factor":${fmt3(loadFactor)},"build_total_sec":${fmt(buildTotal)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
     }
     // the line carries the slowest 20 (what a bench reader needs at a
     // glance — per-query floors and outliers); the sidecar has everything

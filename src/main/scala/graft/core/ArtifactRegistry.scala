@@ -67,6 +67,14 @@ object ArtifactRegistry {
   private val childTime = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
     override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
   }
+  // build thunks, kept so [[rebuildMinOf2]] can re-run a build for a
+  // second timing sample (queries get min-of-2; until r16 each build was
+  // charged its single cold-in-context number, which is how a warm-up
+  // GC/page-cache hiccup landed on whichever tag built next — d05a read
+  // 6.5 s on a driver window whose clean probe of the same build is
+  // 2.4-2.8 s). Only populated on an actual build; entries evict with the
+  // application like the store itself.
+  private val thunks = new ConcurrentHashMap[Any, () => AnyRef]()
 
   /** Memoized `build` under `key`; `tag` names the artifact in the bench
     * accounting (stable across runs — no appId/dir in the tag). */
@@ -94,6 +102,7 @@ object ArtifactRegistry {
           again.asInstanceOf[V]
         } else {
           autoRegisterEviction()
+          thunks.put(k, () => build)
           // outside the timed window, and only for a genuine build
           if (gcBeforeBuild) System.gc()
           val stack = childTime.get()
@@ -149,7 +158,58 @@ object ArtifactRegistry {
     }
     val dead = new java.util.ArrayList[Any]()
     store.keySet.forEach { k => if (mentions(k)) { dead.add(k); () } }
-    dead.forEach { k => store.remove(k); locks.remove(k); () }
+    dead.forEach { k => store.remove(k); locks.remove(k); thunks.remove(k); () }
+  }
+
+  /** Re-runs every recorded build ONCE and charges each tag
+    * min(first build, rebuild) — the same min-of-2 discipline the timed
+    * queries get, applied to the ledger (r15 verdict item 1: build
+    * charges must not carry one-shot warm-up noise the queries are
+    * already protected from). Caller contract: single-threaded, between
+    * the warm-up loop and the timed passes, on the same live session the
+    * builds ran on. Rebuilds run in sorted tag order (deterministic
+    * attribution, same rationale as the warm-up loop's sort); every build
+    * site is rebuild-idempotent (DROP TABLE IF EXISTS / fresh scratch
+    * dirs / eager checkpoints). A rebuild that throws keeps the pass-1
+    * charge — conservative in the direction that never shrinks the
+    * ledger on an error. */
+  def rebuildMinOf2(): Unit = {
+    val pass1 = buildSeconds
+    buildSelf.clear()
+    val keys = {
+      val b = Seq.newBuilder[Any]
+      thunks.keySet.forEach(k => b += k)
+      b.result().sortBy(_.toString)
+    }
+    keys.foreach { k =>
+      val thunk = thunks.get(k)
+      if (thunk != null) k match {
+        case (tag: String, key: Any) =>
+          val old = store.remove(k)
+          try { cached(key, tag)(thunk()); () }
+          catch {
+            case _: Throwable =>
+              // drop the partial pass-2 elapsed the finally recorded (a
+              // truncated build could read FASTER than pass 1 and win the
+              // min) and restore the pass-1 artifact so a timed query is
+              // never the one paying a third build
+              buildSelf.remove(tag)
+              if (old != null) store.putIfAbsent(k, old)
+              ()
+          }
+        case _ => ()
+      }
+    }
+    val pass2 = buildSeconds
+    buildSelf.clear()
+    pass1.foreach { case (tag, v1) =>
+      buildSelf.put(tag, Double.box(math.min(v1, pass2.getOrElse(tag, v1))))
+    }
+    // a tag that appeared only in pass 2 (first build raced/failed) keeps
+    // its rebuild charge rather than vanishing from the ledger
+    pass2.foreach { case (tag, v2) =>
+      if (!pass1.contains(tag)) buildSelf.put(tag, Double.box(v2))
+    }
   }
 
   /** Per-tag build self-seconds accumulated since the last

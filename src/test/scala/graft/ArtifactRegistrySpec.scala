@@ -106,6 +106,36 @@ class ArtifactRegistrySpec extends AnyFunSuite {
     assert(n.get() == 1)
   }
 
+  test("rebuildMinOf2 charges min(first, rebuild) and keeps pass-1 on a failed rebuild") {
+    ArtifactRegistry.resetTimings()
+    var okBuilds = 0
+    var badBuilds = 0
+    // first build slow (a warm-up GC landing on the tag), rebuild fast:
+    // the ledger must charge ~the rebuild, and the stored value must be
+    // the rebuilt one (still correct — builds are deterministic)
+    def ok: String = ArtifactRegistry.cached(("arsMin2", "ok"), "spec_min2_ok") {
+      okBuilds += 1; Thread.sleep(if (okBuilds == 1) 250 else 10); s"V$okBuilds"
+    }
+    // rebuild THROWS: the pass-1 charge must survive (never shrink the
+    // ledger on an error) and the pass-1 value must still be served
+    def bad: String = ArtifactRegistry.cached(("arsMin2", "bad"), "spec_min2_bad") {
+      badBuilds += 1
+      if (badBuilds > 1) throw new RuntimeException("flaky rebuild")
+      Thread.sleep(120); "B1"
+    }
+    assert(ok == "V1" && bad == "B1")
+    ArtifactRegistry.rebuildMinOf2()
+    assert(okBuilds == 2 && badBuilds == 2)
+    val t = ArtifactRegistry.buildSeconds
+    assert(t("spec_min2_ok") < 0.15, s"min-of-2 must drop the slow first build: $t")
+    assert(t("spec_min2_bad") >= 0.10, s"failed rebuild keeps the pass-1 charge: $t")
+    assert(ok == "V2", "rebuilt value is served (no third build)")
+    assert(okBuilds == 2)
+    assert(bad == "B1", "failed rebuild must not evict the pass-1 value")
+    assert(badBuilds == 2)
+    ArtifactRegistry.resetTimings()
+  }
+
   test("gc-before-build hygiene is OFF unless a bench opts in") {
     // production callers (and Bench's concurrent pass) must get no gc
     // side effects from a cache read or build — the flag exists solely

@@ -53,6 +53,18 @@ def main():
         print(f"{name:30s} spark={sp:6.2f}s  oracle={ot:6.2f}s  ratio={r:4.1f}x")
     print(f"perf-weak: {len(weak)}  "
           f"(streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
+    # Floors are excluded from the count, never from scrutiny (ADVICE r15):
+    # every floored query's CURRENT window ratio prints each run, so a
+    # floor whose premise stops holding is visible the round it drifts
+    # instead of permanently self-certified.
+    for name in sorted(floors):
+        sp, ot = bench["queries"].get(name), oracle.get(name)
+        if sp is None or sp < 0 or ot is None or ot <= 0:
+            print(f"floor-recheck {name:28s} (no timing pair in artifacts)")
+        else:
+            flag = "  <-- re-justify or redesign" if sp / ot > 2 and sp >= 1.4 else ""
+            print(f"floor-recheck {name:28s} spark={sp:6.2f}s  oracle={ot:6.2f}s  "
+                  f"ratio={sp / ot:4.1f}x{flag}")
 
 
 if __name__ == "__main__":
