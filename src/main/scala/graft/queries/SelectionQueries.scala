@@ -56,47 +56,65 @@ object SelectionQueries {
     * distributionally indistinguishable from the target — the honest
     * reading on this fixture, whose langs share one word distribution.
     *
-    * Scale shape: ONE corpus explode of the concatenated feature array →
-    * one (doc, bucket)-keyed map-combinable hash agg, materialized once
-    * for its two consumers (the 256-row bucket model AND the score join —
-    * the model is derived FROM the per-doc frame, and a frame consumed by
-    * both a broadcast side and the main lineage must be materialized
-    * first, g09's rule); the bucket model is 256 rows BY CONSTRUCTION —
-    * broadcast is bounded at any corpus size, unlike a vocabulary join
-    * (t11's no-broadcast rule does not apply: hashing fixes the domain);
-    * top-25 is TakeOrdered, never a global sort. */
+    * Scale shape: two streaming passes over the corpus (model, then
+    * score), no join and no checkpoint anywhere; the bucket model is 256
+    * rows BY CONSTRUCTION — the bounded driver collect + array-literal
+    * fold is safe at any corpus size, unlike a vocabulary join (t11's
+    * no-broadcast rule does not apply: hashing fixes the domain); top-25
+    * is TakeOrdered, never a global sort. */
   def t41DsirWeights(s: SparkSession, d: String): DataFrame = {
     // Round-12: the old shape aggregated (doc, bucket) counts first —
     // a ~features-sized exchange with weak map-side combine (docs×256
     // keys) — but neither consumer needs that granularity up front: the
     // bucket model is a 256-row agg straight over the features (strong
     // map-side combine), and the score is Σ_f w(b(f)) = Σ_b c·w(b), so
-    // the per-doc agg happens AFTER the broadcast weight join where the
-    // combine collapses to one row per doc. The feature frame (the
-    // expensive tokenize+md5 kernel) is materialized once for both.
-    // Identical integers, same oracle.
-    val feats = documents(s, d)
+    // the per-doc agg collapses to one row per doc. Identical integers,
+    // same oracle.
+    val feats = documents(s, d) // val: one parquet file-index, two passes
       .select(col("doc_id"), col("source"), col("lang"),
         explode(concat(
           filter(Dedupe.words(col("text")), w => length(w) > 0),
           Dedupe.shingles(col("text"), 2))).as("f"))
       .select(col("doc_id"), col("source"), col("lang"),
         (Dedupe.md5Hash32(col("f")) % B).as("b"))
-      .localCheckpoint(false) // bucket model + score join both read this
-    // 256-row eager checkpoint (round 13): tot and wk both derive from
-    // bt — unmaterialized, EACH re-aggregated the feature checkpoint
-    // (two extra full passes over the corpus-sized frame for a frame
-    // that is 256 rows BY CONSTRUCTION)
-    val bt = feats.groupBy(col("b"))
+    // Round-16 (the r15 verdict's own lever, A/B'd): the bucket model is
+    // 256 rows BY CONSTRUCTION, so it comes to the DRIVER and the
+    // weights go back as a 256-entry ARRAY LITERAL — the totals agg, the
+    // 256-row checkpoint, the crossJoin and the broadcast score join
+    // collapse into one bounded collect + a codegen'd element_at
+    // projection inside the score pass. With the join gone, the
+    // features-sized localCheckpoint lost its A/B too: re-running the
+    // tokenize kernel in both passes is CHEAPER than materializing the
+    // feature frame (BenchOne min-of-2 pairs, quiet r16 window, sf0.1 —
+    // old shape 2.57/1.52 s 9 jobs; literal+checkpoint 2.09/1.34 s 6
+    // jobs; literal+recompute 1.35/1.28 s 7 jobs, and the ~0.7 s
+    // first-session ckpt write is gone). The driver replicates ilog16 in
+    // the same exact Long arithmetic the SQL spelling uses (floor-log2
+    // via numberOfLeadingZeros ≡ length(bin(x))-1; `/` on non-negative
+    // Longs ≡ SQL div; x·16 fits BIGINT for x < 2^59, the documented
+    // bound), so scores are bit-identical and the oracle is unchanged.
+    val btRows = feats.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         coalesce(sum(when(col("lang") === "en", 1L)), lit(0L)).as("ct"))
-      .localCheckpoint(true)
-    val tot = bt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val wk = bt.crossJoin(broadcast(tot))
-      .selectExpr("b",
-        s"""CAST(${ilog16("ct + 1")} - ${ilog16("cr + 1")}
-           |   + ${ilog16(s"tr + $B")} - ${ilog16(s"tt + $B")} AS BIGINT) AS wb""".stripMargin)
-    feats.join(broadcast(wk), Seq("b"))
+      .collect() // ≤ B rows by construction
+    def ilog16L(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      16L * msb + (x * 16L) / (1L << msb) - 16L
+    }
+    val cr = new Array[Long](B); val ct = new Array[Long](B)
+    btRows.foreach { r =>
+      val b = r.getLong(0).toInt; cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    val tr = cr.sum; val tt = ct.sum
+    val wb = Array.tabulate(B) { b =>
+      // a bucket with cr(b)=0 never occurs in feats (the model derives
+      // from feats), so its slot value is never read — ilog16 stays in
+      // its x ≥ 1 domain on every slot that matters
+      ilog16L(ct(b) + 1) - ilog16L(cr(b) + 1) + ilog16L(tr + B) - ilog16L(tt + B)
+    }
+    feats
+      .select(col("doc_id"), col("source"), col("lang"),
+        element_at(typedLit(wb), (col("b") + 1).cast("int")).as("wb"))
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_features"), sum(col("wb")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
