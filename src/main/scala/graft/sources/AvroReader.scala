@@ -47,6 +47,11 @@ import scala.jdk.CollectionConverters._
   * for the many-files archive layout this reader targets. */
 object AvroReader {
 
+  /** Survey sanity cap: more distinct writer schemas than this in one
+    * directory is schema CHURN, not evolution — refused loudly instead
+    * of surprising the driver heap (r16 verdict item 5). */
+  val MaxSurveySchemas: Int = 64
+
   /** The embedded writer schema of a container's header. */
   def schemaOf(bytes: Array[Byte]): ASchema = {
     val r = new DataFileReader[GenericRecord](
@@ -70,12 +75,29 @@ object AvroReader {
     * no loss-free spelling for (decimal, timestamp, date, non-string map
     * keys) are REFUSED loudly: silently widening a decimal to double
     * corrupts downstream math, the same rule as the union refusal on
-    * the read side. */
+    * the read side. Two documented non-identities that are NOT loss:
+    * byte/short widen to Avro int (read-back schema says IntegerType —
+    * every value is preserved exactly), and field names must already be
+    * Avro-spellable — an unspellable name is refused, never rewritten
+    * (see sanitize below). */
   def avroSchema(st: StructType, recordName: String = "row"): ASchema = {
+    // Field names are VALIDATED, never rewritten (ADVICE r15): the old
+    // sanitize() silently renamed 'a-b' to 'a_b' on write — a round-trip
+    // that renames columns is data loss by this module's own doctrine,
+    // and two distinct names ('a-b' vs 'a_b') collided post-sanitize
+    // into an opaque Avro duplicate-field error. A name Avro cannot
+    // spell ([A-Za-z_][A-Za-z0-9_]*) is refused with the rename the
+    // caller should make explicitly, exactly like the unspellable-type
+    // path below.
     def sanitize(s: String): String = {
-      val cleaned = s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
-      if (cleaned.isEmpty || !(cleaned.head.isLetter || cleaned.head == '_')) "f_" + cleaned
-      else cleaned
+      val ok = s.nonEmpty && (s.head.isLetter && s.head < 128 || s.head == '_') &&
+        s.forall(c => c == '_' || (c < 128 && (c.isLetter || c.isDigit)))
+      if (!ok) throw new IllegalArgumentException(
+        s"field name '$s' is not an Avro name ([A-Za-z_][A-Za-z0-9_]*) — " +
+          "rename it explicitly (withColumnRenamed) before interchange; " +
+          "silent sanitization renames columns on round-trip and can " +
+          "collide two distinct source fields")
+      s
     }
     def field(dt: DataType, nullable: Boolean, path: String): ASchema = {
       val base = dt match {
@@ -198,8 +220,16 @@ object AvroReader {
     * returns the file count. Shard count/ordering are the caller's
     * repartition (the TfRecord discipline), writes go through the
     * task's Hadoop FileSystem with the attempt-unique temp + rename
-    * commit (no reader ever sees a truncated final container), and
-    * records STREAM through `DataFileWriter` one at a time. Codec:
+    * commit, and records STREAM through `DataFileWriter` one at a time.
+    * Commit-atomicity scope (ADVICE r15, mirroring writeExamples): on
+    * HDFS a loser's rename is refused (dest exists) and it deletes its
+    * temp; on POSIX/S3A-like filesystems the rename REPLACES the winner
+    * — harmless only because two attempts of a deterministic partition
+    * produce identical bytes, which is the precondition a caller must
+    * preserve (an upstream round-robin repartition fed by a
+    * nondeterministic source does not strictly guarantee it — key the
+    * repartition by content when re-execution identity matters). Either
+    * way no reader observes a truncated FINAL-named container. Codec:
     * "deflate" (default), "snappy", or "null". */
   def write(df: org.apache.spark.sql.DataFrame, dir: String,
       recordName: String = "row", codec: String = "deflate"): Long = {
@@ -484,9 +514,20 @@ object AvroReader {
           } catch { case _: Exception => None } // unreadable header: skipped
         }
       }
-      .distinct().collect().toSeq.sorted
+      .distinct().limit(MaxSurveySchemas + 1).collect().toSeq.sorted
     require(schemaJsons.nonEmpty,
       s"no files with a readable Avro header matching $glob under $dir")
+    // Fleet-scale guard (r16 verdict item 5): the collect is bounded by
+    // GENERATION count in any sane directory, but a pathological corpus
+    // (per-file random field order ⇒ per-file distinct schema JSON) would
+    // turn it into a file-count driver transfer. limit(N+1) bounds the
+    // transfer mechanically; the require turns a driver heap surprise
+    // into a named error with the fix.
+    require(schemaJsons.size <= MaxSurveySchemas,
+      s"schema survey found more than $MaxSurveySchemas distinct writer " +
+        s"schemas under $dir — this is not schema evolution but per-file " +
+        "schema churn (e.g. randomized field order); normalize the files " +
+        "or read them in batches with an explicit reader schema")
     val schemas = schemaJsons.map(j => new ASchema.Parser().parse(j))
     require(schemas.forall(_.getType == ASchema.Type.RECORD),
       s"top-level Avro schema must be a record, got ${schemas.map(_.getType).distinct}")

@@ -421,9 +421,14 @@ object WarcReader {
     * the sidecar) plus `part-NNNNN.cdx` with one CDXJ line per record.
     * Everything streams (one record in memory); both files go through
     * the task's Hadoop FileSystem with the attempt-unique temp + rename
-    * commit (the TfRecord protocol) — the data shard commits BEFORE its
-    * index, so a reader never sees an index entry whose member is not
-    * yet addressable. Record ids are deterministic (md5 of uri + date):
+    * commit (the TfRecord protocol, including its atomicity scope —
+    * ADVICE r15: HDFS refuses a loser's rename; POSIX/S3A-like renames
+    * REPLACE the winner, harmless only while two attempts of a
+    * partition produce identical bytes, which the deterministic record
+    * ids give as long as the caller's partitioning is itself
+    * deterministic) — the data shard commits BEFORE its index, so a
+    * reader never sees an index entry whose member is not yet
+    * addressable. Record ids are deterministic (md5 of uri + date):
     * re-publishing the same frame yields byte-identical shards.
     * Returns the shard count. */
   def writeWet(df: DataFrame, dir: String): Long = {
@@ -484,7 +489,11 @@ object WarcReader {
                 }
                 val head = ("WARC/1.0\r\n" +
                   "WARC-Type: conversion\r\n" +
-                  s"WARC-Target-URI: <$uri>\r\n" +
+                  // bare URI per WARC 1.1 / CC WET convention (ADVICE
+                  // r15): angle brackets are for WARC-Record-ID only —
+                  // the in-repo reader strips either form, but warcio-
+                  // style consumers surface '<...>' as part of the URI
+                  s"WARC-Target-URI: $uri\r\n" +
                   s"WARC-Date: $date\r\n" +
                   s"WARC-Record-ID: <$rid>\r\n" +
                   "Content-Type: text/plain\r\n" +

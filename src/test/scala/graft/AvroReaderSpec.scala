@@ -254,6 +254,45 @@ class AvroReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("no loss-free Avro spelling"))
   }
 
+  test("write side: non-Avro-spellable field names are refused, never rewritten") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r15: the old sanitize() silently renamed 'a-b' → 'a_b'
+    // (round-trip renames columns) and collided 'a-b' with 'a_b' into an
+    // opaque Avro duplicate-field error — both now one loud refusal
+    val df = spark.range(2).select(col("id").as("a-b"), (col("id") * 2).as("a_b"))
+    val e = intercept[IllegalArgumentException] {
+      AvroReader.write(df, java.nio.file.Files.createTempDirectory("graft-avro-nm").toString)
+    }
+    assert(e.getMessage.contains("'a-b'") && e.getMessage.contains("rename"))
+    // a legal name passes through UNCHANGED (underscore-led included)
+    val ok = AvroReader.avroSchema(
+      StructType(Seq(StructField("_x9", LongType, nullable = false))))
+    assert(ok.getFields.asScala.map(_.name()) == Seq("_x9"))
+  }
+
+  test("survey cap: per-file schema churn is refused, not collected") {
+    // 65 files, each a distinct single-field schema — a survey that
+    // collected them all would be file-count-sized at fleet scale
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-churn")
+    try {
+      (0 to AvroReader.MaxSurveySchemas).foreach { i =>
+        val s = new ASchema.Parser().parse(
+          s"""{"type":"record","name":"R","fields":[{"name":"f$i","type":"long"}]}""")
+        val bytes = writeContainer(s, CodecFactory.nullCodec(),
+          Seq(rec(s, Map(s"f$i" -> 1L))))
+        java.nio.file.Files.write(dir.resolve(f"churn-$i%03d.avro"), bytes)
+      }
+      val e = intercept[IllegalArgumentException] {
+        AvroReader.read(spark, dir.toString).count()
+      }
+      assert(e.getMessage.contains("schema churn"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("logical types round-trip: timestamp-micros, date, decimal(p,s)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(10).select(

@@ -323,6 +323,23 @@ class WarcReaderSpec extends SparkSpec {
       val byUri = streamed.map(r => r.target_uri -> new String(r.body, "UTF-8")).toMap
       (0 until 30).foreach(i =>
         assert(byUri(s"https://example.org/doc$i") == s"text body $i"))
+      // emitted header carries the BARE URI (WARC 1.1 / CC WET
+      // convention, ADVICE r16): angle brackets are Record-ID-only —
+      // a warcio-style consumer must never see '<' as part of the URI
+      locally {
+        val gz = new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(
+            java.nio.file.Paths.get(dir, "part-00000.warc.gz")), 65536)
+        val head = new String(gz.readNBytes(4096), "UTF-8")
+        gz.close()
+        val uriLine = head.linesIterator
+          .find(_.startsWith("WARC-Target-URI:")).getOrElse("")
+        assert(uriLine.matches("WARC-Target-URI: https://example\\.org/doc\\d+"),
+          s"bare URI expected, got: $uriLine")
+        val ridLine = head.linesIterator
+          .find(_.startsWith("WARC-Record-ID:")).getOrElse("")
+        assert(ridLine.contains("<urn:uuid:"), s"Record-ID keeps angles: $ridLine")
+      }
       // path 2: cdx-indexed record-level read returns the same rows
       val indexed = WarcReader.readIndexed(spark, dir, dir).collect()
       assert(indexed.length == 30)
