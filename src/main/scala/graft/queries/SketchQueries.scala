@@ -305,18 +305,22 @@ object SketchQueries {
     val keyed = tableRaw(s, d, "lineitem").select(
       when(col("l_linenumber") % 2 === 1, lit("A")).otherwise(lit("B")).as("side"),
       col("l_partkey"), col("l_suppkey"))
-    // lazy checkpoint (round 13): the register chain AND the exact-count
-    // agg both consume base; the r10 comment trusted AQE stage reuse to
-    // dedupe the exchange across the cross-join's two subtrees, but the
-    // MEASURED A/B says the reuse is not (fully) delivered at runtime —
-    // adding this ckpt alone cut 1.64 -> ~1.3 s min-of-2 at sf0.1 — so
-    // the one-shuffle story needs the explicit materialization
+    // Round-16 (the d15 lever, after quiet-window pairs still read 3.4×):
+    // the r13 lazy checkpoint existed because the register chain AND the
+    // exact-count agg both consumed base — but the exact counts are SUMS
+    // over distinct keys, so they can ride the register aggregate as
+    // per-bucket partial counts (sum(ia)/sum(ib)/count per bucket, then
+    // re-summed in the 1-row agg: Σ_bucket Σ_keys ≡ Σ_keys exactly, all
+    // integer). With the second consumer gone, the checkpoint AND the
+    // crossJoin go too — ONE linear pipeline: scan → dedupe agg →
+    // md5/rho project → 256-row agg → 1-row agg. Measured (BenchOne
+    // min-of-2 pairs, r16, same host as the 1.40/1.43 readings):
+    // 7 → 5 jobs, 1.40 → 0.99/1.13 s; hashes unchanged.
     val base = keyed.groupBy(col("l_partkey"), col("l_suppkey")).agg(
       max(when(col("side") === "A", 1L).otherwise(0L)).as("ia"),
       max(when(col("side") === "B", 1L).otherwise(0L)).as("ib"))
       .select(concat(col("l_partkey").cast("string"), lit("#"),
         col("l_suppkey").cast("string")).as("w"), col("ia"), col("ib"))
-      .localCheckpoint(false)
     val rhoed = base.select(col("ia"), col("ib"),
         (Dedupe.md5Hash32(col("w")) % m).as("bucket"),
         md5Word2(col("w")).as("wd"))
@@ -326,11 +330,14 @@ object SketchQueries {
     // one ≤ m-row register table carrying all three registers: side
     // registers as conditional maxes (null = bucket unobserved for that
     // side, exactly the old per-side register-row absence), union as the
-    // plain max — identical to merging the old per-side tables by max
+    // plain max — identical to merging the old per-side tables by max —
+    // plus the exact-count partials (r16) so no second pass exists
     val regs = rhoed.groupBy(col("bucket")).agg(
       max(when(col("ia") === 1, col("rho"))).as("ra"),
       max(when(col("ib") === 1, col("rho"))).as("rb"),
-      max(col("rho")).as("ru"))
+      max(col("rho")).as("ru"),
+      sum(col("ia")).as("ca"), sum(col("ib")).as("cb"),
+      count(lit(1)).as("cu"))
     // the d11 scaled-BIGINT estimator, all three estimates in ONE agg over
     // the 256-row frame (sum of 2^(32-r) over observed buckets + count)
     def estCol(sp: String, nb: String, out: String): String =
@@ -342,13 +349,16 @@ object SketchQueries {
         sum(expr("CASE WHEN rb IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), 32 - rb) END")).as("spb"),
         count(col("rb")).as("nbb"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - ru)")).as("spu"),
-        count(lit(1)).as("nbu"))
+        count(lit(1)).as("nbu"),
+        // coalesce: on an EMPTY lineitem regs has no rows and these sums
+        // go null — the old direct count over base read 0 there
+        coalesce(sum(col("ca")), lit(0L)).as("exact_a"),
+        coalesce(sum(col("cb")), lit(0L)).as("exact_b"),
+        coalesce(sum(col("cu")), lit(0L)).as("exact_union"))
       .selectExpr(estCol("spa", "nba", "est_a"), estCol("spb", "nbb", "est_b"),
-        estCol("spu", "nbu", "est_union"))
-    val exacts = base
-      .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
-        count(lit(1)).as("exact_union"))
-    ests.crossJoin(exacts)
+        estCol("spu", "nbu", "est_union"),
+        "exact_a", "exact_b", "exact_union")
+    ests
       .selectExpr("est_a", "est_b", "est_union",
         "est_a + est_b - est_union AS est_intersect",
         "exact_a", "exact_b", "exact_union",
