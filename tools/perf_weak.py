@@ -39,6 +39,16 @@ def main():
     # query-name entries exclude queries
     floors = {k for k in bench.get("floors", {}) if not k.startswith("artifact:")}
 
+    # The window's own load sentinel (r16): the oracle denominator is a
+    # committed quiet-host measurement, so on a loaded window every ratio
+    # inflates by the host drift with no code change. The raw count stays
+    # the count of record; the calibrated column/count divides each spark
+    # time by the artifact's load_factor so a loaded window is adjudicable
+    # from the artifacts alone instead of by hand forensics.
+    load = bench.get("calib", {}).get("load_factor", 1.0)
+    if not isinstance(load, (int, float)) or load <= 0:
+        load = 1.0
+
     weak = []
     for name, spark in sorted(bench["queries"].items()):
         if name in STREAMING or name in floors or spark < 0:
@@ -49,10 +59,16 @@ def main():
         if spark / ot > 2.0:
             weak.append((name, spark, ot, spark / ot))
 
+    n_cal = 0
     for name, sp, ot, r in sorted(weak, key=lambda x: -x[3]):
-        print(f"{name:30s} spark={sp:6.2f}s  oracle={ot:6.2f}s  ratio={r:4.1f}x")
-    print(f"perf-weak: {len(weak)}  "
-          f"(streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
+        cal = sp / load
+        still = cal >= 1.4 and cal / ot > 2.0
+        n_cal += still
+        print(f"{name:30s} spark={sp:6.2f}s  oracle={ot:6.2f}s  ratio={r:4.1f}x"
+              f"  calibrated={cal:5.2f}s/{cal / ot:4.1f}x"
+              f"{'' if still else '  (inside gate at this window load)'}")
+    print(f"perf-weak: {len(weak)} raw, {n_cal} calibrated (load_factor={load:.3f}; "
+          f"streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
     # Floors are excluded from the count, never from scrutiny (ADVICE r15):
     # every floored query's CURRENT window ratio prints each run, so a
     # floor whose premise stops holding is visible the round it drifts
