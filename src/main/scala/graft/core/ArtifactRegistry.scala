@@ -72,8 +72,12 @@ object ArtifactRegistry {
   // charged its single cold-in-context number, which is how a warm-up
   // GC/page-cache hiccup landed on whichever tag built next — d05a read
   // 6.5 s on a driver window whose clean probe of the same build is
-  // 2.4-2.8 s). Only populated on an actual build; entries evict with the
-  // application like the store itself.
+  // 2.4-2.8 s). Recording is OPT-IN (the gcBeforeBuild pattern): a
+  // production service must not pin every build closure — and whatever
+  // session/frame scope it captures — for the application lifetime to
+  // serve a bench-only feature. Entries evict with the application like
+  // the store itself.
+  @volatile var recordThunks: Boolean = false
   private val thunks = new ConcurrentHashMap[Any, () => AnyRef]()
 
   /** Memoized `build` under `key`; `tag` names the artifact in the bench
@@ -102,7 +106,7 @@ object ArtifactRegistry {
           again.asInstanceOf[V]
         } else {
           autoRegisterEviction()
-          thunks.put(k, () => build)
+          if (recordThunks) thunks.put(k, () => build)
           // outside the timed window, and only for a genuine build
           if (gcBeforeBuild) System.gc()
           val stack = childTime.get()
@@ -161,55 +165,63 @@ object ArtifactRegistry {
     dead.forEach { k => store.remove(k); locks.remove(k); thunks.remove(k); () }
   }
 
-  /** Re-runs every recorded build ONCE and charges each tag
-    * min(first build, rebuild) — the same min-of-2 discipline the timed
-    * queries get, applied to the ledger (r15 verdict item 1: build
-    * charges must not carry one-shot warm-up noise the queries are
-    * already protected from). Caller contract: single-threaded, between
-    * the warm-up loop and the timed passes, on the same live session the
-    * builds ran on. Rebuilds run in sorted tag order (deterministic
-    * attribution, same rationale as the warm-up loop's sort); every build
-    * site is rebuild-idempotent (DROP TABLE IF EXISTS / fresh scratch
-    * dirs / eager checkpoints). A rebuild that throws keeps the pass-1
-    * charge — conservative in the direction that never shrinks the
-    * ledger on an error. */
-  def rebuildMinOf2(): Unit = {
+  /** Re-runs every recorded build ONCE as a pure TIMING SAMPLE and
+    * charges each tag min(first build, rebuild) — the same min-of-2
+    * discipline the timed queries get, applied to the ledger (r15
+    * verdict item 1: build charges must not carry one-shot warm-up noise
+    * the queries are already protected from).
+    *
+    * The rebuilt VALUE is discarded and the store is never touched.
+    * This is load-bearing, not laziness: several call sites key their
+    * cache entry by an upstream frame's `semanticHash()`, and an
+    * upstream artifact REPLACED by a rebuild gets a fresh localCheckpoint
+    * (new RDD id → new hash), silently invalidating every downstream
+    * key — the first version of this method did replace values, and the
+    * downstream rebuild then happened INSIDE a timed query, double-
+    * charging the tag (triangle_core read 7.4 s = 3.7 min + a 3.7 re-key
+    * miss) and inflating that query's time. Timing the thunk against the
+    * intact store gives the same self-time scope as pass 1 (nested
+    * dependencies are cache hits in both passes).
+    *
+    * Caller contract: single-threaded, between the warm-up loop and the
+    * timed passes, on the same live session the builds ran on; requires
+    * [[recordThunks]] to have been true while the builds ran. Rebuilds
+    * run in sorted key order (deterministic), every build site is
+    * rebuild-idempotent (DROP TABLE IF EXISTS / fresh scratch dirs), and
+    * a rebuild that throws keeps the pass-1 charge — never shrink the
+    * ledger on an error. Returns the PASS-1 (first-build) charges so the
+    * caller can publish both sides: pass 2 runs in a strictly warmer
+    * context than any first build, so the min is a marginal-cost number
+    * and must stay auditable against the cold-in-context one. */
+  def rebuildMinOf2(): Map[String, Double] = {
     val pass1 = buildSeconds
-    buildSelf.clear()
     val keys = {
       val b = Seq.newBuilder[Any]
       thunks.keySet.forEach(k => b += k)
       b.result().sortBy(_.toString)
     }
+    val pass2 = new java.util.HashMap[String, java.lang.Double]()
     keys.foreach { k =>
       val thunk = thunks.get(k)
       if (thunk != null) k match {
-        case (tag: String, key: Any) =>
-          val old = store.remove(k)
-          try { cached(key, tag)(thunk()); () }
-          catch {
-            case _: Throwable =>
-              // drop the partial pass-2 elapsed the finally recorded (a
-              // truncated build could read FASTER than pass 1 and win the
-              // min) and restore the pass-1 artifact so a timed query is
-              // never the one paying a third build
-              buildSelf.remove(tag)
-              if (old != null) store.putIfAbsent(k, old)
-              ()
-          }
+        case (tag: String, _) =>
+          if (gcBeforeBuild) System.gc()
+          val t0 = System.nanoTime()
+          try {
+            thunk() // result discarded; store untouched
+            val el = (System.nanoTime() - t0) / 1e9
+            pass2.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
+            ()
+          } catch { case _: Throwable => () } // keep the pass-1 charge
         case _ => ()
       }
     }
-    val pass2 = buildSeconds
     buildSelf.clear()
     pass1.foreach { case (tag, v1) =>
-      buildSelf.put(tag, Double.box(math.min(v1, pass2.getOrElse(tag, v1))))
+      val v2 = Option(pass2.get(tag)).fold(v1)(_.doubleValue())
+      buildSelf.put(tag, Double.box(math.min(v1, v2)))
     }
-    // a tag that appeared only in pass 2 (first build raced/failed) keeps
-    // its rebuild charge rather than vanishing from the ledger
-    pass2.foreach { case (tag, v2) =>
-      if (!pass1.contains(tag)) buildSelf.put(tag, Double.box(v2))
-    }
+    pass1
   }
 
   /** Per-tag build self-seconds accumulated since the last

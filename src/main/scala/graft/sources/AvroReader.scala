@@ -89,14 +89,26 @@ object AvroReader {
     // spell ([A-Za-z_][A-Za-z0-9_]*) is refused with the rename the
     // caller should make explicitly, exactly like the unspellable-type
     // path below.
-    def sanitize(s: String): String = {
-      val ok = s.nonEmpty && (s.head.isLetter && s.head < 128 || s.head == '_') &&
+    def isAvroName(s: String): Boolean =
+      s.nonEmpty && (s.head.isLetter && s.head < 128 || s.head == '_') &&
         s.forall(c => c == '_' || (c < 128 && (c.isLetter || c.isDigit)))
-      if (!ok) throw new IllegalArgumentException(
+    def sanitize(s: String): String = {
+      if (!isAvroName(s)) throw new IllegalArgumentException(
         s"field name '$s' is not an Avro name ([A-Za-z_][A-Za-z0-9_]*) — " +
           "rename it explicitly (withColumnRenamed) before interchange; " +
           "silent sanitization renames columns on round-trip and can " +
           "collide two distinct source fields")
+      s
+    }
+    // record names accept Avro FULLNAMES too (dot-separated segments,
+    // each a legal name) — callers legitimately pass
+    // recordName = "com.example.Row", which needs no renaming and which
+    // the field-name error text would misdescribe
+    def recName(s: String): String = {
+      val segs = s.split("\\.", -1)
+      if (segs.isEmpty || !segs.forall(isAvroName)) throw new IllegalArgumentException(
+        s"record name '$s' is not an Avro name or dotted fullname — " +
+          "pass a legal recordName (segments of [A-Za-z_][A-Za-z0-9_]*)")
       s
     }
     def field(dt: DataType, nullable: Boolean, path: String): ASchema = {
@@ -138,7 +150,7 @@ object AvroReader {
               org.apache.avro.JsonProperties.NULL_VALUE)
           else new ASchema.Field(sanitize(f.name), fs, null))
       }
-      val rec = ASchema.createRecord(sanitize(path), null, "graft.interchange", false)
+      val rec = ASchema.createRecord(recName(path), null, "graft.interchange", false)
       rec.setFields(fields)
       rec
     }

@@ -268,6 +268,19 @@ class AvroReaderSpec extends SparkSpec {
     val ok = AvroReader.avroSchema(
       StructType(Seq(StructField("_x9", LongType, nullable = false))))
     assert(ok.getFields.asScala.map(_.name()) == Seq("_x9"))
+    // record names additionally accept dotted Avro FULLNAMES (they are
+    // names, not columns — the field rule and its withColumnRenamed
+    // advice would misdescribe them)
+    val full = AvroReader.avroSchema(
+      StructType(Seq(StructField("v", LongType, nullable = false))),
+      recordName = "com.example.Row")
+    assert(full.getFullName.endsWith("com.example.Row"))
+    val bad = intercept[IllegalArgumentException] {
+      AvroReader.avroSchema(
+        StructType(Seq(StructField("v", LongType, nullable = false))),
+        recordName = "com..Row")
+    }
+    assert(bad.getMessage.contains("record name"))
   }
 
   test("survey cap: per-file schema churn is refused, not collected") {
