@@ -41,14 +41,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Calib {
 
-  /** Quiet-host reference constants: three CalibProbe sessions (five
-    * median-of-3 cycles each) on the builder host at load-average ~0
-    * (r16, 2026-08-16): cpu 0.3507 / 0.3797 / 0.3547, spark_job 0.3507 /
-    * 0.3679 / 0.3515 — session medians pinned here; raw cycles in
-    * NOTES.md. Re-measure with `sbt "Test/runMain graft.CalibProbe"` on
-    * a quiet window whenever the host class changes. */
+  /** Quiet-host reference constants (r16, 2026-08-16, raw readings in
+    * NOTES.md). CPU: three CalibProbe sessions (session medians 0.3507 /
+    * 0.3797 / 0.3547) agree with the nine in-bench window points
+    * (median 0.358) within ±2 % — pinned from the probe. SPARK JOB:
+    * pinned from the nine IN-BENCH points of three quiet r16 windows
+    * (median 0.326), NOT from CalibProbe (0.351-0.368 there): the bench
+    * JVM is far deeper-warmed than a fresh probe session and runs the
+    * fixed job ~8 % faster, and a reference measured in a different
+    * context than the points reads as phantom load/speed on an idle
+    * host. Quietness of those windows is corroborated by the
+    * context-insensitive CPU kernel reading ~1.00 against its probe
+    * reference. Re-measure BOTH (probe for cpu, in-bench calib.spark_job
+    * points for the job) whenever the host class changes. */
   val RefCpuSec: Double = 0.355
-  val RefSparkSec: Double = 0.352
+  val RefSparkSec: Double = 0.326
 
   // defeats dead-code elimination of the kernel loop; never read otherwise
   @volatile private var blackhole: Long = 0L
