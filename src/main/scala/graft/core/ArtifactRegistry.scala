@@ -189,10 +189,22 @@ object ArtifactRegistry {
     * run in sorted key order (deterministic), every build site is
     * rebuild-idempotent (DROP TABLE IF EXISTS / fresh scratch dirs), and
     * a rebuild that throws keeps the pass-1 charge — never shrink the
-    * ledger on an error. Returns the PASS-1 (first-build) charges so the
-    * caller can publish both sides: pass 2 runs in a strictly warmer
-    * context than any first build, so the min is a marginal-cost number
-    * and must stay auditable against the cold-in-context one. */
+    * ledger on an error (when a TAG spans several keys, one key's failed
+    * rebuild poisons the whole tag's pass-2 sum, so the tag keeps its
+    * pass-1 charge: per-key pass-1 charges are not recorded, and a
+    * partial pass-2 sum compared against a full pass-1 sum would shrink
+    * the ledger on exactly the error path). One exception to
+    * store-untouched: a key whose pass-1 build FAILED has no stored
+    * value (its thunk was recorded before the throw), so the rebuild's
+    * value IS stored — nothing downstream can hold a key derived from a
+    * value that never existed, and without the repair the first timed
+    * run of the dependent query pays the build inside its measured
+    * window; such a tag is charged the successful rebuild time (its
+    * pass-1 charge is a truncated partial). Returns the PASS-1
+    * (first-build) charges so the caller can publish both sides: pass 2
+    * runs in a strictly warmer context than any first build, so the min
+    * is a marginal-cost number and must stay auditable against the
+    * cold-in-context one. */
   def rebuildMinOf2(): Map[String, Double] = {
     val pass1 = buildSeconds
     val keys = {
@@ -201,26 +213,49 @@ object ArtifactRegistry {
       b.result().sortBy(_.toString)
     }
     val pass2 = new java.util.HashMap[String, java.lang.Double]()
+    val failedTags = scala.collection.mutable.Set[String]()
+    val repairedTags = new java.util.HashMap[String, java.lang.Double]()
     keys.foreach { k =>
       val thunk = thunks.get(k)
       if (thunk != null) k match {
         case (tag: String, _) =>
           if (gcBeforeBuild) System.gc()
+          val repair = !store.containsKey(k) // pass-1 build threw
           val t0 = System.nanoTime()
           try {
-            thunk() // result discarded; store untouched
+            val v = thunk() // result discarded unless repairing; store untouched
             val el = (System.nanoTime() - t0) / 1e9
-            pass2.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
+            if (repair) {
+              store.put(k, v)
+              repairedTags.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
+            } else pass2.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
             ()
-          } catch { case _: Throwable => () } // keep the pass-1 charge
+          } catch { case _: Throwable => failedTags += tag; () }
         case _ => ()
       }
     }
     buildSelf.clear()
     pass1.foreach { case (tag, v1) =>
-      val v2 = Option(pass2.get(tag)).fold(v1)(_.doubleValue())
-      buildSelf.put(tag, Double.box(math.min(v1, v2)))
+      val charge =
+        if (failedTags.contains(tag)) v1 // poisoned pass 2: keep pass 1
+        else if (repairedTags.containsKey(tag))
+          // pass 1 is a truncated partial for the repaired key; max()
+          // never shrinks the ledger even when the tag also has healthy
+          // keys whose pass-1 charge v1 carries
+          math.max(v1, repairedTags.get(tag).doubleValue())
+        else Option(pass2.get(tag)).fold(v1)(v2 => math.min(v1, v2.doubleValue()))
+      buildSelf.put(tag, Double.box(charge))
     }
+    // a repaired tag whose pass-1 charge never landed (throw before any
+    // accounting) must still appear in the ledger
+    repairedTags.forEach { (tag, el) =>
+      if (!pass1.contains(tag)) buildSelf.put(tag, el)
+    }
+    // The discarded rebuild values hold freshly persisted localCheckpoint
+    // blocks until the async ContextCleaner processes their weak refs; a
+    // synchronous gc here lets that happen before the timed passes start
+    // instead of under the first timed queries' storage pressure.
+    if (gcBeforeBuild) System.gc()
     pass1
   }
 

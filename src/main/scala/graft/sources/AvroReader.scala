@@ -105,8 +105,10 @@ object AvroReader {
     // recordName = "com.example.Row", which needs no renaming and which
     // the field-name error text would misdescribe
     def recName(s: String): String = {
+      // split(-1) never yields an empty array; "" becomes Array("") and
+      // fails isAvroName, as do leading/trailing/double dots
       val segs = s.split("\\.", -1)
-      if (segs.isEmpty || !segs.forall(isAvroName)) throw new IllegalArgumentException(
+      if (!segs.forall(isAvroName)) throw new IllegalArgumentException(
         s"record name '$s' is not an Avro name or dotted fullname — " +
           "pass a legal recordName (segments of [A-Za-z_][A-Za-z0-9_]*)")
       s

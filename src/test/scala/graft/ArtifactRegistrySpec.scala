@@ -109,6 +109,7 @@ class ArtifactRegistrySpec extends AnyFunSuite {
   test("rebuildMinOf2 charges min(first, rebuild) and keeps pass-1 on a failed rebuild") {
     ArtifactRegistry.resetTimings()
     ArtifactRegistry.recordThunks = true // bench-only opt-in (see below)
+    try {
     var okBuilds = 0
     var badBuilds = 0
     // first build slow (a warm-up GC landing on the tag), rebuild fast:
@@ -137,9 +138,40 @@ class ArtifactRegistrySpec extends AnyFunSuite {
     assert(okBuilds == 2)
     assert(bad == "B1", "failed rebuild must not evict the pass-1 value")
     assert(badBuilds == 2)
-    ArtifactRegistry.recordThunks = false
-    ArtifactRegistry.evictApplication("arsMin2") // drop this test's thunks too
+    } finally {
+      // restore globals even when a timing assert flakes — a leaked
+      // recordThunks=true or leftover arsMin2 thunks would cascade a
+      // single failure into the next test
+      ArtifactRegistry.recordThunks = false
+      ArtifactRegistry.evictApplication("arsMin2")
+      ArtifactRegistry.resetTimings()
+    }
+  }
+
+  test("rebuildMinOf2 repairs an artifact whose pass-1 build failed") {
     ArtifactRegistry.resetTimings()
+    ArtifactRegistry.recordThunks = true
+    try {
+      var builds = 0
+      def v: String = ArtifactRegistry.cached(("arsRepair", "x"), "spec_repair") {
+        builds += 1
+        if (builds == 1) { Thread.sleep(20); throw new RuntimeException("cold failure") }
+        Thread.sleep(80); "OK"
+      }
+      intercept[RuntimeException](v)
+      ArtifactRegistry.rebuildMinOf2()
+      assert(builds == 2, "rebuild repaired the missing artifact")
+      // the repaired value is stored: the dependent query must NOT pay a
+      // third build inside its timed window
+      assert(v == "OK" && builds == 2)
+      // charged the successful rebuild, not the truncated pass-1 partial
+      assert(ArtifactRegistry.buildSeconds("spec_repair") >= 0.06,
+        s"repaired tag carries the full rebuild charge: ${ArtifactRegistry.buildSeconds}")
+    } finally {
+      ArtifactRegistry.recordThunks = false
+      ArtifactRegistry.evictApplication("arsRepair")
+      ArtifactRegistry.resetTimings()
+    }
   }
 
   test("thunk recording is opt-in: without it rebuildMinOf2 leaves charges alone") {

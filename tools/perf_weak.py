@@ -29,26 +29,22 @@ Exit status 0 always (this is a report, not a gate); prints one line
 per offender plus a summary, so `wc -l` over the output is NOT the
 count — read the "perf-weak: N raw" line.
 """
-import sys, json
+import re, sys, json
 
 STREAMING = {
     "q26_stream_window", "q34_stream_dedupe", "q36_stream_sessions",
     "q42_stream_static_join", "q52_stream_stream_join", "q67_stream_cdc_merge",
 }
 
-# Recorded quiet-window ratio for each structural floor, pinned at the
-# round the floor was (re)justified (provenance in BENCH_DETAIL.floors /
-# NOTES.md). The recheck below flags a floored query only when its
-# CALIBRATED window ratio drifts past 1.5x this baseline — a floor's
-# premise is "ratio >2x is structural", so the actionable signal is
-# drift from its own recorded level, not the level itself.
-FLOOR_BASELINE_RATIO = {
-    "g08_link_prediction": 1.9,   # r15 BenchOne 1.22-1.25s / 0.66s oracle
-    "g09_hits": 15.8,             # r13 decomposition; r15 window 3.16s / 0.20s
-    "q27_cube": 5.3,              # r14 retirement; quiet 1.55-1.82s / 0.32s
-    "t24_bloom_decontaminate": 2.8,  # r15 windows 0.66-0.87s / 0.31s
-    "t41_dsir_weights": 3.7,      # r16 lever shipped; quiet 1.28-1.37s / 0.35s
-}
+# Each floors entry in BENCH_DETAIL carries a machine-readable
+# "[baseline N.Nx]" token — the recorded quiet-window ratio pinned at the
+# round the floor was (re)justified. The recheck below flags a floored
+# query only when its CALIBRATED window ratio drifts past 1.5x that
+# baseline: a floor's premise is "ratio >2x is structural", so the
+# actionable signal is drift from its own recorded level, not the level
+# itself. Declaring the baseline inside the floors entry keeps the
+# provenance prose and the number the gate uses in ONE place.
+BASELINE_RE = re.compile(r"\[baseline ([0-9.]+)x\]")
 
 
 def main():
@@ -101,9 +97,10 @@ def main():
             print(f"floor-recheck {name:28s} (no timing pair in artifacts)")
             continue
         cal_ratio = (sp / load) / ot
-        base = FLOOR_BASELINE_RATIO.get(name)
+        m = BASELINE_RE.search(bench["floors"].get(name, ""))
+        base = float(m.group(1)) if m else None
         if base is None:
-            flag = "  <-- no recorded baseline: add one to FLOOR_BASELINE_RATIO"
+            flag = "  <-- no [baseline Nx] token in this floors entry: record one"
         elif cal_ratio > 1.5 * base:
             flag = (f"  <-- calibrated {cal_ratio:.1f}x drifted past 1.5x the"
                     f" recorded {base}x baseline: re-justify or redesign")
