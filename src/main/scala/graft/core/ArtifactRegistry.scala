@@ -51,6 +51,12 @@ object ArtifactRegistry {
   // store key, not here: Bench resets timings at session start, so the
   // snapshot it reads is exactly the builds its own session paid for)
   private val buildSelf = new ConcurrentHashMap[String, java.lang.Double]()
+  // full key -> that build's self-seconds. Exists so [[rebuildMinOf2]]'s
+  // repair path can replace exactly the repaired KEY's truncated pass-1
+  // partial with its rebuild time while keeping the tag's healthy keys at
+  // their own pass-1 charges (ADVICE r16: a tag with a 5 s healthy key
+  // and a 2 s repair must charge ~7 s, not max(5, 2) = 5).
+  private val buildSelfByKey = new ConcurrentHashMap[Any, java.lang.Double]()
   // Measurement hygiene, opt-in ([[graft.Bench]] isolated pass only): a
   // build's recorded wall must measure the BUILD, not the previous
   // queries' garbage. Bench System.gc()s before every timed query, but
@@ -117,8 +123,12 @@ object ArtifactRegistry {
             finally {
               val elapsed = (System.nanoTime() - t0) / 1e9
               val nested = stack.pop()(0)
-              buildSelf.merge(tag, Double.box(math.max(0.0, elapsed - nested)),
-                (a, b) => Double.box(a + b))
+              val self = Double.box(math.max(0.0, elapsed - nested))
+              buildSelf.merge(tag, self, (a, b) => Double.box(a + b))
+              // per-key record too (a throwing build's partial included —
+              // this finally runs on the throw path, which is exactly the
+              // partial the repair accounting must be able to subtract)
+              buildSelfByKey.merge(k, self, (a, b) => Double.box(a + b))
               val parent = stack.peek()
               if (parent != null) parent(0) += elapsed
             }
@@ -191,16 +201,19 @@ object ArtifactRegistry {
     * a rebuild that throws keeps the pass-1 charge — never shrink the
     * ledger on an error (when a TAG spans several keys, one key's failed
     * rebuild poisons the whole tag's pass-2 sum, so the tag keeps its
-    * pass-1 charge: per-key pass-1 charges are not recorded, and a
-    * partial pass-2 sum compared against a full pass-1 sum would shrink
-    * the ledger on exactly the error path). One exception to
+    * pass-1 charge: a partial pass-2 sum compared against a full pass-1
+    * sum would shrink the ledger on exactly the error path). One exception to
     * store-untouched: a key whose pass-1 build FAILED has no stored
     * value (its thunk was recorded before the throw), so the rebuild's
     * value IS stored — nothing downstream can hold a key derived from a
     * value that never existed, and without the repair the first timed
     * run of the dependent query pays the build inside its measured
-    * window; such a tag is charged the successful rebuild time (its
-    * pass-1 charge is a truncated partial). Returns the PASS-1
+    * window. A repaired tag's charge sums the tag's HEALTHY keys at
+    * their per-key pass-1 charges with the repaired key's rebuild time
+    * (the per-key record exists for exactly this — ADVICE r16: the old
+    * max(pass-1 sum, repair) under-reported a tag with both a healthy
+    * key and a repaired key; the repaired key's pass-1 partial is a
+    * truncated build, so it is REPLACED, not compared). Returns the PASS-1
     * (first-build) charges so the caller can publish both sides: pass 2
     * runs in a strictly warmer context than any first build, so the min
     * is a marginal-cost number and must stay auditable against the
@@ -215,6 +228,10 @@ object ArtifactRegistry {
     val pass2 = new java.util.HashMap[String, java.lang.Double]()
     val failedTags = scala.collection.mutable.Set[String]()
     val repairedTags = new java.util.HashMap[String, java.lang.Double]()
+    // per-tag sum of the repaired keys' pass-1 TRUNCATED partials — the
+    // amount the charge below subtracts from the tag's pass-1 sum before
+    // adding the rebuild times (ADVICE r16)
+    val repairedPartials = new java.util.HashMap[String, java.lang.Double]()
     keys.foreach { k =>
       val thunk = thunks.get(k)
       if (thunk != null) k match {
@@ -228,6 +245,9 @@ object ArtifactRegistry {
             if (repair) {
               store.put(k, v)
               repairedTags.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
+              val partial = buildSelfByKey.get(k)
+              if (partial != null)
+                repairedPartials.merge(tag, partial, (a, b) => Double.box(a + b))
             } else pass2.merge(tag, Double.box(el), (a, b) => Double.box(a + b))
             ()
           } catch { case _: Throwable => failedTags += tag; () }
@@ -238,11 +258,14 @@ object ArtifactRegistry {
     pass1.foreach { case (tag, v1) =>
       val charge =
         if (failedTags.contains(tag)) v1 // poisoned pass 2: keep pass 1
-        else if (repairedTags.containsKey(tag))
-          // pass 1 is a truncated partial for the repaired key; max()
-          // never shrinks the ledger even when the tag also has healthy
-          // keys whose pass-1 charge v1 carries
-          math.max(v1, repairedTags.get(tag).doubleValue())
+        else if (repairedTags.containsKey(tag)) {
+          // healthy keys keep their pass-1 charges; each repaired key's
+          // truncated partial is REPLACED by its rebuild time (per-key
+          // pass-1 record makes the subtraction exact — ADVICE r16:
+          // healthy 5 s + repair 2 s must charge 7 s, not max = 5 s)
+          val partial = Option(repairedPartials.get(tag)).fold(0.0)(_.doubleValue())
+          math.max(0.0, v1 - partial) + repairedTags.get(tag).doubleValue()
+        }
         else Option(pass2.get(tag)).fold(v1)(v2 => math.min(v1, v2.doubleValue()))
       buildSelf.put(tag, Double.box(charge))
     }
@@ -251,6 +274,9 @@ object ArtifactRegistry {
     repairedTags.forEach { (tag, el) =>
       if (!pass1.contains(tag)) buildSelf.put(tag, el)
     }
+    // the per-key record served its purpose (the subtraction above);
+    // clear it so a later snapshot never mixes sessions
+    buildSelfByKey.clear()
     // The discarded rebuild values hold freshly persisted localCheckpoint
     // blocks until the async ContextCleaner processes their weak refs; a
     // synchronous gc here lets that happen before the timed passes start
@@ -267,5 +293,5 @@ object ArtifactRegistry {
     b.result()
   }
 
-  def resetTimings(): Unit = buildSelf.clear()
+  def resetTimings(): Unit = { buildSelf.clear(); buildSelfByKey.clear() }
 }

@@ -508,4 +508,103 @@ object JpegDecoder {
     }
     Some((w, h, out))
   } catch { case _: Exception => None }
+
+  /** Minimal baseline JPEG ENCODER for block-constant GRAYSCALE images —
+    * the fixture-synthesis sibling of [[decodeRgb]] (the
+    * [[graft.functions.VideoCodec.mp4Bytes]] discipline applied to JPEG):
+    * one 8×8 block per entry of `blockVals` in raster order, each block a
+    * solid gray value in [0, 255].
+    *
+    * The encode is EXACTLY invertible by arithmetic, which is what lets
+    * an oracle that never decodes a JPEG predict the decoded pixels: all
+    * AC coefficients are zero (flat blocks), and quant table 0 carries
+    * q(0) = 8, so the quantized DC is exactly v − 128 (no rounding:
+    * raw DC = 8·(v − 128)), the dequantized DC is 8·(v − 128), and a flat
+    * block's IDCT reconstruction is round(DC/8 + 128) = v exactly — the
+    * float separable IDCT in [[decodeRgb]] lands within ~1e-13 of the
+    * integer, far from any rounding boundary (the scaladoc's "exact
+    * agreement on synthetic single-DC images", now proven by
+    * MjpegVideoSpec for every gray level).
+    *
+    * Huffman tables are minimal-canonical rather than Annex K: DC table
+    * 0 holds categories 0–8 (diffs span ±255) all at code length 4 — a
+    * canonical table where category t's code IS t — and AC table 0 holds
+    * the single symbol 0x00 (EOB) at length 1. ~13 bits per block, and
+    * the tables exercise [[decodeRgb]]'s real DHT/canonical-walk path.
+    *
+    * `padTo` zero-pads AFTER the EOI marker to a fixed byte length —
+    * what lets an MJPEG-in-MP4 track use the constant-sample-size `stsz`
+    * form ([[graft.functions.VideoCodec.mp4BytesWithSamples]]); trailing
+    * bytes past EOI are outside the entropy stream and ignored by any
+    * conforming decoder. */
+  def jpegGrayBlockBytes(blocksX: Int, blocksY: Int, blockVals: Array[Int],
+      padTo: Int = 0): Array[Byte] = {
+    require(blocksX >= 1 && blocksY >= 1 && blockVals.length == blocksX * blocksY,
+      "blockVals must carry exactly blocksX*blocksY entries")
+    require(blockVals.forall(v => v >= 0 && v <= 255), "gray values are 8-bit")
+    val w = 8 * blocksX
+    val h = 8 * blocksY
+    val out = new java.io.ByteArrayOutputStream(192 + 2 * blockVals.length)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    // DQT table 0: q(0)=8 (the exact-invert constant above); AC entries
+    // are never consumed (all-zero blocks) but must be valid, so 1
+    b(0xFF); b(0xDB); b16(67); b(0x00)
+    b(8)
+    var i = 1
+    while (i < 64) { b(1); i += 1 }
+    // SOF0: 8-bit precision, 1 component (grayscale), h=v=1, table 0
+    b(0xFF); b(0xC0); b16(11); b(8); b16(h); b16(w); b(1); b(1); b(0x11); b(0)
+    // DHT: DC table 0 (9 symbols at length 4) + AC table 0 (EOB at length 1)
+    b(0xFF); b(0xC4); b16(2 + (1 + 16 + 9) + (1 + 16 + 1))
+    b(0x00)
+    val dcBits = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(b)
+    var t = 0
+    while (t <= 8) { b(t); t += 1 }
+    b(0x10)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(b)
+    b(0x00)
+    // SOS
+    b(0xFF); b(0xDA); b16(8); b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // entropy data: per block, DC category code (4 bits, code == category)
+    // + magnitude bits (T.81 F.1.2.1 complement form) + EOB (1 bit, "0");
+    // 0xFF entropy bytes get the mandatory 0x00 stuffing
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    var prev = 0
+    blockVals.foreach { v =>
+      val qdc = v - 128
+      val diff = qdc - prev
+      prev = qdc
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // 0 iff diff=0
+      putBits(cat, 4)
+      if (cat > 0) putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB
+    }
+    if (nbits > 0) { // flush, 1-filled per T.81 F.1.2.3
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+    }
+    b(0xFF); b(0xD9) // EOI
+    val res = out.toByteArray
+    if (padTo <= res.length) res
+    else java.util.Arrays.copyOf(res, padTo) // zero pad past EOI
+  }
 }

@@ -321,6 +321,35 @@ object VideoCodec {
     out.toByteArray
   }
 
+  /** Single-track MP4 like [[mp4BytesWithFrames]] whose mdat is the
+    * CONCATENATION of the given equal-length samples instead of ramp
+    * bytes — the MJPEG-in-MP4 synthesis route: pass
+    * [[JpegDecoder.jpegGrayBlockBytes]] outputs (padded to one fixed
+    * length so the constant-size `stsz` form holds) and the container
+    * carries real, individually decodable JPEG frames addressed by the
+    * same stts/stsz/stco geometry [[frameGeometry]] walks. Box math is
+    * [[mp4BytesWithFrames]]'s with nTracks = 1: mdat payload at byte
+    * 328 (= 140 + 188 header), total size = 328 + nSamples·sampleSize. */
+  def mp4BytesWithSamples(timescale: Int, duration: Long,
+      samples: Array[Array[Byte]]): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && samples.nonEmpty)
+    require(duration < 4294967296L)
+    val frameSize = samples(0).length
+    require(frameSize >= 1 && samples.forall(_.length == frameSize),
+      "constant-size stsz form requires equal-length samples")
+    val nFrames = samples.length
+    val header = mp4BytesWithFrames(timescale, duration, 1, nFrames, frameSize)
+    // splice the real samples over the ramp payload (header layout and
+    // every sample-table entry are identical by construction)
+    val payloadOff = header.length - nFrames * frameSize
+    var k = 0
+    while (k < nFrames) {
+      System.arraycopy(samples(k), 0, header, payloadOff + k * frameSize, frameSize)
+      k += 1
+    }
+    header
+  }
+
   /** Sync-sample numbers (1-based, the `stss` box) of the first track that
     * carries one — the keyframe table a seek/thumbnail pass reads. A
     * container with no stss means EVERY sample is sync per ISO 14496-12

@@ -723,24 +723,40 @@ object SketchQueries {
     import org.apache.spark.sql.expressions.Window
     val k = 256
     val kmConst = 255L * 1099511627776L // (k−1)·2^40 = 280375465082880
-    val keyed = orders(s, d).select(col("o_orderpriority").as("grp"),
-      col("o_custkey").cast("string").as("w"))
-      .localCheckpoint(true) // read by the sketch AND the exact audit
-    val hashes = keyed
+    // Round-17 fold (the d15 partial-counts discipline, r16 verdict item
+    // 4): the old shape eagerly checkpointed the DATA-sized (grp, w)
+    // projection solely so the exact audit could re-read it, ran a second
+    // distinct for the ALL row, and paid a separate two-phase
+    // count_distinct — three data-sized passes. Both consumers only ever
+    // need the DISTINCT (grp, w) groups, and the ALL row needs distinct
+    // (w): ONE rollup aggregate computes both group sets in a single
+    // Expand + hash-agg scan of orders (grand-total row filtered via
+    // grouping()), and the sketch AND the audit ride that distinct-keys-
+    // sized frame. Hashes unchanged: the (grp, h) DISTINCT feeding the
+    // rank window is the same set as before (collision collapse preserved
+    // by the same .distinct()), and exact_distinct = count over distinct
+    // (grp, w) groups ≡ count_distinct(w). Measured same-window A/B at
+    // sf0.1 (BenchOne min-of-2): old 1.57 s / 13 jobs → new 1.06-1.09 s /
+    // 10 jobs; hash-identical (compare.py, r17).
+    val groups = orders(s, d)
+      .select(col("o_orderpriority").as("g"), col("o_custkey").cast("string").as("w"))
+      .rollup(col("w"), col("g"))
+      .agg(grouping(col("g")).as("gg"), grouping(col("w")).as("gw"))
+      .filter(col("gw") === 0) // keep (w, g) and (w); drop the () row
+      .select(when(col("gg") === 1, lit("ALL")).otherwise(col("g")).as("grp"),
+        col("w"))
+      .localCheckpoint(false) // distinct-keys-sized; sketch + audit read it
+    val hashes = groups
       .select(col("grp"),
         conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long").as("h"))
       .distinct()
-      .localCheckpoint(true) // read by both union branches
-    val withUnion = hashes.unionAll(
-      hashes.select(lit("ALL").as("grp"), col("h")).distinct())
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sk = withUnion
+    val sk = hashes
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rn") === k, col("h"))).as("hk"))
-    val exact = keyed.unionAll(keyed.select(lit("ALL").as("grp"), col("w")))
-      .groupBy(col("grp")).agg(count_distinct(col("w")).as("exact_distinct"))
+    val exact = groups.groupBy(col("grp")).agg(count(lit(1)).as("exact_distinct"))
     sk.join(exact, Seq("grp"))
       .selectExpr("grp", "n_kept",
         s"CASE WHEN n_kept < $k THEN n_kept " +
@@ -781,21 +797,41 @@ object SketchQueries {
     import org.apache.spark.sql.expressions.Window
     val k = 256
     val kmConst = 255L * 1099511627776L // (k−1)·2^40
-    val keyed = orders(s, d)
+    // Round-17 fold (the d15 partial-counts discipline, r16 verdict item
+    // 4): the old shape eagerly checkpointed the DATA-sized (side, w)
+    // projection solely so the exact audit could re-read it. Both
+    // consumers only ever need the distinct keys WITH their side flags —
+    // exactly one groupBy(w) max-flag aggregate: the exact audit is its
+    // 1-row roll-up, and the per-side hash stream is a filtered explode
+    // of the same frame (the per-side DISTINCT that feeds the rank
+    // windows is the same (side, h) set as before — collision collapse
+    // preserved by the same .distinct()). Measured same-window A/B at
+    // sf0.1 (BenchOne min-of-2, two pairs): old 0.95 s / 13 jobs → new
+    // 1.00-1.15 s / 12 jobs — a WALL-CLOCK WASH at this SF (the flags agg
+    // now serializes both branches), kept anyway for the scale shape: the
+    // old form eagerly persisted the DATA-sized projection in the block
+    // manager solely for the audit; the new one shuffles data once into a
+    // lazy distinct-keys-sized frame. Hash-identical (compare.py, r17).
+    val flags = orders(s, d)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(when(col("o_orderpriority") === "1-URGENT", lit("A"))
         .otherwise(lit("B")).as("side"),
         col("o_custkey").cast("string").as("w"))
-      .localCheckpoint(true) // read by the sketch AND the exact audit
-    val trimmed = keyed
-      .select(col("side"),
+      .groupBy(col("w"))
+      .agg(max(when(col("side") === "A", 1L).otherwise(0L)).as("a"),
+        max(when(col("side") === "B", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(false) // distinct-keys-sized; sketch + audit read it
+    val trimmed = flags
+      .select(explode(expr(
+        "filter(array(CASE WHEN a = 1 THEN 'A' END, CASE WHEN b = 1 THEN 'B' END)," +
+          " x -> x IS NOT NULL)")).as("side"),
         conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long").as("h"))
       .distinct()
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("side")).orderBy(col("h"))))
       .filter(col("rn") <= k)
       .select(col("side"), col("h"))
-      .localCheckpoint(true) // read by the merge AND both membership flags
+      .localCheckpoint(true) // ≤ 2k rows; read by the merge AND both flags
     val merged = trimmed.select(col("h")).distinct()
       .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
       .filter(col("rn") <= k)
@@ -808,10 +844,7 @@ object SketchQueries {
         sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
           .cast("long").as("matches"),
         max(when(col("rn") === k, col("h"))).as("hk"))
-    val exact = keyed
-      .groupBy(col("w"))
-      .agg(max(when(col("side") === "A", 1L).otherwise(0L)).as("a"),
-        max(when(col("side") === "B", 1L).otherwise(0L)).as("b"))
+    val exact = flags
       .agg(count(lit(1)).as("exact_union"),
         sum(col("a") * col("b")).cast("long").as("exact_intersection"))
     sk.crossJoin(exact)

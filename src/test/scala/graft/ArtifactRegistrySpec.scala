@@ -174,6 +174,39 @@ class ArtifactRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("repair accounting: healthy keys' pass-1 charges SUM with the repaired key's rebuild") {
+    // ADVICE r16: a tag spanning a healthy key (pass-1 ~150 ms) and a
+    // repaired key (rebuild ~60 ms) must charge their SUM (~210 ms), not
+    // the old max(pass-1 sum, repair) = ~160 ms — the per-key pass-1
+    // record replaces exactly the repaired key's truncated partial.
+    ArtifactRegistry.resetTimings()
+    ArtifactRegistry.recordThunks = true
+    try {
+      var healthy = 0
+      var flaky = 0
+      def h: String = ArtifactRegistry.cached(("arsRepair2", "healthy"), "spec_repair2") {
+        healthy += 1; Thread.sleep(150); "H"
+      }
+      def f: String = ArtifactRegistry.cached(("arsRepair2", "flaky"), "spec_repair2") {
+        flaky += 1
+        if (flaky == 1) { Thread.sleep(10); throw new RuntimeException("cold failure") }
+        Thread.sleep(60); "F"
+      }
+      assert(h == "H")
+      intercept[RuntimeException](f)
+      ArtifactRegistry.rebuildMinOf2()
+      assert(healthy == 2 && flaky == 2)
+      val t = ArtifactRegistry.buildSeconds
+      assert(t("spec_repair2") >= 0.18,
+        s"healthy pass-1 (~0.15) + rebuild (~0.06) must sum, not max(): $t")
+      assert(f == "F" && flaky == 2, "repaired value stored — no third build")
+    } finally {
+      ArtifactRegistry.recordThunks = false
+      ArtifactRegistry.evictApplication("arsRepair2")
+      ArtifactRegistry.resetTimings()
+    }
+  }
+
   test("thunk recording is opt-in: without it rebuildMinOf2 leaves charges alone") {
     ArtifactRegistry.resetTimings()
     assert(!ArtifactRegistry.recordThunks,

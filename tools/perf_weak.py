@@ -39,12 +39,14 @@ STREAMING = {
 # Each floors entry in BENCH_DETAIL carries a machine-readable
 # "[baseline N.Nx]" token — the recorded quiet-window ratio pinned at the
 # round the floor was (re)justified. The recheck below flags a floored
-# query only when its CALIBRATED window ratio drifts past 1.5x that
-# baseline: a floor's premise is "ratio >2x is structural", so the
-# actionable signal is drift from its own recorded level, not the level
-# itself. Declaring the baseline inside the floors entry keeps the
-# provenance prose and the number the gate uses in ONE place.
+# query only when its CALIBRATED window ratio drifts past
+# FLOOR_BASELINE_RATIO times that baseline: a floor's premise is
+# "ratio >2x is structural", so the actionable signal is drift from its
+# own recorded level, not the level itself. Declaring the baseline inside
+# the floors entry keeps the provenance prose and the number the gate
+# uses in ONE place.
 BASELINE_RE = re.compile(r"\[baseline ([0-9.]+)x\]")
+FLOOR_BASELINE_RATIO = 1.5
 
 
 def main():
@@ -88,9 +90,9 @@ def main():
           f"streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
     # Floors are excluded from the count, never from scrutiny (ADVICE r15):
     # every floored query's CURRENT window ratio prints each run, and the
-    # recheck flags CALIBRATED drift past 1.5x the floor's recorded
-    # baseline — visible the round the premise stops holding, without
-    # re-flagging the structural >2x the floor exists to document.
+    # recheck flags CALIBRATED drift past FLOOR_BASELINE_RATIO times the
+    # floor's recorded baseline — visible the round the premise stops
+    # holding, without re-flagging the structural >2x the floor documents.
     for name in sorted(floors):
         sp, ot = bench["queries"].get(name), oracle.get(name)
         if sp is None or sp < 0 or ot is None or ot <= 0:
@@ -101,8 +103,9 @@ def main():
         base = float(m.group(1)) if m else None
         if base is None:
             flag = "  <-- no [baseline Nx] token in this floors entry: record one"
-        elif cal_ratio > 1.5 * base:
-            flag = (f"  <-- calibrated {cal_ratio:.1f}x drifted past 1.5x the"
+        elif cal_ratio > FLOOR_BASELINE_RATIO * base:
+            flag = (f"  <-- calibrated {cal_ratio:.1f}x drifted past"
+                    f" {FLOOR_BASELINE_RATIO}x the"
                     f" recorded {base}x baseline: re-justify or redesign")
         else:
             flag = f"  (baseline {base}x holds)"
