@@ -61,6 +61,30 @@ class MjpegVideoSpec extends SparkSpec {
         val o = (((b / bx) * 8 + 5) * w + (b % bx) * 8 + 5) * 3
         assert((px(o) & 0xFF) == vals(b), s"trial $trial block $b")
       }
+      // every 5th fixture also through the JDK's reader: conformance is
+      // a property of the whole fuzz corpus, not one hand-picked fixture
+      if (trial % 5 == 0) {
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpeg))
+        assert(img != null && img.getWidth == w && img.getHeight == h,
+          s"trial $trial: ImageIO must accept the (padded) stream")
+        for (b <- vals.indices) {
+          val s = img.getRaster.getSample((b % bx) * 8 + 5, (b / bx) * 8 + 5, 0)
+          assert(math.abs(s - vals(b)) <= 1,
+            s"trial $trial block $b: ImageIO $s vs ${vals(b)}")
+        }
+      }
+    }
+  }
+
+  test("encoder refuses malformed arguments") {
+    intercept[IllegalArgumentException] {
+      JpegDecoder.jpegGrayBlockBytes(2, 2, Array(1, 2, 3)) // wrong count
+    }
+    intercept[IllegalArgumentException] {
+      JpegDecoder.jpegGrayBlockBytes(1, 1, Array(256)) // out of gray range
+    }
+    intercept[IllegalArgumentException] {
+      JpegDecoder.jpegGrayBlockBytes(0, 1, Array.empty[Int]) // zero blocks
     }
   }
 
