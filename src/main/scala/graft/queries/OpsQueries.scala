@@ -271,6 +271,10 @@ object OpsQueries {
     * decoded pixels plus the presentation time from the tick math. This
     * composes the two already-proven decoders (m07/m15's container walk,
     * m11/m14's JPEG path) into the image/audio/VIDEO pixel triple.
+    * Reference behavior class: decode-before-stat over batched opaque
+    * media payloads (`assets/rag/process_text_chunks.py:62-68` is the
+    * reference's batch-decode shape; it ships no video decoder — this
+    * completes that posture at the pixel level).
     *
     * The oracle recomputes everything from the synthesis arithmetic and
     * never parses a container or a JPEG (the m07/m09 discipline) — it can
