@@ -449,6 +449,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"z-order clustering over-shuffles ($exchanges):\n${p.take(3000)}")
   }
 
+  test("m19: video pixel decode is narrow — one scan, no join, only the fan-out + result-sort exchanges") {
+    val p = plan("m19_mjpeg_pixels")
+    assert("(?i)FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"m19 re-scans documents:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"synthesize->plan->decode->reduce must not join:\n${p.take(2000)}")
+    // exactly 2: the documented Tables.table round-robin fan-out (heavy
+    // narrow decode work parallelized off a single-file scan) + the
+    // final ORDER BY range exchange — decode parallelism IS scan
+    // parallelism, nothing else shuffles
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"m19 over-shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
   test("t21: shard window is partitioned by source — never a single-partition window") {
     val p = plan("t21_token_shards")
     assert(!p.contains("SinglePartition"),
