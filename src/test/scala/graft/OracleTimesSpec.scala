@@ -37,4 +37,18 @@ class OracleTimesSpec extends AnyFunSuite {
     assert(nMeta == timed.size,
       s"_n_queries ($nMeta) disagrees with the entry count (${timed.size})")
   }
+
+  test("perf_weak's STREAMING exclusion list names declared queries") {
+    // the python tool's hand-maintained set: a renamed streaming query
+    // would silently stop being excluded (and start counting as weak)
+    val py = java.nio.file.Paths.get("tools/perf_weak.py")
+    assume(java.nio.file.Files.exists(py), "tools/perf_weak.py not present")
+    val txt = java.nio.file.Files.readString(py)
+    val block = txt.substring(txt.indexOf("STREAMING = {"),
+      txt.indexOf("}", txt.indexOf("STREAMING = {")))
+    val names = "\"([a-z0-9_]+)\"".r.findAllMatchIn(block).map(_.group(1)).toSeq
+    assert(names.nonEmpty, "no names parsed from the STREAMING set")
+    val stale = names.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"STREAMING excludes non-existent queries: $stale")
+  }
 }
