@@ -287,6 +287,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** KEYFRAME-ONLY pixel decode — the thumbnail/preview pass at the pixel
+    * level: the `stss` seek table ([[graft.functions.VideoCodec
+    * .syncSampleIndices]]) names the frames a decoder can start at, the
+    * stts/stsz/stco geometry prices their byte spans, and ONLY those
+    * spans are sliced and pushed through the real JPEG pixel path —
+    * non-keyframe samples are never read, let alone decoded (the spec
+    * pins this by making every non-keyframe sample INVALID: garbage
+    * bytes that would fail any decode attempt). At 100 TB this is the
+    * difference between ranged-GETting nk frames and nF: a gop-30 corpus
+    * reads ~3 % of its sample bytes for a thumbnail pass.
+    *
+    * Returns one (sampleNo, lumaSum, lumaMin, lumaMax) per keyframe —
+    * None when the container carries no stss (all-sync is the CALLER's
+    * semantic call, m15's rule), no geometry, or a keyframe that fails
+    * pixel decode (a seek table pointing at undecodable bytes is
+    * corruption, reported as refusal, never as partial silence). */
+  def keyframePixelStats(payload: Array[Byte]): Option[Seq[(Long, Long, Int, Int)]] = {
+    import graft.functions.{JpegDecoder, VideoCodec}
+    for {
+      g <- VideoCodec.frameGeometry(payload)
+      ks <- VideoCodec.syncSampleIndices(payload)
+      (_, nF, fs, off, _) = g
+      stats <- {
+        val out = ks.toSeq.map { k => // k is 1-based per the stss box
+          if (k < 1 || k > nF) None
+          else {
+            val a = off + (k - 1) * fs
+            val span = java.util.Arrays.copyOfRange(payload, a.toInt, (a + fs).toInt)
+            JpegDecoder.decodeRgb(span).map { case (w, h, px) =>
+              var sum = 0L; var mn = 255; var mx = 0; var i = 0
+              val n = w * h
+              while (i < n) {
+                val v = px(i * 3) & 0xFF
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (k, sum, mn, mx)
+            }
+          }
+        }
+        if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+      }
+    } yield stats
+  }
+
   /** Frame sampling for video-ish payloads: every `stride`-th frame index up
     * to the stub-counted n_frames, exploded to one row per sampled frame —
     * the 1-row→N-rows generator shape (UDTF analog) for multimodal data.
