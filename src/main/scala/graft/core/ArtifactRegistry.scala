@@ -172,7 +172,14 @@ object ArtifactRegistry {
     }
     val dead = new java.util.ArrayList[Any]()
     store.keySet.forEach { k => if (mentions(k)) { dead.add(k); () } }
-    dead.forEach { k => store.remove(k); locks.remove(k); thunks.remove(k); () }
+    dead.forEach { k =>
+      store.remove(k); locks.remove(k); thunks.remove(k)
+      // per-key build charges are keyed the same way (keys embed the
+      // applicationId), so a long-lived multi-session service would
+      // otherwise grow this map without bound (ADVICE r17)
+      buildSelfByKey.remove(k)
+      ()
+    }
   }
 
   /** Re-runs every recorded build ONCE as a pure TIMING SAMPLE and

@@ -508,17 +508,27 @@ object AnalyticsQueries {
     * aggregate — the fact table is scanned ONCE; the two windows share
     * one user-key shuffle. The time-series densification every
     * monitoring/feature pipeline needs before training on "events per
-    * day" (missing day ≠ missing row). */
+    * day" (missing day ≠ missing row).
+    *
+    * r18 (guide §2.4): `daily` feeds the spine aggregate AND the fill
+    * join, `filled` feeds the island window AND the final per-user agg —
+    * un-materialized, the duplicated subtrees re-scanned events 4×. Both
+    * frames are day-granular AGGREGATES (users × active/span days, far
+    * smaller than the event stream — the t11-vs-t20 materialization
+    * rule), so two lazy checkpoints measured 0.794 → 0.559 s min-of-2,
+    * same BenchOne session at sf0.1. */
   def q51GapFill(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .select(col("user_id"),
         to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // two consumers: spine agg + fill join
     val spine = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
     val filled = spine.join(daily, Seq("user_id", "day"), "left")
       .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint(false) // two consumers: island window + final agg
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val islands = filled
       .withColumn("idx", row_number().over(w))
@@ -663,11 +673,20 @@ object AnalyticsQueries {
     * sum, so tie order can't matter. Integer microseconds end-to-end
     * (events ts is TIMESTAMP(NANOS) read as LONG nanos; `ts DIV 1000` and
     * DuckDB's epoch_us truncate identically; floor(value·60) is one
-    * IEEE-identical float step — the d14 discipline). */
+    * IEEE-identical float step — the d14 discipline).
+    *
+    * r18 (guide §2.4): `iv` feeds the island windows AND both sweep
+    * union branches — un-materialized, the duplicated subtrees scanned
+    * events 3×. One lazy checkpoint of the 4-column projection measured
+    * 0.958 → 0.778 s min-of-2 / 11 → 9 jobs, same BenchOne session at
+    * sf0.1. Scale note: iv is data-sized but 4 narrow integer columns;
+    * at 100 TB the three consumers each repartition by user anyway, so
+    * one materialization replaces three full scans of the same bytes. */
   def q61IntervalCoverage(s: SparkSession, d: String): DataFrame = {
     val iv = events(s, d).select(col("user_id"), col("event_id"),
         expr("ts DIV 1000").as("start_us"),
         expr("ts DIV 1000 + CAST(floor(value * 60) AS BIGINT) * 1000000").as("end_us"))
+      .localCheckpoint(false) // three consumers: islands + both sweep branches
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("start_us"), col("end_us"), col("event_id"))
     val islands = iv

@@ -415,12 +415,21 @@ object LlmQueries {
     * signal with only IEEE-exact multiply/divide. Shape: explode →
     * two hash aggregates (tf per (doc, term), df per term) → equi-join —
     * df is NOT broadcast-hinted (vocabulary scales with the corpus; AQE
-    * decides) — → per-doc top-k window. */
+    * decides) — → per-doc top-k window.
+    *
+    * r18 (guide §2.4): the tf frame feeds BOTH the df aggregate and the
+    * score join; without a materialization the duplicated subtree
+    * re-tokenized documents twice (plan showed two full scan+explode+agg
+    * branches). A LAZY checkpoint of tf — the (doc, term) AGGREGATE, far
+    * smaller than the raw token stream, which is why this wins where
+    * t20/t41's token-stream materialization loses — measured 0.905 →
+    * 0.700 s min-of-2, same BenchOne session at sf0.1. */
   def t11Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val tok = docs.select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // two consumers: df agg + score join
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val rankW = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
@@ -596,7 +605,15 @@ object LlmQueries {
     * (q48's list_reduce contract) — a groupBy sum of doubles would fold
     * in engine order and never hash-match. Corpus-sized work is two
     * hash-aggs (dl, tf); the 3-term postings join probes term-frequency-
-    * sized inputs, never the corpus (the t17 shape). */
+    * sized inputs, never the corpus (the t17 shape).
+    *
+    * r18 A/B, REJECTED: lazily checkpointing the token stream (3 tokenize
+    * passes → 1 + cached reads) measured WORSE — 1.315 vs 1.157 s
+    * min-of-2, same BenchOne session at sf0.1 — confirming t41's recorded
+    * lesson at three passes: materializing the corpus-sized token stream
+    * costs more than re-running the codegen'd split+explode over the
+    * page-cached scan. Re-tokenize stays the shape (and the scale-honest
+    * one: the token stream is corpus-sized × token overhead). */
   def t20Bm25(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(Dedupe.words(col("text"))).as("w"))
@@ -639,7 +656,14 @@ object LlmQueries {
     * anti-join — no floats anywhere), so hash-exact. The top-set is a
     * vocabulary-sized aggregate (deterministic (count desc, bigram)
     * cut); the per-doc pass is one explode + distinct + one broadcast-
-    * sized membership join — the t13 broadcast-eval-set shape. */
+    * sized membership join — the t13 broadcast-eval-set shape.
+    *
+    * r18 A/B, REJECTED: lazily checkpointing the distinct-bigram frame
+    * (two consumers: top-1000 agg + membership join) measured a wash —
+    * 0.876 vs 0.872 s min-of-2, same BenchOne session at sf0.1: the
+    * frame is corpus-sized (per-doc distinct bigrams), so materializing
+    * it buys back exactly what the duplicate explode cost. Kept the
+    * recompute shape (no corpus-sized materialization at 100 TB). */
   def t23BigramNovelty(s: SparkSession, d: String): DataFrame = {
     val bigrams = documents(s, d)
       .select(col("doc_id"), Dedupe.words(col("text")).as("w"))

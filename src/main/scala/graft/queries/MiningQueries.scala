@@ -24,7 +24,15 @@ object MiningQueries {
     * interval exec ([[graft.plans.RangeJoinExec]]): one key shuffle per
     * side, sliding window buffer, never a per-user cross join — so the
     * chain survives hot users at 100 TB. Stage per user = deepest step
-    * reached. */
+    * reached.
+    *
+    * r18 A/B, REJECTED: lazily checkpointing the narrow ev projection
+    * (the plan re-scans events 7× across the filtered branches) measured
+    * a wash — 1.347 vs 1.363 s min-of-2, same BenchOne session at sf0.1
+    * (17 → 12 jobs, but the pushed-filter re-scans are page-cache-cheap
+    * and the ckpt write eats the saving). The re-scan shape keeps
+    * predicate pushdown at the source, which is the safer 100 TB posture
+    * for a 4-column projection — kept. */
   def q39Funnel(s: SparkSession, d: String): DataFrame = {
     val L = 6L * 3600 * 1000000 // 6 hours in micros
     val ev = events(s, d).select(col("event_id"), col("user_id"),
@@ -415,35 +423,50 @@ object MiningQueries {
     * id, nothing driver-side; edge frames localCheckpoint per round (the
     * L15/G3 lineage discipline: without it round r re-executes every
     * prior round per downstream branch). */
-  def g05Kcore(s: SparkSession, d: String): DataFrame = {
+  /** r18 (the r17 verdict's item-4 experiment, measured 2.62 → 1.42 s
+    * min-of-2 / 14 → 3 jobs in one BenchOne session at sf0.1): the g07
+    * static-fixpoint pattern applied to the peel — AQE off for the loop,
+    * shuffle_hash hints, lazy per-round checkpoints, and an ORIENTATION
+    * SWAP that halves the edge-sized exchanges per round. The doubled
+    * frame is symmetric, so "drop edges with a dead endpoint" can run as
+    * two u-side semi-joins with a column swap between them: filter on u
+    * (zero-exchange — frame and surv both u-clustered), swap (u,v), then
+    * filter on u again (ONE edge exchange that also re-establishes the
+    * u-clustering the next round's degree agg needs). The pre-r18 shape
+    * paid two edge exchanges per round (join on v + re-cluster on u) and
+    * ran 14 AQE jobs. Set equality: e symmetric ⇒
+    * {(b,a) : (a,b) ∈ e, a,b alive} is exactly the both-endpoints-alive
+    * subset, so each round's frame — and every degree count over it — is
+    * identical to the old shape's (oracle hash unchanged, compare.py).
+    * With the rounds now re-clustering on ONE key per round, the shared
+    * u-clustered fused artifact is the right seed (the r10/r12 fused-vs-
+    * per-query A/B predated the swap; re-measured as part of the 1.42 s
+    * number — the per-execution doubledEdges eager ckpt job is gone). */
+  private[queries] def g05KcoreStatic(s: SparkSession, d: String): DataFrame = {
     val k = 3
-    // doubledEdges(coPurchaseEdges), not doubledEdgesFused: measured
-    // in-session (round 10) 3.73 vs 4.08 s, RE-MEASURED round 12 after
-    // the fused frame became the free memoized artifact — still no win
-    // (2.44-2.48 vs 2.38-2.41 min-of-2): the peel rounds re-cluster on
-    // BOTH u and v every round, so which builder seeds them is noise;
-    // the per-query doubledEdges ckpt now reads the memoized und frame
-    // anyway. (g04/g06/g08, whose rounds stay on ONE key, use fused.)
-    var e = doubledEdges(coPurchaseEdges(s, d), "u")
-    for (_ <- 1 to 3) {
-      val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u"))
-      // lazy checkpoint: lineage cut per round with no eager job — the
-      // three consumers (degree agg + both semi-joins) of the NEXT round
-      // still read one materialization. An eager partitioning-retaining
-      // ckpt per round was MEASURED WORSE here (5.1 s vs 3.8 s at sf0.1,
-      // round 10): three extra static jobs cost more than the exchanges
-      // they elide, because AQE pipelines this round shape's stages
-      // inside one action anyway. Round 1's degree agg still reads the
-      // u-clustered fused edge checkpoint exchange-free.
-      e = e.join(surv, Seq("u"))
-        .join(surv.withColumnRenamed("u", "v"), Seq("v"))
-        .select(col("u"), col("v")).localCheckpoint(false)
-    }
-    e.groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
-      .select(col("u").as("vertex"), col("deg_in_core"))
-      .orderBy(col("vertex"))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try {
+      var e = doubledEdgesFused(s, d, "u")
+      for (_ <- 1 to 3) {
+        val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("u"))
+          .localCheckpoint(false) // two consumers (both semi-join sides)
+        e = e.join(surv.hint("shuffle_hash"), Seq("u"))
+          .select(col("v").as("u"), col("u").as("v"))
+          .join(surv.hint("shuffle_hash"), Seq("u"))
+          .select(col("u"), col("v"))
+          .localCheckpoint(false)
+      }
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg_in_core"))
+        .select(col("u").as("vertex"), col("deg_in_core"))
+        .orderBy(col("vertex"))
+    } finally s.conf.set(aqeKey, prev)
   }
+
+  def g05Kcore(s: SparkSession, d: String): DataFrame =
+    g05KcoreStatic(s, d)
 
   /** The g01–g07 input graph — ONE definition so the queries can never
     * silently analyze different graphs: parts are linked when they

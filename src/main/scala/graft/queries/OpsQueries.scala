@@ -323,7 +323,12 @@ object OpsQueries {
             case None => (k, -1, -1, -1L, -1, -1, -1L) // poisons the hash
           }
         }
-      }.orNull
+      // geometry failure emits the same poison-row shape (frame_no -1)
+      // instead of null: explode(null) would drop the whole document
+      // silently, contrary to the family's refusal-over-silence
+      // discipline — a malformed payload must corrupt the hash, not
+      // vanish (ADVICE r17; unreachable for the internal synthesis)
+      }.getOrElse(Seq((-1L, -1, -1, -1L, -1, -1, -1L)))
     }
     documents(s, d)
       .select(col("doc_id"), explode(stats(mk(col("doc_id")))).as("f"))

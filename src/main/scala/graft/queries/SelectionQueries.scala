@@ -186,22 +186,37 @@ object SelectionQueries {
     val clustered = GlobalRank
       .withGlobalRank(base, Seq(col("sz"), col("doc_id")), "rank")
       .withColumn("file", expr("(rank - 1) div 64")).drop("rank")
+    // r18 (guide §2.3 — aggregate before you shuffle): the matched-row
+    // counts ride the SAME per-file aggregate as the min-max stats, one
+    // conditional sum per threshold, instead of replicating the DATA 3×
+    // through a grid crossJoin + second (file, threshold) aggregate +
+    // join-back. The threshold grid now replicates only the file-sized
+    // stats frame, `df` has exactly ONE consumer (the clustered layout's
+    // GlobalRank range shuffle previously ran twice), and the per-layout
+    // plan drops from two data passes + join to one pass. Same integers:
+    // Σ_file count(sz ≥ t in file) == the old per-(file,threshold) agg
+    // summed with its null-coalesce. Measured 0.765 → 0.609 s min-of-2 /
+    // 20 → 15 jobs, same BenchOne session at sf0.1; oracle hash unchanged
+    // (compare.py). Plan diff committed in plans/r18/.
     def audit(layout: String, df: DataFrame): DataFrame =
       df.groupBy(col("file"))
-        .agg(count(lit(1)).as("cnt"), max(col("sz")).as("fmax"))
+        .agg(count(lit(1)).as("cnt"),
+          (max(col("sz")).as("fmax") +:
+            thresholds.map(t => sum(when(col("sz") >= t, 1L).otherwise(0L))
+              .as(s"m$t"))): _*)
         .crossJoin(broadcast(grid))
-        .join(
-          df.crossJoin(broadcast(grid)).filter(col("sz") >= col("threshold"))
-            .groupBy(col("file"), col("threshold"))
-            .agg(count(lit(1)).as("matched")),
-          Seq("file", "threshold"), "left")
+        .withColumn("matched",
+          thresholds.tail.foldLeft(
+            when(col("threshold") === thresholds.head, col(s"m${thresholds.head}"))) {
+            (acc, t) => acc.when(col("threshold") === t, col(s"m$t"))
+          })
         .groupBy(col("threshold"))
         .agg(count(lit(1)).as("n_files"),
           coalesce(sum(when(col("fmax") < col("threshold"), 1L)), lit(0L))
             .as("files_skipped"),
           sum(when(col("fmax") >= col("threshold"), col("cnt"))
             .otherwise(0L)).as("rows_scanned"),
-          sum(coalesce(col("matched"), lit(0L))).as("rows_matching"))
+          sum(col("matched")).as("rows_matching"))
         .selectExpr(s"'$layout' AS layout", "threshold", "n_files",
           "files_skipped", "rows_scanned", "rows_matching",
           "files_skipped * 10000 div n_files AS skip_bp")
@@ -209,6 +224,7 @@ object SelectionQueries {
       .unionByName(audit("clustered", clustered))
       .orderBy(col("layout"), col("threshold"))
   }
+
 
   /** T42 — VOCABULARY COVERAGE CURVE over word-bigram types: what
     * fraction of corpus bigram occurrences the top-k bigram vocabulary

@@ -15,12 +15,20 @@ round-13/14 verdicts did by hand): a query is perf-weak iff
     rejected with numbers at the site).
 
 Since r16 the gate runs on BOTH the raw spark time and the
-load-calibrated one (spark / BENCH_DETAIL.calib.load_factor): the
-oracle denominator is a committed quiet-host measurement, so a loaded
-window inflates every raw ratio with no code change, and a
-faster-than-reference window deflates them. A query failing EITHER side
-prints, annotated with which side it fails; the raw count stays the
-count of record.
+load-calibrated one: the oracle denominator is a committed quiet-host
+measurement, so a loaded window inflates every raw ratio with no code
+change, and a faster-than-reference window deflates them. A query
+failing EITHER side prints, annotated with which side it fails; the raw
+count stays the count of record.
+
+Since r18 the calibration factor for PER-QUERY ratios is the ISOLATED
+segment's load factor (calib.load_factor_isolated, falling back to the
+global load_factor on older artifacts): every per-query number in
+BENCH_DETAIL.queries is measured in the isolated pass, so the honest
+normalizer is that segment's own sentinel, not the global min-of-medians
+(which under-corrects exactly when load is confined to one segment —
+the r17 driver window read global 1.075 vs isolated 1.274, and both
+floor-drift flags that fired were loaded-window artifacts).
 
 Usage:
   python3 tools/perf_weak.py [BENCH_DETAIL.json] [ORACLE_TIMES.json]
@@ -48,6 +56,16 @@ STREAMING = {
 BASELINE_RE = re.compile(r"\[baseline ([0-9.]+)x\]")
 FLOOR_BASELINE_RATIO = 1.5
 
+# A floors entry MAY additionally record the band its ratio reads under a
+# LOADED driver window ("[loaded N.Nx]" — r17 verdict item 3: t24 tripped
+# the drift flag on two consecutive loaded driver windows while its quiet
+# baseline held both times). When the window's isolated segment is loaded
+# past LOADED_SEGMENT and the calibrated ratio still sits inside the
+# recorded loaded band, the recheck reports "loaded band holds" instead of
+# crying drift — the quiet baseline stays the number the flag defends.
+LOADED_RE = re.compile(r"\[loaded ([0-9.]+)x\]")
+LOADED_SEGMENT = 1.15
+
 
 def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
@@ -59,7 +77,11 @@ def main():
     # query-name entries exclude queries
     floors = {k for k in bench.get("floors", {}) if not k.startswith("artifact:")}
 
-    load = bench.get("calib", {}).get("load_factor", 1.0)
+    calib = bench.get("calib", {})
+    # per-query timings are measured in the ISOLATED pass, so calibrate
+    # them by that segment's own factor (r18; global min as the fallback
+    # for pre-r17 artifacts without per-segment sentinels)
+    load = calib.get("load_factor_isolated", calib.get("load_factor", 1.0))
     if not isinstance(load, (int, float)) or load <= 0:
         load = 1.0
 
@@ -99,14 +121,27 @@ def main():
             print(f"floor-recheck {name:28s} (no timing pair in artifacts)")
             continue
         cal_ratio = (sp / load) / ot
-        m = BASELINE_RE.search(bench["floors"].get(name, ""))
+        entry = bench["floors"].get(name, "")
+        m = BASELINE_RE.search(entry)
         base = float(m.group(1)) if m else None
+        ml = LOADED_RE.search(entry)
+        loaded_band = float(ml.group(1)) if ml else None
         if base is None:
             flag = "  <-- no [baseline Nx] token in this floors entry: record one"
         elif cal_ratio > FLOOR_BASELINE_RATIO * base:
-            flag = (f"  <-- calibrated {cal_ratio:.1f}x drifted past"
-                    f" {FLOOR_BASELINE_RATIO}x the"
-                    f" recorded {base}x baseline: re-justify or redesign")
+            if load > LOADED_SEGMENT and loaded_band is not None \
+                    and cal_ratio <= loaded_band:
+                flag = (f"  (loaded window seg={load:.2f}: inside the recorded"
+                        f" [loaded {loaded_band}x] band; quiet baseline {base}x"
+                        f" adjudicates)")
+            elif load > LOADED_SEGMENT:
+                flag = (f"  <-- calibrated {cal_ratio:.1f}x past {FLOOR_BASELINE_RATIO}x"
+                        f" the {base}x baseline on a LOADED segment ({load:.2f});"
+                        f" re-run on a quiet host before re-justifying")
+            else:
+                flag = (f"  <-- calibrated {cal_ratio:.1f}x drifted past"
+                        f" {FLOOR_BASELINE_RATIO}x the"
+                        f" recorded {base}x baseline: re-justify or redesign")
         else:
             flag = f"  (baseline {base}x holds)"
         print(f"floor-recheck {name:28s} spark={sp:6.2f}s  oracle={ot:6.2f}s  "
