@@ -311,7 +311,11 @@ object Multimodal {
       (_, nF, fs, off, _) = g
       stats <- {
         val out = ks.toSeq.map { k => // k is 1-based per the stss box
-          if (k < 1 || k > nF) None
+          // explicit bounds check (ADVICE r17): a corrupt stco/stsz
+          // geometry whose span overruns the payload is refused HERE,
+          // intentionally — not left to copyOfRange's zero-padding
+          // incidentally failing the JPEG decode downstream
+          if (k < 1 || k > nF || off + k * fs > payload.length) None
           else {
             val a = off + (k - 1) * fs
             val span = java.util.Arrays.copyOfRange(payload, a.toInt, (a + fs).toInt)

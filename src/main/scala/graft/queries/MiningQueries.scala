@@ -465,6 +465,21 @@ object MiningQueries {
     } finally s.conf.set(aqeKey, prev)
   }
 
+  /** r18 session-2 re-measurement (the interrupted session's 1.42 s claim
+    * re-checked before shipping): full-Bench IN-CONTEXT min-of-2 at sf0.1
+    * reads static 1.96 s vs the old AQE-loop shape's 2.42 s on the same
+    * host's round-start baseline window (r16 driver: 2.80 s; r17 loaded
+    * driver: 5.70 s) — the static shape stays the winner where it counts.
+    * CAVEAT measured and recorded: in SHORT BenchOne sessions right after
+    * a codegen-heavy UDF query (m09), BOTH shapes read 3-12 s (old shape
+    * 9.5 s, static 12.6 s, same data, same plans, executor-CPU-bound with
+    * identical per-stage record counts) — a JIT-compilation-backlog
+    * artifact of micro-sessions without the full warm-up pass, NOT a plan
+    * property: Bench's full 233-query warm-up drains the compile queue
+    * before any timed run, and repeated invocations decay back to
+    * 2.1-2.7 s isolated. Event-log evidence in NOTES (r18): per-stage
+    * record counts identical across fast/slow runs while executor run
+    * time varied 12x (155 vs 12.5 CPU-s on the same stage, gc minor). */
   def g05Kcore(s: SparkSession, d: String): DataFrame =
     g05KcoreStatic(s, d)
 

@@ -155,6 +155,13 @@ class MjpegVideoSpec extends SparkSpec {
     // non-fatal — but it must never throw, and an all-keyframes-decoded
     // result must still carry exactly the stss set
     Multimodal.keyframePixelStats(corrupted).foreach(s => assert(s.map(_._1) == Seq(1L, 4L, 7L)))
+    // overrunning span refusal is INTENTIONAL (ADVICE r17): truncate the
+    // payload so the last keyframe's planned span exceeds the buffer —
+    // refused by the explicit bounds check, never by zero-padded bytes
+    // happening to fail the JPEG decode
+    val truncated = java.util.Arrays.copyOfRange(mp4, 0, (off + 6 * fs + fs / 2).toInt)
+    assert(Multimodal.keyframePixelStats(truncated).isEmpty,
+      "keyframe span past the payload end must refuse explicitly")
   }
 
   test("m19 query agrees with the synthesis arithmetic, independently computed") {
