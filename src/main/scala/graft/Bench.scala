@@ -62,6 +62,18 @@ object Bench {
   private[graft] def segCalibrated(raw: Double, segLoad: Double): Double =
     if (raw < 0 || segLoad <= 0) -1.0 else raw / segLoad
 
+  /** Sidecar path for the full-precision detail artifact. The driver runs
+    * the bench TWICE per round (32-core, then a low-core scaling pass); a
+    * fixed path made the second run clobber the first's evidence — the r18
+    * 8-core pass overwrote the 32-core detail, and any floor recheck on
+    * the working tree afterwards adjudicated against the WRONG window
+    * (q27/t41 read as 9.8×/7.4× "drift" on the c8 detail — pure core-count
+    * artifacts, r18 verdict item 5). 32 cores keeps the historical name
+    * (the committed artifact of record); any other core count gets a
+    * suffixed file so both windows survive a driver round on disk. */
+  private[graft] def detailPath(cpus: String): String =
+    if (cpus == "32") "BENCH_DETAIL.json" else s"BENCH_DETAIL_c$cpus.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -209,6 +221,7 @@ object Bench {
     graft.core.Calib.warmSparkJob(spark)
     graft.core.Calib.cpuOnce() // kernel JIT
     val calibStart = graft.core.Calib.point(spark)
+    val stealStart = graft.core.Calib.stealStat()
 
     graft.core.ArtifactRegistry.resetTimings()
     // Ledger GC hygiene (see ArtifactRegistry.gcBeforeBuild): builds run
@@ -261,6 +274,7 @@ object Bench {
       name -> sec
     }
     val calibMiddle = graft.core.Calib.point(spark)
+    val stealMiddle = graft.core.Calib.stealStat()
     val total = results.map(_._2).filter(_ >= 0).sum
     // Build-cost snapshot for the isolated session: everything the warm-up
     // (or a first timed run) paid to materialize memoized artifacts. Self
@@ -371,6 +385,7 @@ object Bench {
     val wall = if (clean.nonEmpty) clean.min else -1.0
     val failedMax = passes.map(_._2).max
     val calibEnd = graft.core.Calib.point(spark)
+    val stealEnd = graft.core.Calib.stealStat()
 
     // Load factors vs the committed quiet-host constants; the calibrated
     // ratios divide by min(load_cpu, load_spark) — only the drift BOTH
@@ -459,7 +474,17 @@ object Bench {
         s""""load_cpu":${fmt3(loadCpu)},"load_spark":${fmt3(loadSpark)},""" +
         s""""load_factor":${fmt3(loadFactor)},""" +
         s""""load_factor_isolated":${fmt3(loadFactorIsolated)},""" +
-        s""""load_factor_concurrent":${fmt3(loadFactorConcurrent)}},""" +
+        s""""load_factor_concurrent":${fmt3(loadFactorConcurrent)},""" +
+        // steal-time sentinel (r18 verdict item 2 — the "context
+        // sentinel"): % of all guest CPU time the HOST stole from this VM
+        // per segment, from /proc/stat. The probes above miss host vCPU
+        // oversubscription (a single-thread kernel on an idle guest gets
+        // a full core while the 32-way suite loses a slice of every busy
+        // core); nonzero steal on a window whose load factors read < 1 is
+        // that mechanism, recorded. -1 = /proc/stat unreadable.
+        s""""steal_pct_isolated":${fmt3(graft.core.Calib.stealPct(stealStart, stealMiddle))},""" +
+        s""""steal_pct_concurrent":${fmt3(graft.core.Calib.stealPct(stealMiddle, stealEnd))},""" +
+        s""""steal_pct":${fmt3(graft.core.Calib.stealPct(stealStart, stealEnd))}},""" +
         s""""ratio_aggregate_calibrated":${fmt3(calibrated(ratioAgg))},""" +
         s""""ratio_with_builds_calibrated":${fmt3(calibrated(ratioAggWithBuilds))},""" +
         // segment-calibrated contract fields (see RatioSegments): the
@@ -482,15 +507,23 @@ object Bench {
     // a floor whose premise drifts is visible the round it happens
     // instead of self-certified forever.
     val floorsJson = FloorsJson
+    // cpus ships INSIDE the detail artifact so tooling (perf_weak floor
+    // rechecks) can refuse a non-32-core window instead of adjudicating
+    // 32-core floor baselines against it (r18 verdict item 5); quoted
+    // fallback keeps the artifact parseable if the env var is non-numeric.
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus + "\""
     val detailJson =
-      s"""{"wall":$wall,"threads":$threads,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,$calibFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
+      s"""{"wall":$wall,"threads":$threads,"cpus":$cpusJson,"failed":$failedMax,"isolated_sec":$total,$ratioFields,$buildFields,$calibFields,"floors":$floorsJson,$configFields,"sf":"$sfDir","queries":$detail}"""
     println(s"BENCH_DETAIL $detailJson")
     // Sidecar with FULL per-query precision: the stdout line keeps only the
     // slowest queries (the 2000-char recording window), so the durable
     // artifact for the whole suite is this file — committed per round as
     // BENCH_DETAIL.json so `omitted` on the line never loses information.
+    // Non-32-core runs write a cpu-suffixed sidecar (see detailPath).
+    val detailFile = detailPath(cpus)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
+      java.nio.file.Paths.get(detailFile), detailJson + "\n")
     catch { case _: Throwable => () } // bench result must survive a bad cwd
 
     val maxLine = 1800 // 2000-char tail - sbt trailer - safety margin
@@ -499,7 +532,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = results.size - keep.size
       val omitField = if (omit > 0) s""","omitted":$omit""" else ""
-      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_with_builds":${fmt3(ratioAggWithBuilds)},"ratio_calibrated":${fmt3(calibrated(ratioAgg))},"load_factor":${fmt3(loadFactor)},"build_total_sec":${fmt(buildTotal)},"build_total_pass1_sec":${fmt(buildTotalPass1)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"BENCH_DETAIL.json"$omitField,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite_wall_concurrent","value":${fmt(wall)},"unit":"sec","failed":$failedMax,"isolated_sec":${fmt(total)},"ratio_aggregate":${fmt3(ratioAgg)},"ratio_with_builds":${fmt3(ratioAggWithBuilds)},"ratio_calibrated":${fmt3(calibrated(ratioAgg))},"load_factor":${fmt3(loadFactor)},"build_total_sec":${fmt(buildTotal)},"build_total_pass1_sec":${fmt(buildTotalPass1)},"ratio_heavy_subset":${fmt3(ratioHeavy)},"oracle_sec":${fmt(both.map(oracleTimes).sum)},"detail_file":"$detailFile"$omitField,"queries":$qs,"sf":"$sfDir"}"""
     }
     // the line carries the slowest 20 (what a bench reader needs at a
     // glance — per-query floors and outliers); the sidecar has everything

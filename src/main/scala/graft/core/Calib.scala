@@ -112,4 +112,38 @@ object Calib {
     val sj = median(Seq.fill(3)(sparkJobOnce(s)))
     (cpu, sj)
   }
+
+  // ---- steal-time sentinel (r18 verdict item 2) ----------------------
+  // The two probes above cannot see HOST-LEVEL vCPU oversubscription: the
+  // sandbox is a VM on a shared host, and when the host cannot back all
+  // 32 vCPUs simultaneously, a single-thread kernel on an otherwise-idle
+  // guest still gets a full physical core (probe reads FAST) while the
+  // 32-way suite loses a fraction of every busy core to involuntary
+  // preemption — exactly the r18 driver window's signature (load_factor
+  // 0.869 "fast host", suite 35 % slower than same-code builder windows,
+  // and every query faster at 8 cores than 32). The kernel accounts that
+  // preemption as STEAL time in /proc/stat; sampling the cumulative
+  // counters at the existing calib points makes the mechanism visible in
+  // the artifact itself: a breached contract ratio on a window with high
+  // steal_pct is host contention, recorded, not argued. (Measured while
+  // building this: 6.0 % steal over 20 s during a bench window on this
+  // host — with the single-thread CPU probe reading < 1.0 at the time.)
+
+  /** Cumulative (stealJiffies, totalJiffies) from the aggregate `cpu`
+    * line of /proc/stat. Total sums the first 8 fields (user..steal) —
+    * guest/guest_nice are already included in user and would double-count.
+    * (-1, -1) when unreadable (non-Linux): sentinel, never a throw. */
+  def stealStat(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val line = try src.getLines().find(_.startsWith("cpu ")).getOrElse("")
+    finally src.close()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    if (f.length < 8) (-1L, -1L) else (f(7), f.take(8).sum)
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Steal percentage of all CPU time over a segment bracketed by two
+    * [[stealStat]] samples; -1 on sentinel inputs or an empty segment. */
+  def stealPct(before: (Long, Long), after: (Long, Long)): Double =
+    if (before._1 < 0 || after._1 < 0 || after._2 <= before._2) -1.0
+    else 100.0 * (after._1 - before._1) / (after._2 - before._2)
 }

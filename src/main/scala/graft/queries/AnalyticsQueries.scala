@@ -675,18 +675,19 @@ object AnalyticsQueries {
     * DuckDB's epoch_us truncate identically; floor(value·60) is one
     * IEEE-identical float step — the d14 discipline).
     *
-    * r18 (guide §2.4): `iv` feeds the island windows AND both sweep
-    * union branches — un-materialized, the duplicated subtrees scanned
-    * events 3×. One lazy checkpoint of the 4-column projection measured
-    * 0.958 → 0.778 s min-of-2 / 11 → 9 jobs, same BenchOne session at
-    * sf0.1. Scale note: iv is data-sized but 4 narrow integer columns;
-    * at 100 TB the three consumers each repartition by user anyway, so
-    * one materialization replaces three full scans of the same bytes. */
+    * r18 tried a lazy checkpoint of `iv` here (it feeds the island windows
+    * AND both sweep union branches — un-materialized, the duplicated
+    * subtrees scan events 3×): BenchOne same-session 0.958 → 0.778 s /
+    * 11 → 9 jobs, but all four same-code full-Bench windows read it as a
+    * WASH (1.10–1.18 s vs the baseline's 1.07). REVERTED (r18 verdict item
+    * 3): `iv` is EVENT-sized — one row per event, not an aggregate — so
+    * the t20/t41 rule applies (no corpus-sized materialization at 100 TB:
+    * executor-storage pressure vs three pushed-filter re-scans of a
+    * 4-column parquet projection that column pruning makes cheap). */
   def q61IntervalCoverage(s: SparkSession, d: String): DataFrame = {
     val iv = events(s, d).select(col("user_id"), col("event_id"),
         expr("ts DIV 1000").as("start_us"),
         expr("ts DIV 1000 + CAST(floor(value * 60) AS BIGINT) * 1000000").as("end_us"))
-      .localCheckpoint(false) // three consumers: islands + both sweep branches
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("start_us"), col("end_us"), col("event_id"))
     val islands = iv

@@ -146,6 +146,11 @@ object MiningQueries {
         lpaAssignBuild(s, d))
     }
 
+  /** Probe access to the un-memoized build (ProbeLpa3 plan dump only —
+    * production consumers go through [[lpaAssign]]'s memoization). */
+  private[graft] def lpaAssignBuildForProbe(s: SparkSession, d: String): DataFrame =
+    lpaAssignBuild(s, d)
+
   private def lpaAssignBuild(s: SparkSession, d: String): DataFrame = {
     // partitioned on v — the per-round join key (e.v = lab.vertex); the
     // fused builder dedupes and clusters in the same shuffle (round 10)
@@ -330,19 +335,38 @@ object MiningQueries {
       e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     val p0 = S / n // integral: S div N, identical to the oracle's `//`
-    var p = deg.select(col("u").as("v"), lit(p0).as("p"))
-    for (_ <- 1 to 3) {
-      val contrib = e
-        .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
-        .join(deg.hint("shuffle_hash"), Seq("u"))
-        .select(col("v"), expr("p div deg").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      p = contrib
-        .select(col("v"),
-          (lit((15L * p0) / 100) + expr("(85 * s) div 100")).as("p"))
-    }
-    p.localCheckpoint(false)
-      .orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
+    // r19 (the r18 verdict's item-1 extension of the g05/g07 static-
+    // fixpoint pattern): the whole 3-round loop is planned STATICALLY —
+    // AQE off at plan-construction time, the existing shuffle_hash hints
+    // pin the vertex-sized rank/degree sides as SHJ build sides against
+    // the u-clustered edge checkpoint (zero join exchange; the only
+    // shuffle per round stays the map-side-combined dst-sum), and the
+    // final lazy localCheckpoint forces toRdd INSIDE the AQE-off window
+    // so the conf restore cannot leak adaptive re-planning back into the
+    // loop. Under AQE the same plan ran as a fan of per-stage scheduled
+    // jobs; statically the fixpoint executes as ONE job (the g07
+    // weightedDistances posture — its in-loop note measured 13 → 4 jobs
+    // for the same shape). Plan-only change: operators and integers are
+    // untouched, hash-verified at sf0.001/0.01/0.1.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    val fin = try {
+      var p = deg.select(col("u").as("v"), lit(p0).as("p"))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+          .join(deg.hint("shuffle_hash"), Seq("u"))
+          .select(col("v"), expr("p div deg").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        p = contrib
+          .select(col("v"),
+            (lit((15L * p0) / 100) + expr("(85 * s) div 100")).as("p"))
+      }
+      p.localCheckpoint(false) // lazy: pins the static plan, cuts the
+      // presentation sort's range-sampling re-execution (the d25 lesson)
+    } finally s.conf.set(aqeKey, prev)
+    fin.orderBy(col("v")).select(col("v"), col("p").as("rank_scaled"))
   }
 
   /** G11 — PERSONALIZED PAGERANK from a seed set (the recommendation form
@@ -379,7 +403,6 @@ object MiningQueries {
     val nSeeds = seeds.count()
     val p0 = S / nSeeds
     val tele = (15L * p0) / 100
-    var p = seeds.select(col("v"), lit(p0).as("p"))
     // Round-13 (the r12 verdict's named lever): the teleport full-outer
     // folds INTO the contribution aggregate — seed rows ride the same
     // union as the edge-contribution rows with a null contribution and a
@@ -387,22 +410,36 @@ object MiningQueries {
     // the per-round join count drops from 3 to 2. Identical integers:
     // sum over nulls is null → coalesce 0, exactly the old full-outer's
     // missing-contrib case.
-    for (_ <- 1 to 3) {
-      val contribRows = e
-        .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
-        .join(deg.hint("shuffle_hash"), Seq("u"))
-        .select(col("v"), expr("p div deg").as("c"), lit(0).as("is_seed"))
-      p = contribRows
-        .unionByName(seeds.select(col("v"),
-          lit(null).cast("long").as("c"), lit(1).as("is_seed")))
-        .groupBy(col("v"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("sm"),
-          max(col("is_seed")).as("isd"))
-        .select(col("v"),
-          (when(col("isd") === 1, lit(tele)).otherwise(lit(0L)) +
-            expr("(85 * sm) div 100")).as("p"))
-    }
-    p.orderBy(col("p").desc, col("v")).limit(25)
+    // r19 (the r18 verdict's item-1 static-unroll extension, g04's twin):
+    // AQE off at plan-construction time so the 3 rounds — SHJ-hinted
+    // zero-exchange joins + one union-keyed contribution agg each — run
+    // as ONE statically planned job instead of a fan of adaptive
+    // stage-jobs; the lazy checkpoint of the final (vertex-bounded) rank
+    // frame pins the plan inside the window and feeds the TakeOrdered
+    // tail. Plan-only; hash-verified at sf0.001/0.01/0.1.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    val fin = try {
+      var p = seeds.select(col("v"), lit(p0).as("p"))
+      for (_ <- 1 to 3) {
+        val contribRows = e
+          .join(p.withColumnRenamed("v", "u").hint("shuffle_hash"), Seq("u"))
+          .join(deg.hint("shuffle_hash"), Seq("u"))
+          .select(col("v"), expr("p div deg").as("c"), lit(0).as("is_seed"))
+        p = contribRows
+          .unionByName(seeds.select(col("v"),
+            lit(null).cast("long").as("c"), lit(1).as("is_seed")))
+          .groupBy(col("v"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("sm"),
+            max(col("is_seed")).as("isd"))
+          .select(col("v"),
+            (when(col("isd") === 1, lit(tele)).otherwise(lit(0L)) +
+              expr("(85 * sm) div 100")).as("p"))
+      }
+      p.localCheckpoint(false)
+    } finally s.conf.set(aqeKey, prev)
+    fin.orderBy(col("p").desc, col("v")).limit(25)
       .select(col("v"), col("p").as("rank_scaled"))
   }
 

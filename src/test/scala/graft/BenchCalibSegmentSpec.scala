@@ -34,4 +34,16 @@ class BenchCalibSegmentSpec extends AnyFunSuite {
     assert(Bench.segCalibrated(1.8, 0.0) == -1.0)  // degenerate factor
     assert(Bench.segCalibrated(1.8, -1.0) == -1.0) // no segment factor
   }
+
+  // r18 verdict item 5: the driver's low-core scaling pass overwrote the
+  // 32-core detail (fixed path), and floor rechecks on the working tree
+  // then adjudicated 32-core baselines against an 8-core window. The
+  // detail sidecar path is now core-count-aware: 32 keeps the historical
+  // committed-artifact name, anything else gets a suffixed file so both
+  // driver windows survive on disk.
+  test("detail sidecar path: 32-core keeps the name of record, others suffix") {
+    assert(Bench.detailPath("32") == "BENCH_DETAIL.json")
+    assert(Bench.detailPath("8") == "BENCH_DETAIL_c8.json")
+    assert(Bench.detailPath("16") == "BENCH_DETAIL_c16.json")
+  }
 }

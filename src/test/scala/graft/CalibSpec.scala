@@ -28,4 +28,25 @@ class CalibSpec extends AnyFunSuite {
   test("reference constants are pinned and positive") {
     assert(Calib.RefCpuSec > 0 && Calib.RefSparkSec > 0)
   }
+
+  // r18 verdict item 2: the steal-time sentinel makes host vCPU
+  // oversubscription — invisible to both probes — adjudicable from the
+  // artifact. Pure math pinned here; the /proc/stat read is exercised by
+  // every Bench run on Linux.
+  test("steal pct: fraction of the segment's jiffies that were stolen") {
+    // 100 jiffies of steal out of 1000 total over the segment = 10 %
+    assert(Calib.stealPct((500L, 10000L), (600L, 11000L)) == 10.0)
+    assert(Calib.stealPct((0L, 0L), (0L, 1000L)) == 0.0)
+  }
+
+  test("steal pct sentinels: unreadable stat or empty segment = -1") {
+    assert(Calib.stealPct((-1L, -1L), (600L, 11000L)) == -1.0)
+    assert(Calib.stealPct((500L, 10000L), (-1L, -1L)) == -1.0)
+    assert(Calib.stealPct((500L, 10000L), (500L, 10000L)) == -1.0) // no time passed
+  }
+
+  test("stealStat on this platform: sentinel pair or plausible counters") {
+    val (st, tot) = Calib.stealStat()
+    assert((st == -1L && tot == -1L) || (st >= 0L && tot > 0L && st <= tot))
+  }
 }

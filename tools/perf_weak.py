@@ -77,6 +77,16 @@ def main():
     # query-name entries exclude queries
     floors = {k for k in bench.get("floors", {}) if not k.startswith("artifact:")}
 
+    # Floor [baseline Nx] tokens are 32-CORE quiet-window measurements; a
+    # detail artifact from the driver's low-core scaling pass (r18: the c8
+    # run clobbered the 32-core detail and q27/t41 read as 9.8x/7.4x
+    # "drift" — pure core-count artifacts) must not be adjudicated against
+    # them. Since r19 the bench records its core count in the artifact and
+    # writes non-32 details to a suffixed path; this guard names the window
+    # and skips the drift flags when it is not a 32-core one.
+    cpus = bench.get("cpus")
+    non32 = cpus is not None and cpus != 32
+
     calib = bench.get("calib", {})
     # per-query timings are measured in the ISOLATED pass, so calibrate
     # them by that segment's own factor (r18; global min as the fallback
@@ -108,8 +118,13 @@ def main():
                 else "calibrated only (raw escapes on this fast window)")
         print(f"{name:30s} spark={sp:6.2f}s  oracle={ot:6.2f}s  "
               f"ratio={sp / ot:4.1f}x  calibrated={cal:5.2f}s/{cal / ot:4.1f}x  [{side}]")
-    print(f"perf-weak: {n_raw} raw, {n_cal} calibrated (load_factor={load:.3f}; "
+    window = f"window: cpus={cpus if cpus is not None else 'unrecorded (pre-r19 artifact)'}"
+    print(f"perf-weak: {n_raw} raw, {n_cal} calibrated (load_factor={load:.3f}; {window}; "
           f"streaming excluded: {len(STREAMING)}, floors excluded: {sorted(floors)})")
+    if non32:
+        print(f"floor-recheck SKIPPED: this detail window ran at cpus={cpus}, "
+              f"floor baselines are 32-core quiet-window measurements "
+              f"(readings below are informational, no drift flags)")
     # Floors are excluded from the count, never from scrutiny (ADVICE r15):
     # every floored query's CURRENT window ratio prints each run, and the
     # recheck flags CALIBRATED drift past FLOOR_BASELINE_RATIO times the
@@ -126,7 +141,9 @@ def main():
         base = float(m.group(1)) if m else None
         ml = LOADED_RE.search(entry)
         loaded_band = float(ml.group(1)) if ml else None
-        if base is None:
+        if non32:
+            flag = f"  (cpus={cpus} window: 32-core baseline {base}x not adjudicated)"
+        elif base is None:
             flag = "  <-- no [baseline Nx] token in this floors entry: record one"
         elif cal_ratio > FLOOR_BASELINE_RATIO * base:
             if load > LOADED_SEGMENT and loaded_band is not None \
