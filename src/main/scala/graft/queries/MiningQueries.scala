@@ -177,13 +177,27 @@ object MiningQueries {
       // partitioning-retaining checkpoint so the graph side never
       // re-shuffles, each lab(r) has exactly one consumer, and two
       // unrolled rounds are shallow enough that lineage-cut jobs would
-      // cost more than they save. The lab side carries NO join-strategy
-      // hint: the logical plan never asks to broadcast the vertex-sized
-      // label frame, and AQE picks broadcast at bench scale (4 MB) but
-      // a shuffled join once labels outgrow the threshold — the
-      // Spark-first posture (measured: hint-free beats a forced SHJ).
+      // cost more than they save. r19: the lab side rides a shuffle_hash
+      // hint. The old "hint-free beats a forced SHJ" measurement predates
+      // the r12 memoization, when this fixpoint ran inline under AQE
+      // (which broadcast the 4 MB label frame at bench scale); since r12
+      // the build executes inside checkpointRetainingPartitioning's
+      // AQE-OFF window, where hint-free STATIC planning picks
+      // SortMergeJoin and re-sorts the edge-sized stream every round
+      // (probe plan: plans/r19/lpa3_build_before.txt, SMJ + Sort(v) over
+      // the edge checkpoint in both rounds). The hinted SHJ reads both
+      // sides co-partitioned — e is hashpartitioning(v), lab arrives
+      // hashpartitioning(u→vertex) from the previous round's agg — with
+      // zero exchange and NO sorts; the label frame is vertex-sized,
+      // never broadcast (the g04/g11 scale rule). Honest A/B (ProbeLpa3
+      // clean probes, sf0.1): build 2.448 s SMJ vs 2.467 s SHJ — a WASH
+      // at this SF (the edge sorts are ~60k rows); kept on the plan
+      // evidence (plans/r19/lpa3_build_{before,after}.txt: 2 SMJ + 2
+      // edge-stream sorts → 2 SHJ, 28 → 25 nodes) because the removed
+      // work is O(E log E) per round vs an O(V) per-partition hash build
+      // — the trade the g04/g11 hints already ship.
       val l = lab
-      lab = e.join(l, e("v") === l("vertex"))
+      lab = e.join(l.hint("shuffle_hash"), e("v") === l("vertex"))
         .select(col("u"), col("label"))
         .repartition(shufN, col("u"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
