@@ -29,13 +29,13 @@ object Bench {
     * recheck token contract, and that every query-keyed floor still names
     * a declared query. */
   private[graft] val FloorsJson: String =
-    """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized [baseline 15.8x]",""" +
+    """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized; r19 attempt (the verdict's item 4): static fixpoint + shuffle_hash score-side hint SHIPPED (zero-exchange co-partitioned rounds, no per-round sorts - plans/r19) but the wall is FLAT (in-context 2.66/2.71/2.27s across three r19 windows vs the 0.20s oracle) - the floor is the e-build+ckpt+TakeOrdered job structure, not join strategy [baseline 15.8x]",""" +
       """"g08_link_prediction":"seed-bounded link prediction (r15 floor per the r13 watch rule; three measured redesigns at ProfileQueries.scala: r9 one-exchange doubled-edge reuse, r12 broadcast-hint removal to AQE runtime sizing, r13 anti-join folded into the wedge aggregate): remaining cost is 9 jobs on a 0.66s oracle - deg agg + deg-carry join + seed-hop ckpt + wedge equi-join + union-keyed cn/ra/adjacency agg + WindowGroupLimit + sort; builder min-of-2 1.22/1.25s (r15 BenchOne), driver windows read 1.75/2.4 under full-suite context [baseline 1.9x] [loaded 4.5x] (r17 driver window: 2.89s raw = 4.4x with isolated-segment load 1.274; quiet rechecks held 2.0-2.1x both times the flag fired)",""" +
       """"t24_bloom_decontaminate":"Bloom decontamination gate (r15 floor per the r14 verdict's own instruction after two rewrites: r13 projection-barrier REJECTED - Catalyst re-inlines project aliases into pushed predicates; r14 digest-in-generator DELIVERED one md5 per (doc,shingle), 0.91->0.70 control-normalized): remaining cost is 6 jobs on a 0.31s oracle - m-bit Bloom build agg + broadcast probe filter + t13 exact-confirm shingle join + report agg; builder windows 0.66-0.87 across r14/r15, driver read 1.53/1.49 (host delta recorded in NOTES); r17 quiet recheck 0.84-0.91s = 2.7-2.9x raw / 2.6x calibrated on the committed window - baseline holds [baseline 2.8x] [loaded 5.0x] (two consecutive loaded driver windows read 4.1x/5.0x while the quiet baseline held both times - the recorded loaded-window band, r17 verdict item 3)",""" +
       """"artifact:d05a":"near-dup cluster-assignment BUILD (r15, ProbeD05a clean probes 2.4-2.8s): cost = symmetrize+init over the jp08 artifact + 2-3 hash-min CC rounds (join+agg+sig-materialize each, job-floor-bound on a sub-MB pair graph) + doc-sized assignment join + cluster-window sizes + eager ckpt; r15 lever folded the sizes groupBy+re-join into ONE cluster-partitioned window count (2.80 -> 2.41-2.80, modest win, one less exchange); driver-window 5.5s reading includes warm-up-context inflation (the triangle_core pattern)",""" +
       """"q27_cube":"CUBE distinct-agg (r14 retirement per the two recorded rejections at AnalyticsQueries.scala: r12 pre-agg 1.56-1.78s, r13 hierarchical rollup 1.80-2.01s/13 jobs vs shipped 1.55-1.82s/7): remaining cost is the Expand x two-phase countDistinct exchange + 7-job floor at sf0.1; trade flips at scale only if the distinct exchange spills, which AQE coalescing absorbs without a shape change [baseline 5.3x]",""" +
       """"s19_gate_quality":"LSH-gate sweep (SelectionQueriesSpec r13, tablesXplanes -> candFrac/top20 retention): isotropic 4x3 .42/9 8x3 .66/17 8x4 .42/10; clustered 4x3 .65/19 8x3 .81/20 8x4 .63/20 - shipped 4x3, 8x3 is the quality knob",""" +
-      """"t41_dsir_weights":"DSIR scoring (r16 floor per the r15 watch rule, THREE measured shapes at SelectionQueries.scala: r12 (doc,bucket)-first exchange rejected; r13 256-row ckpt + broadcast weight join; r16 the verdict's own lever DELIVERED - bucket model collected to a 256-entry array literal, join and both checkpoints gone, and the A/B showed re-tokenizing both passes beats materializing the feature frame: old 2.57/1.52s 9 jobs, literal+ckpt 2.09/1.34s 6 jobs, literal+recompute 1.35/1.28s 7 jobs shipped): remaining cost is 7 jobs = two full tokenize+md5 passes (model agg + collect, score agg + TakeOrdered) on a 0.35s/5000-doc/1.5MB oracle where DuckDB pays ~5ms overhead total - pure job floor at local[32]; recheck r16 quiet 1.28-1.37s (3.7x), r17 committed window 1.25s = 3.6x raw / 3.3x calibrated [baseline 3.7x]",""" +
+      """"t41_dsir_weights":"DSIR scoring (r16 floor per the r15 watch rule, THREE measured shapes at SelectionQueries.scala: r12 (doc,bucket)-first exchange rejected; r13 256-row ckpt + broadcast weight join; r16 the verdict's own lever DELIVERED - bucket model collected to a 256-entry array literal, join and both checkpoints gone, and the A/B showed re-tokenizing both passes beats materializing the feature frame: old 2.57/1.52s 9 jobs, literal+ckpt 2.09/1.34s 6 jobs, literal+recompute 1.35/1.28s 7 jobs shipped): remaining cost is 7 jobs = two full tokenize+md5 passes (model agg + collect, score agg + TakeOrdered) on a 0.35s/5000-doc/1.5MB oracle where DuckDB pays ~5ms overhead total - pure job floor at local[32]; recheck r16 quiet 1.28-1.37s (3.7x), r17 committed window 1.25s = 3.6x raw / 3.3x calibrated; r19 re-pin (the r18 verdict's item 7 after two manual adjudications): quietest r19 window (load 1.024, steal 1.7 pct) reads 1.30s = 3.59x calibrated - the baseline HOLDS as pinned; quiet band across r16-r19 is 3.4-4.3x, and the r18 flags were a fast-window calibrated hair-trigger (5.6x vs the 5.55x gate) and the clobbered 8-core detail (8.7x - now refused by perf_weak's cpus guard) [baseline 3.7x]",""" +
       """"artifact:triangle_core":"census BUILD floor (r14, two rejections recorded at Triangles.scala): r13 explicit-lazy-ckpt no-win 3.26 vs 3.12s; r14 derivation from the doubled edge artifacts 3.16->4.28s (every doubled path re-keys 2m annotated rows where this build moves m + a vertex-sized combined degree shuffle) - remaining cost IS the wedge-intersection agg; clean-probe build 3.3s at sf0.1 (ProbeTri)"}"""
   /** Which load-sentinel segment normalizes which contract ratio (r17
     * verdict item 1). Every term of `ratio_aggregate`'s and

@@ -679,7 +679,9 @@ object AnalyticsQueries {
     * AND both sweep union branches — un-materialized, the duplicated
     * subtrees scan events 3×): BenchOne same-session 0.958 → 0.778 s /
     * 11 → 9 jobs, but all four same-code full-Bench windows read it as a
-    * WASH (1.10–1.18 s vs the baseline's 1.07). REVERTED (r18 verdict item
+    * WASH (1.10–1.18 s vs the baseline's 1.07), and the r19 in-context
+    * quadruple confirms: 1.705 s WITH the ckpt (w0) vs 1.254/1.890/1.290
+    * without (w1-w3) — wash-to-better. REVERTED (r18 verdict item
     * 3): `iv` is EVENT-sized — one row per event, not an aggregate — so
     * the t20/t41 rule applies (no corpus-sized materialization at 100 TB:
     * executor-storage pressure vs three pushed-filter re-scans of a
