@@ -314,8 +314,13 @@ object Multimodal {
           // explicit bounds check (ADVICE r17): a corrupt stco/stsz
           // geometry whose span overruns the payload is refused HERE,
           // intentionally — not left to copyOfRange's zero-padding
-          // incidentally failing the JPEG decode downstream
-          if (k < 1 || k > nF || off + k * fs > payload.length) None
+          // incidentally failing the JPEG decode downstream. Division
+          // form (ADVICE r18): fs and k are unsigned-32-bit reads, so
+          // `off + k * fs` can wrap a Long negative and PASS a direct
+          // comparison; `k > (L - off) / fs` is overflow-free and, for
+          // positive integers, exactly equivalent to k·fs > L − off.
+          if (k < 1 || k > nF || fs <= 0 || off > payload.length ||
+              k > (payload.length - off) / fs) None
           else {
             val a = off + (k - 1) * fs
             val span = java.util.Arrays.copyOfRange(payload, a.toInt, (a + fs).toInt)

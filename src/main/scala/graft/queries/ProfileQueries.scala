@@ -594,6 +594,10 @@ object ProfileQueries {
   def m09PhashPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ImageCodec
     import graft.operators.Multimodal
+    // NOTE (ADVICE r18): ProbeM09 (src/test) copies the mk/dh UDF bodies
+    // and the join/distinct tail VERBATIM for its stage decomposition —
+    // if the synthesis or tail here changes, update the probe in the same
+    // commit or its floors attribution silently measures a stale shape.
     val mk = udf { (docId: Long) =>
       val w = 18; val h = 16
       val base = docId / 8; val pert = docId % 8

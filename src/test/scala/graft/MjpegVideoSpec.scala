@@ -162,6 +162,14 @@ class MjpegVideoSpec extends SparkSpec {
     val truncated = java.util.Arrays.copyOfRange(mp4, 0, (off + 6 * fs + fs / 2).toInt)
     assert(Multimodal.keyframePixelStats(truncated).isEmpty,
       "keyframe span past the payload end must refuse explicitly")
+    // ...and truncate HARDER (ADVICE r18): at off + 5*fs the keyframe-7
+    // span START (off + 6*fs) itself exceeds the buffer — before the
+    // explicit check, copyOfRange threw ArrayIndexOutOfBoundsException on
+    // this path (the softer truncation above zero-pads and fails the
+    // decode on either code path), so None HERE pins the check itself
+    val truncatedHard = java.util.Arrays.copyOfRange(mp4, 0, (off + 5 * fs).toInt)
+    assert(Multimodal.keyframePixelStats(truncatedHard).isEmpty,
+      "span START past the payload end must refuse, not throw")
   }
 
   test("m19 query agrees with the synthesis arithmetic, independently computed") {
