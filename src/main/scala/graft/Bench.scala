@@ -29,7 +29,7 @@ object Bench {
     * recheck token contract, and that every query-keyed floor still names
     * a declared query. */
   private[graft] val FloorsJson: String =
-    """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized; r19 attempt (the verdict's item 4): static fixpoint + shuffle_hash score-side hint SHIPPED (zero-exchange co-partitioned rounds, no per-round sorts - plans/r19) but the wall is FLAT (in-context 2.66/2.71/2.27s across three r19 windows vs the 0.20s oracle) - the floor is the e-build+ckpt+TakeOrdered job structure, not join strategy [baseline 15.8x]",""" +
+    """{"g09_hits":"fused simultaneous HITS (r13): e-build+doubled ckpt ~1.2s + 3 union-keyed rounds ~1.1s + 2 TakeOrdered ~0.2s (ProbeG09b); single-consumer bipartite frame deliberately NOT memoized; r19 attempt (the verdict's item 4): static fixpoint + shuffle_hash score-side hint SHIPPED (zero-exchange co-partitioned rounds, no per-round sorts - plans/r19); on CONTENDED r19 windows (steal 1.7-3.2 pct) the wall read flat (2.27-2.71s) but the round's one QUIET window (steal 0.04 pct) reads 1.655s = 8.3x raw vs the old shape's 2.3-2.6s quiet band - a real ~1.4x; the remaining cost is the e-build+ckpt+TakeOrdered job structure [baseline 15.8x]",""" +
       """"g08_link_prediction":"seed-bounded link prediction (r15 floor per the r13 watch rule; three measured redesigns at ProfileQueries.scala: r9 one-exchange doubled-edge reuse, r12 broadcast-hint removal to AQE runtime sizing, r13 anti-join folded into the wedge aggregate): remaining cost is 9 jobs on a 0.66s oracle - deg agg + deg-carry join + seed-hop ckpt + wedge equi-join + union-keyed cn/ra/adjacency agg + WindowGroupLimit + sort; builder min-of-2 1.22/1.25s (r15 BenchOne), driver windows read 1.75/2.4 under full-suite context [baseline 1.9x] [loaded 4.5x] (r17 driver window: 2.89s raw = 4.4x with isolated-segment load 1.274; quiet rechecks held 2.0-2.1x both times the flag fired)",""" +
       """"t24_bloom_decontaminate":"Bloom decontamination gate (r15 floor per the r14 verdict's own instruction after two rewrites: r13 projection-barrier REJECTED - Catalyst re-inlines project aliases into pushed predicates; r14 digest-in-generator DELIVERED one md5 per (doc,shingle), 0.91->0.70 control-normalized): remaining cost is 6 jobs on a 0.31s oracle - m-bit Bloom build agg + broadcast probe filter + t13 exact-confirm shingle join + report agg; builder windows 0.66-0.87 across r14/r15, driver read 1.53/1.49 (host delta recorded in NOTES); r17 quiet recheck 0.84-0.91s = 2.7-2.9x raw / 2.6x calibrated on the committed window - baseline holds [baseline 2.8x] [loaded 5.0x] (two consecutive loaded driver windows read 4.1x/5.0x while the quiet baseline held both times - the recorded loaded-window band, r17 verdict item 3)",""" +
       """"artifact:d05a":"near-dup cluster-assignment BUILD (r15, ProbeD05a clean probes 2.4-2.8s): cost = symmetrize+init over the jp08 artifact + 2-3 hash-min CC rounds (join+agg+sig-materialize each, job-floor-bound on a sub-MB pair graph) + doc-sized assignment join + cluster-window sizes + eager ckpt; r15 lever folded the sizes groupBy+re-join into ONE cluster-partitioned window count (2.80 -> 2.41-2.80, modest win, one less exchange); driver-window 5.5s reading includes warm-up-context inflation (the triangle_core pattern)",""" +
