@@ -118,6 +118,25 @@ def main():
             rel = path if path.startswith("src/") else f"src/main/scala/graft/{path}"
             if not os.path.exists(os.path.join(ROOT, rel)):
                 fails.append(f"{rid}: source anchor {path} missing ({rel})")
+        # line anchors must land AT the query's def (or inside its doc
+        # comment, ≤ 80 lines above) — the file-length sweep below cannot
+        # see an anchor shifted by insertions earlier in the file (r19: 30
+        # rows had rotted silently that way). Vacuous when the anchored
+        # file declares no `def <qid>…` (operator/helper anchors).
+        for path, line_s in re.findall(r"`([\w/]+\.scala):(\d+)`", srccol):
+            rel = path if path.startswith("src/") else f"src/main/scala/graft/{path}"
+            full = os.path.join(ROOT, rel)
+            if not os.path.exists(full):
+                continue  # the sweep below reports the missing file
+            src_lines = open(full).read().splitlines()
+            ln = int(line_s)
+            for qid in qids:
+                defs = [i + 1 for i, l in enumerate(src_lines)
+                        if re.search(r"\bdef " + qid + r"[A-Z]", l)]
+                if defs and not any(d - 80 <= ln <= d + 5 for d in defs):
+                    fails.append(
+                        f"{rid}: anchor {path}:{ln} drifted from def {qid}… "
+                        f"(nearest def at line {min(defs, key=lambda d: abs(d - ln))})")
 
     # file:line anchors anywhere in section 2
     n_anchors = 0
